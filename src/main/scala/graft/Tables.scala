@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * One normalization is applied at load: `events.ts` is written by the
+  * generator as parquet INT64 TIMESTAMP(NANOS) which Spark cannot map to
+  * its microsecond TimestampType directly; we read it via the
+  * `nanosAsLong` escape hatch and convert to a proper TimestampType
+  * column (truncating to microseconds, which matches what every
+  * downstream second-granularity computation needs).
+  *
+  * All loaders are plain `spark.read.parquet` — Catalyst handles column
+  * pruning / predicate pushdown into the scan, so callers should filter
+  * and select on the returned DataFrame and trust pushdown (verified in
+  * PlanSpec).
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** events.ts arrives as nanosecond INT64; expose it as TimestampType. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Spark has no nanosecond timestamp type; without this conf the scan
+    // fails on TIMESTAMP(NANOS) columns. Runtime-settable SQL conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // With nanosAsLong the column is LongType nanos — convert (truncate)
+    // to microsecond TimestampType; if a future Spark reads it natively
+    // as a timestamp, keep it as-is.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(floorDiv1000(col("ts"))))
+      case _ => raw
+    }
+  }
+
+  /** Floor-division by 1000 for Long nanos→micros (negative-safe; plain
+    * integer `/` in Spark truncates toward zero which would round
+    * pre-1970 timestamps the wrong way). */
+  private def floorDiv1000(c: org.apache.spark.sql.Column) =
+    floor(c.cast("decimal(24,4)") / lit(1000)).cast("long")
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
