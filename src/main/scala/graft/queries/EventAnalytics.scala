@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Relational.dec
+
+/** The reference's ten analytical questions (requirements.md:42-53, DAX
+  * sketches sample_data/README.md:73-87) re-expressed natively over the
+  * `events` stream table, which stands in for the processed-transaction
+  * stream (TESTDATA.md / FIXTURES.md §6):
+  *   event_type ≙ Use_Chip/Merchant dim, value ≙ Amount_USD,
+  *   event_type='error' ≙ fraud/error rows, props ≙ raw JSON payload.
+  *
+  * Everything is a native Column expression — the reference's four Python
+  * UDFs (spark_streaming_consumer.py:72-131) appear here as codegen'd
+  * built-ins (date_format / when / format-free composite keys), SURVEY §2.3.
+  */
+object EventAnalytics {
+
+  private val VND_RATE = 25057 // reference default rate, exchange_rate_service.py:18
+
+  private def dayName = date_format(col("ts"), "EEEE")
+  private def isWeekend = when(dayName.isin("Saturday", "Sunday"), "Yes").otherwise("No")
+
+  // ---------------------------------------------------------------- ea1
+  /** ea1 [A5/Q7]: daily error rate — conditional counting + exact-int
+    * ratio (the reference's fraud-rate DAX measure). */
+  def ea1DailyErrorRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .withColumn("error_rate_pct", col("n_errors") * lit(100.0) / col("n_events"))
+      .orderBy(col("event_date"))
+
+  val ea1Sql: String =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct
+      |FROM events
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY event_date""".stripMargin
+
+  // ---------------------------------------------------------------- ea2
+  /** ea2 [P3-P5/A1]: currency conversion at a broadcast scalar rate —
+    * the reference's USD→VND enrichment (UDF #1 → native decimal math). */
+  def ea2VndByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(dec(col("value")) * lit(VND_RATE).cast("decimal(10,0)"))
+          .cast("double").as("amount_vnd"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val ea2Sql: String =
+    s"""SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST($VND_RATE AS DECIMAL(10,0))) AS DOUBLE) AS amount_vnd,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- ea3
+  /** ea3 [P12/Q1]: traffic per composite hour key (`yyyy-MM-dd-HH`, the
+    * reference's DateTime_Hour_Key, UDF #4 → date_format). */
+  def ea3HourKeyTraffic(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("hour_key"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("hour_key"))
+
+  val ea3Sql: String =
+    """SELECT strftime(ts, '%Y-%m-%d-%H') AS hour_key,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY hour_key""".stripMargin
+
+  // ---------------------------------------------------------------- ea4
+  /** ea4 [A6/Q1]: peak hour of day — TOPN(1) with deterministic
+    * tie-break (reference DAX sample_data/README.md:84-86). */
+  def ea4PeakHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hour_of_day"))
+      .limit(1)
+
+  val ea4Sql: String =
+    """SELECT hour(ts) AS hour_of_day, COUNT(*) AS n
+      |FROM events GROUP BY 1 ORDER BY n DESC, hour_of_day LIMIT 1""".stripMargin
+
+  // ---------------------------------------------------------------- ea5
+  /** ea5 [Q5]: users with rapid consecutive events (≤300 s apart) —
+    * lag window per user ordered by time (requirements.md:47). */
+  def ea5RapidUsers(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s", unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+      .filter(col("gap_s").isNotNull && col("gap_s") <= 300)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rapid"))
+      .orderBy(col("user_id"))
+  }
+
+  val ea5Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |      - CAST(epoch(date_trunc('second',
+      |          lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_rapid FROM g
+      |WHERE gap_s IS NOT NULL AND gap_s <= 300
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- ea6
+  /** ea6 [Q6]: when/where do large events occur (requirements.md:48). */
+  def ea6LargeEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value") > 100)
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("hour_of_day"), col("event_type"))
+
+  val ea6Sql: String =
+    """SELECT hour(ts) AS hour_of_day, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE value > 100
+      |GROUP BY 1, 2 ORDER BY hour_of_day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- ea7
+  /** ea7 [Q7/A3]: event mix across type × day-name with CUBE grouping
+    * sets (requirements.md:49 trend-by-dimension family). */
+  def ea7TypeDayCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .cube(col("event_type"), dayName.as("day_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_name"))
+
+  val ea7Sql: String =
+    """SELECT event_type, dayname(ts) AS day_name, COUNT(*) AS n
+      |FROM events
+      |GROUP BY CUBE(event_type, dayname(ts))
+      |ORDER BY event_type ASC NULLS FIRST, day_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- ea8
+  /** ea8 [Q8/P11]: weekday-vs-weekend profile — the reference's
+    * Is_Weekend flag (UDF #3 → when/otherwise) (requirements.md:50). */
+  def ea8WeekendProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(isWeekend.as("is_weekend"), dayName.as("day_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("is_weekend"), col("day_name"))
+
+  val ea8Sql: String =
+    """SELECT CASE WHEN dayname(ts) IN ('Saturday','Sunday') THEN 'Yes' ELSE 'No' END AS is_weekend,
+      |  dayname(ts) AS day_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY is_weekend, day_name""".stripMargin
+
+  // ---------------------------------------------------------------- ea9
+  /** ea9 [Q9/Q4]: users with above-average error counts — per-group
+    * measure vs global aggregate via cross-join of a 1-row frame
+    * (requirements.md:51; SURVEY §2.6 global-vs-group). */
+  def ea9AboveAvgErrorUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_errors"))
+    val globalAvg = perUser.agg(avg(col("n_errors")).as("avg_errors"))
+    perUser.crossJoin(globalAvg)
+      .filter(col("n_errors") > col("avg_errors"))
+      .select(col("user_id"), col("n_errors"))
+      .orderBy(col("user_id"))
+  }
+
+  val ea9Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n_errors FROM events
+      |  WHERE event_type = 'error' GROUP BY user_id)
+      |SELECT user_id, n_errors FROM pu
+      |WHERE n_errors > (SELECT AVG(n_errors) FROM pu)
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- ea10
+  /** ea10 [P2]: JSON payload parsing — the reference's from_json step
+    * (spark_streaming_consumer.py:211) over the props column. */
+  def ea10PropsBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("k_bucket"))
+
+  val ea10Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  // --------------------------------------------------------------- ea11
+  /** ea11 [Q1 anomaly]: hours of day with above-average traffic
+    * (requirements.md:42-43). */
+  def ea11AnomalousHours(spark: SparkSession, dir: String): DataFrame = {
+    val perHour = Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val avgN = perHour.agg(avg(col("n")).as("avg_n"))
+    perHour.crossJoin(avgN)
+      .filter(col("n") > col("avg_n"))
+      .select(col("hour_of_day"), col("n"))
+      .orderBy(col("hour_of_day"))
+  }
+
+  val ea11Sql: String =
+    """WITH h AS (SELECT hour(ts) AS hour_of_day, COUNT(*) AS n
+      |           FROM events GROUP BY 1)
+      |SELECT hour_of_day, n FROM h
+      |WHERE n > (SELECT AVG(n) FROM h)
+      |ORDER BY hour_of_day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ea1_daily_error_rate" -> ea1DailyErrorRate _,
+    "ea2_vnd_by_type" -> ea2VndByType _,
+    "ea3_hour_key_traffic" -> ea3HourKeyTraffic _,
+    "ea4_peak_hour" -> ea4PeakHour _,
+    "ea5_rapid_users" -> ea5RapidUsers _,
+    "ea6_large_events" -> ea6LargeEvents _,
+    "ea7_type_day_cube" -> ea7TypeDayCube _,
+    "ea8_weekend_profile" -> ea8WeekendProfile _,
+    "ea9_above_avg_error_users" -> ea9AboveAvgErrorUsers _,
+    "ea10_props_buckets" -> ea10PropsBuckets _,
+    "ea11_anomalous_hours" -> ea11AnomalousHours _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ea1_daily_error_rate" -> ea1Sql,
+    "ea2_vnd_by_type" -> ea2Sql,
+    "ea3_hour_key_traffic" -> ea3Sql,
+    "ea4_peak_hour" -> ea4Sql,
+    "ea5_rapid_users" -> ea5Sql,
+    "ea6_large_events" -> ea6Sql,
+    "ea7_type_day_cube" -> ea7Sql,
+    "ea8_weekend_profile" -> ea8Sql,
+    "ea9_above_avg_error_users" -> ea9Sql,
+    "ea10_props_buckets" -> ea10Sql,
+    "ea11_anomalous_hours" -> ea11Sql
+  )
+}

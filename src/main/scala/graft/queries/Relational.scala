@@ -2,33 +2,49 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational query surface over the driver test tables.
   *
   * These queries re-express the reference's OLAP surface (SURVEY.md §2.5,
   * reference requirements.md:42-53 — aggregations, top-k, rollups,
-  * global-vs-group comparisons) against the TPC-H-ish star schema.
+  * global-vs-group comparisons) against the TPC-H-ish star schema, and
+  * cover the relational operator inventory: multi-way joins (broadcast
+  * where the dimension is small), rollup/cube grouping sets, window
+  * functions, semi/anti joins, set ops, distinct aggregation and top-k.
   *
   * Determinism contract with the DuckDB oracle (SparkEntry.oracleSql):
-  *  - money sums go through DECIMAL(18,2) per element, so the aggregate is
-  *    exact and order-independent, then back to double for a stable schema;
+  *  - money sums go through DECIMAL(18,2) per RAW column, so the aggregate
+  *    is exact and order-independent, then back to double for a stable
+  *    schema; never cast a computed double product to decimal (the two
+  *    engines round its low bits differently);
   *  - every result carries a total ORDER BY with a unique tie-breaker;
   *  - no raw timestamp columns are emitted (parquet nanos vs micros).
+  *
+  * Scale notes (100 TB design): every query here is a pure declarative
+  * plan — shuffles only on group/join keys, dimension tables
+  * (region/nation/supplier) broadcast explicitly, fact-fact joins left to
+  * AQE/sort-merge. No driver-side collects.
   */
 object Relational {
 
   /** Raw money/measure columns in the test tables are exact 2-decimal
     * values stored as double; casting THE RAW COLUMN to decimal(18,2) is
-    * unambiguous in both Spark and DuckDB. Derived arithmetic must then
-    * stay in decimal (exact, order-independent) — never cast a computed
-    * double product to decimal, the two engines round its low bits
-    * differently. */
+    * unambiguous in both Spark and DuckDB. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Exact, order-independent sum of a raw double money column. */
   def moneySum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Exact per-row revenue in decimal: price * (1 - discount). */
+  private def revenue: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  // ---------------------------------------------------------------- q1
   /** q1: pricing summary — grouped aggregation with computed measures
     * (SURVEY §2.5 A1/A2 pattern; classic TPC-H Q1 shape). */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -37,18 +53,207 @@ object Relational {
       .agg(
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
+        sum(revenue).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  def q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** q2: revenue per region/nation — 4-way star join with broadcast
+    * dimensions (SURVEY §2.6; reference Q2 "city with highest value"
+    * pattern, requirements.md:44). region/nation are tiny at any scale →
+    * explicit broadcast; customer⋈orders shuffles on the key. */
+  def q2RegionRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q2Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** q3: market-segment sales — join + multi-measure agg incl. exact
+    * distinct (SURVEY §2.5 A1-A4). */
+  def q3SegmentSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val q3Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** q4: order revenue rolled up year → month → grand total (SURVEY §2.5
+    * A3 multi-granularity rollup; reference requirements.md:12). */
+  def q4TimeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(
+        moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_month"))
+
+  val q4Sql: String =
+    """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+      |ORDER BY o_year ASC NULLS FIRST, o_month ASC NULLS FIRST""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  /** q10: top-3 parts by revenue per supplier — ranking window over a
+    * grouped aggregate (SURVEY §2.7/§2.8 top-k per group). Ties broken by
+    * partkey so ranking is total. */
+  def q10TopPartsPerSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(revenue).as("rev_dec"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("rev_dec").desc, col("l_partkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("l_partkey"),
+        col("rev_dec").cast("double").as("part_revenue"), col("rn"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val q10Sql: String =
+    s"""WITH rev AS (
+      |  SELECT l_suppkey, l_partkey, SUM($revenueSql) AS rev_dec
+      |  FROM lineitem GROUP BY l_suppkey, l_partkey)
+      |SELECT l_suppkey, l_partkey, CAST(rev_dec AS DOUBLE) AS part_revenue, rn
+      |FROM (SELECT *, ROW_NUMBER() OVER
+      |        (PARTITION BY l_suppkey ORDER BY rev_dec DESC, l_partkey) AS rn
+      |      FROM rev)
+      |WHERE rn <= 3
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  /** q11: customers who never placed a >$400k order — anti join
+    * (SURVEY §2.6; NOT EXISTS shape). Filter is applied to the fact side
+    * BEFORE the join so the anti-join probe is as small as possible. */
+  def q11NoBigOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  /** q12: customers WITH a >$400k order — semi join (EXISTS). */
+  def q12BigOrderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------- q13
+  /** q13: union-all of two order slices then re-aggregate (SURVEY §2.9
+    * set operations; unionByName). */
+  def q13UnionPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+    val high = o.filter(col("o_orderpriority") === "2-HIGH")
+    urgent.unionByName(high)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q13Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+      |      UNION ALL
+      |      SELECT * FROM orders WHERE o_orderpriority = '2-HIGH')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- q15
+  /** q15: global top-k — Catalyst plans TakeOrderedAndProject, no full
+    * sort at scale (SURVEY §2.8). */
+  def q15TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q15Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Registry for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_region_revenue" -> q2RegionRevenue _,
+    "q3_segment_sales" -> q3SegmentSales _,
+    "q4_time_rollup" -> q4TimeRollup _,
+    "q10_top_parts_per_supplier" -> q10TopPartsPerSupplier _,
+    "q11_no_big_order_customers" -> q11NoBigOrderCustomers _,
+    "q12_big_order_customers" -> q12BigOrderCustomers _,
+    "q13_union_priorities" -> q13UnionPriorities _,
+    "q15_top_orders" -> q15TopOrders _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_region_revenue" -> q2Sql,
+    "q3_segment_sales" -> q3Sql,
+    "q4_time_rollup" -> q4Sql,
+    "q10_top_parts_per_supplier" -> q10Sql,
+    "q11_no_big_order_customers" -> q11Sql,
+    "q12_big_order_customers" -> q12Sql,
+    "q13_union_priorities" -> q13Sql,
+    "q15_top_orders" -> q15Sql
+  )
 }
