@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * All loaders are plain `spark.read.parquet` — Catalyst handles column
   * pruning / predicate pushdown into the scan, so callers should filter
-  * and select on the returned DataFrame and trust pushdown (verified in
-  * PlanSpec).
+  * and select on the returned DataFrame and trust pushdown (PlanSpec
+  * asserts PushedFilters/ReadSchema on a representative plan).
+  *
+  * Session invariant: `spark.sql.legacy.parquet.nanosAsLong=true` must be
+  * set at SparkSession build time (Verify/Bench/TestSpark all do); the
+  * `events` loader also sets it defensively before the first scan.
   */
 object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")

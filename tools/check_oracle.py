@@ -30,6 +30,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("Int64")
         elif df[c].dtype == object:
             df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
+    # Sort on the same representation that gets hashed: round floats to the
+    # hash precision (%.10g) first, so low-bit float differences between
+    # engines cannot reorder tied rows (ADVICE r01).
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].apply(lambda v: float(f"{v:.10g}") if pd.notna(v) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -45,10 +51,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    # Worklist = oracle keys ∪ result dirs: a query that crashed in
+    # graft.Verify (no output dir) must count as FAIL, not vanish (ADVICE r01).
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+    names = sorted(dirs | set(oracles))
     n_pass = n_fail = n_noracle = 0
     for name in names:
+        if name not in dirs:
+            print(f"  [FAIL-miss] {name}: no Verify output (query crashed?)")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
