@@ -1,0 +1,272 @@
+package graft.tx
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries exercising the enrichment pipeline (P1–P17)
+  * and the 4-way split (F1–F4) end-to-end over the deterministic
+  * [[RawTransactions]] view.
+  *
+  * Each oracle SQL re-derives the raw view + enrichment in DuckDB via
+  * [[rawCte]]/[[processedCte]] — these CTEs are the behavioral contract
+  * and MUST stay in lockstep with RawTransactions/Enrichment/Splitter.
+  *
+  * Determinism: money aggregates cast the (exactly-2-decimal) USD amount
+  * to DECIMAL(18,2) before multiplying/summing, so sums are exact and
+  * order-independent in both engines; every result is totally ordered.
+  */
+object TxQueries {
+
+  private val Rate = Enrichment.DefaultRate // 25057, pinned for oracles
+
+  /** DuckDB mirror of [[RawTransactions.fromEvents]]. */
+  val rawCte: String =
+    """raw AS (
+      |  SELECT user_id AS u_user, event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN printf('%012d', 453200000000 + user_id)
+      |         ELSE printf('%016d', 4532000000000000 + user_id) END AS card,
+      |    CASE WHEN event_id % 89 = 0 THEN NULL
+      |         WHEN event_id % 83 = 0 THEN '$0.00'
+      |         ELSE '$' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS amount,
+      |    CASE event_type WHEN 'click' THEN 'Chip Transaction'
+      |                    WHEN 'view' THEN 'Swipe Transaction'
+      |                    WHEN 'purchase' THEN 'Online Transaction'
+      |                    WHEN 'signup' THEN 'Chip Transaction'
+      |                    ELSE 'Online Transaction' END AS use_chip,
+      |    'Merchant_' || CAST(event_id % 60 AS VARCHAR) AS merchant_name,
+      |    'City_' || CAST(event_id % 20 AS VARCHAR) AS merchant_city,
+      |    'ST' || CAST(event_id % 5 AS VARCHAR) AS merchant_state,
+      |    CAST(10000 + event_id % 89999 AS VARCHAR) AS zip,
+      |    CAST(5000 + event_id % 100 AS VARCHAR) AS mcc,
+      |    CASE WHEN event_id % 43 = 0 THEN '  Bad CVV '
+      |         WHEN event_type = 'error' THEN 'Technical Glitch'
+      |         ELSE '' END AS errors_raw,
+      |    CASE WHEN event_id % 37 = 0 THEN 'Yes ' ELSE 'No' END AS fraud_raw,
+      |    CASE WHEN event_id % 101 = 0 THEN 'BAD-' ELSE '' END ||
+      |      strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_str
+      |  FROM events)""".stripMargin
+
+  /** DuckDB mirror of [[Enrichment.enrich]] at the pinned rate. */
+  val processedCte: String =
+    s"""WITH $rawCte,
+      |enr0 AS (
+      |  SELECT *,
+      |    TRY_CAST(regexp_replace(amount, '[$$,]', '', 'g') AS DOUBLE) AS amount_usd,
+      |    CASE WHEN ts_str LIKE 'BAD-%' THEN NULL
+      |         ELSE strptime(ts_str, '%Y-%m-%dT%H:%M:%S') END AS td
+      |  FROM raw),
+      |enr AS (
+      |  SELECT *,
+      |    CASE WHEN amount_usd IS NOT NULL AND amount_usd > 0
+      |         THEN amount_usd * ${Rate.toInt} END AS amount_vnd,
+      |    ${Rate.toInt} AS exchange_rate,
+      |    year(td) AS yr, month(td) AS mo, day(td) AS dy, hour(td) AS hh,
+      |    strftime(td, '%Y-%m-%d-%H') AS hour_key,
+      |    dayname(td) AS day_name,
+      |    CASE WHEN dayname(td) IN ('Saturday','Sunday') THEN 'Yes' ELSE 'No' END AS is_weekend,
+      |    trim(errors_raw) AS errors, trim(fraud_raw) AS is_fraud,
+      |    td IS NOT NULL AS is_valid_date,
+      |    length(card) AS card_len
+      |  FROM enr0)""".stripMargin
+
+  // Bucket predicates (Splitter F1–F4) in DuckDB terms.
+  private val validPred =
+    "u_user IS NOT NULL AND card IS NOT NULL AND card_len >= 16 AND amount_usd IS NOT NULL AND amount_usd > 0 AND is_valid_date"
+  private val errorPred = "errors IS NOT NULL AND errors <> ''"
+  private val fraudPred = "is_fraud = 'Yes'"
+  private val invalidPred =
+    "(errors IS NULL OR errors = '') AND is_fraud = 'No' AND (amount_usd IS NULL OR amount_usd <= 0 OR card_len < 16 OR NOT is_valid_date)"
+
+  /** The enriched frame all tx queries start from. */
+  def processed(spark: SparkSession, dir: String): DataFrame =
+    Enrichment.enrich(RawTransactions.fromEvents(spark, dir), Rate)
+
+  private def usdDec = col("Amount_USD").cast("decimal(18,2)")
+  private val usdDecSql = "CAST(amount_usd AS DECIMAL(18,2))"
+
+  // ---------------------------------------------------------------- tx1
+  /** tx1 [F1–F4]: row count of each validation bucket. The four counts
+    * sum to MORE than the row count — the overlap quirk, asserted
+    * against the oracle rather than "fixed". */
+  def tx1BucketCounts(spark: SparkSession, dir: String): DataFrame = {
+    val p = processed(spark, dir).cache()
+    def one(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).withColumn("bucket", lit(name))
+    one("error", Splitter.errors(p))
+      .unionByName(one("fraud", Splitter.fraud(p)))
+      .unionByName(one("invalid", Splitter.invalid(p)))
+      .unionByName(one("valid", Splitter.valid(p)))
+      .select(col("bucket"), col("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val tx1Sql: String =
+    s"""$processedCte
+      |SELECT 'error' AS bucket, COUNT(*) AS n FROM enr WHERE $errorPred
+      |UNION ALL SELECT 'fraud', COUNT(*) FROM enr WHERE $fraudPred
+      |UNION ALL SELECT 'invalid', COUNT(*) FROM enr WHERE $invalidPred
+      |UNION ALL SELECT 'valid', COUNT(*) FROM enr WHERE $validPred
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- tx2
+  /** tx2 [A3/K2 shape]: daily volume + exact VND total of the valid
+    * stream — the partitioned-by-day warehouse rollup. */
+  def tx2ValidDaily(spark: SparkSession, dir: String): DataFrame =
+    Splitter.valid(processed(spark, dir))
+      .groupBy(col("Year").as("yr"), col("Month").as("mo"), col("Day").as("dy"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(usdDec * lit(Rate.toInt)).cast("double").as("vnd_total"))
+      .orderBy(col("yr"), col("mo"), col("dy"))
+
+  val tx2Sql: String =
+    s"""$processedCte
+      |SELECT yr, mo, dy, COUNT(*) AS n,
+      |  CAST(SUM($usdDecSql * ${Rate.toInt}) AS DOUBLE) AS vnd_total
+      |FROM enr WHERE $validPred
+      |GROUP BY yr, mo, dy ORDER BY yr, mo, dy""".stripMargin
+
+  // ---------------------------------------------------------------- tx3
+  /** tx3 [F4]: invalid-bucket breakdown by derived invalid_reason. */
+  def tx3InvalidReasons(spark: SparkSession, dir: String): DataFrame =
+    Splitter.invalid(processed(spark, dir))
+      .groupBy(col("invalid_reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("invalid_reason"))
+
+  val tx3Sql: String =
+    s"""$processedCte
+      |SELECT CASE WHEN NOT is_valid_date THEN 'Invalid Date'
+      |            ELSE 'Data format invalid or missing' END AS invalid_reason,
+      |  COUNT(*) AS n
+      |FROM enr WHERE $invalidPred
+      |GROUP BY 1 ORDER BY invalid_reason""".stripMargin
+
+  // ---------------------------------------------------------------- tx4
+  /** tx4 [Q1/A6]: hourly profile of the valid stream (hour key from the
+    * enrichment's Hour part). */
+  def tx4HourProfile(spark: SparkSession, dir: String): DataFrame =
+    Splitter.valid(processed(spark, dir))
+      .groupBy(col("Hour").as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(usdDec).cast("double").as("usd_total"))
+      .orderBy(col("hour_of_day"))
+
+  val tx4Sql: String =
+    s"""$processedCte
+      |SELECT hh AS hour_of_day, COUNT(*) AS n,
+      |  CAST(SUM($usdDecSql) AS DOUBLE) AS usd_total
+      |FROM enr WHERE $validPred
+      |GROUP BY hh ORDER BY hour_of_day""".stripMargin
+
+  // ---------------------------------------------------------------- tx5
+  /** tx5 [Q7/Q8]: fraud profile across weekend flag × day name (the
+    * enrichment's Is_Weekend/Day_of_Week columns). */
+  def tx5WeekendFraud(spark: SparkSession, dir: String): DataFrame =
+    Splitter.fraud(processed(spark, dir))
+      .groupBy(col("Is_Weekend").as("is_weekend"), col("Day_of_Week").as("day_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("is_weekend"), col("day_name"))
+
+  val tx5Sql: String =
+    s"""$processedCte
+      |SELECT is_weekend, day_name, COUNT(*) AS n
+      |FROM enr WHERE $fraudPred
+      |GROUP BY 1, 2 ORDER BY is_weekend, day_name""".stripMargin
+
+  // ---------------------------------------------------------------- tx6
+  /** tx6 [Q3]: top-10 merchants of the valid stream by exact VND value
+    * (requirements.md:45), deterministic tie-break on name. */
+  def tx6MerchantTopk(spark: SparkSession, dir: String): DataFrame =
+    Splitter.valid(processed(spark, dir))
+      .groupBy(col("Merchant_Name").as("merchant"))
+      .agg(
+        sum(usdDec * lit(Rate.toInt)).cast("double").as("vnd_total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("vnd_total").desc, col("merchant"))
+      .limit(10)
+
+  val tx6Sql: String =
+    s"""$processedCte
+      |SELECT merchant_name AS merchant,
+      |  CAST(SUM($usdDecSql * ${Rate.toInt}) AS DOUBLE) AS vnd_total,
+      |  COUNT(*) AS n
+      |FROM enr WHERE $validPred
+      |GROUP BY merchant_name
+      |ORDER BY vnd_total DESC, merchant LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- tx7
+  /** tx7 [Q2]: top-5 cities by exact VND value (requirements.md:44). */
+  def tx7CityValue(spark: SparkSession, dir: String): DataFrame =
+    Splitter.valid(processed(spark, dir))
+      .groupBy(col("Merchant_City").as("city"))
+      .agg(
+        sum(usdDec * lit(Rate.toInt)).cast("double").as("vnd_total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("vnd_total").desc, col("city"))
+      .limit(5)
+
+  val tx7Sql: String =
+    s"""$processedCte
+      |SELECT merchant_city AS city,
+      |  CAST(SUM($usdDecSql * ${Rate.toInt}) AS DOUBLE) AS vnd_total,
+      |  COUNT(*) AS n
+      |FROM enr WHERE $validPred
+      |GROUP BY merchant_city
+      |ORDER BY vnd_total DESC, city LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------- tx8
+  /** tx8 [J6/S4]: daily-rate as-of join — the spec-correct variant of the
+    * rate enrichment ("rate updated every day", requirements.md:9–10):
+    * a broadcast rates-by-date dimension equi-joined on the transaction
+    * date, instead of the reference's process-lifetime scalar. The rate
+    * formula is deterministic so the oracle can re-derive it. */
+  def tx8VndAsof(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("rate_date")).distinct()
+      .withColumn("rate", lit(24800) + dayofmonth(col("rate_date")) * 10)
+    Splitter.valid(processed(spark, dir))
+      .join(broadcast(rates), to_date(col("transaction_date")) === col("rate_date"))
+      .groupBy(col("rate_date").as("tx_date"), col("rate"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(usdDec * col("rate")).cast("double").as("vnd_total"))
+      .orderBy(col("tx_date"))
+  }
+
+  val tx8Sql: String =
+    s"""$processedCte,
+      |rates AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS rate_date,
+      |    24800 + day(CAST(ts AS DATE)) * 10 AS rate
+      |  FROM events)
+      |SELECT rate_date AS tx_date, rate, COUNT(*) AS n,
+      |  CAST(SUM($usdDecSql * rate) AS DOUBLE) AS vnd_total
+      |FROM enr JOIN rates ON CAST(td AS DATE) = rate_date
+      |WHERE $validPred
+      |GROUP BY rate_date, rate ORDER BY tx_date""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx1_bucket_counts" -> tx1BucketCounts _,
+    "tx2_valid_daily" -> tx2ValidDaily _,
+    "tx3_invalid_reasons" -> tx3InvalidReasons _,
+    "tx4_hour_profile" -> tx4HourProfile _,
+    "tx5_weekend_fraud" -> tx5WeekendFraud _,
+    "tx6_merchant_topk" -> tx6MerchantTopk _,
+    "tx7_city_value" -> tx7CityValue _,
+    "tx8_vnd_asof" -> tx8VndAsof _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tx1_bucket_counts" -> tx1Sql,
+    "tx2_valid_daily" -> tx2Sql,
+    "tx3_invalid_reasons" -> tx3Sql,
+    "tx4_hour_profile" -> tx4Sql,
+    "tx5_weekend_fraud" -> tx5Sql,
+    "tx6_merchant_topk" -> tx6Sql,
+    "tx7_city_value" -> tx7Sql,
+    "tx8_vnd_asof" -> tx8Sql
+  )
+}

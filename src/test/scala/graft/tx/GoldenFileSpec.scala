@@ -1,0 +1,112 @@
+package graft.tx
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden-file parity against the reference's only real oracle: its
+  * 123-row sample corpus (sample_data/raw_transactions.csv) and expected
+  * processed output (processed_transactions_v2.csv), with the documented
+  * invariants from sample_data/README.md:44–53 and pinned rate 25057
+  * (sample_data/README.md:93).
+  *
+  * Notes established by inspecting the golden files (kept as behavioral
+  * record, not "fixed"):
+  *  - v2 has 125 rows vs 123 raw rows (2 rows were hand-added), so
+  *    parity is asserted on the inner join of the two;
+  *  - v2's Amount_VND was hand-rounded and does NOT equal
+  *    Amount_USD*25057 on 20 rows, and one Is_Weekend value is wrong in
+  *    v2 — so VND parity is asserted against the recomputed product and
+  *    those columns are compared where consistent.
+  */
+class GoldenFileSpec extends SparkSpec {
+
+  private val sampleDir = "/root/reference/sample_data"
+
+  private lazy val raw = {
+    // S2: CSV file source with explicit schema (SURVEY §2.1).
+    val csv = spark.read
+      .option("header", "true")
+      .schema(TxSchema.rawCsv)
+      .csv(s"$sampleDir/raw_transactions.csv")
+    // P18: producer-side timestamp synthesis from Y/M/D + Time.
+    Enrichment.withSynthesizedTimestamp(csv)
+  }
+
+  private lazy val processed =
+    Enrichment.enrich(raw, rate = 25057.0,
+      clock = to_timestamp(lit("2024-01-21 00:00:00"))).cache()
+
+  test("golden corpus: row count and documented invariants") {
+    assert(processed.count() === 123)
+    assert(Splitter.fraud(processed).count() === 7) // README: 7 fraud
+    assert(Splitter.errors(processed).count() === 4) // README: 4 errors
+    assert(processed.filter(col("Is_Weekend") === "Yes").count() === 24) // README: 24 weekend
+    assert(processed.select("User").distinct().count() === 10) // README: 10 users
+    // 6 distinct days, 15–20 Jan 2024
+    assert(processed.select("Year", "Month", "Day").distinct().count() === 6)
+  }
+
+  test("golden corpus: all rows are structurally valid; buckets overlap like the reference") {
+    assert(Splitter.valid(processed).count() === 123)
+    assert(Splitter.invalid(processed).count() === 0)
+    // the 4 error rows are all also fraud rows in the sample
+    assert(Splitter.errors(processed)
+      .filter(col("Is_Fraud") === "Yes").count() === 4)
+  }
+
+  test("golden corpus: per-row parity with processed_transactions_v2 on derived columns") {
+    val v2 = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .csv(s"$sampleDir/processed_transactions_v2.csv")
+      .select(
+        col("User").cast("long").as("User"),
+        col("Card").cast("string").as("Card"),
+        col("Year").cast("int").as("Year"),
+        col("Month").cast("int").as("Month"),
+        col("Day").cast("int").as("Day"),
+        col("Amount_USD").cast("double").as("Amount_USD"),
+        col("Hour").cast("int").as("Hour"),
+        col("DateTime_Hour_Key").as("v2_key"),
+        col("Day_of_Week").as("v2_dow"),
+        col("Use_Chip").as("v2_chip"),
+        col("Merchant_Name").as("v2_merchant"),
+        col("Errors").as("v2_errors"),
+        col("Is_Fraud").as("v2_fraud"),
+        col("Exchange_Rate").cast("int").as("v2_rate"))
+
+    // (User,Card,Y,M,D) is not unique — same card can transact several
+    // times a day — so Hour and the exact parsed USD amount join too.
+    val joined = processed.join(v2,
+      Seq("User", "Card", "Year", "Month", "Day", "Hour", "Amount_USD")).cache()
+    // every raw row must find its processed counterpart (v2 ⊇ raw)
+    assert(joined.count() >= 123)
+
+    def mismatches(c: org.apache.spark.sql.Column): Long =
+      joined.filter(!(c <=> lit(true))).count()
+    assert(mismatches(col("DateTime_Hour_Key") === col("v2_key")) === 0)
+    assert(mismatches(col("Day_of_Week") === col("v2_dow")) === 0)
+    assert(mismatches(col("Use_Chip") === col("v2_chip")) === 0)
+    assert(mismatches(col("Merchant_Name") === col("v2_merchant")) === 0)
+    assert(mismatches(col("Is_Fraud") === col("v2_fraud")) === 0)
+    assert(mismatches(col("Exchange_Rate") === col("v2_rate")) === 0)
+    // errors: v2 leaves blanks as null; ours is trimmed-empty-string
+    assert(mismatches(coalesce(col("Errors"), lit("")) ===
+      coalesce(col("v2_errors"), lit(""))) === 0)
+    // VND recomputed (v2's literal VND column is hand-rounded, see header)
+    assert(mismatches(abs(col("Amount_VND") - col("Amount_USD") * 25057.0) < 0.01) === 0)
+  }
+
+  test("P3 currency clean handles thousands separators and junk") {
+    import spark.implicits._
+    val df = Seq("$2,500.00", "$125.50", "abc", null, "$0.00")
+      .toDF("Amount")
+      .withColumn("usd", expr("try_cast(regexp_replace(Amount, '[$,]', '') AS double)"))
+    val got = df.select("usd").collect().map(r => Option(r.get(0)))
+    assert(got.toSeq === Seq(Some(2500.0), Some(125.5), None, None, Some(0.0)))
+  }
+
+  test("21-column output projection matches the reference layout") {
+    val out = Enrichment.project(processed)
+    assert(out.columns.toSeq === Enrichment.outputColumns)
+  }
+}
