@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{EventAnalytics, Relational}
 import graft.tx.TxQueries
+import graft.llmdata.LlmQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ EventAnalytics.queries ++ TxQueries.queries
+    Relational.queries ++ EventAnalytics.queries ++ TxQueries.queries ++
+      LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EventAnalytics.oracles ++ TxQueries.oracles
+    Relational.oracles ++ EventAnalytics.oracles ++ TxQueries.oracles ++
+      LlmQueries.oracles
 }

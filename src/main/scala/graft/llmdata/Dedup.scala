@@ -1,0 +1,176 @@
+package graft.llmdata
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family over the `documents` table — the four
+  * classic large-corpus strategies (exact hash, exact n-gram Jaccard,
+  * MinHash-LSH, SimHash), each designed for the 100 TB shape:
+  * hash-partitioned group-bys and inverted-index / banded candidate
+  * joins only — never an all-pairs cross join, never a driver collect.
+  *
+  * The reference pipeline has no dedup (its unit is a transaction);
+  * these extend the engine for training-data curation per the driver's
+  * north star.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ shingles
+  /** Word 3-gram shingle set, as an array column. Mirrored by
+    * [[LlmQueries.shingleCte]] in DuckDB. */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id + shingle set for every document. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  // ------------------------------------------------------- exact dedup
+  /** Exact dedup by content hash: one survivor (min doc_id) per distinct
+    * md5(text). At 100 TB this is a single hash-partitioned group-by on
+    * a 16-byte key — the cheapest possible full-corpus dedup. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------- exact n-gram Jaccard
+  /** Exact 3-gram Jaccard near-dup pairs via an inverted-index join:
+    * explode shingles → join docs sharing a shingle → |∩| = pair count
+    * (shingle sets are distinct) → Jaccard from per-doc set sizes.
+    *
+    * Scale path: the shuffle is on the shingle key, so cost is
+    * Σ_shingle df² — bounded in practice by dropping ultra-common
+    * shingles (df cap), exposed as `maxDocFreq`. The oracle query runs
+    * uncapped (sf0.01 is small enough) so results stay exact. */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
+    val ds = docShingles(spark, dir).cache()
+    val sizes = ds.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val exploded = ds.select(col("doc_id"), explode(col("sh")).as("g"))
+    val posting = maxDocFreq match {
+      case Some(cap) =>
+        val df = exploded.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        exploded.join(df.select("g"), "g")
+      case None => exploded
+    }
+    val inter = posting.as("a")
+      .join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nsh_a") + col("nsh_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------- MinHash-LSH
+  /** Number of MinHash functions / LSH bands (16 bands × 2 rows): for
+    * J=0.5 the miss probability is (1-0.25)^16 ≈ 1%, and planted dups
+    * in this corpus sit near J≈0.9 where it is ~0. */
+  val NumHashes = 32
+  val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands
+
+  /** MinHash signatures: explode shingles once, then 32 min-aggregates
+    * of per-hash-function keyed xxhash64 — one shuffle on doc_id,
+    * no N×N work. */
+  def minhashSignatures(docSh: DataFrame): DataFrame = {
+    val exploded = docSh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val aggs = (0 until NumHashes).map(j => min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, sig) — banded LSH keys; candidate pairs are docs
+    * agreeing on (band, sig), i.e. an equi-join key, never all-pairs. */
+  def lshBands(signatures: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("sig"))
+    }
+    signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: banded candidates →
+    * distinct pairs → exact Jaccard filter. Output matches
+    * [[jaccardPairs]] up to LSH recall (deterministic hashes ⇒
+    * deterministic result; DedupSpec measures recall = 1.0 on the
+    * planted dups at sf0.001). */
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val ds = docShingles(spark, dir).cache()
+    val bands = lshBands(minhashSignatures(ds))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val withSets = cand
+      .join(ds.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(ds.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+  }
+
+  // ----------------------------------------------------------- SimHash
+  /** 64-bit SimHash per document: per-token xxhash64, each bit
+    * contributes ±1, signature bit = sign of the sum. Near-dups have
+    * small Hamming distance. One explode + one group-by — scale-safe. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"s$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
+    * from 4×16-bit band equality (any pair within distance 3 must agree
+    * on ≥1 band; wider distances trade recall like LSH). */
+  def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
+    val sigs = simhashes(Tables.documents(spark, dir)).cache()
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+  }
+}

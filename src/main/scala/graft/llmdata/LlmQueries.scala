@@ -1,0 +1,130 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry + DuckDB oracles for the LLM-data-pipeline operator
+  * families (dedup / similarity / text analysis / multimodal).
+  *
+  * Hash-based operators (MinHash, SimHash, hyperplane LSH) use
+  * xxhash64/SplitMix64 which DuckDB cannot reproduce — those entries are
+  * rows-only in CORRECTNESS and are instead verified in ScalaTests
+  * against their exact counterparts (DedupSpec / SimilaritySpec), which
+  * ARE oracle-checked here.
+  *
+  * DuckDB type note: SUM(BIGINT) yields HUGEINT (→ float64 in pandas),
+  * so every integer SUM is CAST(... AS BIGINT) to hash-match Spark's
+  * LongType.
+  */
+object LlmQueries {
+
+  /** DuckDB mirror of [[Dedup.shingles]] (word 3-grams, 1-based list
+    * indexing on the DuckDB side). */
+  private val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] ||
+      |             ' ' || string_split(text, ' ')[i+2]))
+      |    ELSE []::VARCHAR[] END AS sh
+      |  FROM documents)""".stripMargin
+
+  val ddExactSql: String =
+    """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  val ddJaccardSql: String =
+    s"""WITH $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  inter::DOUBLE / (x.nsh + y.nsh - inter) AS jaccard
+      |FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2
+      |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+
+  val annTopkSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |      FROM c)
+      |SELECT query_id, neighbor_id, rnk, sim FROM r
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  val txtTermTopkSql: String =
+    """SELECT t AS term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
+
+  val txtSourceStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val txtLangIdSql: String =
+    """SELECT lang,
+      |  CASE WHEN len(list_filter(string_split(text, ' '),
+      |         t -> t IN ('the','a','of','to','and')))::DOUBLE
+      |         / len(string_split(text, ' ')) >= 0.05
+      |       THEN 'en' ELSE 'unk' END AS predicted,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
+  val txtTokenCountsSql: String =
+    """SELECT source,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val txtFingerprintSql: String =
+    """SELECT COUNT(DISTINCT md5(array_to_string(
+      |    list_sort(list_distinct(string_split(text, ' '))), ' '))) AS n_fingerprints,
+      |  COUNT(*) AS n_docs
+      |FROM documents""".stripMargin
+
+  val mmMetaStatsSql: String =
+    """SELECT lang AS format, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS size_total,
+      |  CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(n_chars % 1024) AS BIGINT) AS width_total
+      |FROM documents GROUP BY lang ORDER BY format""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.2)),
+    "dd_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(s, d, 0.5)),
+    "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
+    "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d, 5, 10)),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
+    "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
+    "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
+    "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
+    "txt_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprintSummary(s, d)),
+    "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d))
+  )
+
+  /** dd_minhash_neardup / dd_simhash_pairs / ann_lsh_topk intentionally
+    * absent (rows-only): hash functions aren't reproducible in DuckDB;
+    * their correctness gates live in DedupSpec/SimilaritySpec. */
+  val oracles: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_jaccard_pairs" -> ddJaccardSql,
+    "ann_cosine_topk" -> annTopkSql,
+    "txt_term_topk" -> txtTermTopkSql,
+    "txt_source_stats" -> txtSourceStatsSql,
+    "txt_langid_profile" -> txtLangIdSql,
+    "txt_token_counts" -> txtTokenCountsSql,
+    "txt_fingerprint" -> txtFingerprintSql,
+    "mm_meta_stats" -> mmMetaStatsSql
+  )
+}

@@ -1,0 +1,109 @@
+package graft.llmdata
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * 64-dim): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH variant as the 100 TB scale path (banded
+  * bucket equi-join instead of Q×N comparisons).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns, folded
+    * left-to-right (same order DuckDB's list_cosine_similarity uses, so
+    * a round(…, 6) makes the two engines hash-identical). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Exact top-k neighbors for the query set `vec_id < nQueries`.
+    * Plan shape: the tiny query side broadcasts into a nested-loop
+    * join against the corpus (scan stays partition-parallel), then a
+    * per-query row_number window — no global sort, no collect. Brute
+    * force is O(Q·N·d): the correctness baseline, not the scale path. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val sims = q.join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------- LSH
+  /** 16 deterministic ±1 hyperplanes over 64 dims (SplitMix64 from a
+    * fixed seed — no runtime randomness), grouped as 4 bands × 4 bits.
+    * A candidate must share one band's 4-bit bucket with the query. */
+  val NumPlanes = 16
+  val NumBands = 4
+  private val BitsPerBand = NumPlanes / NumBands
+
+  private[llmdata] val hyperplanes: Array[Array[Double]] = {
+    var state = 42L
+    def next(): Long = { // SplitMix64, public-domain mixing constants
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(NumPlanes)(Array.fill(64)(if ((next() & 1L) == 0L) 1.0 else -1.0))
+  }
+
+  /** (id, band, bucket) keys: bucket = 4 sign bits of hyperplane dots. */
+  def lshKeys(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val bits = (0 until BitsPerBand).map { r =>
+        val plane = typedlit(hyperplanes(b * BitsPerBand + r).toSeq)
+        when(dot(col(vecCol), plane) >= 0, lit(1 << r)).otherwise(lit(0))
+      }
+      struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket"))
+    }
+    vecs.select(col(idCol), col(vecCol),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col(vecCol),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing any LSH band
+    * bucket with the query (equi-join on (band, bucket) — the shuffle
+    * key that replaces the Q×N loop at scale), ranked by exact cosine.
+    * Deterministic; recall vs [[bruteForceTopK]] is measured in
+    * SimilaritySpec. */
+  def lshTopK(spark: SparkSession, dir: String,
+              nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qk = lshKeys(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "query_id", "qe")
+    val ck = lshKeys(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+      "neighbor_id", "ne")
+    val cand = qk.join(ck, Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

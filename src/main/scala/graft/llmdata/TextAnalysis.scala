@@ -1,0 +1,91 @@
+package graft.llmdata
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family over the `documents` table: term
+  * statistics, language-ID heuristic, quality/stat profiling, token
+  * counting (BPE-ish regex), and bag-of-words fingerprinting. All are
+  * single explode + hash-partitioned aggregations — linear in corpus
+  * size, no driver-side state.
+  */
+object TextAnalysis {
+
+  /** Stopword list for the language-ID / quality heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single symbols. */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def toks(c: Column) = split(c, " ")
+
+  /** Top-k corpus terms with document frequency. */
+  def termTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
+  /** Per-source corpus profile: doc count, token totals, average doc
+    * length in tokens and chars (int-exact sums, one final division). */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_toks", size(toks(col("text"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tot_tokens"),
+        (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("source"))
+
+  /** Language-ID heuristic: stopword-hit ratio ≥ 5% ⇒ 'en'. Emitted as
+    * a (actual lang × predicted) confusion profile. The corpus is
+    * synthetic (all languages share one vocabulary) so accuracy is not
+    * meaningful — the operator and its exact arithmetic are what the
+    * oracle checks. */
+  def langIdProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val hits = size(filter(t, c => c.isin(Stopwords: _*)))
+    val ratio = hits.cast("double") / size(t)
+    Tables.documents(spark, dir)
+      .withColumn("predicted", when(ratio >= 0.05, "en").otherwise("unk"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Per-doc quality score components (length, stopword ratio, type-token
+    * ratio), returned per document for downstream filtering. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_types"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("type_token_ratio"),
+        (size(filter(t, c => c.isin(Stopwords: _*))).cast("double") / size(t))
+          .as("stopword_ratio"))
+  }
+
+  /** BPE-ish token counting via regex extraction, summed per source. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_bpe", size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))))
+      .groupBy(col("source"))
+      .agg(sum(col("n_bpe")).as("bpe_tokens"), count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  /** Bag-of-words fingerprint (md5 of the sorted distinct token set):
+    * docs sharing a fingerprint are bag-identical — order-insensitive
+    * exact dedup. Returns the corpus summary. */
+  def fingerprintSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(concat_ws(" ",
+        array_sort(array_distinct(toks(col("text"))))).cast("binary")).as("fp"))
+      .agg(countDistinct(col("fp")).as("n_fingerprints"), count(lit(1)).as("n_docs"))
+}
