@@ -248,6 +248,38 @@ object TxQueries {
       |WHERE $validPred
       |GROUP BY rate_date, rate ORDER BY tx_date""".stripMargin
 
+  // ---------------------------------------------------------------- tx9
+  /** tx9 [Q4]: merchants with abnormally high fraud ratio — per-group
+    * conditional rate vs the global rate via a 1-row cross join
+    * (requirements.md:46; SURVEY §2.5 Q4). The global rate reuses the
+    * per-merchant aggregate (no second scan of the fact table). */
+  def tx9FraudRatioOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val per = processed(spark, dir)
+      .groupBy(col("Merchant_Name").as("merchant"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("Is_Fraud") === "Yes", 1)).as("n_fraud"))
+    val global = per.agg(
+      (sum(col("n_fraud")) * lit(100.0) / sum(col("n"))).as("global_pct"))
+    per.crossJoin(global)
+      .withColumn("fraud_pct", col("n_fraud") * lit(100.0) / col("n"))
+      .filter(col("fraud_pct") > col("global_pct") * 1.5)
+      .select(col("merchant"), col("n"), col("n_fraud"), col("fraud_pct"))
+      .orderBy(col("fraud_pct").desc, col("merchant"))
+  }
+
+  val tx9Sql: String =
+    s"""$processedCte,
+      |per AS (
+      |  SELECT merchant_name AS merchant, COUNT(*) AS n,
+      |    COUNT(CASE WHEN is_fraud = 'Yes' THEN 1 END) AS n_fraud
+      |  FROM enr GROUP BY merchant_name)
+      |SELECT merchant, n, n_fraud, n_fraud * 100.0 / n AS fraud_pct
+      |FROM per
+      |WHERE n_fraud * 100.0 / n >
+      |  (SELECT SUM(n_fraud) * 100.0 / SUM(n) FROM per) * 1.5
+      |ORDER BY fraud_pct DESC, merchant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_bucket_counts" -> tx1BucketCounts _,
     "tx2_valid_daily" -> tx2ValidDaily _,
@@ -256,7 +288,8 @@ object TxQueries {
     "tx5_weekend_fraud" -> tx5WeekendFraud _,
     "tx6_merchant_topk" -> tx6MerchantTopk _,
     "tx7_city_value" -> tx7CityValue _,
-    "tx8_vnd_asof" -> tx8VndAsof _
+    "tx8_vnd_asof" -> tx8VndAsof _,
+    "tx9_fraud_ratio_outliers" -> tx9FraudRatioOutliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +300,7 @@ object TxQueries {
     "tx5_weekend_fraud" -> tx5Sql,
     "tx6_merchant_topk" -> tx6Sql,
     "tx7_city_value" -> tx7Sql,
-    "tx8_vnd_asof" -> tx8Sql
+    "tx8_vnd_asof" -> tx8Sql,
+    "tx9_fraud_ratio_outliers" -> tx9Sql
   )
 }

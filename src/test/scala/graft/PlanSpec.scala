@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Relational
+import graft.sync.DailySync
+import graft.tx.{Enrichment, RawTransactions, Splitter, TxQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan assertions — the 100 TB lens as executable checks:
+  * filters and projections must reach the parquet scan, partition
+  * pruning must fire for the daily sync, small dimensions must
+  * broadcast, and global top-k must plan as TakeOrderedAndProject
+  * (never a global sort).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter + projection push down into the lineitem parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // scan must read only the 3 referenced columns, not the full table
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity")
+      && readSchema.contains("l_shipdate") && !readSchema.contains("l_extendedprice"),
+      s"scan reads too much: $readSchema")
+  }
+
+  test("daily sync read is partition-pruned to one Year/Month/Day") {
+    val root = Files.createTempDirectory("graft-plan").toString
+    val validDir = s"$root/valid"
+    val processed = Enrichment.enrich(
+      RawTransactions.fromEvents(spark, sf), Enrichment.DefaultRate,
+      to_timestamp(lit("2024-06-01 00:00:00")))
+    Splitter.valid(processed)
+      .write.partitionBy("Year", "Month", "Day").parquet(validDir)
+
+    val firstDay = spark.read.parquet(validDir)
+      .select("Year", "Month", "Day").distinct()
+      .orderBy("Year", "Month", "Day").limit(1).collect()(0)
+    val (y, m, d) = (firstDay.getInt(0), firstDay.getInt(1), firstDay.getInt(2))
+
+    val p = plan(DailySync.dayPartition(spark, validDir, y, m, d))
+    assert(p.contains("PartitionFilters:") &&
+      p.contains(s"(Year#") && p.contains(s"= $y"),
+      s"no partition pruning in:\n$p")
+
+    // end-to-end: sync appends exactly that day's rows in K6 order
+    val n = DailySync.syncDay(spark, validDir, s"$root/warehouse", y, m, d)
+    val wh = spark.read.parquet(s"$root/warehouse")
+    assert(n > 0 && wh.count() === n)
+    assert(wh.columns.toSeq === Enrichment.outputColumns)
+  }
+
+  test("q2's nation/region dimensions broadcast instead of shuffling") {
+    val p = plan(Relational.q2RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan(Relational.q15TopOrders(spark, sf)).contains("TakeOrderedAndProject"))
+    assert(plan(TxQueries.tx6MerchantTopk(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("enrichment + split stays in one whole-stage codegen span (no UDF breaks)") {
+    val p = plan(Splitter.valid(TxQueries.processed(spark, sf)))
+    // formatted mode marks codegen'd operators with "* Node [codegen id : n]"
+    assert(p.contains("[codegen id :"), s"no codegen span in:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "hot path must not contain UDF evaluation nodes")
+  }
+}
