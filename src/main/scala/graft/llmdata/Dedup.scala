@@ -16,22 +16,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ---------------------------------------------------------- pair gen
+  /** Unordered pairs from a sorted id-array column: explode each group's
+    * candidate list into (id_a < id_b) pairs IN the executor (a
+    * row-local double `transform`), so downstream pair-counting
+    * partially aggregates map-side before any shuffle. The self-join
+    * alternative shuffles all d² pair rows per group; this generates
+    * them local to the group's task. Skew guard at scale: cap group
+    * size upstream (df-cap / band width) — a d-element group still
+    * produces d(d-1)/2 pairs in one task. */
+  private def pairExplode(ids: String): Column = expr(
+    s"""flatten(transform($ids, (x, i) ->
+       |  transform(slice($ids, i + 2, size($ids)), y -> struct(x AS id_a, y AS id_b))))""".stripMargin)
+
   // ------------------------------------------------------------ shingles
-  /** Word 3-gram shingle set, as an array column. Mirrored by
-    * [[LlmQueries.shingleCte]] in DuckDB. */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  /** Word 3-gram shingle set from a pre-split token array. Mirrored by
+    * [[LlmQueries.shingleCte]] in DuckDB.
+    *
+    * Takes tokens, not text, on purpose: higher-order lambdas are
+    * interpreted and re-evaluate their argument tree per element, so
+    * inlining `split(text)` here would re-split the document for every
+    * element_at — O(tokens²) per doc (measured 8 s for 5 k docs).
+    * Callers project the split into its own attribute first; Catalyst
+    * keeps that projection separate (non-cheap expr, multiple refs). */
+  def shinglesFromTokens(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
         i => concat_ws(" ",
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** doc_id + shingle set for every document. */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
 
   // ------------------------------------------------------- exact dedup
   /** Exact dedup by content hash: one survivor (min doc_id) per distinct
@@ -64,10 +83,15 @@ object Dedup {
         exploded.join(df.select("g"), "g")
       case None => exploded
     }
-    val inter = posting.as("a")
-      .join(posting.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Inverted index: per shingle, the sorted posting list of doc ids;
+    // |∩| for a pair = number of shingle groups emitting it. Pair rows
+    // are generated executor-local and partially counted map-side —
+    // no d²-row shuffle per shingle (see pairExplode).
+    val inter = posting.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExplode("ids")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
@@ -116,11 +140,14 @@ object Dedup {
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val ds = docShingles(spark, dir).cache()
     val bands = lshBands(minhashSignatures(ds))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Candidates = docs agreeing on a (band, sig) bucket: group the
+    // bucket's sorted members and explode pairs locally (pairExplode)
+    // instead of self-joining the band table against itself.
+    val cand = bands.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExplode("ids")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     val withSets = cand
       .join(ds.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -137,7 +164,12 @@ object Dedup {
   // ----------------------------------------------------------- SimHash
   /** 64-bit SimHash per document: per-token xxhash64, each bit
     * contributes ±1, signature bit = sign of the sum. Near-dups have
-    * small Hamming distance. One explode + one group-by — scale-safe. */
+    * small Hamming distance. One explode + one group-by on doc_id with
+    * 64 codegen'd sum buffers (partial agg absorbs the token fan-out
+    * map-side before the shuffle). A fully row-local variant via
+    * `aggregate`/`zip_with` was measured 2.5× SLOWER here: higher-order
+    * lambdas run interpreted and allocate a 64-array per token, while
+    * this shape stays inside whole-stage codegen. */
   def simhashes(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -155,18 +187,24 @@ object Dedup {
     * from 4×16-bit band equality (any pair within distance 3 must agree
     * on ≥1 band; wider distances trade recall like LSH). */
   def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    val sigs = simhashes(Tables.documents(spark, dir)).cache()
+    val sigs = simhashes(Tables.documents(spark, dir))
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    // Bucket members carry their signature into the pair explode, so
+    // Hamming distance is computed without joining back to sigs.
+    bands.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)), y ->
+          |    struct(x.doc_id AS id_a, y.doc_id AS id_b,
+          |           x.simhash AS sh_a, y.simhash AS sh_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)

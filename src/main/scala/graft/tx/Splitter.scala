@@ -1,6 +1,6 @@
 package graft.tx
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's 4-way validation split, F1–F4 of SURVEY.md §2.4
@@ -15,34 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object Splitter {
 
-  /** F1: rows whose (trimmed) Errors column has content — regardless of
-    * anything else (:255–256). */
-  def errors(processed: DataFrame): DataFrame =
-    processed.filter(col("Errors").isNotNull && col("Errors") =!= "")
+  /** F1 predicate: the (trimmed) Errors column has content — regardless
+    * of anything else (:255–256). */
+  val isError: Column = col("Errors").isNotNull && col("Errors") =!= ""
 
-  /** F2: fraud rows (:259–260); spec requirements.md:6–7 (fraud ⇒
-    * unsuccessful, not processed further). */
-  def fraud(processed: DataFrame): DataFrame =
-    processed.filter(col("Is_Fraud") === "Yes")
+  /** F2 predicate: fraud rows (:259–260); spec requirements.md:6–7. */
+  val isFraud: Column = col("Is_Fraud") === "Yes"
 
-  /** F3: structurally valid rows (:263–268). Does NOT exclude fraud or
-    * error rows — the reference quirk. */
-  def valid(processed: DataFrame): DataFrame =
-    processed
-      .filter(col("User").isNotNull)
-      .filter(col("Card").isNotNull)
-      .filter(length(col("Card")) >= 16)
-      .filter(col("Amount_USD").isNotNull && col("Amount_USD") > 0)
-      .filter(col("is_valid_date") === true)
+  /** F3 predicate: structurally valid (:263–268). Does NOT exclude
+    * fraud or error rows — the reference quirk. */
+  val isValid: Column =
+    col("User").isNotNull && col("Card").isNotNull &&
+      length(col("Card")) >= 16 &&
+      col("Amount_USD").isNotNull && col("Amount_USD") > 0 &&
+      col("is_valid_date") === true
 
-  /** F4: the complement bucket — not error, not fraud, but structurally
-    * bad — with the derived `invalid_reason` (:271–281). */
+  /** F4 predicate: not error, not fraud, but structurally bad (:271–278). */
+  val isInvalid: Column =
+    (col("Errors").isNull || col("Errors") === "") &&
+      col("Is_Fraud") === "No" &&
+      (col("Amount_USD").isNull || col("Amount_USD") <= 0 ||
+        length(col("Card")) < 16 || col("is_valid_date") === false)
+
+  def errors(processed: DataFrame): DataFrame = processed.filter(isError)
+
+  def fraud(processed: DataFrame): DataFrame = processed.filter(isFraud)
+
+  def valid(processed: DataFrame): DataFrame = processed.filter(isValid)
+
+  /** F4 with the derived `invalid_reason` (:279–281). */
   def invalid(processed: DataFrame): DataFrame =
     processed
-      .filter(col("Errors").isNull || col("Errors") === "")
-      .filter(col("Is_Fraud") === "No")
-      .filter(col("Amount_USD").isNull || col("Amount_USD") <= 0 ||
-        length(col("Card")) < 16 || col("is_valid_date") === false)
+      .filter(isInvalid)
       .withColumn("invalid_reason",
         when(col("is_valid_date") === false, lit("Invalid Date"))
           .otherwise(lit("Data format invalid or missing")))
