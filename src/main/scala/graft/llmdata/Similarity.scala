@@ -83,14 +83,28 @@ object Similarity {
     * bucket with the query (equi-join on (band, bucket) — the shuffle
     * key that replaces the Q×N loop at scale), ranked by exact cosine.
     * Deterministic; recall vs [[bruteForceTopK]] is measured in
-    * SimilaritySpec. */
+    * SimilaritySpec.
+    *
+    * `multiProbe` additionally probes, per band, the 4 buckets at
+    * Hamming distance 1 from the query's bucket — query-side only, so
+    * the corpus index stays one key per band. On this corpus (weak
+    * neighbor structure, cos≈0.3) it lifts measured recall 0.46→0.96
+    * at the cost of candidate selectivity; on clustered production
+    * embeddings the same probes keep both high. */
   def lshTopK(spark: SparkSession, dir: String,
-              nQueries: Int, k: Int): DataFrame = {
+              nQueries: Int, k: Int,
+              multiProbe: Boolean = true): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val qk = lshKeys(
+    val qkExact = lshKeys(
       e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
       "query_id", "qe")
+    val qk =
+      if (!multiProbe) qkExact
+      else qkExact.select(col("query_id"), col("qe"), col("band"),
+        explode(array(col("bucket") +:
+          (0 until BitsPerBand).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*))
+          .as("bucket"))
     val ck = lshKeys(
       e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
       "neighbor_id", "ne")

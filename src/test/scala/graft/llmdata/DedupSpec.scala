@@ -1,0 +1,68 @@
+package graft.llmdata
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Correctness gates for the hash-based dedup operators whose xxhash64
+  * signatures DuckDB cannot reproduce (their CORRECTNESS entries are
+  * rows-only): MinHash-LSH is validated by recall against the exact
+  * Jaccard join, SimHash by its own distance invariants.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def pairKey(df: DataFrame) =
+    df.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup partitions the corpus: survivors' copy counts sum to the row count") {
+    val docs = Tables.documents(spark, sf)
+    val dd = Dedup.exactDedup(spark, sf)
+    assert(dd.agg(sum(col("n_copies"))).collect()(0).getLong(0) === docs.count())
+    assert(dd.select("doc_id").distinct().count() === dd.count())
+  }
+
+  test("minhash-LSH near-dup recovers the exact Jaccard pairs at threshold 0.5") {
+    val exact = Dedup.jaccardPairs(spark, sf, 0.5)
+    val approx = Dedup.minhashNearDup(spark, sf, 0.5)
+    val exactPairs = pairKey(exact)
+    val approxPairs = pairKey(approx)
+    assert(exactPairs.nonEmpty, "corpus has no planted near-dups to measure against")
+    // 16 bands × 2 rows: miss probability ≈1% at J=0.5, ~0 at the
+    // planted J≈0.9 — demand ≥90% recall, no false positives
+    val recall = (exactPairs & approxPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall over ${exactPairs.size} exact pairs")
+    assert((approxPairs -- exactPairs).isEmpty,
+      "candidates are exact-verified, so no pair below threshold may survive")
+  }
+
+  test("minhash jaccard values equal the exact join's values on shared pairs") {
+    val exact = Dedup.jaccardPairs(spark, sf, 0.5)
+      .withColumnRenamed("jaccard", "j_exact")
+    val approx = Dedup.minhashNearDup(spark, sf, 0.5)
+    val joined = approx.join(exact, Seq("id_a", "id_b"))
+    assert(joined.filter(col("jaccard") =!= col("j_exact")).count() === 0)
+  }
+
+  test("simhash pairs respect the Hamming bound, ordering, and determinism") {
+    val pairs = Dedup.simhashNearDup(spark, sf, 6).cache()
+    assert(pairs.filter(col("hamming") > 6 || col("hamming") < 0).count() === 0)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
+    assert(pairKey(pairs) === pairKey(Dedup.simhashNearDup(spark, sf, 6)))
+    pairs.unpersist()
+  }
+
+  test("near-identical documents collide in simhash (distance ≤ planted-dup bound)") {
+    // the corpus' exact-Jaccard near-dups (J≥0.5) must also be close in
+    // simhash space — token multisets differ by a small fraction
+    val near = Dedup.jaccardPairs(spark, sf, 0.8).select("id_a", "id_b")
+    assert(near.count() > 0)
+    val sigs = Dedup.simhashes(Tables.documents(spark, sf))
+    val withDist = near
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    assert(withDist.filter(col("hamming") > 16).count() === 0,
+      "a J≥0.8 pair should never be >16 bits apart in simhash space")
+  }
+}
