@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tx.{Enrichment, RawTransactions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Event-time aggregation semantics: because `window`/`session_window`
+  * are ordinary grouping expressions in batch mode, the batch run of the
+  * same plan is the oracle for the streaming run. */
+class StreamingAnalyticsSpec extends SparkSpec {
+
+  private val pinnedClock = to_timestamp(lit("2024-06-01 00:00:00"))
+
+  private lazy val inputDir = {
+    val dir = Files.createTempDirectory("graft-sa").toString + "/input"
+    TransactionParser.toJsonValue(RawTransactions.fromEvents(spark, sf))
+      .select("value").coalesce(1).write.text(dir)
+    dir
+  }
+
+  private def enrichedStream: DataFrame =
+    Enrichment.enrich(Pipeline.jsonFileSource(spark, inputDir),
+      Enrichment.DefaultRate, pinnedClock)
+
+  private lazy val enrichedBatch: DataFrame =
+    Enrichment.enrich(
+      TransactionParser.fromJsonValue(spark.read.text(inputDir)),
+      Enrichment.DefaultRate, pinnedClock).cache()
+
+  private def drain(df: DataFrame, mode: String, table: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(table).trigger(Trigger.AvailableNow).start()
+    q.awaitTermination()
+    spark.table(table)
+  }
+
+  test("streaming hourly traffic (complete mode) equals the batch window aggregation") {
+    val live = drain(StreamingAnalytics.hourlyTraffic(enrichedStream),
+      "complete", "hourly_live")
+    val batch = StreamingAnalytics.hourlyTraffic(enrichedBatch)
+    assert(live.count() > 0)
+    assert(live.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(live).count() === 0)
+  }
+
+  test("streaming user sessions (append mode) emit exactly the watermark-closed batch sessions") {
+    val live = drain(StreamingAnalytics.userSessions(enrichedStream),
+      "append", "sessions_live").cache()
+    val batch = StreamingAnalytics.userSessions(enrichedBatch).cache()
+
+    // every emitted session must be a real (batch-identical) session
+    assert(live.count() > 0)
+    assert(live.exceptAll(batch).count() === 0)
+
+    // sessions that closed strictly before the final watermark
+    // (max event time - 10 min delay) must all have been emitted
+    val maxTs = enrichedBatch.agg(max(col("transaction_date"))).collect()(0)
+      .getTimestamp(0)
+    val wm = new Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val mustEmit = batch.filter(col("session_end") < lit(wm))
+    assert(mustEmit.exceptAll(live).count() === 0,
+      "a watermark-closed session was never emitted")
+  }
+}
