@@ -227,7 +227,23 @@ object EventAnalytics {
       |WHERE n > (SELECT AVG(n) FROM h)
       |ORDER BY hour_of_day""".stripMargin
 
+  // --------------------------------------------------------------- ea13
+  /** ea13 [sketches at scale]: per-type user cardinality via HLL++
+    * (`approx_count_distinct`, rsd 2%) next to the exact count — the
+    * mergeable-sketch path that replaces exact COUNT(DISTINCT) shuffles
+    * at warehouse scale (SURVEY §7.3). No DuckDB oracle: HLL
+    * implementations differ across engines, so this entry is rows-only
+    * and SketchSpec asserts the error bound against the exact count. */
+  def ea13ApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ea13_approx_users" -> ea13ApproxUsers _,
     "ea1_daily_error_rate" -> ea1DailyErrorRate _,
     "ea2_vnd_by_type" -> ea2VndByType _,
     "ea3_hour_key_traffic" -> ea3HourKeyTraffic _,

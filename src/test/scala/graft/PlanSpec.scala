@@ -69,6 +69,30 @@ class PlanSpec extends SparkSpec {
     assert(plan(TxQueries.tx6MerchantTopk(spark, sf)).contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed warehouse tables join with zero shuffle exchanges") {
+    import graft.sync.Warehouse
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Warehouse.writeBucketed(
+        Tables.orders(spark, sf), "orders_b", "o_custkey", 8)
+      Warehouse.writeBucketed(
+        Tables.customer(spark, sf), "customer_b", "c_custkey", 8)
+      val joined = spark.table("orders_b").join(
+        spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(joined.count() === Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("enrichment + split stays in one whole-stage codegen span (no UDF breaks)") {
     val p = plan(Splitter.valid(TxQueries.processed(spark, sf)))
     // formatted mode marks codegen'd operators with "* Node [codegen id : n]"
