@@ -23,6 +23,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
+  /** Prefer the native single-pass [[graft.plans.CosineSim]] expression
+    * when the session has [[graft.plans.GraftExtensions]] installed
+    * (one fused codegen'd loop vs three interpreted lambda folds);
+    * fall back to the composable form on untouched sessions. Both are
+    * bit-identical after the round(…, 6). */
+  def cosineBest(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("cosine_sim"))
+      round(call_function("cosine_sim", a, b), 6)
+    else cosine(a, b)
+
   /** Exact top-k neighbors for the query set `vec_id < nQueries`.
     * Plan shape: the tiny query side broadcasts into a nested-loop
     * join against the corpus (scan stays partition-parallel), then a
@@ -35,7 +45,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val sims = q.join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
@@ -114,7 +124,7 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("sim", cosine(col("qe"), col("ne")))
+    cand.withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
