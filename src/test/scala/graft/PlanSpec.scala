@@ -71,14 +71,15 @@ class PlanSpec extends SparkSpec {
 
   test("bucketed warehouse tables join with zero shuffle exchanges") {
     import graft.sync.Warehouse
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       Warehouse.writeBucketed(
         Tables.orders(spark, sf), "orders_b", "o_custkey", 8)
       Warehouse.writeBucketed(
         Tables.customer(spark, sf), "customer_b", "c_custkey", 8)
-      val joined = spark.table("orders_b").join(
+      // hint("merge") pins the sort-merge strategy (at sf0.001 AQE would
+      // broadcast instead) WITHOUT mutating shared session conf — suites
+      // run in parallel on one session, so conf flips would race
+      val joined = spark.table("orders_b").hint("merge").join(
         spark.table("customer_b"),
         col("o_custkey") === col("c_custkey"))
       val p = plan(joined)
@@ -87,7 +88,6 @@ class PlanSpec extends SparkSpec {
         s"bucketed join must not shuffle either side:\n$p")
       assert(joined.count() === Tables.orders(spark, sf).count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
