@@ -232,8 +232,99 @@ object Relational {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q5
+  /** q5: revenue per nation where customer and supplier share the
+    * nation, restricted to one region — the 6-table join chain
+    * (fact⋈fact on orderkey, two key-equal dimension paths, broadcast
+    * region/nation/supplier; TPC-H Q5 shape). The widest join plan in
+    * the suite: exercises join reorder + AQE strategy choice. */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
+  val q5Sql: String =
+    s"""SELECT n_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------------------- q14
+  /** q14: order-count distribution over ALL customers — left outer join
+    * (J-surface gap: preserves customers with zero orders), per-customer
+    * count, then a histogram over the counts (TPC-H Q13 shape). */
+  def q14OrderCountDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  val q14Sql: String =
+    """WITH per AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT n_orders, COUNT(*) AS n_customers FROM per
+      |GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  /** q16: small-quantity order value per brand — join against a
+    * per-part aggregate subquery with a threshold on its measure
+    * (TPC-H Q17 shape: "lineitems below half their part's average
+    * quantity"). The per-part avg is computed as an exact decimal sum /
+    * count divided in DOUBLE, identically in both engines, so the
+    * threshold comparison cannot drift. */
+  def q16SmallQuantityValue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(perPart, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(moneySum(col("l_extendedprice")).as("small_qty_value"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q16Sql: String =
+    """WITH perpart AS (
+      |  SELECT l_partkey AS p_key,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_value,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN perpart ON l_partkey = p_key
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity < avg_qty * 0.5
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_nation_revenue" -> q5NationRevenue _,
+    "q14_order_count_distribution" -> q14OrderCountDistribution _,
+    "q16_small_quantity_value" -> q16SmallQuantityValue _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_region_revenue" -> q2RegionRevenue _,
     "q3_segment_sales" -> q3SegmentSales _,
@@ -246,6 +337,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q5_nation_revenue" -> q5Sql,
+    "q14_order_count_distribution" -> q14Sql,
+    "q16_small_quantity_value" -> q16Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_region_revenue" -> q2Sql,
     "q3_segment_sales" -> q3Sql,
