@@ -161,6 +161,48 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------- embedding-cosine near-dup
+  /** Exact embedding-cosine near-dup pairs: every (id_a < id_b) pair
+    * with cosine ≥ threshold. All-pairs O(N²) — the oracle-checkable
+    * baseline, NOT the scale path (that's [[embeddingNearDup]]). */
+  def embeddingNearDupExact(spark: SparkSession, dir: String,
+                            threshold: Double): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", Similarity.cosineBest(spark, col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+  }
+
+  /** LSH-bucketed embedding near-dup: candidates = vector pairs sharing
+    * a hyperplane band bucket (8 bands × 2 bits — the high-recall
+    * banding; DedupSpec measures recall vs the exact baseline), then the
+    * exact cosine filter. Same posting-list pair generation as the text
+    * dedups — never all-pairs. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val keys = Similarity.lshKeys(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      numBands = 8, bitsPerBand = 2)
+    val cand = keys.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExplode("ids")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("cos_sim", Similarity.cosineBest(spark, col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+  }
+
   // ----------------------------------------------------------- SimHash
   /** 64-bit SimHash per document: per-token xxhash64, each bit
     * contributes ±1, signature bit = sign of the sum. Near-dups have

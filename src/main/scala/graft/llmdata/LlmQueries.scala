@@ -91,6 +91,25 @@ object LlmQueries {
       |  COUNT(*) AS n_docs
       |FROM documents""".stripMargin
 
+  val txtQualitySql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_types,
+      |  len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |    / len(string_split(text, ' ')) AS type_token_ratio,
+      |  len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','to','and')))::DOUBLE
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / n_chars AS punct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val ddEmbedPairsSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
+
   val mmMetaStatsSql: String =
     """SELECT lang AS format, COUNT(*) AS n,
       |  CAST(SUM(n_chars) AS BIGINT) AS size_total,
@@ -103,6 +122,9 @@ object LlmQueries {
     "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.2)),
     "dd_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(s, d, 0.5)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
+    "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
+    "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
+    "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d, 5, 10)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
@@ -113,12 +135,15 @@ object LlmQueries {
     "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d))
   )
 
-  /** dd_minhash_neardup / dd_simhash_pairs / ann_lsh_topk intentionally
-    * absent (rows-only): hash functions aren't reproducible in DuckDB;
-    * their correctness gates live in DedupSpec/SimilaritySpec. */
+  /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
+    * ann_lsh_topk intentionally absent (rows-only): hash functions
+    * aren't reproducible in DuckDB; their correctness gates live in
+    * DedupSpec/SimilaritySpec. */
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
+    "dd_embed_pairs" -> ddEmbedPairsSql,
+    "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,

@@ -74,11 +74,16 @@ object Similarity {
     Array.fill(NumPlanes)(Array.fill(64)(if ((next() & 1L) == 0L) 1.0 else -1.0))
   }
 
-  /** (id, band, bucket) keys: bucket = 4 sign bits of hyperplane dots. */
-  def lshKeys(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val bandCols = (0 until NumBands).map { b =>
-      val bits = (0 until BitsPerBand).map { r =>
-        val plane = typedlit(hyperplanes(b * BitsPerBand + r).toSeq)
+  /** (id, band, bucket) keys: bucket = sign bits of hyperplane dots.
+    * Band shape is configurable (more bands × fewer bits = higher
+    * recall, weaker pruning); `numBands × bitsPerBand ≤ 16` planes. */
+  def lshKeys(vecs: DataFrame, idCol: String, vecCol: String,
+              numBands: Int = NumBands,
+              bitsPerBand: Int = BitsPerBand): DataFrame = {
+    require(numBands * bitsPerBand <= NumPlanes)
+    val bandCols = (0 until numBands).map { b =>
+      val bits = (0 until bitsPerBand).map { r =>
+        val plane = typedlit(hyperplanes(b * bitsPerBand + r).toSeq)
         when(dot(col(vecCol), plane) >= 0, lit(1 << r)).otherwise(lit(0))
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket"))

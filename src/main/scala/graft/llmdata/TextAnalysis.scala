@@ -58,8 +58,11 @@ object TextAnalysis {
       .orderBy(col("lang"), col("predicted"))
   }
 
-  /** Per-doc quality score components (length, stopword ratio, type-token
-    * ratio), returned per document for downstream filtering. */
+  /** Per-doc quality score components — length, type-token ratio,
+    * stopword ratio, punctuation ratio — the standard corpus-filtering
+    * signals, returned per document for downstream threshold filters.
+    * All ratios are double divisions of exact integer counts, so the
+    * DuckDB oracle hash-matches bit-for-bit. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
     Tables.documents(spark, dir)
@@ -69,7 +72,10 @@ object TextAnalysis {
         size(array_distinct(t)).as("n_types"),
         (size(array_distinct(t)).cast("double") / size(t)).as("type_token_ratio"),
         (size(filter(t, c => c.isin(Stopwords: _*))).cast("double") / size(t))
-          .as("stopword_ratio"))
+          .as("stopword_ratio"),
+        (size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0)))
+          .cast("double") / col("n_chars")).as("punct_ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** BPE-ish token counting via regex extraction, summed per source. */

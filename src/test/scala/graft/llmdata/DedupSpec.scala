@@ -52,6 +52,17 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("LSH-bucketed embedding near-dup recovers ≥90% of exact cosine pairs") {
+    val exact = pairKey(Dedup.embeddingNearDupExact(spark, sf, 0.4))
+    val approx = pairKey(Dedup.embeddingNearDup(spark, sf, 0.4))
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8 bands × 2 bits: P(candidate) at cos 0.4 ≈ 0.98
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+    assert((approx -- exact).isEmpty,
+      "candidates are exact-cosine-verified, so no sub-threshold pair may survive")
+  }
+
   test("near-identical documents collide in simhash (distance ≤ planted-dup bound)") {
     // the corpus' exact-Jaccard near-dups (J≥0.5) must also be close in
     // simhash space — token multisets differ by a small fraction
