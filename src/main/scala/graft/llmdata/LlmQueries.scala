@@ -125,6 +125,7 @@ object LlmQueries {
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
+    "txt_rolling_overlap" -> ((s, d) => TextAnalysis.rollingOverlapPairs(s, d, 3)),
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d, 5, 10)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),

@@ -63,6 +63,40 @@ object Multimodal {
       }
   }
 
+  /** Resize stage (STUB): real implementation scales decoded pixels to
+    * (targetW, targetH); the stub re-derives the metadata struct and a
+    * proportionally-cut payload so downstream schema/partitioning are
+    * exercised for real. Pure column algebra — no shuffle. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      // deterministic fake: keep a byte-prefix proportional to the area
+      // ratio, exactly like a real resize shrinks the payload
+      expr(s"substring(payload, 1, greatest(1, CAST(length(payload) * " +
+        s"least(1.0, ($targetW * $targetH) / (meta.width * meta.height + 1.0)) AS INT)))")
+        .as("payload"),
+      struct(
+        col("meta.format").as("format"),
+        col("meta.size_bytes").as("size_bytes"),
+        lit(targetW).as("width"), lit(targetH).as("height")).as("meta"))
+
+  /** Frame-sample stage (STUB): real implementation decodes a video and
+    * emits every `stride`-th frame; the stub cuts the payload into
+    * fixed-size "frames" and keeps every stride-th — one output row per
+    * sampled frame, the explode shape a real sampler produces. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .select(col("media_id"),
+        posexplode(expr(
+          s"""filter(transform(
+             |  sequence(0, CAST(greatest(length(payload) - 1, 0) / $frameBytes AS INT)),
+             |  i -> IF(i % $stride = 0,
+             |          substring(payload, i * $frameBytes + 1, $frameBytes),
+             |          CAST(NULL AS BINARY))),
+             |  f -> f IS NOT NULL)""".stripMargin)))
+      .select(col("media_id"), col("pos").as("frame_idx"),
+        col("col").as("frame_payload"))
+
   /** Metadata rollup over the media frame (oracle-checked: exercises the
     * binary length + struct field access paths). */
   def metaStats(spark: SparkSession, dir: String): DataFrame =

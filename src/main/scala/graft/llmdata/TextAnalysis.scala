@@ -94,4 +94,47 @@ object TextAnalysis {
       .select(md5(concat_ws(" ",
         array_sort(array_distinct(toks(col("text"))))).cast("binary")).as("fp"))
       .agg(countDistinct(col("fp")).as("n_fingerprints"), count(lit(1)).as("n_docs"))
+
+  /** Rolling fingerprint window size (tokens per window). */
+  val RollWindow = 4
+
+  /** Rolling window fingerprints: a hash per sliding token window over
+    * every position — the order-SENSITIVE counterpart to the bag
+    * fingerprint, used for containment/overlap detection (shared
+    * windows = shared passages). The window combiner is
+    * `xxhash64(h_i, …, h_{i+w-1})` over per-token hashes rather than a
+    * wraparound Rabin–Karp polynomial: ANSI mode forbids overflowing
+    * Long arithmetic, and a keyed multi-arg hash gives the same
+    * window-identity semantics. Token hashes aren't DuckDB-reproducible
+    * → rows-only gating via TextAnalysisSpec. Row-local end to end. */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val windowHash = (1 to RollWindow)
+      .map(j => s"element_at(th, i + $j)").mkString("xxhash64(", ", ", ")")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(col("doc_id"), array_distinct(expr(
+        s"""transform(sequence(0, greatest(size(th) - $RollWindow, 0)),
+           |  i -> $windowHash)""".stripMargin)).as("windows"))
+  }
+
+  /** Passage-overlap pairs via rolling windows: docs sharing ≥ minShared
+    * window hashes — inverted-index join on the window hash (posting
+    * lists, never all-pairs), the containment-detection scale shape. */
+  def rollingOverlapPairs(spark: SparkSession, dir: String,
+                          minShared: Int): DataFrame =
+    rollingFingerprints(spark, dir)
+      .select(col("doc_id"), explode(col("windows")).as("w"))
+      .groupBy(col("w"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+      .orderBy(col("shared_windows").desc, col("id_a"), col("id_b"))
 }

@@ -106,12 +106,19 @@ object Pipeline {
 
   /** Reference-faithful multi-query mode: independent streaming queries
     * per sink, each with its own checkpoint, all re-deriving from the
-    * shared enriched plan (spark_streaming_consumer.py:442–505). */
+    * shared enriched plan (spark_streaming_consumer.py:442–505).
+    * `includeConsole` adds the reference's 5th query — the 8-column
+    * console debug view (:448–457). */
   def startMultiQuery(source: DataFrame, layout: OutputLayout,
                       rate: Double = Enrichment.DefaultRate,
-                      trigger: Trigger = Sinks.DefaultTrigger): Seq[StreamingQuery] = {
+                      trigger: Trigger = Sinks.DefaultTrigger,
+                      includeConsole: Boolean = false): Seq[StreamingQuery] = {
     val enriched = Enrichment.enrich(source, rate)
-    Seq(
+    (if (includeConsole)
+       Seq(Sinks.console(
+         enriched.select(Enrichment.consoleColumns.map(col): _*),
+         layout.checkpointFor("console"), trigger, truncate = true))
+     else Seq.empty) ++ Seq(
       Sinks.partitionedParquet(Splitter.valid(enriched), layout.valid,
         layout.checkpointFor("valid"), trigger),
       Sinks.partitionedParquet(Splitter.fraud(enriched), layout.fraud,

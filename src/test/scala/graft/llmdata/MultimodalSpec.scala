@@ -34,6 +34,30 @@ class MultimodalSpec extends SparkSpec {
       col("height") =!= col("meta.height")).count() === 0)
   }
 
+  test("resize stub shrinks payloads and rewrites metadata dimensions") {
+    val resized = Multimodal.resizeStub(media, targetW = 32, targetH = 32)
+    assert(resized.columns.toSeq === media.columns.toSeq)
+    val joined = media.select(col("media_id"), length(col("payload")).as("orig"))
+      .join(resized.select(col("media_id"), length(col("payload")).as("small"),
+        col("meta.width").as("w"), col("meta.height").as("h")), "media_id")
+    assert(joined.filter(col("small") > col("orig")).count() === 0)
+    assert(joined.filter(col("w") =!= 32 || col("h") =!= 32).count() === 0)
+  }
+
+  test("frame sampler emits every stride-th fixed-size frame per media row") {
+    val frames = Multimodal.frameSample(media, frameBytes = 100, stride = 2).cache()
+    assert(frames.columns.toSeq === Seq("media_id", "frame_idx", "frame_payload"))
+    // no frame exceeds the frame size; every media row yields ≥1 frame
+    assert(frames.filter(length(col("frame_payload")) > 100).count() === 0)
+    assert(frames.select("media_id").distinct().count() === media.count())
+    // sampled count = ceil(n_full_or_partial_frames / stride)
+    val counts = media.select(col("media_id"),
+      ceil((floor((length(col("payload")) - 1) / 100) + 1) / lit(2.0)).as("want"))
+      .join(frames.groupBy("media_id").agg(count(lit(1)).as("got")), "media_id")
+    assert(counts.filter(col("want") =!= col("got")).count() === 0)
+    frames.unpersist()
+  }
+
   test("stub checksum is deterministic and content-sensitive") {
     val f1 = Multimodal.decodeFeatures(media).select("media_id", "checksum")
     val f2 = Multimodal.decodeFeatures(media).select("media_id", "checksum")
