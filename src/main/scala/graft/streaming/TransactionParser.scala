@@ -31,5 +31,5 @@ object TransactionParser {
   def toJsonValue(raw: DataFrame): DataFrame =
     raw.select(
       col("Card").as("key"),
-      to_json(struct(raw.columns.map(col): _*)).as("value"))
+      to_json(struct(raw.columns.toIndexedSeq.map(col): _*)).as("value"))
 }

@@ -39,6 +39,26 @@ object Enrichment {
     "Use_Chip", "Merchant_Name", "Merchant_City", "Merchant_State", "Zip",
     "MCC", "Errors", "Is_Fraud", "Processed_Timestamp")
 
+  /** The legacy 24-column v1 processed layout
+    * (sample_data/processed_transactions.csv:1): keeps raw `Time`, the
+    * full `Transaction_Date`, and the dd/MM/yyyy / HH:mm:ss display
+    * formats; predates `DateTime_Hour_Key` (SURVEY §7.4 quirk #1). */
+  val outputColumnsV1: Seq[String] = Seq(
+    "User", "Card", "Year", "Month", "Day", "Time", "Amount_USD",
+    "Amount_VND", "Exchange_Rate", "Use_Chip", "Merchant_Name",
+    "Merchant_City", "Merchant_State", "Zip", "MCC", "Errors", "Is_Fraud",
+    "Transaction_Date", "Date_Formatted", "Time_Formatted", "Hour",
+    "Day_of_Week", "Is_Weekend", "Processed_Timestamp")
+
+  /** P17 variant: the v1 projection. */
+  def projectV1(processed: DataFrame): DataFrame =
+    processed
+      .withColumn("Transaction_Date",
+        date_format(col("transaction_date"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumnRenamed("date_str", "Date_Formatted")
+      .withColumnRenamed("time_str", "Time_Formatted")
+      .select(outputColumnsV1.map(col): _*)
+
   /** Console-sink 8-column subset (spark_streaming_consumer.py:448–457). */
   val consoleColumns: Seq[String] = Seq(
     "DateTime_Hour_Key", "Card", "Merchant_Name", "Amount_USD", "Amount_VND",

@@ -6,12 +6,19 @@ import org.apache.spark.sql.functions._
 /** The reference's 4-way validation split, F1–F4 of SURVEY.md §2.4
   * (spark_streaming_consumer.py:254–283).
   *
-  * The four buckets are deliberately NOT a partition — semantics quirk
-  * preserved from the reference: a fraud row with valid fields appears in
-  * both `fraud` and `valid`; an error row that is also fraud appears in
-  * both `errors` and `fraud`. Only `invalid` excludes error/fraud rows.
-  * SplitterSpec asserts both the overlap and the cover property
-  * (every row lands in ≥1 bucket).
+  * The four buckets are deliberately NOT a partition — semantics quirks
+  * preserved from the reference:
+  *  - OVERLAP: a fraud row with valid fields appears in both `fraud`
+  *    and `valid`; an error row that is also fraud appears in both
+  *    `errors` and `fraud`. Only `invalid` excludes error/fraud rows.
+  *  - DROP-THROUGH: a row with NULL `User` or NULL `Card` whose other
+  *    fields are clean lands in NO bucket at all — F3 requires the
+  *    fields non-null, while F4's structural disjunction
+  *    (`:274–277`) never tests them (`length(NULL) < 16` is NULL under
+  *    three-valued logic), so such rows silently vanish from every
+  *    sink. Behavior-compat: reproduced, not "fixed".
+  * SplitterSpec asserts the overlap; SplitterPropsSpec asserts the
+  * cover-except-drop-through property over generated dirty rows.
   */
 object Splitter {
 

@@ -109,4 +109,32 @@ class GoldenFileSpec extends SparkSpec {
     val out = Enrichment.project(processed)
     assert(out.columns.toSeq === Enrichment.outputColumns)
   }
+
+  test("legacy v1 24-column projection matches the v1 golden file per-row") {
+    val out = Enrichment.projectV1(processed)
+    val v1 = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$sampleDir/processed_transactions.csv")
+    assert(out.columns.toSeq === v1.columns.toSeq)
+    val joined = out.join(
+      v1.select(
+        col("User").cast("long").as("User"),
+        col("Card").cast("string").as("Card"),
+        col("Year").cast("int").as("Year"),
+        col("Month").cast("int").as("Month"),
+        col("Day").cast("int").as("Day"),
+        col("Hour").cast("int").as("Hour"),
+        col("Amount_USD").cast("double").as("Amount_USD"),
+        col("Transaction_Date").cast("string").as("v1_td"),
+        col("Date_Formatted").as("v1_date"),
+        col("Time_Formatted").as("v1_time"),
+        col("Day_of_Week").as("v1_dow")),
+      Seq("User", "Card", "Year", "Month", "Day", "Hour", "Amount_USD"))
+    assert(joined.count() >= 123)
+    def mismatches(c: org.apache.spark.sql.Column): Long =
+      joined.filter(!(c <=> lit(true))).count()
+    assert(mismatches(col("Transaction_Date") === col("v1_td")) === 0)
+    assert(mismatches(col("Date_Formatted") === col("v1_date")) === 0)
+    assert(mismatches(col("Time_Formatted") === col("v1_time")) === 0)
+    assert(mismatches(col("Day_of_Week") === col("v1_dow")) === 0)
+  }
 }

@@ -58,12 +58,26 @@ class SplitterPropsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  test("property: every generated row lands in at least one bucket (F1∪F2∪F3∪F4 covers)") {
+  test("property: F1∪F2∪F3∪F4 covers every row except the reference's null-User/Card drop-through") {
+    // The reference's F4 never tests User/Card for null (length(NULL)<16
+    // is NULL), so clean rows with a null id field land in NO bucket —
+    // see Splitter's DROP-THROUGH note. The cover property holds exactly
+    // on the complement, and every uncovered row must be a drop-through.
     checkProp(Prop.forAll(Gen.listOfN(60, rowGen)) { rows =>
       rows.isEmpty || {
-        val p = enrich(rows)
-        p.filter(!(Splitter.isError || Splitter.isFraud ||
-          Splitter.isValid || Splitter.isInvalid)).count() == 0L
+        val p = enrich(rows).cache()
+        try {
+          val uncovered = p.filter(!(Splitter.isError || Splitter.isFraud ||
+            Splitter.isValid || Splitter.isInvalid))
+          val coveredHolds = uncovered
+            .filter(col("User").isNotNull && col("Card").isNotNull)
+            .count() == 0L
+          val dropThroughShape = uncovered.filter(!(
+            (col("User").isNull || col("Card").isNull) &&
+              col("Amount_USD").isNotNull && col("Amount_USD") > 0 &&
+              col("is_valid_date") === true)).count() == 0L
+          coveredHolds && dropThroughShape
+        } finally { p.unpersist(); () }
       }
     })
   }
