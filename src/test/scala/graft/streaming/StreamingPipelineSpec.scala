@@ -103,6 +103,39 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(!q.isActive)
   }
 
+  test("checkpoint recovery: a restarted query processes only new files, no duplicates") {
+    layout // force the first fan-out run
+    val firstCount = spark.read.parquet(layout.valid).count()
+    // drop 2 more raw batches into the SAME input dir
+    val extra = raw.limit(40)
+    TransactionParser.toJsonValue(extra).select("value")
+      .coalesce(1).write.mode("append").text(inputDir)
+    // restart with the SAME checkpoint: only the new file may be processed
+    val q = Pipeline.startFanOut(
+      Pipeline.jsonFileSource(spark, inputDir), layout,
+      rate, Trigger.AvailableNow, pinnedClock)
+    q.awaitTermination()
+    val expectedExtra = Splitter.valid(
+      Enrichment.enrich(extra, rate, pinnedClock)).count()
+    assert(spark.read.parquet(layout.valid).count() === firstCount + expectedExtra)
+  }
+
+  test("malformed JSON decodes to all-null rows that drop through every bucket") {
+    import spark.implicits._
+    val mixed = Seq("this is not json", "{\"Card\": \"oops").toDF("value")
+    val enriched = Enrichment.enrich(
+      TransactionParser.fromJsonValue(mixed), rate, pinnedClock)
+    // PERMISSIVE parse: no crash, rows survive as all-null
+    assert(enriched.count() === 2)
+    // reference semantics: null User/Card + null Is_Fraud matches NO
+    // bucket predicate — malformed messages silently vanish from every
+    // sink (there is no dead-letter path; Splitter DROP-THROUGH note)
+    assert(Splitter.errors(enriched).count() === 0)
+    assert(Splitter.fraud(enriched).count() === 0)
+    assert(Splitter.valid(enriched).count() === 0)
+    assert(Splitter.invalid(enriched).count() === 0)
+  }
+
   test("K5 Kafka message shape round-trips through the P1-P2 decode path") {
     val msgs = TransactionParser.toJsonValue(raw)
     assert(msgs.columns.toSeq === Seq("key", "value")) // keyed by Card
