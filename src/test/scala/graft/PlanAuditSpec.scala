@@ -1,0 +1,33 @@
+package graft
+
+/** Whole-registry physical-plan audit — the "would this survive 100×"
+  * check as an executable gate over every SparkEntry query:
+  *
+  *  - No CartesianProduct anywhere, ever.
+  *  - BroadcastNestedLoopJoin only where one side is provably tiny or
+  *    the all-pairs shape is the operator's intent (allow-listed below
+  *    with the reason); anywhere else it means an equi-join key was
+  *    lost and the query would melt at scale.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose BNLJ is by design, with the bounded side. */
+  private val bnlAllowed: Map[String, String] = Map(
+    "ea9_above_avg_error_users" -> "cross join against a 1-row global aggregate",
+    "ea11_anomalous_hours" -> "cross join against a 1-row global average",
+    "tx9_fraud_ratio_outliers" -> "cross join against a 1-row global rate",
+    "ann_cosine_topk" -> "brute-force baseline: tiny broadcast query side (nQueries=5)",
+    "dd_embed_pairs" -> "exact all-pairs oracle baseline (scale path is dd_embed_neardup)")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"plan audit: $name") {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      if (!bnlAllowed.contains(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join without an allow-list reason:\n$plan")
+      }
+    }
+  }
+}
