@@ -128,6 +128,7 @@ object LlmQueries {
     "txt_rolling_overlap" -> ((s, d) => TextAnalysis.rollingOverlapPairs(s, d, 3)),
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d, 5, 10)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),

@@ -94,6 +94,68 @@ object Similarity {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  // ------------------------------------------------------------- IVF
+  /** IVF cell count and query probe width. */
+  val NumCells = 16
+  val NumProbes = 4
+
+  /** Deterministic IVF coarse centroids: every (N/C)-th corpus vector
+    * by vec_id — no k-means iterations, no runtime randomness. C is
+    * tiny (16×64 doubles), so collecting centroids to the driver is
+    * O(C), not a data-scale collect; they re-enter the plan as
+    * literals, exactly like a trained index would ship with the job. */
+  private[llmdata] def ivfCentroids(corpus: DataFrame): Array[(Int, Seq[Double])] = {
+    val n = corpus.count()
+    val step = math.max(1L, n / NumCells)
+    corpus.filter(col("vec_id") % step === 0 && col("vec_id") < step * NumCells)
+      .orderBy(col("vec_id"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      }
+  }
+
+  /** Column: index of the centroid nearest (by cosine) to `vec`. */
+  private def nearestCells(vec: Column, centroids: Array[(Int, Seq[Double])],
+                           take: Int): Column = {
+    // rank cells by cosine via sort of (negated sim, cell) structs —
+    // pure column algebra, no UDF
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct((-cosine(vec, typedlit(cvec))).as("neg"), lit(cid).as("cell"))
+    }: _*)
+    slice(array_sort(scored), 1, take)
+  }
+
+  /** IVF top-k: corpus vectors are assigned to their nearest coarse
+    * cell (one map-only pass); a query scans only its `NumProbes`
+    * nearest cells' inverted lists (equi-join on cell id), then exact
+    * cosine + rank. The classic two-level ANN layout: at 100 TB the
+    * cell id becomes the partition key and a probe touches C/probes of
+    * the corpus instead of all of it. Recall vs brute force is measured
+    * in SimilaritySpec. */
+  def ivfTopK(spark: SparkSession, dir: String,
+              nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(e)
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .withColumn("cell",
+        element_at(nearestCells(col("ne"), cents, 1), 1).getField("cell"))
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("probe", explode(nearestCells(col("qe"), cents, NumProbes)))
+      .select(col("query_id"), col("qe"), col("probe.cell").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    queries.join(corpus, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Approximate top-k: candidates = corpus vectors sharing any LSH band
     * bucket with the query (equi-join on (band, bucket) — the shuffle
     * key that replaces the Q×N loop at scale), ranked by exact cosine.

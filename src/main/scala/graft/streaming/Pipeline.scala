@@ -67,21 +67,37 @@ object Pipeline {
     def checkpointFor(sink: String) = s"$root/_checkpoints/$sink"
   }
 
-  /** Single-query `foreachBatch` fan-out: enrich the stream
-    * declaratively (one codegen span), then per micro-batch persist the
-    * enriched batch and write the four buckets. Exactly-once per sink
-    * comes from the single query's checkpoint + idempotent file sinks. */
+  /** Single-query `foreachBatch` fan-out: per micro-batch, enrich (one
+    * codegen span), persist the enriched batch, and write the four
+    * buckets. Exactly-once per sink comes from the single query's
+    * checkpoint + idempotent file sinks. */
   def startFanOut(source: DataFrame, layout: OutputLayout,
                   rate: Double = Enrichment.DefaultRate,
                   trigger: Trigger = Sinks.DefaultTrigger,
                   clock: Column = current_timestamp(),
-                  coalesceN: Int = 1): StreamingQuery = {
-    val enriched = Enrichment.enrich(source, rate, clock)
-    enriched.writeStream
+                  coalesceN: Int = 1): StreamingQuery =
+    startFanOutWithRates(source, layout, _ => rate, trigger, clock, coalesceN)
+
+  /** Fan-out with a PER-BATCH rate resolution — the fix for the
+    * reference's stale-rate limitation (SURVEY §4.1: rate fetched once
+    * per process, wrong across day boundaries in a long-running
+    * stream). `rateFor` runs on the driver at the start of every micro
+    * batch (the [[graft.rates.RateService]] per-date cache makes repeat
+    * calls free) and the resolved scalar enters the batch plan as a
+    * literal — same broadcast-scalar shape, fresh each day. */
+  def startFanOutWithRates(source: DataFrame, layout: OutputLayout,
+                           rateFor: java.time.LocalDate => Double,
+                           trigger: Trigger = Sinks.DefaultTrigger,
+                           clock: Column = current_timestamp(),
+                           coalesceN: Int = 1,
+                           today: () => java.time.LocalDate =
+                             () => java.time.LocalDate.now()): StreamingQuery = {
+    source.writeStream
       .outputMode("append")
       .option("checkpointLocation", layout.checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val batch = Enrichment.enrich(rawBatch, rateFor(today()), clock)
         batch.persist()
         try {
           Splitter.valid(batch).coalesce(coalesceN)

@@ -45,6 +45,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"exact-bucket recall $recall")
   }
 
+  test("IVF top-k: candidates come from probed cells only, sims exact on overlap") {
+    val ivf = Similarity.ivfTopK(spark, sf, nQ, k).cache()
+    val ivfSet = resultSet(ivf)
+    val recall = (exactSet & ivfSet).size.toDouble / exactSet.size
+    // weak-structure corpus + 4/16 probes: assert the measured floor so
+    // a hashing/assignment regression is caught (clustered corpora sit
+    // far higher); candidate work is bounded to ~probes/cells of N
+    assert(recall >= 0.2, s"IVF recall $recall")
+    val joined = exact.join(
+      ivf.withColumnRenamed("sim", "sim_ivf").drop("rnk"),
+      Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("sim") =!= col("sim_ivf")).count() === 0)
+    ivf.unpersist()
+  }
+
   test("LSH sims equal brute-force sims for every overlapping neighbor") {
     val lsh = Similarity.lshTopK(spark, sf, nQ, k, multiProbe = true)
       .withColumnRenamed("sim", "sim_lsh").drop("rnk")

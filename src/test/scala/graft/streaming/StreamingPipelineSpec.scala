@@ -136,6 +136,37 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(Splitter.invalid(enriched).count() === 0)
   }
 
+  test("per-batch rate refresh: a new day's batch gets the new day's rate") {
+    val root2 = Files.createTempDirectory("graft-rates").toString
+    val in = s"$root2/in"
+    val msgs = TransactionParser.toJsonValue(raw.limit(50)).select("value")
+    msgs.coalesce(1).write.mode("append").text(in)
+
+    val days = Iterator(
+      java.time.LocalDate.parse("2024-06-01"),
+      java.time.LocalDate.parse("2024-06-02"))
+    var day = days.next()
+    val rates = Map("2024-06-01" -> 25000.0, "2024-06-02" -> 26000.0)
+    val layout2 = Pipeline.OutputLayout(s"$root2/out")
+
+    def runOnce(): Unit = {
+      val q = Pipeline.startFanOutWithRates(
+        Pipeline.jsonFileSource(spark, in), layout2,
+        d => rates(d.toString), Trigger.AvailableNow,
+        pinnedClock, today = () => day)
+      q.awaitTermination()
+    }
+    runOnce() // day 1
+    day = days.next()
+    msgs.coalesce(1).write.mode("append").text(in) // next day's traffic
+    runOnce() // day 2 — checkpoint skips day 1's files
+
+    val out = spark.read.parquet(layout2.valid)
+      .select(col("Exchange_Rate")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(out === Set(25000, 26000))
+  }
+
   test("K5 Kafka message shape round-trips through the P1-P2 decode path") {
     val msgs = TransactionParser.toJsonValue(raw)
     assert(msgs.columns.toSeq === Seq("key", "value")) // keyed by Card
