@@ -104,25 +104,27 @@ object Similarity {
     * tiny (16×64 doubles), so collecting centroids to the driver is
     * O(C), not a data-scale collect; they re-enter the plan as
     * literals, exactly like a trained index would ship with the job. */
-  private[llmdata] def ivfCentroids(corpus: DataFrame): Array[(Int, Seq[Double])] = {
+  private[llmdata] def ivfCentroids(corpus: DataFrame): Array[(Int, Seq[Float])] = {
     val n = corpus.count()
     val step = math.max(1L, n / NumCells)
     corpus.filter(col("vec_id") % step === 0 && col("vec_id") < step * NumCells)
       .orderBy(col("vec_id"))
       .collect()
       .zipWithIndex
-      .map { case (r, i) =>
-        i -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
-      }
+      .map { case (r, i) => i -> r.getSeq[Float](r.fieldIndex("embedding")) }
   }
 
-  /** Column: index of the centroid nearest (by cosine) to `vec`. */
-  private def nearestCells(vec: Column, centroids: Array[(Int, Seq[Double])],
+  /** Column: the `take` cells nearest (by cosine) to `vec`. Centroids
+    * stay float arrays so the native `cosine_sim` expression applies
+    * (16 codegen'd loops per row, not 48 interpreted lambda folds). */
+  private def nearestCells(spark: SparkSession, vec: Column,
+                           centroids: Array[(Int, Seq[Float])],
                            take: Int): Column = {
     // rank cells by cosine via sort of (negated sim, cell) structs —
     // pure column algebra, no UDF
     val scored = array(centroids.map { case (cid, cvec) =>
-      struct((-cosine(vec, typedlit(cvec))).as("neg"), lit(cid).as("cell"))
+      struct((-cosineBest(spark, vec, typedlit(cvec))).as("neg"),
+        lit(cid).as("cell"))
     }: _*)
     slice(array_sort(scored), 1, take)
   }
@@ -140,10 +142,10 @@ object Similarity {
     val cents = ivfCentroids(e)
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("cell",
-        element_at(nearestCells(col("ne"), cents, 1), 1).getField("cell"))
+        element_at(nearestCells(spark, col("ne"), cents, 1), 1).getField("cell"))
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("probe", explode(nearestCells(col("qe"), cents, NumProbes)))
+      .withColumn("probe", explode(nearestCells(spark, col("qe"), cents, NumProbes)))
       .select(col("query_id"), col("qe"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
