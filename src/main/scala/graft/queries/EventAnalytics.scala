@@ -242,8 +242,34 @@ object EventAnalytics {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  // --------------------------------------------------------------- ea14
+  /** ea14 [A3 grouping-sets]: one pass producing BOTH per-type and
+    * per-day-name marginals — explicit GROUPING SETS (Spark 4
+    * `Dataset.groupingSets`), the third grouping-set shape next to q4's
+    * ROLLUP and ea7's CUBE. One shuffle serves both marginal tables. */
+  def ea14GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    // grouping-set expressions must resolve to the SAME attribute as the
+    // groupBy columns — aliases get fresh expression ids and silently
+    // null the column for every set, so materialize day_name first and
+    // group on plain attribute references
+    Tables.events(spark, dir)
+      .withColumn("day_name", dayName)
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("day_name"))),
+        col("event_type"), col("day_name"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_name"))
+
+  val ea14Sql: String =
+    """SELECT event_type, dayname(ts) AS day_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (dayname(ts)))
+      |ORDER BY event_type ASC NULLS FIRST, day_name ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ea13_approx_users" -> ea13ApproxUsers _,
+    "ea14_grouping_sets" -> ea14GroupingSets _,
     "ea1_daily_error_rate" -> ea1DailyErrorRate _,
     "ea2_vnd_by_type" -> ea2VndByType _,
     "ea3_hour_key_traffic" -> ea3HourKeyTraffic _,
@@ -258,6 +284,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ea14_grouping_sets" -> ea14Sql,
     "ea1_daily_error_rate" -> ea1Sql,
     "ea2_vnd_by_type" -> ea2Sql,
     "ea3_hour_key_traffic" -> ea3Sql,
