@@ -320,8 +320,36 @@ object Relational {
       |WHERE l_quantity < avg_qty * 0.5
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // --------------------------------------------------------------- q19
+  /** q19: revenue from a disjunction of (brand × quantity-band ×
+    * container-ish) predicates — the TPC-H Q19 shape: a complex OR of
+    * conjunctions that Catalyst must simplify, partially push into the
+    * scan, and keep inside one codegen span alongside the join. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25) &&
+          col("p_size").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35) &&
+          col("p_size").between(1, 30)))
+      .agg(
+        sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q19Sql: String =
+    s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)""".stripMargin
+
   /** Registry for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
     "q14_order_count_distribution" -> q14OrderCountDistribution _,
     "q16_small_quantity_value" -> q16SmallQuantityValue _,
@@ -337,6 +365,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_disjunctive_revenue" -> q19Sql,
     "q5_nation_revenue" -> q5Sql,
     "q14_order_count_distribution" -> q14Sql,
     "q16_small_quantity_value" -> q16Sql,
