@@ -34,6 +34,18 @@ object StreamingAnalytics {
       .select(col("w.start").as("hour_start"), col("n"),
         col("usd_total").cast("double").as("usd_total"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same (Card,
+    * timestamp) — the at-least-once Kafka producer's duplicate shape —
+    * with state bounded by the watermark (a duplicate arriving later
+    * than the delay is passed through; unbounded keep-all state is not
+    * an option on an infinite stream). Works in batch mode too, where
+    * it degenerates to a plain dropDuplicates. */
+  def dedupStream(enriched: DataFrame,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    enriched
+      .withWatermark("transaction_date", watermarkDelay)
+      .dropDuplicatesWithinWatermark("Card", "timestamp")
+
   /** Q5 live: gap-based per-user sessions; sessions with ≥ minEvents
     * events are the streaming form of the rapid-consecutive-transaction
     * detector (requirements.md:47). */

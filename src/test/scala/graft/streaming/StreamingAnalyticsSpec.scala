@@ -47,6 +47,23 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(batch.exceptAll(live).count() === 0)
   }
 
+  test("streaming dedup drops at-least-once redeliveries within the watermark") {
+    // duplicate every message: the input dir written twice
+    val dupDir = Files.createTempDirectory("graft-dedup").toString + "/in"
+    val msgs = spark.read.text(inputDir)
+    msgs.coalesce(1).write.mode("append").text(dupDir)
+    msgs.coalesce(1).write.mode("append").text(dupDir)
+
+    val stream = Enrichment.enrich(Pipeline.jsonFileSource(spark, dupDir),
+      Enrichment.DefaultRate, pinnedClock)
+    val live = drain(StreamingAnalytics.dedupStream(stream)
+      .select("Card", "timestamp"), "append", "dedup_live")
+
+    val distinctExpected = enrichedBatch.select("Card", "timestamp").distinct()
+    assert(live.count() === distinctExpected.count())
+    assert(live.exceptAll(distinctExpected).count() === 0)
+  }
+
   test("streaming user sessions (append mode) emit exactly the watermark-closed batch sessions") {
     val live = drain(StreamingAnalytics.userSessions(enrichedStream),
       "append", "sessions_live").cache()
