@@ -59,19 +59,40 @@ object Dedup {
     * Identical shingle strings/sets to [[docShingles]] (DedupSpec
     * asserts the equivalence) but ~3× faster — the array `transform`
     * form pays an interpreted lambda per shingle. Docs with <3 tokens
-    * contribute no postings, matching the empty shingle array. */
-  def shinglePostings(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), col("pos"), col("col").as("t0"))
-      .select(col("doc_id"), col("t0"),
-        lead(col("t0"), 1).over(w).as("t1"),
-        lead(col("t0"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t0"), col("t1"), col("t2")).as("g"))
-      .distinct()
+    * contribute no postings, matching the empty shingle array.
+    *
+    * The postings frame is cached ONCE per (session, dir) — jaccard and
+    * minhash both walk it several times within a query and across the
+    * registry, and per-call `.cache()` on fresh plan objects triggered
+    * "already cached" churn in the cache manager (VERDICT r03 #3). The
+    * cache is session-lifetime by default; a long-lived service calls
+    * [[releaseCaches]] after its dedup batch. */
+  def shinglePostings(spark: SparkSession, dir: String): DataFrame =
+    postingsMemo.synchronized {
+      postingsMemo.getOrElseUpdate((spark, dir), {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("t0"))
+          .select(col("doc_id"), col("t0"),
+            lead(col("t0"), 1).over(w).as("t1"),
+            lead(col("t0"), 2).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("t0"), col("t1"), col("t2")).as("g"))
+          .distinct()
+          .cache()
+      })
+    }
+
+  private val postingsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist every memoized postings cache (idempotent). Bench calls
+    * this after the query sweep; Verify's JVM exit covers it there. */
+  def releaseCaches(): Unit = postingsMemo.synchronized {
+    postingsMemo.valuesIterator.foreach(_.unpersist())
+    postingsMemo.clear()
   }
 
   // ------------------------------------------------------- exact dedup
@@ -91,12 +112,17 @@ object Dedup {
     * (shingle sets are distinct) → Jaccard from per-doc set sizes.
     *
     * Scale path: the shuffle is on the shingle key, so cost is
-    * Σ_shingle df² — bounded in practice by dropping ultra-common
-    * shingles (df cap), exposed as `maxDocFreq`. The oracle query runs
-    * uncapped (sf0.01 is small enough) so results stay exact. */
+    * Σ_shingle df² — bounded by dropping ultra-common shingles (df cap),
+    * exposed as `maxDocFreq`. The REGISTERED query runs capped
+    * (LlmQueries.JaccardDocFreqCap, mirrored in the DuckDB oracle's
+    * HAVING clause) so the default surface never carries the
+    * one-viral-shingle d²/2 blowup; the uncapped form stays available as
+    * the spec-only exact baseline (DedupSpec). Per-doc set sizes `nsh`
+    * are computed BEFORE the cap, so capping only ever shrinks |∩| —
+    * a conservative Jaccard estimate, never an inflated one. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double,
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    val all = shinglePostings(spark, dir).cache()
+    val all = shinglePostings(spark, dir)
     val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val posting = maxDocFreq match {
       case Some(cap) =>
@@ -150,7 +176,7 @@ object Dedup {
     * deterministic result; DedupSpec measures recall = 1.0 on the
     * planted dups at sf0.001). */
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val posting = shinglePostings(spark, dir).cache()
+    val posting = shinglePostings(spark, dir)
     val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val sigAggs = (0 until NumHashes).map(j =>
       min(xxhash64(lit(j), col("g"))).as(s"mh$j"))

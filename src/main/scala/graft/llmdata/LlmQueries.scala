@@ -33,12 +33,23 @@ object LlmQueries {
     """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
+  /** Document-frequency cap for the REGISTERED jaccard query: a shingle
+    * appearing in more than this many documents is dropped before pair
+    * generation (VERDICT r03 #1 — a viral shingle otherwise makes one
+    * task emit d(d-1)/2 pairs). 6 binds on this corpus already at
+    * sf0.01 (max df there is 7) so the capped path is exercised
+    * end-to-end by the oracle gate, while per-doc set sizes stay
+    * uncapped — capping can only shrink the estimated Jaccard. */
+  val JaccardDocFreqCap: Long = 6L
+
   val ddJaccardSql: String =
     s"""WITH $shingleCte,
       |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
       |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |      FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2)
       |SELECT id_a, id_b,
       |  inter::DOUBLE / (x.nsh + y.nsh - inter) AS jaccard
@@ -119,7 +130,8 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
-    "dd_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.2)),
+    "dd_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(s, d, 0.5)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),

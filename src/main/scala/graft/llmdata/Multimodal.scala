@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * typed metadata struct, plus a batched per-partition "decode /
   * feature-extract" stage.
   *
-  * The decode itself is a clearly-marked deterministic STUB (no
-  * image/audio codecs exist in this environment); everything around it —
-  * the binary+struct schema, the partition-parallel batched iteration
-  * shape a real decoder (JNI codec, ONNX runtime, …) would plug into,
-  * and the metadata queries — is real and tested (MultimodalSpec).
+  * The decode is REAL for every format the JDK's `javax.imageio`
+  * registry can read (PNG, BMP, GIF, JPEG): true pixel dimensions and a
+  * checksum over the decoded ARGB raster (MultimodalSpec round-trips
+  * generated PNG/BMP payloads through it). Payloads no in-JVM codec
+  * understands (audio/video — no such codecs exist in this environment)
+  * fall through to a clearly-marked deterministic STUB that byte-checksums
+  * the payload and passes the metadata dimensions through, keeping the
+  * plumbing testable end-to-end on any corpus.
   *
   * At 100 TB: payloads stay distributed (no collect); decode is
   * mapPartitions so per-executor codec state is initialized once per
@@ -22,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaFeature(media_id: Long, n_bytes: Int, checksum: Long,
-                          width: Int, height: Int)
+                          width: Int, height: Int, decoded: Boolean)
 
   /** Media frame derived from `documents`: payload = the text bytes
     * standing in for encoded media; metadata = typed struct with the
@@ -37,9 +40,10 @@ object Multimodal {
         (col("n_chars") % 1024).cast("int").as("width"),
         (col("n_chars") * 7 % 768).cast("int").as("height")).as("meta"))
 
-  /** Batched per-partition decode/feature-extract. The per-batch body is
-    * where a real codec call goes; the STUB computes a deterministic
-    * byte checksum as the stand-in "feature". */
+  /** Batched per-partition decode/feature-extract. Images the JDK can
+    * decode get REAL features (pixel dimensions + ARGB-raster checksum);
+    * anything else falls through to the deterministic byte-checksum STUB
+    * with metadata dimensions passed through, flagged `decoded=false`. */
   def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -47,17 +51,33 @@ object Multimodal {
       col("meta.width").as("width"), col("meta.height").as("height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
-        // one place per partition for expensive init (codec handles, model
-        // sessions); the STUB needs none.
+        // per-partition init slot (codec handles, model sessions): here,
+        // keep ImageIO off its temp-file disk cache for in-memory decode
+        javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes, w, h) =>
-            // STUB decode: a real implementation would decode `bytes`
-            // and emit pixel/frame features; we emit a deterministic
-            // checksum so the plumbing is testable end-to-end.
-            var sum = 0L
-            var i = 0
-            while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xFF); i += 1 }
-            MediaFeature(id, bytes.length, sum, w, h)
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            if (img != null) {
+              // real decode: true dimensions + checksum over decoded pixels
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum = sum * 31 + img.getRGB(x, y); x += 1 }
+                y += 1
+              }
+              MediaFeature(id, bytes.length, sum, img.getWidth, img.getHeight,
+                decoded = true)
+            } else {
+              // STUB fallback (no codec for this payload in the JVM): a
+              // deterministic byte checksum keeps the plumbing testable.
+              var sum = 0L
+              var i = 0
+              while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xFF); i += 1 }
+              MediaFeature(id, bytes.length, sum, w, h, decoded = false)
+            }
           }
         }
       }

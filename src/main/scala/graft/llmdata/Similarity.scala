@@ -95,23 +95,69 @@ object Similarity {
   }
 
   // ------------------------------------------------------------- IVF
-  /** IVF cell count and query probe width. */
+  /** IVF cell count, query probe width, and Lloyd refinement rounds. */
   val NumCells = 16
   val NumProbes = 4
+  val LloydIters = 8
 
-  /** Deterministic IVF coarse centroids: every (N/C)-th corpus vector
-    * by vec_id — no k-means iterations, no runtime randomness. C is
-    * tiny (16×64 doubles), so collecting centroids to the driver is
-    * O(C), not a data-scale collect; they re-enter the plan as
-    * literals, exactly like a trained index would ship with the job. */
-  private[llmdata] def ivfCentroids(corpus: DataFrame): Array[(Int, Seq[Float])] = {
-    val n = corpus.count()
-    val step = math.max(1L, n / NumCells)
-    corpus.filter(col("vec_id") % step === 0 && col("vec_id") < step * NumCells)
-      .orderBy(col("vec_id"))
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](r.fieldIndex("embedding")) }
+  /** Deterministic IVF coarse centroids: seeded from every (N/C)-th
+    * corpus vector by vec_id, then refined with [[LloydIters]] rounds of
+    * Lloyd's algorithm (assign to nearest-by-cosine centroid → new
+    * centroid = per-cell elementwise mean) — VERDICT r03 #3: the raw
+    * stride sample left cells badly unbalanced (recall floor 0.2);
+    * refinement concentrates cells on the corpus's actual structure.
+    *
+    * Everything is deterministic AND order-independent: no runtime
+    * randomness, and the per-dimension means sum in DECIMAL so partial
+    * aggregation order can't perturb a centroid bit (a float sum could
+    * flip a borderline assignment between runs). C is tiny (16×64), so
+    * the per-round collect is O(C·d), not a data-scale collect; the
+    * final centroids re-enter the plan as literals, exactly like a
+    * trained index shipping with the job. An emptied cell keeps its
+    * previous centroid. */
+  private val centroidMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Array[(Int, Seq[Float])]]
+
+  /** Memoized trained centroids per (session, corpus dir) — training is
+    * an offline index-build step, not per-query work; recomputing the
+    * Lloyd rounds on every query call would bill index construction to
+    * every search. */
+  private[llmdata] def ivfCentroidsFor(spark: SparkSession,
+                                       dir: String): Array[(Int, Seq[Float])] =
+    centroidMemo.synchronized {
+      centroidMemo.getOrElseUpdate((spark, dir),
+        ivfCentroids(spark, Tables.embeddings(spark, dir)))
+    }
+
+  private[llmdata] def ivfCentroids(spark: SparkSession,
+                                    corpus: DataFrame): Array[(Int, Seq[Float])] = {
+    val vecs = corpus.select(col("vec_id"), col("embedding")).cache()
+    try {
+      val n = vecs.count()
+      val step = math.max(1L, n / NumCells)
+      var cents: Array[(Int, Seq[Float])] =
+        vecs.filter(col("vec_id") % step === 0 && col("vec_id") < step * NumCells)
+          .orderBy(col("vec_id"))
+          .collect()
+          .zipWithIndex
+          .map { case (r, i) => i -> r.getSeq[Float](r.fieldIndex("embedding")) }
+      for (_ <- 0 until LloydIters) {
+        val means = vecs
+          .withColumn("cell",
+            element_at(nearestCells(spark, col("embedding"), cents, 1), 1)
+              .getField("cell"))
+          .select(col("cell"), posexplode(col("embedding")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1))).as("m"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue.toFloat))
+          .groupBy(_._1)
+        cents = cents.map { case (cid, old) =>
+          cid -> means.get(cid).fold(old)(_.sortBy(_._2).map(_._3).toSeq)
+        }
+      }
+      cents
+    } finally vecs.unpersist()
   }
 
   /** Column: the `take` cells nearest (by cosine) to `vec`. Centroids
@@ -139,7 +185,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = ivfCentroids(e)
+    val cents = ivfCentroidsFor(spark, dir)
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .withColumn("cell",
         element_at(nearestCells(spark, col("ne"), cents, 1), 1).getField("cell"))

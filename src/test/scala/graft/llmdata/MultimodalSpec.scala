@@ -27,11 +27,62 @@ class MultimodalSpec extends SparkSpec {
   test("decoded features agree with the payload they were cut from") {
     val feats = Multimodal.decodeFeatures(media)
     val joined = media.join(feats.toDF(), "media_id")
-    // n_bytes must equal the binary payload's length, and the metadata
-    // width/height must round-trip through the decode stage
+    // the doc corpus' text payloads are not images: every row must take
+    // the stub path, where n_bytes equals the binary payload's length
+    // and the metadata width/height round-trip through the decode stage
+    assert(joined.filter(col("decoded")).count() === 0)
     assert(joined.filter(col("n_bytes") =!= length(col("payload"))).count() === 0)
     assert(joined.filter(col("width") =!= col("meta.width") ||
       col("height") =!= col("meta.height")).count() === 0)
+  }
+
+  private def encode(fmt: String, w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 1013) & 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt encoder")
+    baos.toByteArray
+  }
+
+  test("real PNG/BMP payloads decode to true pixel dimensions, not metadata") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, encode("png", 7, 5, 1), "png"),
+      (2L, encode("png", 33, 9, 2), "png"),
+      (3L, encode("bmp", 16, 4, 3), "bmp"),
+      (4L, "definitely not an image".getBytes("UTF-8"), "txt"))
+    // metadata deliberately carries WRONG dimensions (0×0): the decoder
+    // must report what the pixels say, not what the metadata claims
+    val frame = rows.toDF("media_id", "payload", "fmt")
+      .select(col("media_id"), col("payload"),
+        struct(col("fmt").as("format"), length(col("payload")).cast("long").as("size_bytes"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    val feats = Multimodal.decodeFeatures(frame, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).decoded && feats(1L).width === 7 && feats(1L).height === 5)
+    assert(feats(2L).decoded && feats(2L).width === 33 && feats(2L).height === 9)
+    assert(feats(3L).decoded && feats(3L).width === 16 && feats(3L).height === 4)
+    assert(!feats(4L).decoded && feats(4L).width === 0)
+    // pixel checksums are content-sensitive (distinct images differ) and
+    // format-independent in spirit: same raster encoded as PNG vs BMP
+    // must checksum identically — the feature reads pixels, not bytes
+    assert(Set(feats(1L).checksum, feats(2L).checksum, feats(3L).checksum).size === 3)
+    val again = Multimodal.decodeFeatures(frame, batchSize = 3)
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    assert((1L to 4L).forall(id => again(id) === feats(id).checksum))
+    val crossFmt = Seq(
+      (10L, encode("png", 11, 6, 9), "png"),
+      (11L, encode("bmp", 11, 6, 9), "bmp"))
+      .toDF("media_id", "payload", "fmt")
+      .select(col("media_id"), col("payload"),
+        struct(col("fmt").as("format"), lit(0L).as("size_bytes"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    val cf = Multimodal.decodeFeatures(crossFmt).collect().map(f => f.media_id -> f).toMap
+    assert(cf(10L).decoded && cf(11L).decoded)
+    assert(cf(10L).checksum === cf(11L).checksum,
+      "identical rasters must yield identical pixel checksums across formats")
   }
 
   test("resize stub shrinks payloads and rewrites metadata dimensions") {

@@ -49,10 +49,11 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(spark, sf, nQ, k).cache()
     val ivfSet = resultSet(ivf)
     val recall = (exactSet & ivfSet).size.toDouble / exactSet.size
-    // weak-structure corpus + 4/16 probes: assert the measured floor so
-    // a hashing/assignment regression is caught (clustered corpora sit
-    // far higher); candidate work is bounded to ~probes/cells of N
-    assert(recall >= 0.2, s"IVF recall $recall")
+    // Lloyd-refined centroids (8 deterministic rounds) on this
+    // weak-structure corpus with 4/16 probes: assert the measured floor
+    // so an assignment/refinement regression is caught (clustered
+    // corpora sit far higher); candidate work stays ~probes/cells of N
+    assert(recall >= 0.6, s"IVF recall $recall")
     val joined = exact.join(
       ivf.withColumnRenamed("sim", "sim_ivf").drop("rnk"),
       Seq("query_id", "neighbor_id"))
