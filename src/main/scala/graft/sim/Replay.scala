@@ -47,6 +47,11 @@ object Replay {
   def replayToDir(csvRaw: DataFrame, dir: String, sendDate: Column,
                   numBatches: Int = 5, sleepMs: Long = 0): Long = {
     val keyed = toMessages(csvRaw, sendDate)
+      // Deliberately UNpartitioned window (the repo's only one, so Spark's
+      // WindowExec single-partition warning is expected here): the
+      // producer simulates the reference's single totally-ordered POS
+      // stream, so a global order is the semantics, and the corpus is
+      // producer-sized (the 123-row golden sample), never warehouse-sized.
       .withColumn("batch",
         ntile(numBatches).over(Window.orderBy(col("key"), col("value"))))
       .cache()

@@ -93,6 +93,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("materialized processed table partition-prunes a single-day tx query") {
+    val pt = TxQueries.processedTable(spark, sf)
+    val day = pt.select("Year", "Month", "Day").na.drop().distinct()
+      .orderBy("Year", "Month", "Day").limit(1).collect()(0)
+    val p = plan(pt.filter(
+      col("Year") === day.getInt(0) && col("Month") === day.getInt(1) &&
+        col("Day") === day.getInt(2)))
+    assert(p.contains("PartitionFilters:") && p.contains(s"= ${day.getInt(0)}"),
+      s"single-day read of the materialized layout must prune partitions:\n$p")
+  }
+
   test("enrichment + split stays in one whole-stage codegen span (no UDF breaks)") {
     val p = plan(Splitter.valid(TxQueries.processed(spark, sf)))
     // formatted mode marks codegen'd operators with "* Node [codegen id : n]"

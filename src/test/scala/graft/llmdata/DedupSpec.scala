@@ -30,6 +30,22 @@ class DedupSpec extends SparkSpec {
     assert(fromArrays.exceptAll(postings).count() === 0)
   }
 
+  test("df-capped jaccard (the registered form) is conservative vs the uncapped baseline") {
+    val uncapped = Dedup.jaccardPairs(spark, sf, 0.2)
+      .withColumnRenamed("jaccard", "j_uncapped")
+    val capped = Dedup.jaccardPairs(spark, sf, 0.2,
+      maxDocFreq = Some(LlmQueries.JaccardDocFreqCap))
+    // per-doc sizes are computed pre-cap, so dropping hot shingles can
+    // only shrink |∩|: every capped pair must exist uncapped, with a
+    // jaccard estimate that is never inflated
+    val joined = capped.join(uncapped, Seq("id_a", "id_b"), "left")
+    assert(capped.count() > 0)
+    assert(joined.filter(col("j_uncapped").isNull).count() === 0,
+      "capping must not invent pairs")
+    assert(joined.filter(col("jaccard") > col("j_uncapped")).count() === 0,
+      "capping must not inflate a pair's jaccard")
+  }
+
   test("minhash-LSH near-dup recovers the exact Jaccard pairs at threshold 0.5") {
     val exact = Dedup.jaccardPairs(spark, sf, 0.5)
     val approx = Dedup.minhashNearDup(spark, sf, 0.5)
