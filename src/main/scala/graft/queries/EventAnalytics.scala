@@ -267,7 +267,64 @@ object EventAnalytics {
       |GROUP BY GROUPING SETS ((event_type), (dayname(ts)))
       |ORDER BY event_type ASC NULLS FIRST, day_name ASC NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ea15
+  /** ea15 [distribution metrics]: exact p50/p90/p99 of event value per
+    * type — `percentile` with linear interpolation, the same definition
+    * DuckDB's `quantile_cont` uses, rounded to 6 decimals so the two
+    * engines hash-match on the interpolated doubles.
+    *
+    * Scale note: exact percentile buffers each group's values on the
+    * reducer — correct up to huge-but-bounded groups. The 100 TB path
+    * is `approx_percentile` (t-digest: mergeable, map-side partial, no
+    * buffering); SketchSpec asserts the sketch tracks these exact values
+    * within tolerance so swapping it in is a config change, not a leap
+    * of faith. */
+  def ea15ValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val ea15Sql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- ea16
+  /** ea16 [pivot / crosstab]: day-name × event-type count matrix via
+    * `Dataset.pivot` with an EXPLICIT value list — the explicit list is
+    * the scale rule: it keeps pivot a single pass (no extra
+    * distinct-values job) and fixes the output schema at plan time.
+    * Pivot leaves absent combinations null where conditional counting
+    * yields 0, so nulls are filled to match the relational form the
+    * oracle computes. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def ea16PivotTypeByDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day_name", dayName)
+      .groupBy(col("day_name"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("day_name"))
+
+  val ea16Sql: String =
+    s"""SELECT dayname(ts) AS day_name,
+      |${EventTypes.map(t =>
+        s"  COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
+      |FROM events GROUP BY 1 ORDER BY day_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ea15_value_percentiles" -> ea15ValuePercentiles _,
+    "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
     "ea13_approx_users" -> ea13ApproxUsers _,
     "ea14_grouping_sets" -> ea14GroupingSets _,
     "ea1_daily_error_rate" -> ea1DailyErrorRate _,
@@ -284,6 +341,8 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ea15_value_percentiles" -> ea15Sql,
+    "ea16_pivot_type_by_day" -> ea16Sql,
     "ea14_grouping_sets" -> ea14Sql,
     "ea1_daily_error_rate" -> ea1Sql,
     "ea2_vnd_by_type" -> ea2Sql,

@@ -303,6 +303,61 @@ object TxQueries {
       |  (SELECT SUM(n_fraud) * 100.0 / SUM(n) FROM per) * $Tx9Multiplier
       |ORDER BY fraud_pct DESC, merchant""".stripMargin
 
+  // --------------------------------------------------------------- tx11
+  /** tx11 [J6+, true as-of join]: VND totals at the rate in force ON OR
+    * BEFORE each transaction date, where rates are only PUBLISHED on a
+    * subset of days (day % 3 == 1 — deterministic gaps in the same rate
+    * formula tx8 uses). Spark has no native as-of operator; the
+    * scale-first composition is:
+    *   1. resolve the as-of match on the tiny date DIMENSION — union
+    *      published-rate rows with distinct tx dates and carry the last
+    *      published rate forward with an `ignoreNulls` last() window
+    *      (unpartitioned BY DESIGN: the dimension is O(#days), never
+    *      fact-sized; at equal dates the rate row sorts first so a
+    *      same-day rate applies to that day's transactions);
+    *   2. broadcast equi-join the FACTS against the resolved dimension.
+    * Facts are never range-joined: no row blowup, no nested-loop join.
+    * The DuckDB oracle is a genuine ASOF JOIN, so the gate proves the
+    * composition implements real as-of semantics. */
+  def tx11VndAsofGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val txs = Splitter.valid(processedTable(spark, dir))
+      .withColumn("d", to_date(col("transaction_date")))
+    val rates = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .filter(dayofmonth(col("d")) % 3 === 1)
+      .withColumn("rate", lit(24800) + dayofmonth(col("d")) * 10)
+    val tagged = rates.select(col("d"), col("rate"), lit(1).as("is_rate"))
+      .unionByName(txs.select(col("d")).distinct()
+        .select(col("d"), lit(null).cast("int").as("rate"), lit(0).as("is_rate")))
+    val w = Window.orderBy(col("d"), col("is_rate").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dim = tagged
+      .withColumn("eff_rate", last(col("rate"), ignoreNulls = true).over(w))
+      .withColumn("eff_date",
+        last(when(col("is_rate") === 1, col("d")), ignoreNulls = true).over(w))
+      .filter(col("is_rate") === 0 && col("eff_rate").isNotNull)
+      .select(col("d"), col("eff_date").as("rate_date"), col("eff_rate").as("rate"))
+    txs.join(broadcast(dim), "d")
+      .groupBy(col("d").as("tx_date"), col("rate_date"), col("rate"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(usdDec * col("rate")).cast("double").as("vnd_total"))
+      .orderBy(col("tx_date"))
+  }
+
+  val tx11Sql: String =
+    s"""$processedCte,
+      |rates AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS rate_date,
+      |    24800 + day(CAST(ts AS DATE)) * 10 AS rate
+      |  FROM events WHERE day(CAST(ts AS DATE)) % 3 = 1),
+      |txd AS (SELECT CAST(td AS DATE) AS d, amount_usd FROM enr WHERE $validPred)
+      |SELECT d AS tx_date, r.rate_date, r.rate, COUNT(*) AS n,
+      |  CAST(SUM($usdDecSql * r.rate) AS DOUBLE) AS vnd_total
+      |FROM txd ASOF JOIN rates r ON txd.d >= r.rate_date
+      |GROUP BY d, r.rate_date, r.rate ORDER BY tx_date""".stripMargin
+
   // --------------------------------------------------------------- tx10
   /** tx10 [skew tool, VERDICT r03 #5→wired]: per-merchant value of the
     * valid stream computed through [[graft.queries.Skew.saltedSumCount]]
@@ -343,7 +398,8 @@ object TxQueries {
     "tx8_vnd_asof" -> tx8VndAsof _,
     "tx9_fraud_ratio_outliers" -> ((s: SparkSession, d: String) =>
       tx9FraudRatioOutliers(s, d)),
-    "tx10_salted_merchant_value" -> tx10SaltedMerchantValue _
+    "tx10_salted_merchant_value" -> tx10SaltedMerchantValue _,
+    "tx11_vnd_asof_gapfill" -> tx11VndAsofGapfill _
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +412,7 @@ object TxQueries {
     "tx7_city_value" -> tx7Sql,
     "tx8_vnd_asof" -> tx8Sql,
     "tx9_fraud_ratio_outliers" -> tx9Sql,
-    "tx10_salted_merchant_value" -> tx10Sql
+    "tx10_salted_merchant_value" -> tx10Sql,
+    "tx11_vnd_asof_gapfill" -> tx11Sql
   )
 }
