@@ -83,6 +83,44 @@ object Multimodal {
       }
   }
 
+  case class AudioFeature(media_id: Long, n_bytes: Int, sample_rate: Float,
+                          channels: Int, n_frames: Long, duration_s: Double,
+                          decoded: Boolean)
+
+  /** Batched per-partition AUDIO decode — real for every format the
+    * JDK's `javax.sound.sampled` registry reads (WAV/AIFF/AU PCM):
+    * sample rate, channel count, frame count, and duration come from the
+    * actual decoded stream (MultimodalSpec round-trips generated PCM WAV
+    * payloads). Payloads no audio reader accepts fall through to a
+    * zeroed row flagged `decoded=false`, same contract as the image
+    * path. */
+  def audioFeatures(media: DataFrame, batchSize: Int = 64): Dataset[AudioFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val dur =
+                if (fmt.getFrameRate > 0) frames.toDouble / fmt.getFrameRate else 0.0
+              AudioFeature(id, bytes.length, fmt.getSampleRate, fmt.getChannels,
+                frames, dur, decoded = true)
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException |
+                   _: java.io.IOException =>
+                AudioFeature(id, bytes.length, 0f, 0, 0L, 0.0, decoded = false)
+            }
+          }
+        }
+      }
+  }
+
   /** Resize stage (STUB): real implementation scales decoded pixels to
     * (targetW, targetH); the stub re-derives the metadata struct and a
     * proportionally-cut payload so downstream schema/partitioning are

@@ -134,11 +134,17 @@ object EventAnalytics {
 
   // ---------------------------------------------------------------- ea7
   /** ea7 [Q7/A3]: event mix across type × day-name with CUBE grouping
-    * sets (requirements.md:49 trend-by-dimension family). */
+    * sets (requirements.md:49 trend-by-dimension family).
+    *
+    * Two-level: pre-aggregate to (type, day) — ≤35 rows — then CUBE the
+    * aggregate; Expand's ×4 row multiplication hits the tiny pre-agg
+    * instead of every fact row. Identical results (counts re-sum). */
   def ea7TypeDayCube(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .cube(col("event_type"), dayName.as("day_name"))
-      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), dayName.as("day_name"))
+      .agg(count(lit(1)).as("n_p"))
+      .cube(col("event_type"), col("day_name"))
+      .agg(sum(col("n_p")).as("n"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_name"))
 
   val ea7Sql: String =
@@ -251,13 +257,17 @@ object EventAnalytics {
     // grouping-set expressions must resolve to the SAME attribute as the
     // groupBy columns — aliases get fresh expression ids and silently
     // null the column for every set, so materialize day_name first and
-    // group on plain attribute references
+    // group on plain attribute references. Two-level like ea7/q4: the
+    // grouping-sets Expand runs over the ≤35-row (type, day) pre-agg,
+    // not the fact table; decimal partials keep the re-sum exact.
     Tables.events(spark, dir)
       .withColumn("day_name", dayName)
+      .groupBy(col("event_type"), col("day_name"))
+      .agg(count(lit(1)).as("n_p"), sum(dec(col("value"))).as("tv_p"))
       .groupingSets(
         Seq(Seq(col("event_type")), Seq(col("day_name"))),
         col("event_type"), col("day_name"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .agg(sum(col("n_p")).as("n"), sum(col("tv_p")).cast("double").as("total_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_name"))
 
   val ea14Sql: String =

@@ -118,13 +118,25 @@ object Relational {
 
   // ---------------------------------------------------------------- q4
   /** q4: order revenue rolled up year → month → grand total (SURVEY §2.5
-    * A3 multi-granularity rollup; reference requirements.md:12). */
+    * A3 multi-granularity rollup; reference requirements.md:12).
+    *
+    * Two-level shape: pre-aggregate to the FINEST grouping first
+    * (year, month — O(#months) rows), then ROLLUP over that tiny
+    * aggregate. A direct rollup makes Spark's Expand emit every fact
+    * row × 3 grouping sets before the partial agg; here Expand runs
+    * over dozens of pre-aggregated rows instead. Decimal partials keep
+    * the re-aggregated sums exact, so results are bit-identical. */
   def q4TimeRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .rollup(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
       .agg(
-        moneySum(col("o_totalprice")).as("revenue"),
-        count(lit(1)).as("n_orders"))
+        sum(dec(col("o_totalprice"))).as("rev_p"),
+        count(lit(1)).as("n_p"))
+      .rollup(col("o_year"), col("o_month"))
+      .agg(
+        sum(col("rev_p")).cast("double").as("revenue"),
+        sum(col("n_p")).as("n_orders"))
       .orderBy(asc_nulls_first("o_year"), asc_nulls_first("o_month"))
 
   val q4Sql: String =
@@ -348,7 +360,43 @@ object Relational {
       |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 30)""".stripMargin
 
   /** Registry for SparkEntry. */
+  // ---------------------------------------------------------------- q20
+  /** q20 [§2.7 frame windows]: running (cumulative) daily revenue and
+    * year-progress percentile within each order-year — an
+    * unbounded-preceding ROWS frame plus `percent_rank` over the daily
+    * pre-aggregate. Scale shape: facts are aggregated to O(#days) rows
+    * BEFORE any window, and the window partitions by year, so no
+    * fact-sized or single-task sort exists anywhere in the plan.
+    * Decimal partials keep the running sums exact in both engines. */
+  def q20RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        col("o_orderdate").as("o_date"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_p"), count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("o_year")).orderBy(col("o_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("o_year")).orderBy(col("o_date"))
+    daily
+      .withColumn("cum_revenue", sum(col("rev_p")).over(wCum).cast("double"))
+      .withColumn("year_frac", round(percent_rank().over(wRank), 6))
+      .select(col("o_year"), col("o_date"), col("n"),
+        col("cum_revenue"), col("year_frac"))
+      .orderBy(col("o_year"), col("o_date"))
+  }
+
+  val q20Sql: String =
+    """WITH d AS (
+      |  SELECT year(o_orderdate) AS o_year, o_orderdate AS o_date,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_p, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_year, o_date, n,
+      |  CAST(SUM(rev_p) OVER (PARTITION BY o_year ORDER BY o_date
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+      |  round(percent_rank() OVER (PARTITION BY o_year ORDER BY o_date), 6) AS year_frac
+      |FROM d ORDER BY o_year, o_date""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_running_revenue" -> q20RunningRevenue _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
     "q14_order_count_distribution" -> q14OrderCountDistribution _,
@@ -365,6 +413,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_running_revenue" -> q20Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "q5_nation_revenue" -> q5Sql,
     "q14_order_count_distribution" -> q14Sql,

@@ -109,6 +109,44 @@ class MultimodalSpec extends SparkSpec {
     frames.unpersist()
   }
 
+  test("real WAV payloads decode to true sample rate / frames / duration") {
+    import spark.implicits._
+    def wav(sampleRate: Float, nFrames: Int, seed: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val v = (math.sin(i * 0.05 + seed) * 12000).toInt
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val frame = Seq(
+      (1L, wav(8000f, 4000, 1)),
+      (2L, wav(16000f, 1600, 2)),
+      (3L, "not audio at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val feats = Multimodal.audioFeatures(frame, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).decoded && feats(1L).sample_rate === 8000f &&
+      feats(1L).channels === 1 && feats(1L).n_frames === 4000L)
+    assert(math.abs(feats(1L).duration_s - 0.5) < 1e-9)
+    assert(feats(2L).decoded && feats(2L).sample_rate === 16000f &&
+      feats(2L).n_frames === 1600L && math.abs(feats(2L).duration_s - 0.1) < 1e-9)
+    assert(!feats(3L).decoded && feats(3L).n_bytes === 16)
+  }
+
+  test("doc-corpus payloads all take the audio stub path (no false decodes)") {
+    val feats = Multimodal.audioFeatures(media)
+    assert(feats.filter(col("decoded")).count() === 0)
+    assert(feats.count() === media.count())
+  }
+
   test("stub checksum is deterministic and content-sensitive") {
     val f1 = Multimodal.decodeFeatures(media).select("media_id", "checksum")
     val f2 = Multimodal.decodeFeatures(media).select("media_id", "checksum")
