@@ -395,7 +395,40 @@ object Relational {
       |  round(percent_rank() OVER (PARTITION BY o_year ORDER BY o_date), 6) AS year_frac
       |FROM d ORDER BY o_year, o_date""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** q21 [§2.9 set ops beyond UNION]: 1994→1995 buyer-cohort movement
+    * via INTERSECT (retained) and EXCEPT (churned / acquired) on the
+    * distinct-buyer sets. Set ops plan as hash-partitioned
+    * aggregate/join shapes on the custkey — the same bounded-shuffle
+    * cost as a distinct, no row explosion. The year filter prunes at
+    * the scan before any distinct. */
+  def q21CustomerRetention(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(yr: Int) =
+      o.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey")).distinct()
+    val a = buyers(1994)
+    val b = buyers(1995)
+    def tag(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("cohort"), col("n"))
+    tag(a.intersect(b), "retained")
+      .unionByName(tag(a.except(b), "churned"))
+      .unionByName(tag(b.except(a), "acquired"))
+      .orderBy(col("cohort"))
+  }
+
+  val q21Sql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+      |SELECT 'retained' AS cohort, COUNT(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'churned', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'acquired', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY cohort""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_customer_retention" -> q21CustomerRetention _,
     "q20_running_revenue" -> q20RunningRevenue _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
@@ -413,6 +446,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q21_customer_retention" -> q21Sql,
     "q20_running_revenue" -> q20Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "q5_nation_revenue" -> q5Sql,
