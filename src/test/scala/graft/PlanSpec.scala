@@ -64,6 +64,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
   }
 
+  test("tx11 as-of facts join the resolved rate dimension via broadcast, not shuffle") {
+    val p = plan(TxQueries.tx11VndAsofGapfill(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the resolved as-of dimension must broadcast into the fact scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must never range-join the facts")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a global sort") {
     assert(plan(Relational.q15TopOrders(spark, sf)).contains("TakeOrderedAndProject"))
     assert(plan(TxQueries.tx6MerchantTopk(spark, sf)).contains("TakeOrderedAndProject"))
