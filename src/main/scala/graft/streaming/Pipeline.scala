@@ -41,8 +41,12 @@ object Pipeline {
     * message per line, read through the same P1–P2 decode path (the
     * `text` source exposes each line as a `value` column, exactly like
     * the Kafka frame post-cast). */
-  def jsonFileSource(spark: SparkSession, dir: String): DataFrame =
-    TransactionParser.fromJsonValue(spark.readStream.text(dir))
+  def jsonFileSource(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = maxFilesPerTrigger.foldLeft(spark.readStream)(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    TransactionParser.fromJsonValue(reader.text(dir))
+  }
 
   /** S2 streaming variant: raw 15-column CSV files with header,
     * producer timestamp synthesized per P18. */

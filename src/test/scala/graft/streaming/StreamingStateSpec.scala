@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tx.{Enrichment, RawTransactions, Splitter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Gates for the custom-state (`flatMapGroupsWithState`) and
+  * stream-stream-join surfaces. Oracle strategy: an INDEPENDENT batch
+  * formulation (cumulative-window for the velocity monitor, plain
+  * interval join for the correlation), not the same code run in batch.
+  * The velocity monitor is additionally driven through MULTIPLE
+  * micro-batches (`maxFilesPerTrigger=1` over time-split files) so the
+  * per-card state provably carries across triggers.
+  */
+class StreamingStateSpec extends SparkSpec {
+
+  private val pinnedClock = to_timestamp(lit("2024-06-01 00:00:00"))
+  private val ThresholdUsd = 500L
+
+  /** Input split into two files by event-time half (Day ≤ 15 first),
+    * written ≥1.5 s apart so the file source's mod-time ordering yields
+    * two micro-batches in event-time order. */
+  private lazy val inputDir = {
+    val dir = Files.createTempDirectory("graft-state").toString + "/input"
+    val raw = RawTransactions.fromEvents(spark, sf).cache()
+    try {
+      TransactionParser.toJsonValue(raw.filter(col("Day") <= 15))
+        .select("value").coalesce(1).write.mode("append").text(dir)
+      Thread.sleep(1500)
+      TransactionParser.toJsonValue(raw.filter(col("Day") > 15))
+        .select("value").coalesce(1).write.mode("append").text(dir)
+    } finally raw.unpersist()
+    dir
+  }
+
+  private def enrichedStream(maxFilesPerTrigger: Option[Int]): DataFrame =
+    Enrichment.enrich(
+      Pipeline.jsonFileSource(spark, inputDir, maxFilesPerTrigger),
+      Enrichment.DefaultRate, pinnedClock)
+
+  private lazy val enrichedBatch: DataFrame =
+    Enrichment.enrich(
+      TransactionParser.fromJsonValue(spark.read.text(inputDir)),
+      Enrichment.DefaultRate, pinnedClock).cache()
+
+  private def drain(df: DataFrame, table: String): DataFrame = {
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName(table).trigger(Trigger.AvailableNow).start()
+    q.awaitTermination()
+    spark.table(table)
+  }
+
+  /** Window-formulated oracle: alert rows are exactly those where the
+    * per-card cumulative cents crosses another threshold boundary, in
+    * the same deterministic (ts, cents) per-card order the stateful
+    * function uses. */
+  private def expectedAlerts: DataFrame = {
+    val t = ThresholdUsd * 100L
+    val w = Window.partitionBy(col("card")).orderBy(col("ts"), col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enrichedBatch
+      .select(col("Card").as("card"), col("transaction_date").as("ts"),
+        (col("Amount_USD").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .where(col("card").isNotNull && col("ts").isNotNull && col("cents").isNotNull)
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("n_tx", count(lit(1)).over(w))
+      .filter(floor(col("cum") / t) > floor((col("cum") - col("cents")) / t))
+      .select(col("card"), col("n_tx"),
+        (col("cum") / 100.0).as("total_usd"), col("ts").as("at"))
+  }
+
+  test("velocity alerts across TWO micro-batches equal the batch cumulative-window oracle") {
+    // stateGapMs far beyond the corpus span: no state may expire between
+    // batches, so every card's cumulative total must survive the trigger
+    // boundary intact — the cross-batch-state property under test
+    val live = drain(
+      StreamingAnalytics.velocityAlerts(
+        enrichedStream(maxFilesPerTrigger = Some(1)),
+        thresholdUsd = ThresholdUsd,
+        stateGapMs = 365L * 24 * 3600 * 1000).toDF(),
+      "velocity_live").cache()
+    val expected = expectedAlerts.cache()
+    assert(expected.count() > 0, "corpus must produce alerts to test against")
+    assert(live.count() === expected.count())
+    assert(live.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(live).count() === 0)
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val s = enrichedStream(maxFilesPerTrigger = None)
+    val live = drain(
+      StreamingAnalytics.errorCorrelation(
+        Splitter.valid(s), Splitter.errors(s)),
+      "ssjoin_live").cache()
+    val batch = StreamingAnalytics.errorCorrelation(
+      Splitter.valid(enrichedBatch), Splitter.errors(enrichedBatch)).cache()
+    assert(batch.count() > 0, "corpus must produce correlated pairs")
+    assert(live.count() === batch.count())
+    assert(live.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(live).count() === 0)
+  }
+}
