@@ -358,6 +358,55 @@ object TxQueries {
       |FROM txd ASOF JOIN rates r ON txd.d >= r.rate_date
       |GROUP BY d, r.rate_date, r.rate ORDER BY tx_date""".stripMargin
 
+  // --------------------------------------------------------------- tx12
+  /** tx12 [§2.7 cumulative windows; batch twin of the streaming
+    * `StreamingAnalytics.velocityAlerts` state machine]: every point
+    * where a card's running lifetime total crosses another $500
+    * boundary. Amounts accumulate in integer CENTS (exact, so the two
+    * engines agree bit-for-bit); per-card order is (hour key, cents) —
+    * the hour key is the finest time the 21-column layout carries, and
+    * equal-keyed rows produce identical output under either internal
+    * order, so the result is deterministic. */
+  def tx12VelocityBoundaries(spark: SparkSession, dir: String,
+                             thresholdUsd: Long = 500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = thresholdUsd * 100L
+    val rows = processedTable(spark, dir)
+      .filter(col("Card").isNotNull && col("is_valid_date") &&
+        col("Amount_USD").isNotNull)
+      .select(col("Card").as("card"), col("DateTime_Hour_Key").as("hk"),
+        (usdDec * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("card")).orderBy(col("hk"), col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("n_tx", count(lit(1)).over(w))
+      .filter(floor(col("cum") / t) > floor((col("cum") - col("cents")) / t))
+      .select(col("card"), col("n_tx"),
+        (col("cum") / lit(100.0)).as("total_usd"), col("hk").as("at_hour"))
+      .orderBy(col("card"), col("n_tx"))
+  }
+
+  val tx12Sql: String = {
+    val t = 500L * 100L
+    s"""$processedCte,
+      |txd AS (
+      |  SELECT card, hour_key AS hk,
+      |    CAST($usdDecSql * 100 AS BIGINT) AS cents
+      |  FROM enr
+      |  WHERE card IS NOT NULL AND is_valid_date AND amount_usd IS NOT NULL),
+      |c AS (
+      |  SELECT card, hk, cents,
+      |    CAST(SUM(cents) OVER (PARTITION BY card ORDER BY hk, cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    COUNT(*) OVER (PARTITION BY card ORDER BY hk, cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_tx
+      |  FROM txd)
+      |SELECT card, n_tx, cum / 100.0 AS total_usd, hk AS at_hour
+      |FROM c WHERE floor(cum / $t) > floor((cum - cents) / $t)
+      |ORDER BY card, n_tx""".stripMargin
+  }
+
   // --------------------------------------------------------------- tx10
   /** tx10 [skew tool, VERDICT r03 #5→wired]: per-merchant value of the
     * valid stream computed through [[graft.queries.Skew.saltedSumCount]]
@@ -399,7 +448,9 @@ object TxQueries {
     "tx9_fraud_ratio_outliers" -> ((s: SparkSession, d: String) =>
       tx9FraudRatioOutliers(s, d)),
     "tx10_salted_merchant_value" -> tx10SaltedMerchantValue _,
-    "tx11_vnd_asof_gapfill" -> tx11VndAsofGapfill _
+    "tx11_vnd_asof_gapfill" -> tx11VndAsofGapfill _,
+    "tx12_velocity_boundaries" -> ((s: SparkSession, d: String) =>
+      tx12VelocityBoundaries(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,6 +464,7 @@ object TxQueries {
     "tx8_vnd_asof" -> tx8Sql,
     "tx9_fraud_ratio_outliers" -> tx9Sql,
     "tx10_salted_merchant_value" -> tx10Sql,
-    "tx11_vnd_asof_gapfill" -> tx11Sql
+    "tx11_vnd_asof_gapfill" -> tx11Sql,
+    "tx12_velocity_boundaries" -> tx12Sql
   )
 }
