@@ -34,7 +34,10 @@ object Bench {
     // Min of 2 passes per query (VERDICT r03 #6): a loaded host inflates
     // single-shot timings ~uniformly; the min of two back-to-back runs is
     // far more robust while keeping the JSON contract unchanged. A query
-    // that fails its first pass is recorded failed and not re-run.
+    // failing EITHER pass lands in `failed` exactly once with time 0.0
+    // (the failed list + non-zero exit are authoritative; a sentinel 0
+    // can never be mistaken for a measured success alongside them), and a
+    // first-pass failure is not re-run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def onePass(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -42,16 +45,13 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
         }
       }
-      val t = onePass() match {
-        case Some(t1) => onePass().fold(t1)(math.min(t1, _))
-        case None => 0.0
-      }
-      name -> t
+      val t = onePass().flatMap(t1 => onePass().map(math.min(t1, _)))
+      if (t.isEmpty) failed ::= name
+      name -> t.getOrElse(0.0)
     }
     graft.llmdata.Dedup.releaseCaches()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -56,19 +56,29 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes, w, h) =>
+            // JDK plugin readers throw RuntimeExceptions (AIOOBE, NASE…)
+            // on payloads whose magic bytes match a format but whose body
+            // is corrupt — any non-fatal failure means "not decodable",
+            // never a crashed job
             val img =
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img != null) {
-              // real decode: true dimensions + checksum over decoded pixels
+              // real decode: true dimensions + checksum over decoded
+              // pixels, fetched row-wise in bulk (per-pixel getRGB pays a
+              // color-model conversion per call; bulk returns identical
+              // ARGB ints ~an order of magnitude cheaper)
+              val width = img.getWidth
+              val row = new Array[Int](width)
               var sum = 0L
               var y = 0
               while (y < img.getHeight) {
+                img.getRGB(0, y, width, 1, row, 0, width)
                 var x = 0
-                while (x < img.getWidth) { sum = sum * 31 + img.getRGB(x, y); x += 1 }
+                while (x < width) { sum = sum * 31 + row(x); x += 1 }
                 y += 1
               }
-              MediaFeature(id, bytes.length, sum, img.getWidth, img.getHeight,
+              MediaFeature(id, bytes.length, sum, width, img.getHeight,
                 decoded = true)
             } else {
               // STUB fallback (no codec for this payload in the JVM): a
@@ -107,13 +117,18 @@ object Multimodal {
                 new java.io.ByteArrayInputStream(bytes))
               val fmt = ais.getFormat
               val frames = ais.getFrameLength
-              val dur =
-                if (fmt.getFrameRate > 0) frames.toDouble / fmt.getFrameRate else 0.0
-              AudioFeature(id, bytes.length, fmt.getSampleRate, fmt.getChannels,
-                frames, dur, decoded = true)
+              // AudioSystem.NOT_SPECIFIED (-1) frame length (legal for
+              // streamed encodings) carries no usable duration — treat
+              // as undecodable rather than emit negative features
+              if (frames < 0 || fmt.getFrameRate <= 0)
+                AudioFeature(id, bytes.length, 0f, 0, 0L, 0.0, decoded = false)
+              else
+                AudioFeature(id, bytes.length, fmt.getSampleRate, fmt.getChannels,
+                  frames, frames.toDouble / fmt.getFrameRate, decoded = true)
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException |
-                   _: java.io.IOException =>
+              // like the image path: malformed-but-magic-matching payloads
+              // may throw RuntimeExceptions from format parsers
+              case scala.util.control.NonFatal(_) =>
                 AudioFeature(id, bytes.length, 0f, 0, 0L, 0.0, decoded = false)
             }
           }

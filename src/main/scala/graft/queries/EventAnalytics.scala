@@ -324,13 +324,13 @@ object EventAnalytics {
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)
-      .orderBy(col("day_name"))
+      .orderBy(asc_nulls_first("day_name"))
 
   val ea16Sql: String =
     s"""SELECT dayname(ts) AS day_name,
       |${EventTypes.map(t =>
         s"  COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
-      |FROM events GROUP BY 1 ORDER BY day_name""".stripMargin
+      |FROM events GROUP BY 1 ORDER BY day_name ASC NULLS FIRST""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ea15_value_percentiles" -> ea15ValuePercentiles _,

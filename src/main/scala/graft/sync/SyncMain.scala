@@ -33,12 +33,16 @@ object SyncMain {
       .appName(s"graft-daily-sync-$year-$month-$day")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      val synced = DailySync.syncDay(spark, validDir, warehouseDir, year, month, day)
-      val compacted = Compaction.compactDay(spark, validDir, year, month, day, targetFiles)
-      println(
-        s"""{"job":"daily_sync","date":"$year-$month-$day","synced":$synced,"compacted":$compacted}""")
-      if (synced == 0L) sys.exit(2)
-    } finally spark.stop()
+    // exit decision is made AFTER the finally: System.exit does not
+    // unwind the stack, so calling it inside try would skip spark.stop()
+    val emptyDay =
+      try {
+        val synced = DailySync.syncDay(spark, validDir, warehouseDir, year, month, day)
+        val compacted = Compaction.compactDay(spark, validDir, year, month, day, targetFiles)
+        println(
+          s"""{"job":"daily_sync","date":"$year-$month-$day","synced":$synced,"compacted":$compacted}""")
+        synced == 0L
+      } finally spark.stop()
+    if (emptyDay) sys.exit(2)
   }
 }

@@ -26,22 +26,39 @@ import org.apache.spark.sql.functions._
   *   - `transaction_date`  = make_date(Year, Month, Day) (date precision
   *     is all any downstream consumer uses: tx8 joins on to_date).
   *
-  * The materialization directory is a fresh per-JVM temp dir (never a
-  * fixed path — a crashed previous run can't leak stale rows into this
-  * one), written `overwrite` and memoized, so Verify/Bench pay the write
+  * Location: `SPARK_GRAFT_PROCESSED_DIR` (a shared filesystem — HDFS,
+  * object store — on a real cluster, where a driver-local path would be
+  * meaningless to executors) or, by default in local mode, a fresh
+  * per-JVM temp dir removed by a shutdown hook (never a fixed reused
+  * path — a crashed previous run can't leak stale rows into this one).
+  * Written `overwrite` and memoized, so Verify/Bench pay the write
   * exactly once.
   */
 object ProcessedStore {
 
   private val memo = scala.collection.mutable.Map.empty[(SparkSession, String), String]
 
+  private def newStoreDir(sfDir: String): String =
+    sys.env.get("SPARK_GRAFT_PROCESSED_DIR") match {
+      case Some(base) =>
+        s"$base/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      case None =>
+        val p = java.nio.file.Files.createTempDirectory("graft-processed-")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          import java.nio.file.{Files, Path}
+          try Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach((f: Path) => { Files.deleteIfExists(f); () })
+          catch { case _: Throwable => () }
+        }))
+        p.toString
+    }
+
   /** The materialized 21-column table for `dir`, writing it on first
     * use. Read-side adds the two re-derived intermediates above. */
   def processedTable(spark: SparkSession, dir: String): DataFrame = {
     val path = memo.synchronized {
       memo.getOrElseUpdate((spark, dir), {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-processed-").toString
+        val out = newStoreDir(dir)
         val enriched = Enrichment.enrich(
           RawTransactions.fromEvents(spark, dir), Enrichment.DefaultRate)
         Enrichment.project(enriched)

@@ -1,7 +1,7 @@
 package graft.tx
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked queries exercising the enrichment pipeline (P1–P17)
@@ -94,6 +94,13 @@ object TxQueries {
 
   private def usdDec = col("Amount_USD").cast("decimal(18,2)")
   private val usdDecSql = "CAST(amount_usd AS DECIMAL(18,2))"
+
+  /** Synthetic published daily rate shared by tx8/tx11 (base + 10 ×
+    * day-of-month) — one definition each side so the Spark queries and
+    * their DuckDB oracles cannot drift apart. */
+  private val RateBase = 24800
+  private def rateFor(d: Column): Column = lit(RateBase) + dayofmonth(d) * 10
+  private val rateForSql = s"$RateBase + day(CAST(ts AS DATE)) * 10"
 
   // ---------------------------------------------------------------- tx1
   /** tx1 [F1–F4]: row count of each validation bucket. The four counts
@@ -240,7 +247,7 @@ object TxQueries {
   def tx8VndAsof(spark: SparkSession, dir: String): DataFrame = {
     val rates = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("rate_date")).distinct()
-      .withColumn("rate", lit(24800) + dayofmonth(col("rate_date")) * 10)
+      .withColumn("rate", rateFor(col("rate_date")))
     Splitter.valid(processedTable(spark, dir))
       .join(broadcast(rates), to_date(col("transaction_date")) === col("rate_date"))
       .groupBy(col("rate_date").as("tx_date"), col("rate"))
@@ -254,7 +261,7 @@ object TxQueries {
     s"""$processedCte,
       |rates AS (
       |  SELECT DISTINCT CAST(ts AS DATE) AS rate_date,
-      |    24800 + day(CAST(ts AS DATE)) * 10 AS rate
+      |    $rateForSql AS rate
       |  FROM events)
       |SELECT rate_date AS tx_date, rate, COUNT(*) AS n,
       |  CAST(SUM($usdDecSql * rate) AS DOUBLE) AS vnd_total
@@ -326,7 +333,7 @@ object TxQueries {
     val rates = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("d")).distinct()
       .filter(dayofmonth(col("d")) % 3 === 1)
-      .withColumn("rate", lit(24800) + dayofmonth(col("d")) * 10)
+      .withColumn("rate", rateFor(col("d")))
     val tagged = rates.select(col("d"), col("rate"), lit(1).as("is_rate"))
       .unionByName(txs.select(col("d")).distinct()
         .select(col("d"), lit(null).cast("int").as("rate"), lit(0).as("is_rate")))
@@ -350,7 +357,7 @@ object TxQueries {
     s"""$processedCte,
       |rates AS (
       |  SELECT DISTINCT CAST(ts AS DATE) AS rate_date,
-      |    24800 + day(CAST(ts AS DATE)) * 10 AS rate
+      |    $rateForSql AS rate
       |  FROM events WHERE day(CAST(ts AS DATE)) % 3 = 1),
       |txd AS (SELECT CAST(td AS DATE) AS d, amount_usd FROM enr WHERE $validPred)
       |SELECT d AS tx_date, r.rate_date, r.rate, COUNT(*) AS n,

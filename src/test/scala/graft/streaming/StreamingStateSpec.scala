@@ -21,17 +21,22 @@ class StreamingStateSpec extends SparkSpec {
   private val pinnedClock = to_timestamp(lit("2024-06-01 00:00:00"))
   private val ThresholdUsd = 500L
 
-  /** Input split into two files by event-time half (Day ≤ 15 first),
-    * written ≥1.5 s apart so the file source's mod-time ordering yields
-    * two micro-batches in event-time order. */
+  /** Input split into two files at the corpus' event-time MEDIAN
+    * (ISO-8601 strings sort chronologically, so a string cut is a time
+    * cut regardless of the corpus' date span), written ≥1.5 s apart so
+    * the file source's mod-time ordering yields two micro-batches in
+    * event-time order. */
   private lazy val inputDir = {
     val dir = Files.createTempDirectory("graft-state").toString + "/input"
     val raw = RawTransactions.fromEvents(spark, sf).cache()
     try {
-      TransactionParser.toJsonValue(raw.filter(col("Day") <= 15))
+      val ts = raw.select("timestamp").orderBy("timestamp")
+        .collect().map(_.getString(0))
+      val cut = ts(ts.length / 2)
+      TransactionParser.toJsonValue(raw.filter(col("timestamp") < cut))
         .select("value").coalesce(1).write.mode("append").text(dir)
       Thread.sleep(1500)
-      TransactionParser.toJsonValue(raw.filter(col("Day") > 15))
+      TransactionParser.toJsonValue(raw.filter(col("timestamp") >= cut))
         .select("value").coalesce(1).write.mode("append").text(dir)
     } finally raw.unpersist()
     dir
