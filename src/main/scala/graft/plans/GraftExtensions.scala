@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
@@ -25,4 +25,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSim(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => KmvSketchAgg(child).toAggregateExpression()
+        case Seq(child, k) =>
+          KmvSketchAgg(child,
+            k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "kmv_sketch takes 1 or 2 arguments: kmv_sketch(col[, k])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_card"),
+      new ExpressionInfo(classOf[KmvCardinality].getName, "kmv_card"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "kmv_card takes exactly 1 argument")
+        KmvCardinality(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_intersect"),
+      new ExpressionInfo(classOf[KmvIntersect].getName, "kmv_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_intersect takes exactly 2 arguments")
+        KmvIntersect(args.head, args(1))
+      }))
+  }
 }

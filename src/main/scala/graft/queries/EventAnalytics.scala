@@ -332,7 +332,34 @@ object EventAnalytics {
         s"  COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
       |FROM events GROUP BY 1 ORDER BY day_name ASC NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ea17
+  /** ea17 [custom sketch aggregate, §2.12+]: audience overlap between
+    * every pair of event types, estimated from KMV sketches
+    * ([[graft.plans.KmvSketchAgg]]) — the set-intersection question
+    * HLL/`approx_count_distinct` cannot answer and exact INTERSECT
+    * (q21) answers only with a full distinct-key shuffle per pair.
+    * One sketch pass over the facts; the pair join runs over the
+    * 5-row sketch aggregate. Rows-only in CORRECTNESS (xxhash sketches
+    * aren't reproducible in DuckDB); KmvSpec gates exactness below
+    * capacity, error bounds above it, and this query's invariants. */
+  def ea17KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    require(spark.catalog.functionExists("kmv_sketch"),
+      "ea17 needs GraftExtensions (spark.sql.extensions=graft.plans.GraftExtensions)")
+    val sk = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(call_function("kmv_sketch", col("user_id")).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        call_function("kmv_card", col("sk_a")).as("users_a"),
+        call_function("kmv_card", col("sk_b")).as("users_b"),
+        call_function("kmv_intersect", col("sk_a"), col("sk_b")).as("users_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ea17_kmv_overlap" -> ea17KmvOverlap _,
     "ea15_value_percentiles" -> ea15ValuePercentiles _,
     "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
     "ea13_approx_users" -> ea13ApproxUsers _,
