@@ -121,6 +121,15 @@ object LlmQueries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
       |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
 
+  val txtSplitAssignSql: String =
+    """SELECT source,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens
+      |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
   val mmMetaStatsSql: String =
     """SELECT lang AS format, COUNT(*) AS n,
       |  CAST(SUM(n_chars) AS BIGINT) AS size_total,
@@ -146,6 +155,7 @@ object LlmQueries {
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "txt_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprintSummary(s, d)),
+    "txt_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d))
   )
 
@@ -164,6 +174,7 @@ object LlmQueries {
     "txt_langid_profile" -> txtLangIdSql,
     "txt_token_counts" -> txtTokenCountsSql,
     "txt_fingerprint" -> txtFingerprintSql,
+    "txt_split_assign" -> txtSplitAssignSql,
     "mm_meta_stats" -> mmMetaStatsSql
   )
 }
