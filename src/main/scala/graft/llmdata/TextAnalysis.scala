@@ -107,27 +107,6 @@ object TextAnalysis {
     * Long arithmetic, and a keyed multi-arg hash gives the same
     * window-identity semantics. Token hashes aren't DuckDB-reproducible
     * → rows-only gating via TextAnalysisSpec. Row-local end to end. */
-  /** Deterministic train/val/test split assignment (~80/10/10) — the
-    * reproducible-split primitive every training-data pipeline needs:
-    * the split is a pure function of the DOCUMENT ID (md5 of
-    * "id:split", first-byte hex ranges), so re-runs, backfills, and
-    * other engines (the DuckDB oracle computes the identical md5)
-    * assign every document to the same split forever, with no sampling
-    * state and no shuffle beyond the final rollup. Salting the hash
-    * input with the ":split" tag decorrelates this hash from any other
-    * id-hash use (e.g. a second "sample" hash stays independent). */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))
-      .cast("binary")), 1, 2)
-    val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
-    Tables.documents(spark, dir)
-      .select(col("source"), split.as("split"), size(toks(col("text"))).as("n_tokens"))
-      .groupBy(col("source"), col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens").cast("long")).as("tot_tokens"))
-      .orderBy(col("source"), col("split"))
-  }
-
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val windowHash = (1 to RollWindow)
       .map(j => s"element_at(th, i + $j)").mkString("xxhash64(", ", ", ")")
@@ -181,4 +160,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("shared_windows"))
       .filter(col("shared_windows") >= minShared)
       .orderBy(col("shared_windows").desc, col("id_a"), col("id_b"))
+
+  /** Deterministic train/val/test split assignment (~80/10/10) — the
+    * reproducible-split primitive every training-data pipeline needs:
+    * the split is a pure function of the DOCUMENT ID (md5 of
+    * "id:split", first-byte hex ranges), so re-runs, backfills, and
+    * other engines (the DuckDB oracle computes the identical md5)
+    * assign every document to the same split forever, with no sampling
+    * state and no shuffle beyond the final rollup. Salting the hash
+    * input with the ":split" tag decorrelates this hash from any other
+    * id-hash use (e.g. a second "sample" hash stays independent). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))
+      .cast("binary")), 1, 2)
+    val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("source"), split.as("split"), size(toks(col("text"))).as("n_tokens"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tot_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
 }

@@ -30,9 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       (args: Seq[Expression]) => args match {
         case Seq(child) => KmvSketchAgg(child).toAggregateExpression()
-        case Seq(child, k) =>
-          KmvSketchAgg(child,
-            k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+        case Seq(child, kExpr) =>
+          // k must be a non-null integer literal — anything else should
+          // fail analysis with a readable message, not an internal
+          // NPE/ClassCastException from eval()
+          val k = kExpr match {
+            case e if e.foldable => e.eval() match {
+              case n: java.lang.Number => n.intValue()
+              case other => throw new IllegalArgumentException(
+                s"kmv_sketch: k must be an integer literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "kmv_sketch: k must be a literal, not a column")
+          }
+          KmvSketchAgg(child, k).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "kmv_sketch takes 1 or 2 arguments: kmv_sketch(col[, k])")
       }))

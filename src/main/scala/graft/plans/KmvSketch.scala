@@ -60,9 +60,15 @@ object Kmv {
   }
 
   private[plans] def deserialize(bytes: Array[Byte]): (Int, Array[Long]) = {
+    // validate the header before allocating: kmv_card/kmv_intersect
+    // accept any binary column at analysis time, so arbitrary bytes must
+    // fail with a clear error, not a negative/17 GB allocation
+    require(bytes.length >= 8, s"not a kmv sketch: ${bytes.length} bytes")
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt
     val n = bb.getInt
+    require(k >= 2 && n >= 0 && bytes.length == 8 + 8L * n,
+      s"not a kmv sketch: header k=$k n=$n for ${bytes.length} bytes")
     val vs = new Array[Long](n)
     var i = 0
     while (i < n) { vs(i) = bb.getLong; i += 1 }
@@ -88,11 +94,16 @@ case class KmvSketchAgg(
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kmv_sketch"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"kmv_sketch requires a bigint/int/string column, got ${dt.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 2)
+      // k=1 degenerates the (k-1)/u estimator and k<=0 breaks the
+      // bottom-k invariant — reject at analysis, not mid-job
+      TypeCheckResult.TypeCheckFailure(s"kmv_sketch requires k >= 2, got $k")
+    else child.dataType match {
+      case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch requires a bigint/int/string column, got ${dt.simpleString}")
+    }
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

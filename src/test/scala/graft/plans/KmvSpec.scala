@@ -56,6 +56,22 @@ class KmvSpec extends SparkSpec {
     assert(small === 100L)
   }
 
+  test("malformed inputs fail cleanly: k < 2 at analysis, junk binary at runtime") {
+    val degenerate = intercept[Exception] {
+      spark.range(10).toDF("id")
+        .agg(expr("kmv_sketch(id, 1)")).collect()
+    }
+    assert(degenerate.getMessage.contains("k >= 2"), degenerate.getMessage)
+    val junk = intercept[Exception] {
+      spark.range(10).toDF("id")
+        .select(expr("kmv_card(CAST('not a sketch' AS BINARY))")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(junk).exists(m => m != null && m.contains("not a kmv sketch")),
+      s"expected a clear sketch-format error, got: ${messages(junk)}")
+  }
+
   test("ea17 overlap rows are internally consistent") {
     val rows = graft.queries.EventAnalytics.ea17KmvOverlap(spark, sf).collect()
     assert(rows.length === 10) // C(5 event types, 2)
