@@ -136,6 +136,127 @@ object Multimodal {
       }
   }
 
+  case class FrameFeature(media_id: Long, frame_idx: Int, width: Int,
+                          height: Int, checksum: Long, decoded: Boolean)
+
+  /** Frame sampling with REAL decode for multi-frame formats the JDK
+    * reads — an animated GIF's every `stride`-th ACTUAL frame is
+    * decoded to its true dimensions + pixel checksum (single-frame
+    * images yield frame 0). Payloads no reader accepts fall back to the
+    * deterministic fixed-size byte-cut stub, flagged `decoded=false` —
+    * same contract as the image/audio decode stages. Partition-parallel
+    * and batched like the rest of the family. */
+  def sampleFrames(media: DataFrame, stride: Int, frameBytes: Int = 1024,
+                   batchSize: Int = 64): Dataset[FrameFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val real: Seq[FrameFeature] =
+              try {
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) null
+                else {
+                  val reader = readers.next()
+                  try {
+                    reader.setInput(iis)
+                    val n = reader.getNumImages(true)
+                    (0 until n by stride).map { i =>
+                      val img = reader.read(i)
+                      val w = img.getWidth
+                      val row = new Array[Int](w)
+                      var sum = 0L
+                      var y = 0
+                      while (y < img.getHeight) {
+                        img.getRGB(0, y, w, 1, row, 0, w)
+                        var x = 0
+                        while (x < w) { sum = sum * 31 + row(x); x += 1 }
+                        y += 1
+                      }
+                      FrameFeature(id, i, w, img.getHeight, sum, decoded = true)
+                    }
+                  } finally reader.dispose()
+                }
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (real != null) real
+            else {
+              val nChunks = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+              (0 until nChunks by stride).map { i =>
+                val from = i * frameBytes
+                val until = math.min(bytes.length, from + frameBytes)
+                var s = 0L
+                var j = from
+                while (j < until) { s = s * 31 + (bytes(j) & 0xFF); j += 1 }
+                FrameFeature(id, i, 0, 0, s, decoded = false)
+              }
+            }
+          }
+        }
+      }
+  }
+
+  /** Resize with REAL pixel scaling for decodable images: decode, scale
+    * with a bilinear `Graphics2D` draw, re-encode as PNG — payload and
+    * metadata dimensions both reflect the actual resized raster.
+    * Payloads without an in-JVM codec keep the proportional byte-cut
+    * stub shape of [[resizeStub]], flagged via the returned frame's
+    * `meta.format` staying unchanged (a real resize rewrites it to
+    * "png"). */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
+                   batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val resized = media.select(col("media_id"), col("payload"),
+      col("meta.format").as("format"), col("meta.size_bytes").as("size_bytes"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[(Long, Array[Byte], String, Long, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes, fmt, sz, w, h) =>
+            val out =
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                if (img == null) null
+                else {
+                  val scaled = new java.awt.image.BufferedImage(
+                    targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = scaled.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(img, 0, 0, targetW, targetH, null)
+                  } finally g.dispose()
+                  val baos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(scaled, "png", baos)
+                  baos.toByteArray
+                }
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (out != null) (id, out, "png", sz, targetW, targetH)
+            else {
+              // stub fallback: proportional byte cut, like resizeStub
+              val ratio = math.min(1.0,
+                (targetW.toLong * targetH).toDouble / (w.toLong * h + 1.0))
+              val keep = math.max(1, (bytes.length * ratio).toInt)
+              (id, bytes.take(keep), fmt, sz, targetW, targetH)
+            }
+          }
+        }
+      }
+    resized.toDF("media_id", "payload", "format", "size_bytes", "width", "height")
+      .select(col("media_id"), col("payload"),
+        struct(col("format"), col("size_bytes"), col("width"), col("height"))
+          .as("meta"))
+  }
+
   /** Resize stage (STUB): real implementation scales decoded pixels to
     * (targetW, targetH); the stub re-derives the metadata struct and a
     * proportionally-cut payload so downstream schema/partitioning are

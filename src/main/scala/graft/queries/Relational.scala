@@ -427,7 +427,36 @@ object Relational {
       |SELECT 'acquired', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
       |ORDER BY cohort""".stripMargin
 
+  // ---------------------------------------------------------------- q22
+  /** q22 [§2.6 FULL OUTER]: daily order activity vs daily ship activity
+    * on the calendar date — a full outer join whose exclusive rows are
+    * real on BOTH sides (shipments trail the last order date by up to
+    * ~4 months and the earliest orders predate the first shipment).
+    * Both sides pre-aggregate to O(#days) before the join, so the full
+    * outer join runs on two date dimensions, never on fact rows. */
+  def q22OrderShipCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("d"), "full_outer")
+      .select(col("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy(col("d"))
+  }
+
+  val q22Sql: String =
+    """WITH o AS (SELECT o_orderdate AS d, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      |     l AS (SELECT l_shipdate AS d, COUNT(*) AS n_ships FROM lineitem GROUP BY 1)
+      |SELECT d, COALESCE(n_orders, 0) AS n_orders, COALESCE(n_ships, 0) AS n_ships
+      |FROM o FULL OUTER JOIN l USING (d)
+      |ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_order_ship_calendar" -> q22OrderShipCalendar _,
     "q21_customer_retention" -> q21CustomerRetention _,
     "q20_running_revenue" -> q20RunningRevenue _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
@@ -446,6 +475,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q22_order_ship_calendar" -> q22Sql,
     "q21_customer_retention" -> q21Sql,
     "q20_running_revenue" -> q20Sql,
     "q19_disjunctive_revenue" -> q19Sql,

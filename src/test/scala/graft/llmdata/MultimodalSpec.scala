@@ -147,6 +147,68 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() === media.count())
   }
 
+  private def animatedGif(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val palette = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0x00FFFF, 0xFF00FF)
+      for (f <- 0 until nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, palette(f % palette.length))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  test("animated GIF payloads yield real per-frame dimensions from the sampler") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, animatedGif(9, 7, 6)),
+      (2L, "plain text payload that is not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.sampleFrames(frame, stride = 2, frameBytes = 10)
+      .collect().groupBy(_.media_id)
+    val gifFrames = out(1L).sortBy(_.frame_idx)
+    assert(gifFrames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(gifFrames.forall(f => f.decoded && f.width === 9 && f.height === 7))
+    // solid-color frames from a rotating palette → distinct pixel checksums
+    assert(gifFrames.map(_.checksum).distinct.length === 3)
+    val stubFrames = out(2L).sortBy(_.frame_idx)
+    assert(stubFrames.forall(!_.decoded))
+    // 46 bytes at 10 bytes/chunk → chunks 0..4, stride 2 keeps 0,2,4
+    assert(stubFrames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+  }
+
+  test("real resize re-encodes actual pixels at the target size") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, encode("png", 20, 10, 5), "png"),
+      (2L, "not an image".getBytes("UTF-8"), "txt"))
+      .toDF("media_id", "payload", "fmt")
+      .select(col("media_id"), col("payload"),
+        struct(col("fmt").as("format"), length(col("payload")).cast("long").as("size_bytes"),
+          lit(20).as("width"), lit(10).as("height")).as("meta"))
+    val resized = Multimodal.resizeImages(frame, targetW = 8, targetH = 6)
+    assert(resized.columns.toSeq === Seq("media_id", "payload", "meta"))
+    val rows = resized.collect().map(r => r.getLong(0) -> r).toMap
+    // the image row really resized: payload decodes to an 8×6 PNG
+    val pngBytes = rows(1L).getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngBytes))
+    assert(img != null && img.getWidth === 8 && img.getHeight === 6)
+    assert(rows(1L).getStruct(2).getString(0) === "png")
+    // the text row took the stub cut: format unchanged, payload shrunk
+    assert(rows(2L).getStruct(2).getString(0) === "txt")
+    assert(rows(2L).getAs[Array[Byte]](1).length <= "not an image".length)
+    assert(rows(2L).getStruct(2).getInt(2) === 8 && rows(2L).getStruct(2).getInt(3) === 6)
+  }
+
   test("stub checksum is deterministic and content-sensitive") {
     val f1 = Multimodal.decodeFeatures(media).select("media_id", "checksum")
     val f2 = Multimodal.decodeFeatures(media).select("media_id", "checksum")
