@@ -66,7 +66,10 @@ object Dedup {
     * registry, and per-call `.cache()` on fresh plan objects triggered
     * "already cached" churn in the cache manager (VERDICT r03 #3). The
     * cache is session-lifetime by default; a long-lived service calls
-    * [[releaseCaches]] after its dedup batch. */
+    * [[releaseCaches]] after its dedup batch. The memo assumes the data
+    * under `dir` is immutable for the session (append-then-compact
+    * warehouse contract; same as `spark.catalog.cacheTable`) — rewrite
+    * the source mid-session and you must call [[releaseCaches]] first. */
   def shinglePostings(spark: SparkSession, dir: String): DataFrame =
     postingsMemo.synchronized {
       postingsMemo.getOrElseUpdate((spark, dir), {

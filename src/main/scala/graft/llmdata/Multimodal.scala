@@ -160,29 +160,33 @@ object Multimodal {
               try {
                 val iis = javax.imageio.ImageIO.createImageInputStream(
                   new java.io.ByteArrayInputStream(bytes))
-                val readers = javax.imageio.ImageIO.getImageReaders(iis)
-                if (!readers.hasNext) null
-                else {
-                  val reader = readers.next()
-                  try {
-                    reader.setInput(iis)
-                    val n = reader.getNumImages(true)
-                    (0 until n by stride).map { i =>
-                      val img = reader.read(i)
-                      val w = img.getWidth
-                      val row = new Array[Int](w)
-                      var sum = 0L
-                      var y = 0
-                      while (y < img.getHeight) {
-                        img.getRGB(0, y, w, 1, row, 0, w)
-                        var x = 0
-                        while (x < w) { sum = sum * 31 + row(x); x += 1 }
-                        y += 1
+                try {
+                  val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                  if (!readers.hasNext) null
+                  else {
+                    val reader = readers.next()
+                    try {
+                      reader.setInput(iis)
+                      val n = reader.getNumImages(true)
+                      (0 until n by stride).map { i =>
+                        val img = reader.read(i)
+                        val w = img.getWidth
+                        val row = new Array[Int](w)
+                        var sum = 0L
+                        var y = 0
+                        while (y < img.getHeight) {
+                          img.getRGB(0, y, w, 1, row, 0, w)
+                          var x = 0
+                          while (x < w) { sum = sum * 31 + row(x); x += 1 }
+                          y += 1
+                        }
+                        FrameFeature(id, i, w, img.getHeight, sum, decoded = true)
                       }
-                      FrameFeature(id, i, w, img.getHeight, sum, decoded = true)
-                    }
-                  } finally reader.dispose()
-                }
+                    } finally reader.dispose()
+                  }
+                  // iis closed below even when setUseCache is flipped to
+                  // file-backed caching — dispose() alone leaves it open.
+                } finally iis.close()
               } catch { case scala.util.control.NonFatal(_) => null }
             if (real != null) real
             else {

@@ -121,7 +121,9 @@ object Similarity {
   /** Memoized trained centroids per (session, corpus dir) — training is
     * an offline index-build step, not per-query work; recomputing the
     * Lloyd rounds on every query call would bill index construction to
-    * every search. */
+    * every search. Assumes the corpus under `dir` is immutable for the
+    * session (a rebuilt corpus needs a retrained index — ship a new
+    * session/job for it, as any offline ANN index does). */
   private[llmdata] def ivfCentroidsFor(spark: SparkSession,
                                        dir: String): Array[(Int, Seq[Float])] =
     centroidMemo.synchronized {

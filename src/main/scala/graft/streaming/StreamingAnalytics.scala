@@ -63,6 +63,15 @@ object StreamingAnalytics {
     *  - amounts are tracked in integer cents (exact, order-independent
     *    once per-group order is fixed); within an invocation rows are
     *    processed in deterministic (ts, cents) order;
+    *  - ARRIVAL-ORDER CAVEAT: the (ts, cents) sort is per micro-batch
+    *    only. A late-but-within-watermark row landing in a LATER trigger
+    *    folds into the running total after rows it precedes in event
+    *    time, so `n_tx`/`at` on boundary alerts reflect arrival order
+    *    across batches (the cumulative TOTAL is unaffected — addition
+    *    commutes). Exact event-time replay would require buffering rows
+    *    in state until the watermark passes them; this operator trades
+    *    that latency/state cost away, like most production velocity
+    *    monitors. The batch twin (`tx12`) is fully event-time ordered;
     *  - state is ONE small record per card, expired by an event-time
     *    timeout `stateGapMs` past the card's latest activity (clamped
     *    above the current watermark, which Spark requires) — idle cards

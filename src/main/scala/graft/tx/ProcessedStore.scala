@@ -31,17 +31,38 @@ import org.apache.spark.sql.functions._
   * meaningless to executors) or, by default in local mode, a fresh
   * per-JVM temp dir removed by a shutdown hook (never a fixed reused
   * path — a crashed previous run can't leak stale rows into this one).
-  * Written `overwrite` and memoized, so Verify/Bench pay the write
-  * exactly once.
+  * Under `SPARK_GRAFT_PROCESSED_DIR` the store name is the sanitized
+  * source dir PLUS a hash of the raw string, so distinct dirs that
+  * sanitize identically (`/a/b` vs `/a_b`) cannot collide, and the
+  * table is staged to a `.tmp-<pid>` sibling then renamed into place so
+  * a concurrent reader never sees a half-written table. Single writer
+  * per (source dir, base) is still assumed — two JVMs materializing the
+  * same source concurrently race on the final rename (last one wins; a
+  * dedicated orchestration layer should own that, as the reference's
+  * Airflow DAG does).
+  *
+  * The memo assumes the data under `dir` is IMMUTABLE for the session's
+  * lifetime (true for the warehouse layout this models: day partitions
+  * are appended, then compacted, never rewritten in place). Rewriting
+  * the source mid-session serves stale results by design — same
+  * contract as Spark's own `spark.catalog.cacheTable`.
   */
 object ProcessedStore {
 
-  private val memo = scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  /** Per-key lazy holders: the outer map insert is cheap (allocation
+    * only), the multi-second enrichment+write runs inside the holder's
+    * own `lazy val`, so callers for a *different* dataset never block
+    * behind an unrelated write — only same-key callers wait. */
+  private final class Holder(thunk: () => String) { lazy val value: String = thunk() }
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Holder]
 
   private def newStoreDir(sfDir: String): String =
     sys.env.get("SPARK_GRAFT_PROCESSED_DIR") match {
       case Some(base) =>
-        s"$base/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        s"$base/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$digest"
       case None =>
         val p = java.nio.file.Files.createTempDirectory("graft-processed-")
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -53,21 +74,32 @@ object ProcessedStore {
         p.toString
     }
 
+  private def materialize(spark: SparkSession, dir: String): String = {
+    val out = newStoreDir(dir)
+    val enriched = Enrichment.enrich(
+      RawTransactions.fromEvents(spark, dir), Enrichment.DefaultRate)
+    val writer = Enrichment.project(enriched)
+      .write.mode("overwrite")
+      .partitionBy("Year", "Month", "Day")
+    if (sys.env.contains("SPARK_GRAFT_PROCESSED_DIR")) {
+      // Stage + rename so readers of a pre-existing store never observe
+      // the overwrite mid-flight (rename is atomic on HDFS/posix; object
+      // stores need a manifest commit instead — single-writer assumed).
+      val staged = s"$out.tmp-${ProcessHandle.current().pid()}"
+      writer.parquet(staged)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hc)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(out))
+    } else writer.parquet(out)
+    out
+  }
+
   /** The materialized 21-column table for `dir`, writing it on first
     * use. Read-side adds the two re-derived intermediates above. */
   def processedTable(spark: SparkSession, dir: String): DataFrame = {
-    val path = memo.synchronized {
-      memo.getOrElseUpdate((spark, dir), {
-        val out = newStoreDir(dir)
-        val enriched = Enrichment.enrich(
-          RawTransactions.fromEvents(spark, dir), Enrichment.DefaultRate)
-        Enrichment.project(enriched)
-          .write.mode("overwrite")
-          .partitionBy("Year", "Month", "Day")
-          .parquet(out)
-        out
-      })
-    }
+    val path = memo.computeIfAbsent((spark, dir),
+      k => new Holder(() => materialize(k._1, k._2))).value
     val td = make_date(col("Year"), col("Month"), col("Day"))
     spark.read.parquet(path)
       .withColumn("transaction_date", td)
