@@ -219,13 +219,60 @@ object Dedup {
     * baseline, NOT the scale path (that's [[embeddingNearDup]]). */
   def embeddingNearDupExact(spark: SparkSession, dir: String,
                             threshold: Double): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", Similarity.cosineBest(spark, col("va"), col("vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // Tile kernel instead of a nested-loop JOIN: the join form
+    // materializes all N²/2 candidate rows (two 64-float arrays each)
+    // just to filter ~0.01% of them — ~6 s at N=2000. Here one side is
+    // a task broadcast (the same corpus residency the BNLJ's
+    // BroadcastExchange already required — all-pairs presumes a
+    // broadcastable side by definition; at larger N this kernel is one
+    // tile of the standard blocked decomposition) and each partition
+    // streams its rows against it, emitting ONLY pairs that pass the
+    // threshold. Per-pair arithmetic is [[Similarity.cosine6]], bit-
+    // identical to the Column form, so the oracle hash is unchanged.
+    val side = spark.sparkContext.broadcast(e.collect().sortBy(_._1))
+    // A tiny corpus may arrive as 1–2 scan partitions; spread the O(N²)
+    // kernel across the cluster (shuffling N id+vector rows is noise
+    // next to the pair loop it parallelizes).
+    val cores = spark.sparkContext.defaultParallelism
+    e.repartition(cores).mapPartitions { it =>
+      val s = side.value
+      val norms = s.map { case (_, v) =>
+        var na = 0.0; var i = 0
+        while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(na)
+      }
+      // round(x, 6) moves x by < 5e-7, so raw < threshold − 5e-7 can
+      // never round up past the threshold — the guard skips the
+      // BigDecimal rounding for the ~99.9% of pairs that can't match.
+      val guard = threshold - 5e-7
+      it.flatMap { case (idA, va) =>
+        var lo = 0; var hi = s.length // first index with id > idA
+        while (lo < hi) { val m = (lo + hi) >>> 1; if (s(m)._1 <= idA) lo = m + 1 else hi = m }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = lo
+        while (j < s.length) {
+          val vb = s(j)._2
+          val n = math.min(va.length, vb.length)
+          var dot = 0.0; var na = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = va(i).toDouble
+            dot += xi * vb(i).toDouble; na += xi * xi
+            i += 1
+          }
+          val raw = dot / (math.sqrt(na) * norms(j))
+          if (raw >= guard) {
+            val cos = Similarity.round6(raw)
+            if (cos >= threshold) out += ((idA, s(j)._1, cos))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
   }
 
@@ -236,22 +283,57 @@ object Dedup {
     * dedups — never all-pairs. */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val keys = Similarity.lshKeys(
       e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       numBands = 8, bitsPerBand = 2)
-    val cand = keys.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairExplode("ids")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // lshKeys carries the embedding, so each (band, bucket) group holds
+    // everything its pair verification needs: compute the exact cosine
+    // INSIDE the bucket's task and shuffle only pairs that pass the
+    // threshold. The previous shape shuffled every candidate pair
+    // through a distinct plus TWO embedding fetch joins (≈all-pairs ×2
+    // on a weakly-clustered corpus) — the joins, not the flops, were
+    // the 6 s. Per-pair arithmetic is [[Similarity.cosine6]] (bit-
+    // identical to the Column form); a pair sharing k bands is computed
+    // k ≤ 8 times and deduped by the tiny post-filter distinct. Bucket
+    // width is the skew bound (≈N/2^bits per band) — the same cap knob
+    // every banded dedup here exposes.
+    keys.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id").as("_1"), col("embedding").as("_2"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("ms")).as[Seq[(Long, Array[Float])]]
+      .flatMap { ms0 =>
+        val ms = ms0.toArray.sortBy(_._1)
+        val norms = ms.map { case (_, v) =>
+          var na = 0.0; var i = 0
+          while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(na)
+        }
+        val guard = threshold - 5e-7 // see embeddingNearDupExact
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < ms.length) {
+          val va = ms(i)._2
+          var j = i + 1
+          while (j < ms.length) {
+            val vb = ms(j)._2
+            val n = math.min(va.length, vb.length)
+            var dot = 0.0; var k = 0
+            while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+            val raw = dot / (norms(i) * norms(j))
+            if (raw >= guard) {
+              val cos = Similarity.round6(raw)
+              if (cos >= threshold) out += ((ms(i)._1, ms(j)._1, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "cos_sim")
       .distinct()
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-      .withColumn("cos_sim", Similarity.cosineBest(spark, col("va"), col("vb")))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
   }
 

@@ -33,6 +33,33 @@ object Similarity {
       round(call_function("cosine_sim", a, b), 6)
     else cosine(a, b)
 
+  /** JVM twin of `round(cosine_sim(a,b), 6)` for kernel-style operators
+    * ([[graft.llmdata.Dedup.embeddingNearDupExact]] and the bucket-local
+    * near-dup): same double-widened left-to-right accumulation as
+    * [[graft.plans.CosineSim.nullSafeEval]] and the same
+    * `BigDecimal.valueOf(…).setScale(6, HALF_UP)` rounding Spark's
+    * `Round` applies to doubles — bit-identical to the Column forms, so
+    * kernel and declarative plans cannot diverge on oracle hashes.
+    * A zero-norm vector yields NaN, which every caller's `>= threshold`
+    * test rejects (Scala semantics; SQL engines agree for the oracle's
+    * DuckDB side). */
+  private[llmdata] def cosine6(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  private[llmdata] def round6(v: Double): Double =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Exact top-k neighbors for the query set `vec_id < nQueries`.
     * Plan shape: the tiny query side broadcasts into a nested-loop
     * join against the corpus (scan stays partition-parallel), then a
