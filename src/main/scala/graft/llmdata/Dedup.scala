@@ -387,4 +387,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
   }
+
+  // -------------------------------------- near-dup cluster resolution
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the min of its label and its
+    * neighbors' labels; at fixpoint the label is the component's
+    * minimum id — the canonical representative.
+    *
+    * This is the step the pairwise dedups above stop short of: near-dup
+    * similarity is not transitive, so A~B and B~C pairs must be
+    * RESOLVED into one cluster {A,B,C} (keep A, drop B and C) before a
+    * training corpus can be filtered — dropping only paired docs would
+    * keep C or drop too much depending on pair order.
+    *
+    * Scale shape: each round is one equi-join of the label table with
+    * the (symmetrized) edge list plus one min-aggregate — both hash-
+    * partitioned on node id, no driver-side graph. Lineage is severed
+    * per round with `localCheckpoint` (an iterative plan would
+    * otherwise grow by a join per round and re-execute from round 0 at
+    * every action), and the loop stops as soon as a round changes no
+    * label — an existence probe (`limit(1)`), not a full count. Round
+    * count is bounded by component DIAMETER, and near-dup components
+    * are band-collision cliques-of-cliques with tiny diameters (2–4
+    * observed on this corpus); an adversarial million-link chain would
+    * instead want the O(log n)-round star-contraction variant
+    * (alternating large-star/small-star), which this loop's join shape
+    * extends to directly.
+    *
+    * Input must have `id_a`/`id_b` columns; returns (id, cluster_id)
+    * for every node that appears in at least one edge. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // edge derivation (e.g. the full jaccard plan) runs once, not per round
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev"))
+        .limit(1).isEmpty
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the exact capped-Jaccard pair graph
+    * ([[jaccardPairs]] edges): one row per clustered document with its
+    * cluster id (= min doc_id in the component), the cluster size, and
+    * `keep` marking the canonical survivor — the actionable output of
+    * corpus dedup (filter `keep = false` ids out of the corpus).
+    * Singleton documents (no near-dup pair) are implicitly kept and not
+    * listed. Oracle: the identical reachability fixpoint as a DuckDB
+    * recursive CTE ([[LlmQueries.ddClustersSql]]). */
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double,
+                      maxDocFreq: Option[Long] = None): DataFrame = {
+    val edges = jaccardPairs(spark, dir, threshold, maxDocFreq)
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(edges)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
 }

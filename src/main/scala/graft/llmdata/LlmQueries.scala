@@ -57,6 +57,39 @@ object LlmQueries {
       |WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2
       |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
 
+  /** Connected components over the same capped-Jaccard pair graph as
+    * [[ddJaccardSql]], as a recursive reachability fixpoint: seed every
+    * node with itself, propagate labels along (symmetrized) edges until
+    * closure, take the MIN reachable id per node — exactly the fixpoint
+    * [[Dedup.connectedComponents]] converges to. The recursive UNION
+    * dedups rows, so cycles terminate; closure size is bounded by
+    * Σ component², fine at oracle scale. */
+  val ddClustersSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |  WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |r(id, label) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.label FROM r JOIN e ON e.src = r.id),
+      |lab AS (SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id),
+      |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      |SELECT lab.id AS doc_id, lab.cluster_id, cs.cluster_size,
+      |  (lab.id = lab.cluster_id) AS keep
+      |FROM lab JOIN cs USING (cluster_id)
+      |ORDER BY cluster_id, doc_id""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -142,6 +175,8 @@ object LlmQueries {
     "dd_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(s, d, 0.5)),
+    "dd_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
@@ -166,6 +201,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
+    "dd_clusters" -> ddClustersSql,
     "dd_embed_pairs" -> ddEmbedPairsSql,
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,

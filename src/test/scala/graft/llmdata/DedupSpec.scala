@@ -100,4 +100,50 @@ class DedupSpec extends SparkSpec {
     assert(withDist.filter(col("hamming") > 16).count() === 0,
       "a J≥0.8 pair should never be >16 bits apart in simhash space")
   }
+
+  test("connected components equal a local union-find over the same edges") {
+    val edges = Dedup.jaccardPairs(spark, sf, 0.2,
+      maxDocFreq = Some(LlmQueries.JaccardDocFreqCap)).select("id_a", "id_b")
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: driver-side union-find (path compression), min id as root
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("cluster resolution keeps exactly one canonical doc per cluster") {
+    val cl = Dedup.nearDupClusters(spark, sf, 0.2,
+      maxDocFreq = Some(LlmQueries.JaccardDocFreqCap)).cache()
+    try {
+      assert(cl.count() > 0)
+      // one keeper per cluster, and it is the min doc_id
+      val perCluster = cl.groupBy("cluster_id").agg(
+        sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        min("doc_id").as("min_id"),
+        count(lit(1)).as("n"),
+        first("cluster_size").as("sz"))
+      assert(perCluster.filter(col("n_keep") =!= 1).count() === 0)
+      assert(perCluster.filter(col("min_id") =!= col("cluster_id")).count() === 0)
+      assert(perCluster.filter(col("n") =!= col("sz")).count() === 0)
+      assert(perCluster.filter(col("n") < 2).count() === 0,
+        "singletons must not be listed")
+      // transitivity did real work on this corpus: more clustered docs
+      // than a pair list could cover disjointly implies merged pairs
+      val nDocs = cl.count()
+      val nClusters = perCluster.count()
+      assert(nDocs > 2 * nClusters,
+        s"expected merged clusters, got $nDocs docs in $nClusters clusters")
+    } finally { cl.unpersist(); () }
+  }
 }
