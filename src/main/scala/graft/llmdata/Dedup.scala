@@ -459,4 +459,40 @@ object Dedup {
         (col("id") === col("cluster_id")).as("keep"))
       .orderBy(col("cluster_id"), col("doc_id"))
   }
+
+  /** End-to-end corpus dedup accounting — the materialization step that
+    * composes the whole family: drop exact copies (non-min doc per
+    * content hash), then near-dup cluster non-canonicals (connected
+    * components over the capped-Jaccard graph), and report per source
+    * what survived. A doc that is both an exact copy and a near-dup is
+    * attributed to the exact bucket (the cheaper signal wins). This is
+    * the per-shard report a 100 TB dedup job emits: every term is a
+    * hash-partitioned group-by or equi-join on doc id — no new shapes
+    * beyond the operators it composes. */
+  def dedupCorpus(spark: SparkSession, dir: String, threshold: Double,
+                  maxDocFreq: Option[Long] = None): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val surv = docs.groupBy(col("h")).agg(min(col("doc_id")).as("min_id"))
+    val ndDrop = connectedComponents(
+      jaccardPairs(spark, dir, threshold, maxDocFreq).select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"), lit(true).as("nd"))
+    docs.join(surv, "h")
+      .join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("exact_drop", col("doc_id") =!= col("min_id"))
+      .withColumn("nd_drop", !col("exact_drop") && col("nd").isNotNull)
+      .withColumn("kept", !col("exact_drop") && col("nd").isNull)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("exact_drop"), 1L).otherwise(0L)).as("n_dropped_exact"),
+        sum(when(col("nd_drop"), 1L).otherwise(0L)).as("n_dropped_neardup"),
+        sum(when(col("kept"), col("n_tokens").cast("long")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy(col("source"))
+  }
 }

@@ -90,6 +90,75 @@ object LlmQueries {
       |FROM lab JOIN cs USING (cluster_id)
       |ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** Corpus-dedup accounting: exact drops (non-min doc per md5) +
+    * near-dup cluster non-canonicals (same recursive fixpoint as
+    * [[ddClustersSql]]), attributed exact-first, rolled up per source. */
+  val ddCorpusDedupSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |  WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |r(id, label) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.label FROM r JOIN e ON e.src = r.id),
+      |nd AS (SELECT id AS doc_id FROM r GROUP BY id HAVING id <> MIN(label)),
+      |ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+      |       FROM documents),
+      |d AS (SELECT doc.doc_id, doc.source,
+      |        len(string_split(doc.text, ' ')) AS n_tokens,
+      |        (doc.doc_id <> ex.min_id) AS exact_drop,
+      |        (nd.doc_id IS NOT NULL) AS is_nd
+      |      FROM documents doc JOIN ex USING (doc_id) LEFT JOIN nd USING (doc_id))
+      |SELECT source, COUNT(*) AS n_raw,
+      |  CAST(SUM(CASE WHEN NOT exact_drop AND NOT is_nd THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN exact_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_exact,
+      |  CAST(SUM(CASE WHEN NOT exact_drop AND is_nd THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_neardup,
+      |  CAST(SUM(CASE WHEN NOT exact_drop AND NOT is_nd THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** Mirror of [[TextAnalysis.stratifiedSample]]'s per-source md5 hex
+    * cuts: src0 0.5→'8000', src1 1.0→'g' (above every 4-hex string),
+    * src2 0.25→'4000', default 0.1→'1999'. */
+  val txtStratifiedSampleSql: String =
+    """SELECT source, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN kept THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tokens_sampled
+      |FROM (SELECT source, text,
+      |        substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 4) <
+      |          CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN 'g'
+      |                      WHEN 'src2' THEN '4000' ELSE '1999' END AS kept
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val txtRepetitionSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+      |pb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |         COUNT(*) AS n_distinct, MAX(c) AS top_c
+      |       FROM pb GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(sc.n_distinct, 0) AS n_distinct,
+      |  COALESCE(1 - sc.n_distinct::DOUBLE / sc.n_bigrams, 0.0) AS dup_ratio,
+      |  COALESCE(sc.top_c::DOUBLE / sc.n_bigrams, 0.0) AS top_frac,
+      |  COALESCE(1 - sc.n_distinct::DOUBLE / sc.n_bigrams > 0.2
+      |           OR sc.top_c::DOUBLE / sc.n_bigrams > 0.18, TRUE) AS flagged
+      |FROM documents d LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -177,6 +246,10 @@ object LlmQueries {
     "dd_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(s, d, 0.5)),
     "dd_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
+    "dd_corpus_dedup" -> ((s, d) =>
+      Dedup.dedupCorpus(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
+    "txt_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "txt_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
@@ -202,6 +275,9 @@ object LlmQueries {
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
     "dd_clusters" -> ddClustersSql,
+    "dd_corpus_dedup" -> ddCorpusDedupSql,
+    "txt_stratified_sample" -> txtStratifiedSampleSql,
+    "txt_repetition" -> txtRepetitionSql,
     "dd_embed_pairs" -> ddEmbedPairsSql,
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,

@@ -181,4 +181,89 @@ object TextAnalysis {
         sum(col("n_tokens").cast("long")).as("tot_tokens"))
       .orderBy(col("source"), col("split"))
   }
+
+  /** Default per-source sampling rates for [[stratifiedSample]]: the
+    * up/down-weighting a pretraining mixture applies per source. A
+    * source absent from the map keeps [[DefaultSampleRate]]. */
+  val DefaultSampleRate: Double = 0.10
+  val SampleRates: Map[String, Double] =
+    Map("src0" -> 0.50, "src1" -> 1.00, "src2" -> 0.25)
+
+  /** Deterministic stratified downsampling: each document is kept iff
+    * a salted hash of its id falls below its SOURCE's rate — the same
+    * engine-portable primitive as [[splitAssign]] (pure function of
+    * doc id ⇒ identical keep set on every re-run, backfill, or engine;
+    * the ":sample" salt makes this hash independent of the split
+    * hash). Rates are per-stratum, so the mixture is controlled per
+    * source while selection within a source stays uniform. Reported as
+    * per-source kept/total counts + kept tokens; embarrassingly
+    * parallel, one rollup shuffle. Thresholds compare the first FOUR
+    * md5 hex chars (65536 buckets), so a rate maps to hex prefix
+    * `floor(rate·65536)` — exact for the rates above. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Map[String, Double] = SampleRates,
+                       defaultRate: Double = DefaultSampleRate): DataFrame = {
+    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":sample"))
+      .cast("binary")), 1, 4)
+    // rate 1.0 needs a sentinel ABOVE every 4-hex-char string ("g" >
+    // "ffff" lexicographically; "10000" would sort BELOW "1999")
+    val hexCut = (r: Double) => if (r >= 1.0) "g" else f"${(r * 65536).toLong}%04x"
+    val cut = rates.foldLeft(lit(hexCut(defaultRate))) { case (acc, (src, r)) =>
+      when(col("source") === src, hexCut(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("source"), (h < cut).as("sampled"),
+        size(toks(col("text"))).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_tokens").cast("long")).otherwise(0L))
+          .as("tokens_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-doc repetition scores — the Gopher/C4-style repetition quality
+    * signals: bigram duplication (1 − distinct/total) and the fraction
+    * of the doc covered by its single most frequent bigram. High values
+    * mean boilerplate/looping text a curation pass drops. Shapes:
+    * one posexplode + two hash-partitioned aggs (per-(doc,bigram)
+    * counts partially aggregate map-side), linear in corpus size.
+    * `flagged` applies the standard cut (dup ratio > 0.2 or top-bigram
+    * share > 0.18). Docs under 2 tokens have no bigram and are flagged
+    * (degenerate for training). All ratios are double divisions of
+    * exact integer counts ⇒ DuckDB-oracle hash-stable. */
+  def repetitionScores(spark: SparkSession, dir: String,
+                       maxDupRatio: Double = 0.2,
+                       maxTopFrac: Double = 0.18): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"))
+      .withColumn("t1", lead(col("t0"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t0"), col("t1")).as("bg"))
+    val perBg = big.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val scored = perBg.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .as("dup_ratio"),
+        (col("top_c").cast("double") / col("n_bigrams")).as("top_frac"))
+      .withColumn("flagged",
+        col("dup_ratio") > maxDupRatio || col("top_frac") > maxTopFrac)
+    // docs too short for a bigram: degenerate, flagged
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("dup_ratio"), lit(0.0)).as("dup_ratio"),
+        coalesce(col("top_frac"), lit(0.0)).as("top_frac"),
+        coalesce(col("flagged"), lit(true)).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -244,6 +244,70 @@ object Relational {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q6
+  /** q6: forecast-revenue-change — the pure scan-side query (TPC-H Q6
+    * shape): conjunctive range predicates on date/discount/quantity and
+    * one global sum, no join, no shuffle beyond the single-row final
+    * agg. The predicates land in the parquet scan as PushedFilters
+    * (date + quantity are min/max-prunable per row group), so at 100 TB
+    * this reads only row groups intersecting one shipdate year — the
+    * canonical pushdown showcase. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+        dec(col("l_discount")).between(dec(lit(0.03)), dec(lit(0.07))) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("forecast_revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS forecast_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND CAST(l_discount AS DECIMAL(18,2))
+      |        BETWEEN CAST(0.03 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** q7: bilateral trade volume — supplier-nation × customer-nation ×
+    * ship-year revenue matrix over DIFFERENT nations (TPC-H Q7
+    * generalized: no 2-nation filter, the full antisymmetric matrix).
+    * Both nation lookups broadcast; the only shuffles are the two fact
+    * joins and the final rollup, whose cardinality is bounded by
+    * nations² × years — independent of fact size. */
+  def q7TradeVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revenue).cast("double").as("volume"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+
+  val q7Sql: String =
+    s"""SELECT s_nat.n_name AS supp_nation, c_nat.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM($revenueSql) AS DOUBLE) AS volume, COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+      |JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+      |WHERE s_nat.n_name <> c_nat.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- q5
   /** q5: revenue per nation where customer and supplier share the
     * nation, restricted to one region — the 6-table join chain
@@ -461,6 +525,8 @@ object Relational {
     "q20_running_revenue" -> q20RunningRevenue _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q7_trade_volume" -> q7TradeVolume _,
     "q14_order_count_distribution" -> q14OrderCountDistribution _,
     "q16_small_quantity_value" -> q16SmallQuantityValue _,
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -480,6 +546,8 @@ object Relational {
     "q20_running_revenue" -> q20Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "q5_nation_revenue" -> q5Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q7_trade_volume" -> q7Sql,
     "q14_order_count_distribution" -> q14Sql,
     "q16_small_quantity_value" -> q16Sql,
     "q1_pricing_summary" -> q1Sql,

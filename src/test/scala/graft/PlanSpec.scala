@@ -33,6 +33,14 @@ class PlanSpec extends SparkSpec {
       s"scan reads too much: $readSchema")
   }
 
+  test("q6's range predicates reach the parquet scan as pushed filters") {
+    val p = plan(graft.queries.Relational.q6ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity"),
+      s"q6 scan predicates not pushed:\n$p")
+  }
+
   test("daily sync read is partition-pruned to one Year/Month/Day") {
     val root = Files.createTempDirectory("graft-plan").toString
     val validDir = s"$root/valid"
