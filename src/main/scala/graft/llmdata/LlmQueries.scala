@@ -258,6 +258,7 @@ object LlmQueries {
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d, 5, 10)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
+    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
@@ -268,9 +269,11 @@ object LlmQueries {
   )
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
-    * ann_lsh_topk intentionally absent (rows-only): hash functions
-    * aren't reproducible in DuckDB; their correctness gates live in
-    * DedupSpec/SimilaritySpec. */
+    * ann_lsh_topk / ann_ivf_topk / ann_pq_topk intentionally absent
+    * (rows-only): hash functions / trained quantizers aren't
+    * reproducible in DuckDB; their correctness gates live in
+    * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact
+    * cosine, so its reported sims are brute-force-identical). */
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,

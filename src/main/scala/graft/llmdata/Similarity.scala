@@ -274,4 +274,181 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  // ------------------------------------------------------------- PQ
+  /** Product-quantization geometry: 8 subspaces × 16 centroids each
+    * (4-bit codes) over the 64-dim embeddings — a vector compresses
+    * from 256 B of floats to 8 code bytes + one stored norm. */
+  val PqM = 8
+  val PqK = 16
+  val PqIters = 8
+  /** Codebooks are trained on a bounded deterministic sample (every
+    * (N/cap)-th vector by id) — exactly how production PQ trains
+    * (Faiss caps training points); the collect is O(cap), never
+    * data-scale. */
+  val PqSampleCap = 512
+
+  private val pqMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Array[Array[Array[Double]]]]
+
+  /** Memoized per (session, corpus dir), like [[ivfCentroidsFor]]:
+    * training is index-build, not per-query work; same immutable-input
+    * contract. */
+  private[llmdata] def pqCodebooksFor(spark: SparkSession,
+                                      dir: String): Array[Array[Array[Double]]] =
+    pqMemo.synchronized {
+      pqMemo.getOrElseUpdate((spark, dir),
+        pqCodebooks(spark, Tables.embeddings(spark, dir)))
+    }
+
+  /** Deterministic driver-side Lloyd per subspace over the stride
+    * sample: seeds = every (S/K)-th sample subvector, L2 assignment
+    * with ties to the lower centroid id, empty cells keep their
+    * centroid. Pure double math in fixed iteration order — identical
+    * codebooks on every run and every executor. */
+  private[llmdata] def pqCodebooks(spark: SparkSession,
+                                   corpus: DataFrame): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val n = vecs.count()
+    val step = math.max(1L, n / PqSampleCap)
+    val sample = vecs.filter(col("vec_id") % step === 0)
+      .collect().sortBy(_._1).take(PqSampleCap).map(_._2)
+    val dim = sample.head.length
+    val sub = dim / PqM
+    Array.tabulate(PqM) { m =>
+      val pts = sample.map(v => Array.tabulate(sub)(j => v(m * sub + j).toDouble))
+      var cents = Array.tabulate(PqK)(c => pts((c * pts.length) / PqK).clone())
+      for (_ <- 0 until PqIters) {
+        val sums = Array.fill(PqK, sub)(0.0)
+        val cnt = Array.fill(PqK)(0)
+        pts.foreach { p =>
+          val c = nearestSub(p, cents)
+          cnt(c) += 1
+          var j = 0
+          while (j < sub) { sums(c)(j) += p(j); j += 1 }
+        }
+        cents = Array.tabulate(PqK)(c =>
+          if (cnt(c) == 0) cents(c)
+          else Array.tabulate(sub)(j => sums(c)(j) / cnt(c)))
+      }
+      cents
+    }
+  }
+
+  private def nearestSub(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < p.length) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict < ⇒ ties keep lower id
+      c += 1
+    }
+    best
+  }
+
+  /** PQ top-k with asymmetric-distance scan + exact rerank — the
+    * compressed-index tier of the ANN family: the corpus is read as
+    * 8 codes + a stored norm per vector (32× smaller than the float
+    * matrix at 100 TB), each query's subspace dot products are
+    * precomputed into a 8×16 lookup table, and scoring a vector is
+    * 8 table adds instead of a 64-mult cosine. Each scan partition
+    * keeps only its top `k·rerankFactor` per query (partial top-k —
+    * the ADC candidate stream never shuffles at corpus size), the
+    * global top-R survivors are reranked with the EXACT cosine, so
+    * reported sims are bit-identical to the brute-force baseline on
+    * every overlapping pair (SimilaritySpec), and recall is governed
+    * by R like any PQ+refine deployment. Deterministic end to end:
+    * fixed-order double sums, ties broken on neighbor id. */
+  def pqTopK(spark: SparkSession, dir: String,
+             nQueries: Int, k: Int, rerankFactor: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val books = pqCodebooksFor(spark, dir)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1) // O(nQueries) — the broadcast query side
+    val sub = books(0)(0).length
+    // LUT[q][m][c] = dot(query subvector m, centroid c); query norm included
+    val luts = qs.map { case (qid, qv) =>
+      val lut = Array.tabulate(PqM, PqK) { (m, c) =>
+        var d = 0.0; var j = 0
+        while (j < sub) { d += qv(m * sub + j).toDouble * books(m)(c)(j); j += 1 }
+        d
+      }
+      var nq = 0.0
+      qv.foreach { x => nq += x.toDouble * x.toDouble }
+      (qid, lut, math.sqrt(nq))
+    }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val R = k * rerankFactor
+    val cores = spark.sparkContext.defaultParallelism
+    // one pass over the corpus: encode (the stored index at scale),
+    // ADC-score against every query, keep a per-partition top-R
+    val cand = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .repartition(cores)
+      .mapPartitions { it =>
+        val bk = bcBooks.value
+        val ls = bcLuts.value
+        // "better" sorts smaller: (-approx, id). PriorityQueue keeps its
+        // MAX at the head, so under this ordering the head is the WORST
+        // of the kept R — the one to evict when a better candidate lands.
+        val ord = Ordering.by[(Long, Double), (Double, Long)] { case (nid, a) => (-a, nid) }
+        val heaps = ls.map(q => (q._1, new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord)))
+        it.foreach { case (vid, v) =>
+          // encode: nearest centroid per subspace (what the stored
+          // 8-byte code would hold)
+          val code = Array.tabulate(PqM) { m =>
+            val p = Array.tabulate(sub)(j => v(m * sub + j).toDouble)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < PqK) {
+              var d = 0.0; var j = 0
+              while (j < sub) { val t = p(j) - bk(m)(c)(j); d += t * t; j += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            best
+          }
+          var nv = 0.0
+          v.foreach { x => nv += x.toDouble * x.toDouble }
+          val norm = math.sqrt(nv)
+          var qi = 0
+          while (qi < ls.length) {
+            val (qid, lut, qnorm) = ls(qi)
+            if (qid != vid) {
+              var adc = 0.0; var m = 0
+              while (m < PqM) { adc += lut(m)(code(m)); m += 1 }
+              val approx = adc / (qnorm * norm)
+              val h = heaps(qi)._2
+              if (h.size < R) h.enqueue((vid, approx))
+              else if (ord.lt((vid, approx), h.head)) { h.dequeue(); h.enqueue((vid, approx)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (nid, a) => (qid, nid, a) } }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val topR = cand.withColumn("rr", row_number().over(wA))
+      .filter(col("rr") <= R)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank of the R survivors per query
+    val qFrame = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    topR
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+      .join(broadcast(qFrame), "query_id")
+      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -61,6 +61,30 @@ class SimilaritySpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("PQ+rerank top-k: recall floor, exact sims, and full result shape") {
+    val pq = Similarity.pqTopK(spark, sf, nQ, k).cache()
+    try {
+      // every query returns a full k (rerank pool R=8k ≫ k)
+      val perQ = pq.groupBy("query_id").agg(count(lit(1)).as("n"))
+      assert(perQ.filter(col("n") =!= k).count() === 0)
+      val pqSet = resultSet(pq)
+      val recall = (exactSet & pqSet).size.toDouble / exactSet.size
+      // 4-bit codes on this weak-structure corpus with an 8k rerank
+      // pool: assert the measured floor so a codebook/ADC regression
+      // is caught (clustered corpora sit far higher)
+      assert(recall >= 0.6, s"PQ recall $recall")
+      // survivors are reranked with the exact cosine ⇒ sims must be
+      // bit-identical to brute force on every overlapping pair
+      val joined = exact.join(
+        pq.withColumnRenamed("sim", "sim_pq").drop("rnk"),
+        Seq("query_id", "neighbor_id"))
+      assert(joined.filter(col("sim") =!= col("sim_pq")).count() === 0)
+      // determinism: a second run returns the identical result
+      val again = Similarity.pqTopK(spark, sf, nQ, k)
+      assert(pq.exceptAll(again).count() === 0 && again.exceptAll(pq).count() === 0)
+    } finally { pq.unpersist(); () }
+  }
+
   test("LSH sims equal brute-force sims for every overlapping neighbor") {
     val lsh = Similarity.lshTopK(spark, sf, nQ, k, multiProbe = true)
       .withColumnRenamed("sim", "sim_lsh").drop("rnk")
