@@ -495,4 +495,52 @@ object Dedup {
           .as("tokens_kept"))
       .orderBy(col("source"))
   }
+
+  // --------------------------------------------------- incremental dedup
+  /** Delta dedup — the continuous-ingestion shape: classify each
+    * document of an INCOMING shard (here the deterministic `doc_id %
+    * shardMod == shardRem` slice, standing in for today's crawl) against
+    * the EXISTING corpus as `exact_dup` (same content hash), `near_dup`
+    * (capped-Jaccard ≥ threshold against an existing doc), or `new`,
+    * with the minimum matching existing id. Exact wins over near when
+    * both hold.
+    *
+    * Scale: the exact arm is one equi-join on the 16-byte hash against
+    * the existing side's min-id table; the near arm REUSES the full
+    * corpus pair generation (cached postings) and just keeps the
+    * incoming↔existing cross pairs — in a production pipeline the
+    * existing side's postings/hashes are the standing index and only
+    * the delta is shingled, which is this same plan with the left scan
+    * replaced by the index table.
+    *
+    * Arm coverage on the synthetic corpora: the near arm fires at
+    * sf0.001/sf0.01 (9 near-dups straddle the shard boundary), the
+    * exact arm at sf0.1 (4 content-identical copies straddle it) — all
+    * three statuses are oracle-exercised across the verified scales. */
+  def dedupDelta(spark: SparkSession, dir: String, threshold: Double,
+                 maxDocFreq: Option[Long] = None,
+                 shardMod: Int = 5, shardRem: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val isIncoming = (c: Column) => c % shardMod === shardRem
+    val incoming = docs.filter(isIncoming(col("doc_id")))
+    val existingMin = docs.filter(!isIncoming(col("doc_id")))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("exact_match"))
+    val pairs = jaccardPairs(spark, dir, threshold, maxDocFreq)
+    val nearMin = pairs
+      .filter(isIncoming(col("id_a")) =!= isIncoming(col("id_b")))
+      .select(
+        when(isIncoming(col("id_a")), col("id_a")).otherwise(col("id_b")).as("doc_id"),
+        when(isIncoming(col("id_a")), col("id_b")).otherwise(col("id_a")).as("nd_id"))
+      .groupBy(col("doc_id")).agg(min(col("nd_id")).as("near_match"))
+    incoming
+      .join(existingMin, Seq("h"), "left")
+      .join(nearMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -159,6 +159,59 @@ object LlmQueries {
       |FROM documents d LEFT JOIN sc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Delta dedup: incoming = doc_id % 5 = 4; exact via md5 against the
+    * existing side's min-id table, near via the same capped-Jaccard
+    * pairs restricted to incoming↔existing, exact-first precedence. */
+  val ddDeltaSql: String =
+    s"""WITH $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |  WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2),
+      |exm AS (SELECT md5(text) AS h, MIN(doc_id) AS exact_match
+      |        FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1),
+      |ndm AS (SELECT CASE WHEN id_a % 5 = 4 THEN id_a ELSE id_b END AS doc_id,
+      |               MIN(CASE WHEN id_a % 5 = 4 THEN id_b ELSE id_a END) AS near_match
+      |        FROM pairs WHERE (id_a % 5 = 4) <> (id_b % 5 = 4)
+      |        GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN exm.exact_match IS NOT NULL THEN 'exact_dup'
+      |       WHEN ndm.near_match IS NOT NULL THEN 'near_dup'
+      |       ELSE 'new' END AS status,
+      |  COALESCE(exm.exact_match, ndm.near_match) AS match_id
+      |FROM documents d
+      |LEFT JOIN exm ON md5(d.text) = exm.h
+      |LEFT JOIN ndm ON d.doc_id = ndm.doc_id
+      |WHERE d.doc_id % 5 = 4
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Contamination mirror: identical md5 4-token windows + the
+    * [[txtSplitAssignSql]] split hash, bipartite pair counting. */
+  val txtContaminationSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT DISTINCT doc_id,
+      |        md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS w
+      |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM tk)),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM documents)
+      |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+      |  COUNT(*) AS shared_windows
+      |FROM w tr JOIN sp str ON tr.doc_id = str.doc_id AND str.split = 'train'
+      |JOIN w te ON tr.w = te.w
+      |JOIN sp ste ON te.doc_id = ste.doc_id AND ste.split = 'test'
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY shared_windows DESC, train_id, test_id""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -250,6 +303,9 @@ object LlmQueries {
       Dedup.dedupCorpus(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "txt_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
+    "txt_contamination" -> ((s, d) => TextAnalysis.contaminationPairs(s, d)),
+    "dd_delta" -> ((s, d) =>
+      Dedup.dedupDelta(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
@@ -281,6 +337,8 @@ object LlmQueries {
     "dd_corpus_dedup" -> ddCorpusDedupSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,
     "txt_repetition" -> txtRepetitionSql,
+    "txt_contamination" -> txtContaminationSql,
+    "dd_delta" -> ddDeltaSql,
     "dd_embed_pairs" -> ddEmbedPairsSql,
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,

@@ -223,6 +223,54 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Train/test CONTAMINATION pairs — the decontamination primitive: a
+    * training document sharing ≥ `minShared` distinct [[RollWindow]]-token
+    * windows with a test-split document leaks benchmark text into
+    * training. Splits come from [[splitAssign]]'s hash (pure function
+    * of doc id); windows are md5 of the 4-token string so the DuckDB
+    * oracle reproduces them exactly (the xxhash64 form in
+    * [[rollingFingerprints]] is the cheaper production variant — same
+    * shape, weaker gate). Scale: one lead-chain window pass, then a
+    * group per window carrying its (train, test) posting lists —
+    * bipartite pairs explode executor-local and partially aggregate
+    * map-side, never a train×test join; window hashes are near-unique
+    * so group sizes are bounded like every posting explode here. */
+  def contaminationPairs(spark: SparkSession, dir: String,
+                         minShared: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))
+      .cast("binary")), 1, 2)
+    val splitCol = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"))
+      .select(col("doc_id"), col("pos"), col("t0"),
+        lead(col("t0"), 1).over(w).as("t1"),
+        lead(col("t0"), 2).over(w).as("t2"),
+        lead(col("t0"), 3).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"))
+          .cast("binary")).as("w"))
+      .distinct()
+      .withColumn("split", splitCol)
+      .filter(col("split") =!= "val")
+    wins.groupBy(col("w"))
+      .agg(
+        sort_array(collect_list(when(col("split") === "train", col("doc_id"))))
+          .as("trs"),
+        sort_array(collect_list(when(col("split") === "test", col("doc_id"))))
+          .as("tes"))
+      .filter(size(col("trs")) > 0 && size(col("tes")) > 0)
+      .select(explode(col("trs")).as("train_id"), col("tes"))
+      .select(col("train_id"), explode(col("tes")).as("test_id"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+      .orderBy(col("shared_windows").desc, col("train_id"), col("test_id"))
+  }
+
   /** Per-doc repetition scores — the Gopher/C4-style repetition quality
     * signals: bigram duplication (1 − distinct/total) and the fraction
     * of the doc covered by its single most frequent bigram. High values
