@@ -304,6 +304,7 @@ object LlmQueries {
     "txt_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
     "txt_contamination" -> ((s, d) => TextAnalysis.contaminationPairs(s, d)),
+    "txt_cms_terms" -> ((s, d) => TextAnalysis.cmsTermCounts(s, d)),
     "dd_delta" -> ((s, d) =>
       Dedup.dedupDelta(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),

@@ -223,6 +223,29 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** CMS term-frequency estimates vs exact counts for the corpus's
+    * top-k terms: one mergeable d×w Count-Min sketch over ALL term
+    * occurrences (map-side partial merges — no term-frequency shuffle),
+    * probed for the exact top-k candidates. The output pairs every
+    * exact count with its sketch estimate, making the CMS one-sided
+    * error bound directly visible (and spec-gated: estimates never
+    * undercount, overcount ≤ εN). Rows-only in CORRECTNESS (xxhash
+    * sketches aren't DuckDB-reproducible); CmsSpec is the gate. The
+    * 1-row sketch cross join is the same allow-listed shape as the
+    * global-average queries. */
+  def cmsTermCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    require(spark.catalog.functionExists("cms_sketch"),
+      "txt_cms_terms needs GraftExtensions (spark.sql.extensions=graft.plans.GraftExtensions)")
+    val sketch = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("term"))
+      .agg(call_function("cms_sketch", col("term")).as("sk"))
+    termTopK(spark, dir, k)
+      .crossJoin(sketch)
+      .select(col("term"), col("n").as("n_exact"),
+        call_function("cms_estimate", col("sk"), col("term")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
   /** Train/test CONTAMINATION pairs — the decontamination primitive: a
     * training document sharing ≥ `minShared` distinct [[RollWindow]]-token
     * windows with a test-split document leaks benchmark text into

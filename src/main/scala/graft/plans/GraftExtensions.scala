@@ -48,6 +48,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "kmv_sketch takes 1 or 2 arguments: kmv_sketch(col[, k])")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      (args: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int = e match {
+          case x if x.foldable => x.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"cms_sketch: $what must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"cms_sketch: $what must be a literal, not a column")
+        }
+        args match {
+          case Seq(child) => CmsSketchAgg(child).toAggregateExpression()
+          case Seq(child, d, w) =>
+            CmsSketchAgg(child, lit(d, "depth"), lit(w, "width")).toAggregateExpression()
+          case _ => throw new IllegalArgumentException(
+            "cms_sketch takes 1 or 3 arguments: cms_sketch(col[, depth, width])")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_estimate takes exactly 2 arguments")
+        CmsEstimate(args.head, args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("kmv_card"),
       new ExpressionInfo(classOf[KmvCardinality].getName, "kmv_card"),
       (args: Seq[Expression]) => {
