@@ -322,7 +322,8 @@ object LlmQueries {
     "txt_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprintSummary(s, d)),
     "txt_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
-    "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d))
+    "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d)),
+    "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d))
   )
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /

@@ -306,4 +306,25 @@ object Multimodal {
         sum(length(col("payload"))).as("payload_bytes"),
         sum(col("meta.width")).as("width_total"))
       .orderBy(col("format"))
+
+  /** Rollup over the DECODE stage's output — the registered entry for
+    * the feature-extraction path (mm_meta_stats covers only metadata):
+    * per decode outcome, row count, byte total, and an order-independent
+    * XOR fold of the per-payload checksums (XOR, not SUM — checksums
+    * span the full long range and ANSI mode makes an overflowing SUM an
+    * error, while XOR is exact and commutative). Deterministic on any
+    * corpus (real decodes and the stub are both deterministic), but the
+    * rolling checksums aren't DuckDB-expressible → rows-only; the
+    * decode semantics themselves are gated by MultimodalSpec's real
+    * PNG/BMP/GIF/WAV round-trips. */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{bit_xor => bxor}
+    decodeFeatures(mediaFrame(spark, dir)).toDF()
+      .groupBy(col("decoded"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_bytes").cast("long")).as("bytes_total"),
+        bxor(col("checksum")).as("checksum_xor"))
+      .orderBy(col("decoded"))
+  }
 }

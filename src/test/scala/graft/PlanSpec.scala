@@ -33,6 +33,31 @@ class PlanSpec extends SparkSpec {
       s"scan reads too much: $readSchema")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact side of a shuffle join") {
+    // At warehouse scale a selective dimension predicate should reach
+    // the fact scan as a runtime bloom filter (Spark's InjectRuntimeFilter)
+    // when the dim side is too big to broadcast. Locally the tables sit
+    // under the size thresholds, so pin them down for the assertion.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf).filter(col("o_totalprice") > 500000)
+      val joined = Tables.lineitem(spark, sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q6's range predicates reach the parquet scan as pushed filters") {
     val p = plan(graft.queries.Relational.q6ForecastRevenue(spark, sf))
     assert(p.contains("PushedFilters:") &&
