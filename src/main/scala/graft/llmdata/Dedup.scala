@@ -93,9 +93,12 @@ object Dedup {
 
   /** Unpersist every memoized postings cache (idempotent). Bench calls
     * this after the query sweep; Verify's JVM exit covers it there. */
-  def releaseCaches(): Unit = postingsMemo.synchronized {
-    postingsMemo.valuesIterator.foreach(_.unpersist())
-    postingsMemo.clear()
+  def releaseCaches(): Unit = {
+    postingsMemo.synchronized {
+      postingsMemo.valuesIterator.foreach(_.unpersist())
+      postingsMemo.clear()
+    }
+    labelsMemo.synchronized { labelsMemo.clear() }
   }
 
   // ------------------------------------------------------- exact dedup
@@ -439,6 +442,24 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Memoized CC labels over the capped-Jaccard graph: nearDupClusters
+    * and dedupCorpus share them, and the label table is already
+    * materialized (localCheckpoint) when built — same per-(session,
+    * corpus) immutable-input contract as the postings memo, released by
+    * [[releaseCaches]] (localCheckpoint blocks are freed with the
+    * session; the memo only drops the plan references). */
+  private val labelsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, Double, Option[Long]), DataFrame]
+
+  private def jaccardLabelsFor(spark: SparkSession, dir: String, threshold: Double,
+                               maxDocFreq: Option[Long]): DataFrame =
+    labelsMemo.synchronized {
+      labelsMemo.getOrElseUpdate((spark, dir, threshold, maxDocFreq),
+        connectedComponents(
+          jaccardPairs(spark, dir, threshold, maxDocFreq)
+            .select(col("id_a"), col("id_b"))))
+    }
+
   /** Near-dup clusters over the exact capped-Jaccard pair graph
     * ([[jaccardPairs]] edges): one row per clustered document with its
     * cluster id (= min doc_id in the component), the cluster size, and
@@ -449,9 +470,7 @@ object Dedup {
     * recursive CTE ([[LlmQueries.ddClustersSql]]). */
   def nearDupClusters(spark: SparkSession, dir: String, threshold: Double,
                       maxDocFreq: Option[Long] = None): DataFrame = {
-    val edges = jaccardPairs(spark, dir, threshold, maxDocFreq)
-      .select(col("id_a"), col("id_b"))
-    val labels = connectedComponents(edges)
+    val labels = jaccardLabelsFor(spark, dir, threshold, maxDocFreq)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
@@ -476,8 +495,7 @@ object Dedup {
         md5(col("text").cast("binary")).as("h"),
         size(split(col("text"), " ")).as("n_tokens"))
     val surv = docs.groupBy(col("h")).agg(min(col("doc_id")).as("min_id"))
-    val ndDrop = connectedComponents(
-      jaccardPairs(spark, dir, threshold, maxDocFreq).select(col("id_a"), col("id_b")))
+    val ndDrop = jaccardLabelsFor(spark, dir, threshold, maxDocFreq)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"), lit(true).as("nd"))
     docs.join(surv, "h")
