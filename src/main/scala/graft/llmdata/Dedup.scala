@@ -98,7 +98,7 @@ object Dedup {
       postingsMemo.valuesIterator.foreach(_.unpersist())
       postingsMemo.clear()
     }
-    labelsMemo.synchronized { labelsMemo.clear() }
+    labelsMemo.clear()
   }
 
   // ------------------------------------------------------- exact dedup
@@ -235,6 +235,15 @@ object Dedup {
     // streams its rows against it, emitting ONLY pairs that pass the
     // threshold. Per-pair arithmetic is [[Similarity.cosine6]], bit-
     // identical to the Column form, so the oracle hash is unchanged.
+    // Resident-side guard: the old BNLJ plan's broadcast-size check is
+    // re-owned here as an explicit cap with an actionable message — at
+    // 5M×64 floats (~1.3 GB) the resident side still fits a task
+    // comfortably; beyond it, the all-pairs FLOPs are prohibitive long
+    // before memory is, and embeddingNearDup is the scale path.
+    val nSide = e.count()
+    require(nSide <= 5000000L,
+      s"embeddingNearDupExact is the all-pairs baseline (resident side; $nSide vectors " +
+        "exceeds the 5M cap) — use embeddingNearDup for large corpora")
     val side = spark.sparkContext.broadcast(e.collect().sortBy(_._1))
     // A tiny corpus may arrive as 1–2 scan partitions; spread the O(N²)
     // kernel across the cluster (shuffling N id+vector rows is noise
@@ -266,7 +275,18 @@ object Dedup {
             dot += xi * vb(i).toDouble; na += xi * xi
             i += 1
           }
-          val raw = dot / (math.sqrt(na) * norms(j))
+          // CosineSim accumulates BOTH norms over min(len) — the
+          // precomputed full-length norm is only valid when lengths
+          // match; ragged pairs take the exact slow path so the kernel
+          // stays bit-identical to the Column form on any input
+          val nb =
+            if (vb.length == n) norms(j)
+            else {
+              var s2 = 0.0; var i2 = 0
+              while (i2 < n) { s2 += vb(i2).toDouble * vb(i2).toDouble; i2 += 1 }
+              math.sqrt(s2)
+            }
+          val raw = dot / (math.sqrt(na) * nb)
           if (raw >= guard) {
             val cos = Similarity.round6(raw)
             if (cos >= threshold) out += ((idA, s(j)._1, cos))
@@ -324,7 +344,20 @@ object Dedup {
             val n = math.min(va.length, vb.length)
             var dot = 0.0; var k = 0
             while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-            val raw = dot / (norms(i) * norms(j))
+            // ragged pairs: recompute both norms over min(len) so the
+            // kernel matches CosineSim exactly (see embeddingNearDupExact)
+            val denom =
+              if (va.length == n && vb.length == n) norms(i) * norms(j)
+              else {
+                var sa = 0.0; var sb = 0.0; var k2 = 0
+                while (k2 < n) {
+                  sa += va(k2).toDouble * va(k2).toDouble
+                  sb += vb(k2).toDouble * vb(k2).toDouble
+                  k2 += 1
+                }
+                math.sqrt(sa) * math.sqrt(sb)
+              }
+            val raw = dot / denom
             if (raw >= guard) {
               val cos = Similarity.round6(raw)
               if (cos >= threshold) out += ((ms(i)._1, ms(j)._1, cos))
@@ -448,17 +481,19 @@ object Dedup {
     * corpus) immutable-input contract as the postings memo, released by
     * [[releaseCaches]] (localCheckpoint blocks are freed with the
     * session; the memo only drops the plan references). */
-  private val labelsMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String, Double, Option[Long]), DataFrame]
+  // per-key lazy holders (ProcessedStore pattern): the map insert is an
+  // allocation, the multi-round CC build runs inside the holder's lazy
+  // val — a caller for a DIFFERENT key never blocks behind it
+  private final class LabelHolder(thunk: () => DataFrame) { lazy val value: DataFrame = thunk() }
+  private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double, Option[Long]), LabelHolder]
 
   private def jaccardLabelsFor(spark: SparkSession, dir: String, threshold: Double,
                                maxDocFreq: Option[Long]): DataFrame =
-    labelsMemo.synchronized {
-      labelsMemo.getOrElseUpdate((spark, dir, threshold, maxDocFreq),
-        connectedComponents(
-          jaccardPairs(spark, dir, threshold, maxDocFreq)
-            .select(col("id_a"), col("id_b"))))
-    }
+    labelsMemo.computeIfAbsent((spark, dir, threshold, maxDocFreq),
+      k => new LabelHolder(() => connectedComponents(
+        jaccardPairs(k._1, k._2, k._3, k._4)
+          .select(col("id_a"), col("id_b"))))).value
 
   /** Near-dup clusters over the exact capped-Jaccard pair graph
     * ([[jaccardPairs]] edges): one row per clustered document with its

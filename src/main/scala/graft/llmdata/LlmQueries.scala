@@ -193,7 +193,9 @@ object LlmQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   /** Contamination mirror: identical md5 4-token windows + the
-    * [[txtSplitAssignSql]] split hash, bipartite pair counting. */
+    * [[txtSplitAssignSql]] split hash, window df-cap (16, over the
+    * train+test windows — same population the Spark side counts),
+    * bipartite pair counting. */
   val txtContaminationSql: String =
     """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |w AS (SELECT DISTINCT doc_id,
@@ -203,10 +205,13 @@ object LlmQueries {
       |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
       |              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
       |              ELSE 'test' END AS split
-      |       FROM documents)
+      |       FROM documents),
+      |wf AS (SELECT w.w FROM w JOIN sp USING (doc_id)
+      |       WHERE sp.split <> 'val' GROUP BY w.w HAVING COUNT(*) <= 16)
       |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
       |  COUNT(*) AS shared_windows
-      |FROM w tr JOIN sp str ON tr.doc_id = str.doc_id AND str.split = 'train'
+      |FROM w tr JOIN wf ON tr.w = wf.w
+      |JOIN sp str ON tr.doc_id = str.doc_id AND str.split = 'train'
       |JOIN w te ON tr.w = te.w
       |JOIN sp ste ON te.doc_id = ste.doc_id AND ste.split = 'test'
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2

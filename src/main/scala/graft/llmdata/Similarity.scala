@@ -142,8 +142,11 @@ object Similarity {
     * final centroids re-enter the plan as literals, exactly like a
     * trained index shipping with the job. An emptied cell keeps its
     * previous centroid. */
+  private final class CentroidHolder(thunk: () => Array[(Int, Seq[Float])]) {
+    lazy val value: Array[(Int, Seq[Float])] = thunk()
+  }
   private val centroidMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Array[(Int, Seq[Float])]]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CentroidHolder]
 
   /** Memoized trained centroids per (session, corpus dir) — training is
     * an offline index-build step, not per-query work; recomputing the
@@ -153,10 +156,8 @@ object Similarity {
     * session/job for it, as any offline ANN index does). */
   private[llmdata] def ivfCentroidsFor(spark: SparkSession,
                                        dir: String): Array[(Int, Seq[Float])] =
-    centroidMemo.synchronized {
-      centroidMemo.getOrElseUpdate((spark, dir),
-        ivfCentroids(spark, Tables.embeddings(spark, dir)))
-    }
+    centroidMemo.computeIfAbsent((spark, dir),
+      k => new CentroidHolder(() => ivfCentroids(k._1, Tables.embeddings(k._1, k._2)))).value
 
   private[llmdata] def ivfCentroids(spark: SparkSession,
                                     corpus: DataFrame): Array[(Int, Seq[Float])] = {
@@ -288,18 +289,21 @@ object Similarity {
     * data-scale. */
   val PqSampleCap = 512
 
+  // per-key lazy holder (ProcessedStore pattern) so an unrelated
+  // corpus's training job never blocks this one behind a global lock
+  private final class BookHolder(thunk: () => Array[Array[Array[Double]]]) {
+    lazy val value: Array[Array[Array[Double]]] = thunk()
+  }
   private val pqMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Array[Array[Array[Double]]]]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), BookHolder]
 
   /** Memoized per (session, corpus dir), like [[ivfCentroidsFor]]:
     * training is index-build, not per-query work; same immutable-input
     * contract. */
   private[llmdata] def pqCodebooksFor(spark: SparkSession,
                                       dir: String): Array[Array[Array[Double]]] =
-    pqMemo.synchronized {
-      pqMemo.getOrElseUpdate((spark, dir),
-        pqCodebooks(spark, Tables.embeddings(spark, dir)))
-    }
+    pqMemo.computeIfAbsent((spark, dir),
+      k => new BookHolder(() => pqCodebooks(k._1, Tables.embeddings(k._1, k._2)))).value
 
   /** Deterministic driver-side Lloyd per subspace over the stride
     * sample: seeds = every (S/K)-th sample subvector, L2 assignment
@@ -311,9 +315,16 @@ object Similarity {
     import spark.implicits._
     val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val n = vecs.count()
+    require(n > 0, "pq_codebooks: empty embeddings corpus")
     val step = math.max(1L, n / PqSampleCap)
-    val sample = vecs.filter(col("vec_id") % step === 0)
+    val strided = vecs.filter(col("vec_id") % step === 0)
       .collect().sortBy(_._1).take(PqSampleCap).map(_._2)
+    // ids need not be dense/zero-based — if the stride misses (sparse or
+    // offset id space), fall back to the first cap vectors by id, which
+    // is equally deterministic
+    val sample =
+      if (strided.nonEmpty) strided
+      else vecs.orderBy(col("vec_id")).limit(PqSampleCap).collect().map(_._2)
     val dim = sample.head.length
     val sub = dim / PqM
     Array.tabulate(PqM) { m =>

@@ -170,12 +170,21 @@ object TextAnalysis {
     * state and no shuffle beyond the final rollup. Salting the hash
     * input with the ":split" tag decorrelates this hash from any other
     * id-hash use (e.g. a second "sample" hash stays independent). */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))
+  /** THE split definition (salted md5 first-byte hex ranges, 80/10/10)
+    * — single source of truth for [[splitAssign]] and
+    * [[contaminationPairs]]; the oracle SQL mirrors repeat the
+    * constants by necessity (they must be literal SQL), so retune the
+    * cuts here AND in both mirrors together. */
+  def splitColumn(idCol: Column): Column = {
+    val h = substring(md5(concat(idCol.cast("string"), lit(":split"))
       .cast("binary")), 1, 2)
-    val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .select(col("source"), split.as("split"), size(toks(col("text"))).as("n_tokens"))
+      .select(col("source"), splitColumn(col("doc_id")).as("split"),
+        size(toks(col("text"))).as("n_tokens"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("tot_tokens"))
@@ -256,15 +265,19 @@ object TextAnalysis {
     * shape, weaker gate). Scale: one lead-chain window pass, then a
     * group per window carrying its (train, test) posting lists —
     * bipartite pairs explode executor-local and partially aggregate
-    * map-side, never a train×test join; window hashes are near-unique
-    * so group sizes are bounded like every posting explode here. */
+    * map-side, never a train×test join. Window hashes are near-unique
+    * on natural text, but a boilerplate window (license headers, shared
+    * templates) can post millions of docs — `maxDocFreq` drops windows
+    * above the cap BEFORE pair generation, the same explicit skew bound
+    * as [[Dedup.jaccardPairs]]'s df-cap (a window that common carries
+    * no contamination signal anyway). The cap is mirrored in the DuckDB
+    * oracle's HAVING. */
   def contaminationPairs(spark: SparkSession, dir: String,
-                         minShared: Int = 2): DataFrame = {
+                         minShared: Int = 2,
+                         maxDocFreq: Long = 16L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))
-      .cast("binary")), 1, 2)
-    val splitCol = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    val splitCol = splitColumn(col("doc_id"))
     val wins = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("t0"))
@@ -279,7 +292,11 @@ object TextAnalysis {
       .distinct()
       .withColumn("split", splitCol)
       .filter(col("split") =!= "val")
-    wins.groupBy(col("w"))
+    val rare = wins.groupBy(col("w"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+      .select(col("w"))
+    wins.join(rare, "w")
+      .groupBy(col("w"))
       .agg(
         sort_array(collect_list(when(col("split") === "train", col("doc_id"))))
           .as("trs"),

@@ -68,7 +68,7 @@ object Cms {
     require(bytes.length >= 16, s"not a cms sketch: ${bytes.length} bytes")
     val bb = ByteBuffer.wrap(bytes)
     val d = bb.getInt; val w = bb.getInt
-    require(d >= 1 && d <= 32 && w >= 1 && bytes.length == 16 + 8L * d * w,
+    require(d >= 1 && d <= 32 && w >= 1 && w <= (1 << 24) && bytes.length == 16 + 8L * d * w,
       s"not a cms sketch: header d=$d w=$w for ${bytes.length} bytes")
     val buf = new Array[Long](3 + d * w)
     buf(0) = d; buf(1) = w; buf(2) = bb.getLong
@@ -105,9 +105,13 @@ case class CmsSketchAgg(
   override def prettyName: String = "cms_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (depth < 1 || depth > 32 || width < 1)
+    // width cap keeps d·w (and the 8·d·w serialized size) far from Int
+    // overflow — a 2^24-wide, 32-deep sketch is already a 4 GB buffer
+    // nobody means to ask for; reject at analysis, not with a negative
+    // allocation mid-job
+    if (depth < 1 || depth > 32 || width < 1 || width > (1 << 24))
       TypeCheckResult.TypeCheckFailure(
-        s"cms_sketch requires 1 <= depth <= 32 and width >= 1, got d=$depth w=$width")
+        s"cms_sketch requires 1 <= depth <= 32 and 1 <= width <= ${1 << 24}, got d=$depth w=$width")
     else child.dataType match {
       case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
       case dt => TypeCheckResult.TypeCheckFailure(

@@ -82,15 +82,29 @@ object ProcessedStore {
       .write.mode("overwrite")
       .partitionBy("Year", "Month", "Day")
     if (sys.env.contains("SPARK_GRAFT_PROCESSED_DIR")) {
-      // Stage + rename so readers of a pre-existing store never observe
-      // the overwrite mid-flight (rename is atomic on HDFS/posix; object
-      // stores need a manifest commit instead — single-writer assumed).
+      // Stage + rename: a reader never observes a HALF-WRITTEN table
+      // (the rename itself is atomic on HDFS/posix). Re-materializing
+      // over an existing store still has a delete→rename gap in which
+      // the path is briefly absent — eliminating that too needs a
+      // pointer/manifest layer (or Iceberg-style commits), out of scope
+      // for this single-writer store; readers of a store being replaced
+      // can see FileNotFound and should retry. Rename failure is an
+      // error, never a silently-cached broken path.
       val staged = s"$out.tmp-${ProcessHandle.current().pid()}"
       writer.parquet(staged)
       val hc = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hc)
       fs.delete(new org.apache.hadoop.fs.Path(out), true)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(out))
+      val renamed =
+        try fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(out))
+        catch { case e: java.io.IOException => throw new IllegalStateException(
+          s"processed-store rename $staged -> $out failed", e) }
+      if (!renamed) {
+        fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+        throw new IllegalStateException(
+          s"processed-store rename $staged -> $out returned false " +
+            "(concurrent writer or filesystem without atomic rename?)")
+      }
     } else writer.parquet(out)
     out
   }
