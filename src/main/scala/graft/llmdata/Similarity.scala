@@ -198,7 +198,7 @@ object Similarity {
                            take: Int): Column = {
     // rank cells by cosine via sort of (negated sim, cell) structs —
     // pure column algebra, no UDF
-    val scored = array(centroids.map { case (cid, cvec) =>
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cvec) =>
       struct((-cosineBest(spark, vec, typedlit(cvec))).as("neg"),
         lit(cid).as("cell"))
     }: _*)

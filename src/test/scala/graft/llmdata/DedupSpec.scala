@@ -122,6 +122,12 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("cluster resolution on an edgeless graph returns empty, not an error") {
+    // jaccard is ≤ 1, so threshold 1.5 yields zero pairs: the CC loop
+    // must converge immediately on an empty node set
+    assert(Dedup.nearDupClusters(spark, sf, 1.5).count() === 0)
+  }
+
   test("cluster resolution keeps exactly one canonical doc per cluster") {
     val cl = Dedup.nearDupClusters(spark, sf, 0.2,
       maxDocFreq = Some(LlmQueries.JaccardDocFreqCap)).cache()
