@@ -308,6 +308,66 @@ object Relational {
       |WHERE s_nat.n_name <> c_nat.n_name
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q8
+  /** q8: market share (TPC-H Q8 shape) — one nation's fraction of
+    * regional revenue per order year, as a conditional aggregate ratio
+    * (`sum(when)` / `sum`) over one join pass: both sums come from the
+    * same shuffled aggregate, so the share costs nothing beyond the
+    * base rollup. Decimal-exact numerator/denominator; one final
+    * double division. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("n_name") === "NATION_0", dec(col("o_totalprice")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(dec(col("o_totalprice"))).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("o_year"))
+
+  val q8Sql: String =
+    """SELECT r_name, year(o_orderdate) AS o_year,
+      |  CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mkt_share,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q18
+  /** q18: large-volume customers (TPC-H Q18 shape) — aggregate-then-
+    * filter (HAVING) with a dimension join AFTER the reduction: the
+    * per-customer rollup shrinks the facts to O(customers) before the
+    * name lookup, so the join input is the aggregate, never the fact
+    * table. */
+  def q18LargeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("total_value"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("total_value") > 3000000.0)
+    per.join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_value"), col("n_orders"))
+      .orderBy(col("total_value").desc, col("c_custkey"))
+  }
+
+  val q18Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |  HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 3000000.0)
+      |SELECT c_custkey, c_name, total_value, n_orders
+      |FROM per JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_value DESC, c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- q5
   /** q5: revenue per nation where customer and supplier share the
     * nation, restricted to one region — the 6-table join chain
@@ -527,6 +587,8 @@ object Relational {
     "q5_nation_revenue" -> q5NationRevenue _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
     "q7_trade_volume" -> q7TradeVolume _,
+    "q8_market_share" -> q8MarketShare _,
+    "q18_large_volume_customers" -> q18LargeVolumeCustomers _,
     "q14_order_count_distribution" -> q14OrderCountDistribution _,
     "q16_small_quantity_value" -> q16SmallQuantityValue _,
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -548,6 +610,8 @@ object Relational {
     "q5_nation_revenue" -> q5Sql,
     "q6_forecast_revenue" -> q6Sql,
     "q7_trade_volume" -> q7Sql,
+    "q8_market_share" -> q8Sql,
+    "q18_large_volume_customers" -> q18Sql,
     "q14_order_count_distribution" -> q14Sql,
     "q16_small_quantity_value" -> q16Sql,
     "q1_pricing_summary" -> q1Sql,
