@@ -277,8 +277,12 @@ object TextAnalysis {
                          maxDocFreq: Long = 16L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val splitCol = splitColumn(col("doc_id"))
     val wins = Tables.documents(spark, dir)
+      // split is a pure function of doc_id: drop val docs BEFORE the
+      // window explode so a tenth of the corpus never enters the
+      // expensive pass (same plan a 100 TB run wants)
+      .withColumn("split", splitColumn(col("doc_id")))
+      .filter(col("split") =!= "val")
       .select(col("doc_id"), posexplode(toks(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("t0"))
       .select(col("doc_id"), col("pos"), col("t0"),
@@ -290,8 +294,14 @@ object TextAnalysis {
         md5(concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"))
           .cast("binary")).as("w"))
       .distinct()
-      .withColumn("split", splitCol)
-      .filter(col("split") =!= "val")
+      // split is re-derived (pure function of doc_id) rather than
+      // threaded through the window pass
+      .withColumn("split", splitColumn(col("doc_id")))
+      // both the df-cap pass and the posting-list pass read the window
+      // table; checkpoint it once instead of re-running the
+      // explode+window+md5 chain per consumer (at scale this is the
+      // materialized window index a decontamination job would persist)
+      .localCheckpoint()
     val rare = wins.groupBy(col("w"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
       .select(col("w"))
