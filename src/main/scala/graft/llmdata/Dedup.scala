@@ -481,6 +481,61 @@ object Dedup {
     * corpus) immutable-input contract as the postings memo, released by
     * [[releaseCaches]] (localCheckpoint blocks are freed with the
     * session; the memo only drops the plan references). */
+  /** Star-contraction connected components (alternating large-star /
+    * small-star, the published MapReduce CC algorithm): each round,
+    * LARGE-STAR connects every neighbor u > v to min(Γ⁺(v)) and
+    * SMALL-STAR connects every neighbor u ≤ v (and v itself) to it,
+    * halving component depth per round — O(log n) rounds on ANY graph,
+    * where [[connectedComponents]]' min-label propagation needs
+    * O(diameter) (a million-link chain = a million rounds there, ~20
+    * here). Each phase is one neighbor group-by for the per-node min
+    * plus one equi-join to emit, hash-partitioned on node id; edges are
+    * kept min-normalized (a < b) and checkpointed per round. At
+    * convergence the edge set IS the star (componentMin → member), so
+    * labels fall out without a final traversal.
+    *
+    * The near-dup queries default to min-label propagation because
+    * band-collision graphs have tiny diameters and its rounds are
+    * cheaper; this variant is the drop-in for graphs whose diameter is
+    * unknown or adversarial (link graphs, co-citation). StarCcSpec
+    * (DedupSpec) proves both compute the identical labeling and that
+    * this one converges on a 1000-link chain in logarithmic rounds. */
+  def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    def normalize(df: DataFrame): DataFrame =
+      df.filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct()
+    def neighbors(e: DataFrame): DataFrame =
+      e.select(col("a").as("v"), col("b").as("u"))
+        .union(e.select(col("b").as("v"), col("a").as("u")))
+    // per-node m = min(Γ(v) ∪ {v})
+    def mins(nbrs: DataFrame): DataFrame =
+      nbrs.groupBy(col("v")).agg(min(col("u")).as("mu"))
+        .select(col("v"), least(col("mu"), col("v")).as("m"))
+    var e = normalize(edges.select(col("id_a").as("x"), col("id_b").as("y")))
+      .localCheckpoint()
+    var converged = e.isEmpty
+    while (!converged) {
+      val ln = neighbors(e)
+      val lm = mins(ln)
+      val large = normalize(ln.join(lm, "v").filter(col("u") > col("v"))
+        .select(col("u").as("x"), col("m").as("y")))
+      val sn = neighbors(large)
+      val sm = mins(sn)
+      val small = normalize(
+        sn.join(sm, "v").filter(col("u") <= col("v"))
+          .select(col("u").as("x"), col("m").as("y"))
+          .union(sm.select(col("v").as("x"), col("m").as("y"))))
+        .localCheckpoint()
+      converged = small.count() == e.count() &&
+        small.exceptAll(e).limit(1).isEmpty
+      e = small
+    }
+    // converged edges are (componentMin=a → member=b) stars
+    e.select(col("b").as("id"), col("a").as("cluster_id"))
+      .union(e.select(col("a").as("id"), col("a").as("cluster_id")).distinct())
+  }
+
   // per-key lazy holders (ProcessedStore pattern): the map insert is an
   // allocation, the multi-round CC build runs inside the holder's lazy
   // val — a caller for a DIFFERENT key never blocks behind it

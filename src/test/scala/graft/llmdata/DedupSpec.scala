@@ -122,6 +122,28 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("star-contraction CC equals min-label CC on the near-dup graph") {
+    val edges = Dedup.jaccardPairs(spark, sf, 0.2,
+      maxDocFreq = Some(LlmQueries.JaccardDocFreqCap)).select("id_a", "id_b")
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labelSet(Dedup.connectedComponentsStar(edges))
+      === labelSet(Dedup.connectedComponents(edges)))
+  }
+
+  test("star-contraction converges on a 1000-link chain (the O(diameter) killer)") {
+    // min-label propagation would need 999 rounds here; star contraction
+    // halves depth per round and finishes in ~log n
+    val chain = spark.range(999)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val labels = Dedup.connectedComponentsStar(chain).cache()
+    try {
+      assert(labels.count() === 1000)
+      assert(labels.filter(col("cluster_id") =!= 0L).count() === 0,
+        "every chain node must label to the component minimum 0")
+    } finally { labels.unpersist(); () }
+  }
+
   test("cluster resolution on an edgeless graph returns empty, not an error") {
     // jaccard is ≤ 1, so threshold 1.5 yields zero pairs: the CC loop
     // must converge immediately on an empty node set
