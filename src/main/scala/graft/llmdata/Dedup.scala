@@ -569,6 +569,24 @@ object Dedup {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** Semantic (embedding-space) dedup clusters — the SemDeDup-style
+    * flow: LSH-bucketed cosine near-dup pairs ([[embeddingNearDup]])
+    * resolved into clusters by connected components, one canonical
+    * vector kept per cluster. Rows-only in CORRECTNESS (hyperplane
+    * buckets aren't DuckDB-reproducible); DedupSpec proves the labels
+    * equal a union-find over the same pair set. */
+  def embeddingClusters(spark: SparkSession, dir: String,
+                        threshold: Double): DataFrame = {
+    val labels = connectedComponents(
+      embeddingNearDup(spark, dir, threshold).select(col("id_a"), col("id_b")))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("keep"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
   /** End-to-end corpus dedup accounting — the materialization step that
     * composes the whole family: drop exact copies (non-min doc per
     * content hash), then near-dup cluster non-canonicals (connected

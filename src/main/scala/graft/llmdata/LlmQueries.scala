@@ -315,6 +315,7 @@ object LlmQueries {
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
+    "dd_embed_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, 0.4)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "txt_rolling_overlap" -> ((s, d) => TextAnalysis.rollingOverlapPairs(s, d, 3)),
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d, 5, 10)),

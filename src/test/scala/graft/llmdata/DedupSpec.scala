@@ -144,6 +144,27 @@ class DedupSpec extends SparkSpec {
     } finally { labels.unpersist(); () }
   }
 
+  test("embedding clusters equal a union-find over the embedding near-dup pairs") {
+    val pairs = Dedup.embeddingNearDup(spark, sf, 0.4)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.embeddingClusters(spark, sf, 0.4)
+      .select(col("vec_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("cluster resolution on an edgeless graph returns empty, not an error") {
     // jaccard is ≤ 1, so threshold 1.5 yields zero pairs: the CC loop
     // must converge immediately on an empty node set
