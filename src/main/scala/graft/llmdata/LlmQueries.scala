@@ -217,6 +217,25 @@ object LlmQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY shared_windows DESC, train_id, test_id""".stripMargin
 
+  /** Filtered vector search mirror: quality predicate (≥40 tokens on
+    * the companion doc) pre-filters the corpus side, then brute-force
+    * cosine rank — the one ANN variant DuckDB can reproduce with a
+    * filter attached. */
+  val annFilteredTopkSql: String =
+    """WITH ok AS (SELECT doc_id FROM documents
+      |            WHERE len(string_split(text, ' ')) >= 40),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |      FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) AS sim
+      |      FROM q, embeddings e JOIN ok ON e.vec_id = ok.doc_id
+      |      WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |      FROM c)
+      |SELECT query_id, neighbor_id, rnk, sim FROM r
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -322,6 +341,7 @@ object LlmQueries {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
+    "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
@@ -350,6 +370,7 @@ object LlmQueries {
     "dd_embed_pairs" -> ddEmbedPairsSql,
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,
+    "ann_filtered_topk" -> annFilteredTopkSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,

@@ -276,6 +276,36 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** FILTERED vector search — the predicate+ANN combination every
+    * retrieval stack needs (metadata filter ∧ nearest-neighbor): the
+    * corpus side is restricted to vectors whose companion document
+    * passes a quality predicate (≥ `minTokens` tokens — vec_id aligns
+    * with doc_id), THEN ranked by exact cosine per query. Pre-filtering
+    * beats post-filtering a top-k (which can return < k after the
+    * filter); the predicate prunes the scan before any distance math,
+    * and at scale it composes with the IVF/PQ index scan the same way.
+    * Fully SQL-expressible ⇒ oracle-checked, unlike the hash-indexed
+    * variants. */
+  def filteredTopK(spark: SparkSession, dir: String,
+                   nQueries: Int, k: Int, minTokens: Int = 40): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val quality = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= minTokens)
+      .select(col("doc_id").as("neighbor_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(quality, "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------- PQ
   /** Product-quantization geometry: 8 subspaces × 16 centroids each
     * (4-bit codes) over the 64-dim embeddings — a vector compresses

@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "ea11_anomalous_hours" -> "cross join against a 1-row global average",
     "tx9_fraud_ratio_outliers" -> "cross join against a 1-row global rate",
     "ann_cosine_topk" -> "brute-force baseline: tiny broadcast query side (nQueries=5)",
+    "ann_filtered_topk" -> "filtered brute-force: tiny broadcast query side (nQueries=5)",
     "dd_embed_pairs" -> "exact all-pairs oracle baseline (scale path is dd_embed_neardup)",
     "ea17_kmv_overlap" -> "non-equi pair join over two 5-row sketch aggregates",
     "txt_cms_terms" -> "cross join against a 1-row global CMS sketch")
