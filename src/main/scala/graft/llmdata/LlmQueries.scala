@@ -236,6 +236,46 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, rnk, sim FROM r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** BM25 mirror of [[TextAnalysis.bm25TopK]]: identical expression
+    * tree (same literals, same left-to-right association — `2.2` and
+    * `0.25` are pre-folded on BOTH sides because `1.2 + 1` rounds to a
+    * different double than the literal `2.2`), identical micro-unit
+    * quantization `floor(x·1e6 + 0.5)` so per-doc sums are exact-long
+    * and order-free. */
+  val txtBm25Sql: String =
+    """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |st AS (SELECT COUNT(*)::DOUBLE AS n,
+      |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |       WHERE term IN ('vector', 'window', 'merge', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+      |m AS (SELECT tf.doc_id,
+      |        CAST(floor(
+      |          ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tf.tf * 2.2) /
+      |            (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+      |          * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |      FROM tf JOIN df ON tf.term = df.term
+      |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+      |SELECT doc_id, n_terms, score_micro, score_micro / 1000000.0 AS score
+      |FROM (SELECT doc_id, COUNT(*) AS n_terms,
+      |        CAST(SUM(micro) AS BIGINT) AS score_micro
+      |      FROM m GROUP BY doc_id)
+      |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin
+
+  /** Unigram-logprob mirror of [[TextAnalysis.unigramLogprob]] — same
+    * micro-unit quantization, exact-long per-doc sums. */
+  val txtUnigramLogprobSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM tok),
+      |freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |m AS (SELECT doc_id,
+      |        CAST(floor(ln(cnt / tot) * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |      FROM tok JOIN freq USING (term) CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -342,6 +382,8 @@ object LlmQueries {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
+    "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
@@ -371,6 +413,8 @@ object LlmQueries {
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
+    "txt_bm25_topk" -> txtBm25Sql,
+    "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,

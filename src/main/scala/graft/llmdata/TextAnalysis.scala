@@ -321,6 +321,97 @@ object TextAnalysis {
       .orderBy(col("shared_windows").desc, col("train_id"), col("test_id"))
   }
 
+  /** BM25 parameters (the standard Robertson/Lucene defaults) and the
+    * default keyword query for the registered entry. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("vector", "window", "merge", "spark")
+
+  /** BM25 keyword retrieval — the lexical-search half of every
+    * retrieval stack (the dense half is `Similarity.*TopK`). Scores
+    * `sum over query terms of idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`
+    * with the Lucene-style non-negative idf `ln((N−df+0.5)/(df+0.5)+1)`.
+    *
+    * Scale shape: the token stream is filtered to the query terms
+    * IMMEDIATELY after the explode (a |Q|-literal IN-list — the stream
+    * shrinks from corpus-tokens to query-term postings before any
+    * shuffle), df/tf both aggregate from that pruned stream with
+    * map-side partials, the |Q|-row df table and the 1-row corpus
+    * stats broadcast, and the final top-k is a `TakeOrderedAndProject`
+    * (no global sort materialization). Nothing driver-side; the only
+    * corpus-sized pass is the scan+explode.
+    *
+    * Determinism: per-(doc,term) scores are quantized to integer
+    * MICRO-units via `floor(x·1e6 + 0.5)` (identical formula in the
+    * DuckDB oracle — avoids engine-specific round() tie rules) and
+    * summed as exact longs, so the per-doc total is independent of
+    * float addition order across engines and partitionings. */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Bm25Query, k: Int = 15): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    // constants appear as the same decimal literals in the DuckDB
+    // mirror: `1.2 + 1` computed in binary rounds to a DIFFERENT double
+    // than the literal `2.2`, so k1+1 and 1-b are pre-folded here
+    val score = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), floor(score * lit(1000000.0) + lit(0.5)).as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("score_micro"))
+      .select(col("doc_id"), col("n_terms"), col("score_micro"),
+        (col("score_micro") / lit(1000000.0)).as("score"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-doc unigram log-probability — the CCNet-style perplexity
+    * proxy: score every document by the mean corpus log-likelihood of
+    * its tokens, `avg over positions of ln(count(term)/total_tokens)`.
+    * Unusually low scores mean rare-token noise (mojibake, code dumps,
+    * gibberish); a curation pass thresholds on this per language.
+    *
+    * Scale shape: term frequencies come from one hash-partitioned agg
+    * of the token stream; tokens then join the vocabulary-sized freq
+    * table on term — left as a shuffle join because a real vocabulary
+    * may not broadcast-fit, and Zipf-hot terms are exactly what AQE's
+    * runtime broadcast/skew handling re-plans (at this corpus scale it
+    * converts to a broadcast join at runtime). The 1-row total is an
+    * allow-listed broadcast cross join.
+    *
+    * Determinism: per-token log-probs are quantized to micro-units
+    * (`floor(x·1e6 + 0.5)`, identical in the DuckDB mirror) and summed
+    * as exact longs — the per-doc mean is float-addition-order-free. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val total = tok.agg(count(lit(1)).cast("double").as("tot"))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    tok.join(freq, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(col("cnt") / col("tot")) * lit(1000000.0) + lit(0.5)).as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro")).as("micro_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("micro_sum").cast("double") / lit(1000000.0) / col("n_tokens"))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc repetition scores — the Gopher/C4-style repetition quality
     * signals: bigram duplication (1 − distinct/total) and the fraction
     * of the doc covered by its single most frequent bigram. High values

@@ -48,4 +48,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.filter(col("n_types") > col("n_tokens")).count() === 0)
     assert(q.count() === Tables.documents(spark, sf).count())
   }
+
+  /** Write a tiny (doc_id, text) corpus as a documents.parquet table. */
+  private def tmpCorpus(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txt").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("bm25: tf monotone, non-matching docs absent, rarer term outranks") {
+    val tmp = tmpCorpus(Seq(
+      (1L, "spark spark spark pad pad"),   // tf(spark)=3
+      (2L, "spark pad pad pad pad"),       // tf(spark)=1, same dl
+      (3L, "pad pad pad pad pad"),         // no query term
+      (4L, "vector pad pad pad pad")))     // rarer term (df 1 vs 2), same dl
+    val r = TextAnalysis.bm25TopK(spark, tmp, Seq("spark", "vector"), 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(!r.contains(3L), "doc without any query term must not score")
+    assert(r(1L) > r(2L), "higher tf at equal length must score higher")
+    assert(r(4L) > r(2L), "rarer term (higher idf) must outrank at equal tf/dl")
+  }
+
+  test("unigram logprob: common-token docs outscore rare-token docs, exact mean") {
+    val tmp = tmpCorpus(Seq(
+      (1L, "a a a a"),
+      (2L, "a a a b")))
+    val r = TextAnalysis.unigramLogprob(spark, tmp).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 === 4 && r(2L)._1 === 4)
+    assert(r(1L)._2 > r(2L)._2, "the rare-token doc must score lower")
+    // doc 1 is uniform: every token has p = 7/8, so the mean IS ln(7/8)
+    // (up to the 1e-6 micro quantization)
+    assert(math.abs(r(1L)._2 - math.log(7.0 / 8.0)) < 1e-5)
+  }
 }
