@@ -276,6 +276,44 @@ object LlmQueries {
       |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Curation-report mirror of [[TextAnalysis.curationReport]]: same
+    * signals (inline length/TTR, bigram dup ratio, micro-quantized
+    * unigram log-prob), same first-failing-filter CASE order, same
+    * thresholds. */
+  val txtCurationReportSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+      |           len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |             / len(string_split(text, ' ')) AS ttr
+      |         FROM documents),
+      |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+      |pb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, COUNT(*) AS n_distinct,
+      |          CAST(SUM(c) AS BIGINT) AS n_bigrams FROM pb GROUP BY doc_id),
+      |rep2 AS (SELECT d.doc_id,
+      |           COALESCE(1 - rep.n_distinct::DOUBLE / rep.n_bigrams, 0.0) AS dup_ratio
+      |         FROM documents d LEFT JOIN rep USING (doc_id)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM tok),
+      |freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |mm AS (SELECT doc_id,
+      |         CAST(floor(ln(cnt / tot) * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |       FROM tok JOIN freq USING (term) CROSS JOIN tot),
+      |lp AS (SELECT doc_id,
+      |         CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS alp
+      |       FROM mm GROUP BY doc_id),
+      |v AS (SELECT b.source, b.n_tok,
+      |        CASE WHEN b.n_tok < 20 THEN 'too_short'
+      |             WHEN r.dup_ratio > 0.08 THEN 'repetitive'
+      |             WHEN b.ttr < 0.30 THEN 'low_diversity'
+      |             WHEN lp.alp < -3.43 THEN 'rare_tokens'
+      |             ELSE 'kept' END AS verdict
+      |      FROM base b JOIN rep2 r USING (doc_id) JOIN lp USING (doc_id))
+      |SELECT source, verdict, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens
+      |FROM v GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -287,6 +325,76 @@ object LlmQueries {
       |      FROM c)
       |SELECT query_id, neighbor_id, rnk, sim FROM r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** Hybrid RRF mirror of [[Similarity.hybridRrfTopK]]: dense arm =
+    * the [[annTopkSql]] shape at perArm=20; lexical arm = the BM25
+    * more-like-this with the query doc's distinct tokens as terms
+    * (same literals/association as [[txtBm25Sql]]); fusion = exact
+    * integer-rank micro contributions, full outer join. */
+  val annHybridRrfSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |        round(list_cosine_similarity(qe, e.embedding::DOUBLE[]), 6) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |dense AS (SELECT query_id, neighbor_id, rnk AS rnk_dense FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      |    FROM c) WHERE rnk <= 20),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |st AS (SELECT COUNT(*)::DOUBLE AS n,
+      |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |qt AS (SELECT doc_id AS query_id,
+      |         unnest(list_distinct(string_split(text, ' '))) AS term
+      |       FROM documents WHERE doc_id < 5),
+      |qv AS (SELECT DISTINCT term FROM qt),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfq AS (SELECT doc_id, term, COUNT(*) AS tf
+      |        FROM tok JOIN qv USING (term) GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tfq GROUP BY 1),
+      |m AS (SELECT qt.query_id, tfq.doc_id AS neighbor_id,
+      |        CAST(floor(
+      |          ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * (tfq.tf * 2.2) /
+      |            (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+      |          * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |      FROM tfq JOIN qt USING (term) JOIN df ON tfq.term = df.term
+      |      JOIN dl ON tfq.doc_id = dl.doc_id CROSS JOIN st
+      |      WHERE tfq.doc_id <> qt.query_id),
+      |lexs AS (SELECT query_id, neighbor_id,
+      |           CAST(SUM(micro) AS BIGINT) AS score_micro FROM m GROUP BY 1, 2),
+      |lex AS (SELECT query_id, neighbor_id, rnk_lex FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk_lex
+      |    FROM lexs) WHERE rnk_lex <= 20),
+      |f AS (SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+      |        COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+      |        COALESCE(CAST(floor(1000000.0 / (60 + d.rnk_dense) + 0.5) AS BIGINT), 0)
+      |          + COALESCE(CAST(floor(1000000.0 / (60 + l.rnk_lex) + 0.5) AS BIGINT), 0)
+      |          AS rrf_micro,
+      |        d.rnk_dense, l.rnk_lex
+      |      FROM dense d FULL JOIN lex l
+      |        ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id)
+      |SELECT query_id, neighbor_id, rnk, rrf_micro, rnk_dense, rnk_lex FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id) AS rnk
+      |  FROM f)
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** Shard-packing mirror of [[TextAnalysis.shardAssign]]: identical
+    * exclusive prefix sum per source and integer-exact arithmetic. */
+  val txtShardAssignSql: String =
+    """WITH d AS (SELECT source, doc_id,
+      |             len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+      |s AS (SELECT source, doc_id, n_tok,
+      |        CAST(floor(CAST(COALESCE(SUM(n_tok) OVER (
+      |            PARTITION BY source ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |          / 2000) AS BIGINT) AS shard_id
+      |      FROM d)
+      |SELECT source, shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM s GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin
 
   val txtTermTopkSql: String =
     """SELECT t AS term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
@@ -382,7 +490,10 @@ object LlmQueries {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
+    "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfTopK(s, d, 5, 10)),
     "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
+    "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
@@ -413,7 +524,10 @@ object LlmQueries {
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
+    "ann_hybrid_rrf" -> annHybridRrfSql,
     "txt_bm25_topk" -> txtBm25Sql,
+    "txt_curation_report" -> txtCurationReportSql,
+    "txt_shard_assign" -> txtShardAssignSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,

@@ -306,6 +306,82 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** HYBRID retrieval with reciprocal-rank fusion — the standard
+    * dense+lexical combination: for each query document, fuse (a) the
+    * exact cosine top-`perArm` over embeddings with (b) a BM25
+    * more-like-this top-`perArm` using the query doc's own distinct
+    * tokens as terms, by RRF: `score = Σ_arms 1/(rrfK + rank)`. RRF
+    * needs no score calibration between arms — only ranks — which is
+    * exactly why real retrieval stacks use it.
+    *
+    * Scale shape: the dense arm is the allow-listed broadcast baseline;
+    * the lexical arm restricts the corpus posting matrix to the query
+    * vocabulary via a broadcast semi-join BEFORE any scoring, then
+    * aggregates per (query, doc) with map-side partials; fusion is a
+    * full-outer equi-join of two top-`perArm` frames (≤ Q·perArm rows
+    * each). RRF contributions are pure integer-rank functions
+    * (`floor(1e6/(rrfK+rank)+0.5)` micro-units) — no cross-engine float
+    * risk at all in the fusion stage. */
+  def hybridRrfTopK(spark: SparkSession, dir: String,
+                    nQueries: Int, k: Int, perArm: Int = 20,
+                    rrfK: Int = 60): DataFrame = {
+    val toks = split(col("text"), " ")
+    val docs = Tables.documents(spark, dir)
+
+    val dense = bruteForceTopK(spark, dir, nQueries, perArm)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk_dense"))
+
+    // query vocabulary: (query_id, term) for the query docs' distinct tokens
+    val qt = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(toks)).as("term"))
+    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // corpus postings restricted to the query vocabulary before scoring
+    val tfq = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tfq.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
+    val lex = tfq
+      .join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        floor(score * lit(1000000.0) + lit(0.5)).as("micro"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("micro")).as("score_micro"))
+      .withColumn("rnk_lex", row_number().over(wLex))
+      .filter(col("rnk_lex") <= perArm)
+      .select(col("query_id"), col("neighbor_id"), col("rnk_lex"))
+
+    // RRF contribution is a pure function of the integer rank
+    def contrib(rnk: Column): Column =
+      when(rnk.isNull, 0L)
+        .otherwise(floor(lit(1000000.0) / (lit(rrfK) + rnk) + lit(0.5)))
+    val wFuse = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    dense.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (contrib(col("rnk_dense")) + contrib(col("rnk_lex"))).as("rrf_micro"),
+        col("rnk_dense"), col("rnk_lex"))
+      .withColumn("rnk", row_number().over(wFuse))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("rrf_micro"), col("rnk_dense"), col("rnk_lex"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------- PQ
   /** Product-quantization geometry: 8 subspaces × 16 centroids each
     * (4-bit codes) over the 64-dim embeddings — a vector compresses

@@ -232,6 +232,72 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Deterministic output-shard packing — the step between curation
+    * and tokenization: documents are packed, in stable doc_id order
+    * WITHIN each source, into shards of ~`shardTokens` tokens
+    * (`shard_id = floor(exclusive-prefix-sum(tokens) / shardTokens)`),
+    * so every re-run produces byte-identical shards (resumable
+    * tokenizer jobs, reproducible data orders). The prefix sum is a
+    * window partitioned BY SOURCE — each source packs in parallel;
+    * no global single-partition window (the unpartitioned form is the
+    * classic scale trap). Rolled up per (source, shard): doc count,
+    * token total, id range. Exact integer arithmetic end to end. */
+  def shardAssign(spark: SparkSession, dir: String,
+                  shardTokens: Long = 2000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / shardTokens))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  /** End-to-end curation report — the C4/Gopher-style multi-filter
+    * pipeline as ONE materialization pass: every document is assigned a
+    * verdict by the FIRST failing filter (too_short → repetitive →
+    * low_diversity → rare_tokens → kept), rolled up per source with
+    * kept/dropped token totals. First-failure attribution is what a
+    * real curation job reports (each doc counted once; filter order is
+    * the pipeline order), and the per-source rollup is the shard report
+    * a 100 TB run emits. One corpus scan per signal family (length/TTR
+    * inline, bigram stats, unigram log-probs), three doc-keyed shuffle
+    * joins, one rollup — no driver-side state. Thresholds are tuned to
+    * be non-vacuous on the synthetic corpus (every verdict arm fires at
+    * the oracle scales). All signals are double divisions of exact ints
+    * or micro-quantized sums, so the verdict — a pure comparison on
+    * them — is engine-portable and the DuckDB oracle hash-matches. */
+  def curationReport(spark: SparkSession, dir: String,
+                     minTokens: Int = 20,
+                     maxDupRatio: Double = 0.08,
+                     minTypeTokenRatio: Double = 0.30,
+                     minAvgLogprob: Double = -3.43): DataFrame = {
+    val t = toks(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(t).as("n_tok"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val rep = repetitionRaw(spark, dir, 0.2, 0.18)
+      .select(col("doc_id"), col("dup_ratio"))
+    val lp = unigramRaw(spark, dir)
+      .select(col("doc_id"), col("avg_logprob"))
+    base.join(rep, "doc_id").join(lp, "doc_id")
+      .select(col("source"), col("n_tok"),
+        when(col("n_tok") < minTokens, "too_short")
+          .when(col("dup_ratio") > maxDupRatio, "repetitive")
+          .when(col("ttr") < minTypeTokenRatio, "low_diversity")
+          .when(col("avg_logprob") < minAvgLogprob, "rare_tokens")
+          .otherwise("kept").as("verdict"))
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("tokens"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
   /** CMS term-frequency estimates vs exact counts for the corpus's
     * top-k terms: one mergeable d×w Count-Min sketch over ALL term
     * occurrences (map-side partial merges — no term-frequency shuffle),
@@ -395,7 +461,12 @@ object TextAnalysis {
     * Determinism: per-token log-probs are quantized to micro-units
     * (`floor(x·1e6 + 0.5)`, identical in the DuckDB mirror) and summed
     * as exact longs — the per-doc mean is float-addition-order-free. */
-  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramRaw(spark, dir).orderBy(col("doc_id"))
+
+  /** [[unigramLogprob]] without the presentation sort — the join input
+    * form [[curationReport]] consumes. */
+  private def unigramRaw(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val total = tok.agg(count(lit(1)).cast("double").as("tot"))
@@ -409,7 +480,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         (col("micro_sum").cast("double") / lit(1000000.0) / col("n_tokens"))
           .as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-doc repetition scores — the Gopher/C4-style repetition quality
@@ -424,7 +494,14 @@ object TextAnalysis {
     * exact integer counts ⇒ DuckDB-oracle hash-stable. */
   def repetitionScores(spark: SparkSession, dir: String,
                        maxDupRatio: Double = 0.2,
-                       maxTopFrac: Double = 0.18): DataFrame = {
+                       maxTopFrac: Double = 0.18): DataFrame =
+    repetitionRaw(spark, dir, maxDupRatio, maxTopFrac).orderBy(col("doc_id"))
+
+  /** [[repetitionScores]] without the presentation sort — the join
+    * input form [[curationReport]] consumes. */
+  private def repetitionRaw(spark: SparkSession, dir: String,
+                            maxDupRatio: Double,
+                            maxTopFrac: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val big = Tables.documents(spark, dir)
@@ -453,6 +530,5 @@ object TextAnalysis {
         coalesce(col("dup_ratio"), lit(0.0)).as("dup_ratio"),
         coalesce(col("top_frac"), lit(0.0)).as("top_frac"),
         coalesce(col("flagged"), lit(true)).as("flagged"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -18,11 +18,13 @@ class PlanAuditSpec extends SparkSpec {
     "tx9_fraud_ratio_outliers" -> "cross join against a 1-row global rate",
     "ann_cosine_topk" -> "brute-force baseline: tiny broadcast query side (nQueries=5)",
     "ann_filtered_topk" -> "filtered brute-force: tiny broadcast query side (nQueries=5)",
+    "ann_hybrid_rrf" -> "dense arm's brute-force broadcast query side + 1-row stats side",
     "dd_embed_pairs" -> "exact all-pairs oracle baseline (scale path is dd_embed_neardup)",
     "ea17_kmv_overlap" -> "non-equi pair join over two 5-row sketch aggregates",
     "txt_cms_terms" -> "cross join against a 1-row global CMS sketch",
     "txt_bm25_topk" -> "cross join against a 1-row corpus-stats side",
-    "txt_unigram_logprob" -> "cross join against a 1-row token-total side")
+    "txt_unigram_logprob" -> "cross join against a 1-row token-total side",
+    "txt_curation_report" -> "cross join against a 1-row token-total side (unigram signal)")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan audit: $name") {

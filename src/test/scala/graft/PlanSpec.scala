@@ -58,6 +58,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The engine's answer to join skew a salt can't reach (the skewed
+    // side is the JOIN input, not an aggregation): AQE's
+    // OptimizeSkewedJoin splits oversized shuffle partitions into
+    // parallel sub-reads at runtime. Locally everything is tiny, so pin
+    // the skew thresholds down and verify the mechanism actually fires
+    // — the executed plan must carry the skew=true SMJ marker. This is
+    // runtime behavior: the final adaptive plan exists only after an
+    // action. The join must be the terminal operator here: a downstream
+    // shuffle consumer (e.g. a groupBy on another key) makes
+    // OptimizeSkewedJoin decline the rewrite unless
+    // spark.sql.adaptive.forceOptimizeSkewedJoin is set.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying 200k of 210k rows — the classic Zipf join
+      // payload is hashed so the hot partition's shuffle bytes don't
+      // compress away under the skew threshold
+      val facts = spark.range(210000)
+        .select(when(col("id") < 200000, 0L).otherwise(col("id")).as("k"),
+          xxhash64(col("id")).as("v"), md5(col("id").cast("string")).as("pad"))
+      val dim = spark.range(1000).select(col("id").as("k"), lit("d").as("tag"))
+      val joined = facts.join(dim, "k")
+      // collect() drives THIS df's query execution — the adaptive plan
+      // only finalizes (and records the skew split) after an action on
+      // the same queryExecution
+      assert(joined.collect().length === 200000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q6's range predicates reach the parquet scan as pushed filters") {
     val p = plan(graft.queries.Relational.q6ForecastRevenue(spark, sf))
     assert(p.contains("PushedFilters:") &&

@@ -92,6 +92,30 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("sim") =!= col("sim_lsh")).count() === 0)
   }
 
+  test("hybrid RRF: fused score is the exact integer-rank sum, shape complete") {
+    val r = Similarity.hybridRrfTopK(spark, sf, 3, 10).collect()
+    def contrib(rnk: Any): Long = rnk match {
+      case null => 0L
+      case i: Int => math.floor(1000000.0 / (60 + i) + 0.5).toLong
+    }
+    // k results per query, and every row's rrf_micro is reproducible
+    // from its two arm ranks — the fusion stage cannot drift
+    assert(r.groupBy(_.getLong(0)).forall(_._2.length === 10))
+    r.foreach { row =>
+      assert(row.getLong(3) === contrib(row.get(4)) + contrib(row.get(5)),
+        s"rrf mismatch on $row")
+      assert(row.get(4) != null || row.get(5) != null,
+        "a fused row must come from at least one arm")
+    }
+    // within a query, rank order follows the fused score
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(2))
+      assert(byRank.map(_.getLong(3)).sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true
+      })
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding"))

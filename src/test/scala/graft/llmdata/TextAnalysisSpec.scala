@@ -73,6 +73,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L) > r(2L), "rarer term (higher idf) must outrank at equal tf/dl")
   }
 
+  test("curation report: verdicts partition the corpus, every arm fires, first-failure wins") {
+    val r = TextAnalysis.curationReport(spark, sf).collect()
+    val byVerdict = r.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    // a partition of the corpus: every doc counted exactly once
+    assert(byVerdict.values.sum === Tables.documents(spark, sf).count())
+    // thresholds are tuned so no verdict arm is vacuous at oracle scale
+    Seq("kept", "too_short", "repetitive", "low_diversity", "rare_tokens")
+      .foreach(v => assert(byVerdict.getOrElse(v, 0L) > 0L, s"vacuous arm: $v"))
+
+    // first-failure attribution: a doc that is BOTH short and repetitive
+    // lands in too_short (the earlier filter)
+    val tmp = tmpCorpus(Seq(
+      (1L, "x x x x x"),  // 5 tokens, dup_ratio 0.75: short AND repetitive
+      (2L, (0 until 40).map(i => s"w$i").mkString(" "))))  // clean
+    val v = TextAnalysis.curationReport(spark, tmp)
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(v.getOrElse("too_short", 0L) === 1L)
+    assert(v.getOrElse("repetitive", 0L) === 0L)
+  }
+
+  test("shard packing: contiguous ids, complete partition, bounded shard size") {
+    val docs = Tables.documents(spark, sf)
+    // 120-token target so sources actually split into multiple shards
+    // at the spec's tiny scale (docs average ~56 tokens)
+    val r = TextAnalysis.shardAssign(spark, sf, 120L).collect()
+    assert(r.map(_.getLong(2)).sum === docs.count())
+    r.groupBy(_.getString(0)).values.foreach { shards =>
+      val byShard = shards.sortBy(_.getLong(1))
+      // shard ids are dense from 0 and id ranges never interleave
+      assert(byShard.map(_.getLong(1)).toSeq === byShard.indices.map(_.toLong))
+      byShard.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          "shard id ranges must be contiguous, not interleaved")
+        case _ =>
+      }
+      // a shard exceeds the target only by its last (straddling) doc
+      // (corpus max doc length is 99 tokens)
+      byShard.dropRight(1).foreach { s =>
+        assert(s.getLong(3) < 120L + 100L,
+          s"shard overfull beyond one straddling doc: $s")
+      }
+      assert(byShard.length > 1, "target must split every source at this scale")
+    }
+  }
+
   test("unigram logprob: common-token docs outscore rare-token docs, exact mean") {
     val tmp = tmpCorpus(Seq(
       (1L, "a a a a"),
