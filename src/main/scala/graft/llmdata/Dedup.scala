@@ -99,6 +99,7 @@ object Dedup {
       postingsMemo.clear()
     }
     labelsMemo.clear()
+    embedPairsMemo.clear()
   }
 
   // ------------------------------------------------------- exact dedup
@@ -303,9 +304,24 @@ object Dedup {
     * a hyperplane band bucket (8 bands × 2 bits — the high-recall
     * banding; DedupSpec measures recall vs the exact baseline), then the
     * exact cosine filter. Same posting-list pair generation as the text
-    * dedups — never all-pairs. */
+    * dedups — never all-pairs. The pair set is memoized per (session,
+    * corpus, threshold) — [[embeddingClusters]] consumes the same edges,
+    * so the bucket kernel runs once per session, not once per query
+    * (same immutable-input contract as the postings memo; released by
+    * [[releaseCaches]]). */
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double): DataFrame =
+    embedPairsFor(spark, dir, threshold)
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+
+  private def embedPairsFor(spark: SparkSession, dir: String,
+                            threshold: Double): DataFrame =
+    embedPairsMemo.computeIfAbsent((spark, dir, threshold),
+      k => new LabelHolder(() =>
+        embedPairsKernel(k._1, k._2, k._3).localCheckpoint())).value
+
+  private def embedPairsKernel(spark: SparkSession, dir: String,
+                               threshold: Double): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val keys = Similarity.lshKeys(
@@ -370,7 +386,6 @@ object Dedup {
       }
       .toDF("id_a", "id_b", "cos_sim")
       .distinct()
-      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
   }
 
   // ----------------------------------------------------------- SimHash
@@ -442,9 +457,16 @@ object Dedup {
     * partitioned on node id, no driver-side graph. Lineage is severed
     * per round with `localCheckpoint` (an iterative plan would
     * otherwise grow by a join per round and re-execute from round 0 at
-    * every action), and the loop stops as soon as a round changes no
-    * label — an existence probe (`limit(1)`), not a full count. Round
-    * count is bounded by component DIAMETER, and near-dup components
+    * every action). Two round-count/round-cost trims, both exploiting
+    * that labels are MONOTONE NON-INCREASING: the seed label is already
+    * `min(id, Γ(id))` (one aggregate over the edge list — pair and
+    * star components converge a full round earlier than self-seeding),
+    * and convergence is detected by comparing Σlabel between rounds (a
+    * 1-row aggregate on the just-checkpointed table; unchanged sum ⟺
+    * no label moved) instead of a probe JOIN against the previous
+    * round. The sum is exact `decimal(38,0)` — a bigint sum of ~2^40
+    * ids over 10^12 nodes would overflow (ANSI error), decimal cannot.
+    * Round count is bounded by component DIAMETER, and near-dup components
     * are band-collision cliques-of-cliques with tiny diameters (2–4
     * observed on this corpus); an adversarial million-link chain would
     * instead want the O(log n)-round star-contraction variant
@@ -457,9 +479,13 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // edge derivation (e.g. the full jaccard plan) runs once, not per round
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -467,9 +493,12 @@ object Dedup {
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev"))
-        .limit(1).isEmpty
+      val s = labelSum(next)
+      // an empty graph sums to null on both sides: converged
+      converged =
+        if (s == null || prevSum == null) s == prevSum
+        else s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
     }
     labels.select(col("id"), col("label").as("cluster_id"))
@@ -542,6 +571,8 @@ object Dedup {
   private final class LabelHolder(thunk: () => DataFrame) { lazy val value: DataFrame = thunk() }
   private val labelsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Double, Option[Long]), LabelHolder]
+  private val embedPairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), LabelHolder]
 
   private def jaccardLabelsFor(spark: SparkSession, dir: String, threshold: Double,
                                maxDocFreq: Option[Long]): DataFrame =
@@ -578,7 +609,7 @@ object Dedup {
   def embeddingClusters(spark: SparkSession, dir: String,
                         threshold: Double): DataFrame = {
     val labels = connectedComponents(
-      embeddingNearDup(spark, dir, threshold).select(col("id_a"), col("id_b")))
+      embedPairsFor(spark, dir, threshold).select(col("id_a"), col("id_b")))
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
