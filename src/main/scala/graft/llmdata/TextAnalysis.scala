@@ -240,7 +240,12 @@ object TextAnalysis {
     * tokenizer jobs, reproducible data orders). The prefix sum is a
     * window partitioned BY SOURCE — each source packs in parallel;
     * no global single-partition window (the unpartitioned form is the
-    * classic scale trap). Rolled up per (source, shard): doc count,
+    * classic scale trap). If ONE source dominated the corpus its window
+    * partition would still serialize: the escape hatch is two-level
+    * packing (prefix-sum fixed id-range blocks per source, then offset
+    * by a per-block running total — same arithmetic, one extra tiny
+    * rollup), worth it only when a single source outgrows an executor.
+    * Rolled up per (source, shard): doc count,
     * token total, id range. Exact integer arithmetic end to end. */
   def shardAssign(spark: SparkSession, dir: String,
                   shardTokens: Long = 2000L): DataFrame = {

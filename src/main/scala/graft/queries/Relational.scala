@@ -244,6 +244,42 @@ object Relational {
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q23
+  /** q23: top supplier(s) by shipped revenue in a quarter (TPC-H Q15
+    * shape) — the aggregate-equals-MAX selection `LIMIT 1` cannot
+    * express (ties must ALL be returned). Shape: one shuffled rollup of
+    * the date-filtered scan to O(suppliers), the 1-row max broadcast
+    * back over that aggregate (never the fact table), an EQUALITY join
+    * on the revenue value (an equi key — no nested loop), and the
+    * supplier dimension joined after the reduction. Revenue sums are
+    * decimal-exact before the one double cast, so the max-equality
+    * comparison is engine-portable. */
+  def q23TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).cast("double").as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q23Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   // ---------------------------------------------------------------- q6
   /** q6: forecast-revenue-change — the pure scan-side query (TPC-H Q6
     * shape): conjunctive range predicates on date/discount/quantity and
@@ -599,7 +635,8 @@ object Relational {
     "q11_no_big_order_customers" -> q11NoBigOrderCustomers _,
     "q12_big_order_customers" -> q12BigOrderCustomers _,
     "q13_union_priorities" -> q13UnionPriorities _,
-    "q15_top_orders" -> q15TopOrders _
+    "q15_top_orders" -> q15TopOrders _,
+    "q23_top_supplier" -> q23TopSupplier _
   )
 
   val oracles: Map[String, String] = Map(
@@ -622,6 +659,7 @@ object Relational {
     "q11_no_big_order_customers" -> q11Sql,
     "q12_big_order_customers" -> q12Sql,
     "q13_union_priorities" -> q13Sql,
-    "q15_top_orders" -> q15Sql
+    "q15_top_orders" -> q15Sql,
+    "q23_top_supplier" -> q23Sql
   )
 }
