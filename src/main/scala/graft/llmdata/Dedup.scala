@@ -700,4 +700,80 @@ object Dedup {
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
       .orderBy(col("doc_id"))
   }
+
+  // ------------------------------------------------------------ PageRank
+  /** PageRank core over an undirected edge set (`id_a`/`id_b` columns,
+    * same contract as [[connectedComponents]]): fixed-iteration power
+    * method with damping, over the symmetrized graph. Centrality on the
+    * near-dup graph ranks CANONICAL candidates (the doc most linked to
+    * its duplicates is the best cluster representative) and, on link /
+    * co-citation graphs, is the classic quality prior a pretraining
+    * pipeline mixes into sampling weights.
+    *
+    * Scale shape: per iteration, one nodes-sized equi-join (rank ⋈
+    * degree → per-source contribution, computed ONCE per node, not per
+    * edge), one edges ⋈ contribution equi-join, one hash-partitioned
+    * group-by on the destination — the standard Pregel/GraphX round,
+    * every shuffle keyed on node id. The edge table is checkpointed once
+    * (derivation runs once, not per round); the rank frames are NOT
+    * checkpointed — at the default 3 fixed rounds the chained-join
+    * lineage is shallow and one deferred plan beats three eager
+    * materialization jobs (measured ~0.4 s saved at sf0.01). A
+    * variable-round variant (convergence-driven, like
+    * [[connectedComponents]]) would re-introduce a per-round
+    * `localCheckpoint` to keep lineage O(1). The node count is the only
+    * driver-side scalar (an O(1) aggregate, same legitimacy as the IVF
+    * centroid collect). In the symmetrized graph every node has an out-
+    * edge, so no dangling-mass redistribution term is needed.
+    *
+    * Determinism (the property that lets DuckDB oracle an ITERATIVE
+    * graph computation): ranks live as exact micro-unit longs; each
+    * per-node contribution is `floor(damping · prm / deg + 0.5)` — one
+    * double expression over exact longs with the identical literal and
+    * association on both engines — and per-destination totals are sums
+    * of longs, so every iteration is bit-reproducible regardless of
+    * partitioning or addition order. `teleportMicro` is pre-folded from
+    * the literal 0.15 on both sides (JVM `1.0 - 0.85` is a DIFFERENT
+    * double than the literal `0.15` — the BM25 pre-folding rule). */
+  def pageRankEdges(edges: DataFrame, iters: Int = 3,
+                    damping: Double = 0.85,
+                    teleport: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // edge derivation runs once, not per round
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // reused every round AND for the node count below
+    val n = deg.count()
+    if (n == 0) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("doc_id", "pr_micro", "pr")
+    }
+    val initMicro = math.floor(1000000.0 / n + 0.5).toLong
+    val teleMicro = math.floor(teleport * 1000000.0 / n + 0.5).toLong
+    var pr = deg.select(col("src").as("id"), lit(initMicro).as("prm"))
+    for (_ <- 1 to iters) {
+      val perSrc = pr.join(deg.withColumnRenamed("src", "id"), "id")
+        .select(col("id").as("src"),
+          floor(lit(damping) * col("prm") / col("deg") + lit(0.5)).as("c"))
+      pr = sym.join(perSrc, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"), (lit(teleMicro) + col("s")).as("prm"))
+    }
+    pr.select(col("id").as("doc_id"), col("prm").as("pr_micro"),
+        (col("prm").cast("double") / lit(1000000.0)).as("pr"))
+      .orderBy(col("pr_micro").desc, col("doc_id"))
+  }
+
+  /** [[pageRankEdges]] over the capped-Jaccard near-dup pair graph —
+    * the registered corpus entry (isolated documents carry no edges and
+    * are excluded, as in [[nearDupClusters]]). Oracle: the identical
+    * micro-exact power iteration unrolled as DuckDB CTEs
+    * ([[LlmQueries.ddPagerankSql]]). */
+  def pageRank(spark: SparkSession, dir: String, threshold: Double,
+               maxDocFreq: Option[Long] = None, iters: Int = 3): DataFrame =
+    pageRankEdges(
+      jaccardPairs(spark, dir, threshold, maxDocFreq)
+        .select(col("id_a"), col("id_b")),
+      iters)
 }

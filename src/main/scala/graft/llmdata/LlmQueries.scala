@@ -192,6 +192,48 @@ object LlmQueries {
       |WHERE d.doc_id % 5 = 4
       |ORDER BY d.doc_id""".stripMargin
 
+  /** PageRank mirror of [[Dedup.pageRank]] — the micro-exact power
+    * iteration UNROLLED as one CTE per round over the same
+    * capped-Jaccard pair graph. Rank state is BIGINT micro-units; the
+    * per-node contribution `FLOOR(0.85::DOUBLE * prm / deg + 0.5)` is
+    * the identical double expression (literal + association) as the
+    * Spark side — `::DOUBLE` matters: DuckDB's bare `0.85 * prm` is
+    * DECIMAL arithmetic, which rounds differently from the JVM double —
+    * so each round reproduces Spark's longs bit-for-bit and an
+    * ITERATIVE graph computation becomes hash-oracle-able. */
+  val ddPagerankSql: String = {
+    val iter = (i: Int) =>
+      s"""p$i AS (SELECT e.dst AS id,
+         |  CAST(FLOOR(0.15::DOUBLE * 1000000.0 / nn.n + 0.5) AS BIGINT)
+         |    + CAST(SUM(CAST(FLOOR(0.85::DOUBLE * p.prm / d.deg + 0.5) AS BIGINT)) AS BIGINT) AS prm
+         |  FROM e JOIN p${i - 1} p ON e.src = p.id JOIN deg d ON e.src = d.src, nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    s"""WITH $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |  WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |nn AS (SELECT COUNT(*) AS n FROM deg),
+      |p0 AS (SELECT src AS id,
+      |         CAST(FLOOR(1000000.0 / nn.n + 0.5) AS BIGINT) AS prm
+      |       FROM deg, nn),
+      |${iter(1)},
+      |${iter(2)},
+      |${iter(3)}
+      |SELECT id AS doc_id, prm AS pr_micro, prm::DOUBLE / 1000000.0 AS pr
+      |FROM p3 ORDER BY pr_micro DESC, doc_id""".stripMargin
+  }
+
   /** Contamination mirror: identical md5 4-token windows + the
     * [[txtSplitAssignSql]] split hash, window df-cap (16, over the
     * train+test windows — same population the Spark side counts),
@@ -479,6 +521,8 @@ object LlmQueries {
     "txt_cms_terms" -> ((s, d) => TextAnalysis.cmsTermCounts(s, d)),
     "dd_delta" -> ((s, d) =>
       Dedup.dedupDelta(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
+    "dd_pagerank" -> ((s, d) =>
+      Dedup.pageRank(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
@@ -491,6 +535,7 @@ object LlmQueries {
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfTopK(s, d, 5, 10)),
+    "ann_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 5, 20, 10)),
     "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
@@ -510,7 +555,10 @@ object LlmQueries {
     * (rows-only): hash functions / trained quantizers aren't
     * reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact
-    * cosine, so its reported sims are brute-force-identical). */
+    * cosine, so its reported sims are brute-force-identical).
+    * ann_mmr_rerank is likewise rows-only: a greedy argmax chain isn't
+    * SQL-expressible; SimilaritySpec gates it against a driver-side
+    * reference and the λ=1 ≡ brute-force identity. */
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
@@ -520,6 +568,7 @@ object LlmQueries {
     "txt_repetition" -> txtRepetitionSql,
     "txt_contamination" -> txtContaminationSql,
     "dd_delta" -> ddDeltaSql,
+    "dd_pagerank" -> ddPagerankSql,
     "dd_embed_pairs" -> ddEmbedPairsSql,
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,

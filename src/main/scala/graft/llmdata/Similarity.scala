@@ -568,4 +568,91 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  // ------------------------------------------------------------- MMR
+  /** Maximal-marginal-relevance diversity re-rank — the standard
+    * redundancy-killer between retrieval and consumption (diverse RAG
+    * context, diverse few-shot pools, dedup-aware eval sampling): from
+    * each query's exact top-`m` candidates, greedily pick `k` maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` (first pick = pure
+    * relevance over the empty set; ties broken by smaller neighbor id).
+    *
+    * Scale shape: candidate generation is the distributed exact top-m
+    * (broadcast query side, per-query window, no collect); the Q·m
+    * candidate table then BROADCASTS into the corpus-sized embedding
+    * table to fetch vectors (the big side never shuffles), and the
+    * greedy — inherently sequential per query, O(m·k) sims — runs
+    * executor-local inside `flatMapGroups`, one task per query.
+    * Queries are the parallelism axis; per-query state is bounded by m.
+    *
+    * Determinism: relevance and pairwise sims are the [[cosine6]]
+    * kernel (bit-identical to the Column form), and the greedy is a
+    * sequential fold per query — no distributed float-order exposure.
+    * Rows-only in CORRECTNESS (a greedy argmax chain isn't SQL);
+    * SimilaritySpec gates it against a driver-side reference plus the
+    * λ=1 ≡ brute-force-top-k identity. */
+  def mmrRerank(spark: SparkSession, dir: String, nQueries: Int,
+                m: Int, k: Int, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val cand = bruteForceTopK(spark, dir, nQueries, m)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val withVec = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(cand), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cands = it.map { case (_, nid, sim, vec) => (nid, sim, vec) }
+        .toArray.sortBy { case (nid, sim, _) => (-sim, nid) }
+      mmrSelect(cands, k, lambda).zipWithIndex.map {
+        case ((nid, rel, score), i) => (qid, nid, i + 1, rel, score)
+      }
+    }.toDF("query_id", "neighbor_id", "mmr_rank", "relevance", "mmr_score")
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** Greedy MMR kernel over ONE query's candidates (executor-local):
+    * maintains per-candidate max-sim-to-selected incrementally, so the
+    * whole selection is O(m·k) [[cosine6]] calls. Returns (id,
+    * relevance, mmr score at selection time) in pick order. */
+  private[llmdata] def mmrSelect(cands: Array[(Long, Double, Array[Float])],
+                                 k: Int,
+                                 lambda: Double): Seq[(Long, Double, Double)] = {
+    // −∞, not 0: max-sim-to-selected is legitimately NEGATIVE for a
+    // candidate anti-correlated with everything picked so far, and that
+    // negative penalty (a diversity BONUS) must survive into the score
+    val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
+    val chosen = Array.fill(cands.length)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    var step = 0
+    while (step < math.min(k, cands.length)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!chosen(i)) {
+          val score =
+            if (step == 0) cands(i)._2
+            else lambda * cands(i)._2 - (1.0 - lambda) * maxSim(i)
+          if (score > bestScore ||
+              (score == bestScore && (best < 0 || cands(i)._1 < cands(best)._1))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      chosen(best) = true
+      out += ((cands(best)._1, cands(best)._2, round6(bestScore)))
+      var j = 0
+      while (j < cands.length) {
+        if (!chosen(j)) {
+          val s = cosine6(cands(j)._3, cands(best)._3)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      step += 1
+    }
+    out.toSeq
+  }
 }

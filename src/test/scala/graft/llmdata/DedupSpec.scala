@@ -195,4 +195,62 @@ class DedupSpec extends SparkSpec {
         s"expected merged clusters, got $nDocs docs in $nClusters clusters")
     } finally { cl.unpersist(); () }
   }
+
+  /** Driver-side reference of [[Dedup.pageRankEdges]]'s micro-exact
+    * power iteration — identical literals/association, so the
+    * distributed result must match it bit-for-bit. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size
+    val init = math.floor(1000000.0 / n + 0.5).toLong
+    val tele = math.floor(0.15 * 1000000.0 / n + 0.5).toLong
+    var pr: Map[Long, Long] = deg.map { case (k, _) => k -> init }
+    for (_ <- 1 to iters) {
+      val contrib = pr.map { case (k, v) =>
+        k -> math.floor(0.85 * v / deg(k) + 0.5).toLong }
+      pr = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> (tele + es.iterator.map(e => contrib(e._1)).sum) }
+    }
+    pr
+  }
+
+  test("pagerank equals the micro-exact driver reference on a star+chain graph") {
+    // star 0-(1..5) plus chain 10-11-12: a hub, leaves, and a path
+    val edgeSeq = Seq[(Long, Long)](
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (10L, 11L), (11L, 12L))
+    val edges = spark.createDataFrame(edgeSeq).toDF("id_a", "id_b")
+    val got = Dedup.pageRankEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPageRank(edgeSeq, 3))
+    // the hub dominates its leaves; the chain middle dominates its ends
+    assert(got(0L) > got(1L) && got(11L) > got(10L) && got(12L) === got(10L))
+  }
+
+  test("pagerank on the near-dup graph: node set, positivity, mass conservation") {
+    val edges = Dedup.jaccardPairs(spark, sf, 0.2,
+      maxDocFreq = Some(LlmQueries.JaccardDocFreqCap)).select("id_a", "id_b")
+    val nodes = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id"))).distinct().count()
+    val pr = Dedup.pageRank(spark, sf, 0.2,
+      maxDocFreq = Some(LlmQueries.JaccardDocFreqCap)).cache()
+    try {
+      assert(pr.count() === nodes)
+      assert(pr.filter(col("pr_micro") <= 0).count() === 0)
+      // per round each node contributes ≤0.5 micro rounding error on its
+      // out-contribution and ≤0.5 on the teleport term: after 3 rounds
+      // total mass stays within 3·n micros of 1.0
+      val mass = pr.agg(sum(col("pr_micro"))).head.getLong(0)
+      assert(math.abs(mass - 1000000L) <= 3 * nodes,
+        s"mass $mass drifted more than rounding allows for $nodes nodes")
+      // exact distributed-vs-reference parity on the real corpus graph
+      val pairSeq = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === refPageRank(pairSeq, 3))
+    } finally { pr.unpersist(); () }
+  }
+
+  test("pagerank on an edgeless graph returns empty, not an error") {
+    assert(Dedup.pageRank(spark, sf, 1.5).count() === 0)
+  }
 }

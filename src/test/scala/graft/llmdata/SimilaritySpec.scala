@@ -116,6 +116,64 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR rerank equals a driver-side greedy reference and is shape-complete") {
+    val (nQ, m, k, lam) = (3, 20, 8, 0.7)
+    val got = Similarity.mmrRerank(spark, sf, nQ, m, k, lam).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    // shape: k rows per query, ranks 1..k, no duplicate picks
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size === nQ)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to k))
+      assert(rows.map(_._2).distinct.length === k)
+    }
+    // reference: independent greedy over the collected top-m candidates
+    val cand = Similarity.bruteForceTopK(spark, sf, nQ, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = cand.groupBy(_._1).flatMap { case (qid, rows) =>
+      var pool = rows.map { case (_, nid, sim) => (nid, sim) }
+        .sortBy { case (nid, sim) => (-sim, nid) }.toBuffer
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      while (sel.length < k && pool.nonEmpty) {
+        val scored = pool.map { case (nid, sim) =>
+          val pen =
+            if (sel.isEmpty) 0.0
+            else sel.map(s => Similarity.cosine6(vecs(nid), vecs(s._2))).max
+          val sc = if (sel.isEmpty) sim else lam * sim - (1.0 - lam) * pen
+          (nid, sim, sc)
+        }
+        val best = scored.minBy { case (nid, _, sc) => (-sc, nid) }
+        sel += ((qid, best._1, sel.length + 1, best._2))
+        pool = pool.filterNot(_._1 == best._1)
+      }
+      sel
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet === expected)
+  }
+
+  test("MMR with λ=1 degenerates to the brute-force top-k ordering") {
+    val mmr = Similarity.mmrRerank(spark, sf, 3, 20, 10, lambda = 1.0)
+      .select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(spark, sf, 3, 10)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mmr === brute)
+  }
+
+  test("MMR with λ=0 diversifies: picks differ from pure relevance order") {
+    val diverse = Similarity.mmrRerank(spark, sf, 3, 20, 10, lambda = 0.0)
+      .select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.mmrRerank(spark, sf, 3, 20, 10, lambda = 1.0)
+      .select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(diverse !== brute,
+      "pure-diversity selection should reorder at least one query's picks")
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding"))
