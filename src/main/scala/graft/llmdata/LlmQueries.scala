@@ -356,6 +356,31 @@ object LlmQueries {
       |  CAST(SUM(n_tok) AS BIGINT) AS tokens
       |FROM v GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
 
+  /** Dynamic-threshold mirror of [[TextAnalysis.dynamicThreshold]]:
+    * identical micro-exact avg_logprob, `quantile_cont` = Spark
+    * `percentile` (shared linear-interpolation definition, round 6),
+    * strict-less flag on the reproducible doubles. */
+  val txtDynamicThresholdSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM tok),
+      |freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |m AS (SELECT doc_id,
+      |        CAST(floor(ln(cnt / tot) * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |      FROM tok JOIN freq USING (term) CROSS JOIN tot),
+      |lp AS (SELECT doc_id,
+      |         CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
+      |       FROM m GROUP BY doc_id),
+      |s AS (SELECT d.source, lp.avg_logprob
+      |      FROM documents d JOIN lp USING (doc_id)),
+      |c AS (SELECT source, round(quantile_cont(avg_logprob, 0.1), 6) AS cutoff
+      |      FROM s GROUP BY source)
+      |SELECT s.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN s.avg_logprob < c.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  c.cutoff AS cutoff
+      |FROM s JOIN c USING (source)
+      |GROUP BY s.source, c.cutoff
+      |ORDER BY s.source""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -538,6 +563,7 @@ object LlmQueries {
     "ann_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 5, 20, 10)),
     "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
+    "txt_dynamic_threshold" -> ((s, d) => TextAnalysis.dynamicThreshold(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
@@ -576,6 +602,7 @@ object LlmQueries {
     "ann_hybrid_rrf" -> annHybridRrfSql,
     "txt_bm25_topk" -> txtBm25Sql,
     "txt_curation_report" -> txtCurationReportSql,
+    "txt_dynamic_threshold" -> txtDynamicThresholdSql,
     "txt_shard_assign" -> txtShardAssignSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "txt_term_topk" -> txtTermTopkSql,

@@ -487,6 +487,42 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Per-source DYNAMIC quality threshold — the adaptive-cutoff
+    * curation pass: instead of one global constant (a cut tuned for
+    * encyclopedia text guts code or forum text), each source drops its
+    * own worst `q` tail by unigram log-prob. Emits the per-source
+    * report: doc count, docs below the source's own P(q) cutoff, and
+    * the cutoff itself.
+    *
+    * Scale shape: scores are one corpus pass ([[unigramLogprob]]'s
+    * plan); the exact per-source percentile buffers each source's
+    * scores on a reducer (same caveat + `approx_percentile` escape
+    * hatch as the ea15 distribution query — t-digest is the 100 TB
+    * path, asserted equivalent-within-tolerance in SketchSpec for that
+    * family); the source-count-sized cutoff table then BROADCASTS back
+    * onto the scored docs, so the corpus never shuffles twice.
+    *
+    * Determinism: avg_logprob is micro-exact (identical doubles both
+    * engines); Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition, rounded to 6 decimals; the flag
+    * is a pure comparison of those reproducible doubles. */
+  def dynamicThreshold(spark: SparkSession, dir: String,
+                       q: Double = 0.10): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(unigramRaw(spark, dir).select(col("doc_id"), col("avg_logprob")),
+        "doc_id")
+    val cut = scored.groupBy(col("source"))
+      .agg(round(expr(s"percentile(avg_logprob, $q)"), 6).as("cutoff"))
+    scored.join(broadcast(cut), "source")
+      .groupBy(col("source"), col("cutoff"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("avg_logprob") < col("cutoff"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_flagged"), col("cutoff"))
+      .orderBy(col("source"))
+  }
+
   /** Per-doc repetition scores — the Gopher/C4-style repetition quality
     * signals: bigram duplication (1 − distinct/total) and the fraction
     * of the doc covered by its single most frequent bigram. High values

@@ -131,4 +131,33 @@ class TextAnalysisSpec extends SparkSpec {
     // (up to the 1e-6 micro quantization)
     assert(math.abs(r(1L)._2 - math.log(7.0 / 8.0)) < 1e-5)
   }
+
+  test("dynamic threshold: per-source P10 cutoffs match a driver-side quantile") {
+    val got = TextAnalysis.dynamicThreshold(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // reference: collect per-doc scores, linear-interpolation quantile
+    // (the percentile/quantile_cont definition), strict-less count
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scores = TextAnalysis.unigramLogprob(spark, sf).collect()
+      .map(r => srcOf(r.getLong(0)) -> r.getDouble(2))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    assert(got.keySet === scores.keySet)
+    scores.foreach { case (src, xs) =>
+      val pos = (xs.length - 1) * 0.1
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      val refCut = BigDecimal(xs(lo) + (pos - lo) * (xs(hi) - xs(lo)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nDocs, nFlagged, cutoff) = got(src)
+      assert(nDocs === xs.length)
+      assert(math.abs(cutoff - refCut) < 1e-9, s"$src cutoff $cutoff vs $refCut")
+      assert(nFlagged === xs.count(_ < refCut).toLong, s"flag count for $src")
+      // the cut is non-vacuous and actually adaptive: ~10% tail per source
+      assert(nFlagged > 0 && nFlagged < nDocs)
+    }
+    // cutoffs differ across sources — the reason a GLOBAL constant is wrong
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
 }
