@@ -564,6 +564,7 @@ object LlmQueries {
     "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
     "txt_dynamic_threshold" -> ((s, d) => TextAnalysis.dynamicThreshold(s, d)),
+    "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
@@ -584,7 +585,10 @@ object LlmQueries {
     * cosine, so its reported sims are brute-force-identical).
     * ann_mmr_rerank is likewise rows-only: a greedy argmax chain isn't
     * SQL-expressible; SimilaritySpec gates it against a driver-side
-    * reference and the λ=1 ≡ brute-force identity. */
+    * reference and the λ=1 ≡ brute-force identity. txt_bpe_merges is
+    * rows-only too (iterative list-fold state isn't reasonable SQL);
+    * TextAnalysisSpec gates it against an exact driver-side BPE
+    * reference. */
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,

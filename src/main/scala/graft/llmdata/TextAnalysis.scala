@@ -523,6 +523,72 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** BPE merge-table TRAINING — the tokenizer-construction step of a
+    * training-data pipeline, as a distributed iterative operator: start
+    * from characters, repeatedly merge the corpus-weighted most
+    * frequent adjacent symbol pair (ties: lexicographically smallest
+    * pair), emit the merge table (the artifact a tokenizer ships).
+    *
+    * Scale shape — the classic BPE-trainer optimization: the corpus is
+    * touched ONCE (word → frequency roll-up); every merge round then
+    * runs over the VOCABULARY-sized (word-sequence, freq) table — pair
+    * counting is one hash-partitioned agg of that small table, the
+    * arg-max is a `TakeOrderedAndProject` returning ONE row to the
+    * driver (the merge decision is the algorithm's inherent sequential
+    * state — O(numMerges) driver rows total), and the merge itself is a
+    * row-local fold. At 100 TB the corpus pass dominates and the rounds
+    * are noise; per-round `localCheckpoint` keeps the growing
+    * fold-chain plan flat. The per-row `aggregate` lambdas run
+    * interpreted — acceptable exactly BECAUSE the table is
+    * vocabulary-sized, never corpus-sized.
+    *
+    * Conventions (mirrored by the spec's reference): pair counts
+    * include overlapping occurrences ("aaa" counts (a,a) twice);
+    * merging is greedy left-to-right non-overlapping ("aaa" + (a,a) →
+    * [aa, a]). Deterministic end to end: exact long counts,
+    * lexicographic tie-break, no randomness — rows-only in CORRECTNESS
+    * (8 rounds of list-fold state are not reasonable SQL), gated by
+    * TextAnalysisSpec's exact driver-reference parity. */
+  def bpeMerges(spark: SparkSession, dir: String,
+                numMerges: Int = 12): DataFrame = {
+    import spark.implicits._
+    var seqs = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("seq"), col("freq"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= numMerges && !done) {
+      val top = seqs
+        .select(col("freq"), explode(expr(
+          """transform(slice(seq, 1, size(seq) - 1),
+            |  (s, i) -> struct(s AS a, element_at(seq, i + 2) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = a + b
+        merges += ((round, a, b, m, cnt))
+        seqs = seqs.select(
+          aggregate(col("seq"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+                .otherwise(concat(acc, array(x)))).as("seq"),
+          col("freq")).localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** Per-doc repetition scores — the Gopher/C4-style repetition quality
     * signals: bigram duplication (1 − distinct/total) and the fraction
     * of the doc covered by its single most frequent bigram. High values

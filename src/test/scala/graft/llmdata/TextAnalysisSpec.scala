@@ -160,4 +160,62 @@ class TextAnalysisSpec extends SparkSpec {
     // cutoffs differ across sources — the reason a GLOBAL constant is wrong
     assert(got.values.map(_._3).toSet.size > 1)
   }
+
+  /** Driver-side BPE trainer with [[TextAnalysis.bpeMerges]]'s exact
+    * conventions: overlapping pair counts, lexicographic tie-break,
+    * greedy left-to-right non-overlapping merge. */
+  private def refBpe(words: Seq[(String, Long)],
+                     m: Int): Seq[(Int, String, String, String, Long)] = {
+    var seqs = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= m && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      seqs.foreach { case (s, f) =>
+        var i = 0
+        while (i + 1 < s.length) { counts((s(i), s(i + 1))) += f; i += 1 }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        val mg = a + b
+        out += ((round, a, b, mg, cnt))
+        seqs = seqs.map { case (s, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc(acc.length - 1) = mg
+            else acc += x
+          }
+          (acc.toVector, f)
+        }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE merge training equals the driver-side reference trainer exactly") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = refBpe(words, 12)
+    val got = TextAnalysis.bpeMerges(spark, sf, 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(got.nonEmpty && got.forall { case (_, a, b, m, c) =>
+      m == a + b && c > 0 })
+  }
+
+  test("BPE merges apply in training order: a later merge can build on an earlier one") {
+    // "abab" x3: merge 1 = (a,b) -> ab; merge 2 must then see (ab,ab)
+    val tmp = tmpCorpus(Seq((1L, "abab abab abab")))
+    val got = TextAnalysis.bpeMerges(spark, tmp, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got(0) === ((1, "a", "b", 6L)))
+    assert(got(1) === ((2, "ab", "ab", 3L)))
+  }
 }
