@@ -381,6 +381,48 @@ object LlmQueries {
       |GROUP BY s.source, c.cutoff
       |ORDER BY s.source""".stripMargin
 
+  /** Mixture-weights mirror of [[TextAnalysis.mixtureWeights]]: exact
+    * token sums, double shares, micro-quantized α-power, exact-long
+    * normalizer. */
+  val txtMixtureWeightsSql: String =
+    """WITH ps AS (SELECT source,
+      |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |           FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT)::DOUBLE AS tot FROM ps),
+      |raw AS (SELECT source, tokens, tokens::DOUBLE / tot AS share,
+      |          CAST(floor(pow(tokens::DOUBLE / tot, 0.3::DOUBLE)
+      |            * 1000000.0 + 0.5) AS BIGINT) AS raw_micro
+      |        FROM ps CROSS JOIN tot),
+      |rt AS (SELECT CAST(SUM(raw_micro) AS BIGINT)::DOUBLE AS raw_tot FROM raw)
+      |SELECT source, tokens, share,
+      |  raw_micro::DOUBLE / raw_tot AS weight,
+      |  raw_micro::DOUBLE / raw_tot / share AS factor
+      |FROM raw CROSS JOIN rt ORDER BY source""".stripMargin
+
+  /** Diversity mirror of [[Similarity.labelDiversity]]: identical
+    * left-to-right norm fold, micro-quantized unit components, exact
+    * long sums per (label, dim), micro-quantized squared means. */
+  val embDiversitySql: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v,
+      |             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      |           FROM embeddings),
+      |u AS (SELECT label, dim,
+      |        CAST(floor(v[dim] / nrm * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |      FROM (SELECT label, v, nrm, unnest(range(1, len(v) + 1)) AS dim
+      |            FROM e WHERE nrm > 0)),
+      |d AS (SELECT label, dim, CAST(SUM(micro) AS BIGINT) AS s, COUNT(*) AS cnt
+      |      FROM u GROUP BY 1, 2),
+      |m AS (SELECT label, cnt,
+      |        CAST(floor((s::DOUBLE / 1000000.0 / cnt) * (s::DOUBLE / 1000000.0 / cnt)
+      |          * 1000000.0 + 0.5) AS BIGINT) AS mic2
+      |      FROM d),
+      |g AS (SELECT label, MAX(cnt) AS n_vectors, CAST(SUM(mic2) AS BIGINT) AS s2
+      |      FROM m GROUP BY 1)
+      |SELECT label, n_vectors,
+      |  round(sqrt(s2::DOUBLE / 1000000.0), 6) AS mean_norm,
+      |  round(1.0 - sqrt(s2::DOUBLE / 1000000.0), 6) AS diversity
+      |FROM g ORDER BY label""".stripMargin
+
   val annTopkSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -565,6 +607,8 @@ object LlmQueries {
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
     "txt_dynamic_threshold" -> ((s, d) => TextAnalysis.dynamicThreshold(s, d)),
     "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "txt_mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
+    "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
@@ -607,6 +651,8 @@ object LlmQueries {
     "txt_bm25_topk" -> txtBm25Sql,
     "txt_curation_report" -> txtCurationReportSql,
     "txt_dynamic_threshold" -> txtDynamicThresholdSql,
+    "txt_mixture_weights" -> txtMixtureWeightsSql,
+    "emb_diversity" -> embDiversitySql,
     "txt_shard_assign" -> txtShardAssignSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "txt_term_topk" -> txtTermTopkSql,

@@ -611,6 +611,52 @@ object Similarity {
       .orderBy(col("query_id"), col("mmr_rank"))
   }
 
+  /** Per-label embedding DIVERSITY report via the norm-of-mean
+    * identity: for unit vectors, ‖mean‖² equals the expected pairwise
+    * cosine (E[cos(x,y)] = ⟨E[x],E[y]⟩), so one linear pass measures
+    * what a naive estimator would pay O(n²) pairs for. `diversity =
+    * 1 − ‖mean‖` per label: ~1 = spread-out topic bucket, ~0 =
+    * collapsed/duplicated cluster — the per-bucket signal a mixture
+    * planner reads before sampling (`label` is the corpus's topic id).
+    *
+    * Scale shape: normalize each vector row-locally, micro-quantize
+    * each unit component to a long, posexplode to (label, dim) and sum
+    * EXACT LONGS per dimension (map-side partials; float sums would be
+    * partition-order-dependent), then fold the 64 per-dim means into
+    * ‖mean‖² with the same micro trick. One corpus pass, shuffles keyed
+    * on (label, dim). The norm is projected into its own column BEFORE
+    * the per-component lambda so it is computed once per row, not once
+    * per element (interpreted-lambda re-evaluation rule).
+    *
+    * Determinism: ‖v‖ is the same left-to-right fold both engines use
+    * for cosine; every cross-partition sum is exact longs; the final
+    * sqrt/round run on reproducible doubles — DuckDB oracle
+    * hash-matches. */
+  def labelDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+      .filter(col("norm") > 0)
+      .select(col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("norm") * lit(1000000.0) + lit(0.5)))
+          .as("unit_micro"))
+    val perDim = e
+      .select(col("label"), posexplode(col("unit_micro")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+    val meanSq = perDim
+      .withColumn("mean", col("s").cast("double") / lit(1000000.0) / col("cnt"))
+      .withColumn("mic2", floor(col("mean") * col("mean") * lit(1000000.0) + lit(0.5)))
+      .groupBy(col("label"))
+      .agg(max(col("cnt")).as("n_vectors"), sum(col("mic2")).as("s2"))
+    meanSq
+      .select(col("label"), col("n_vectors"),
+        round(sqrt(col("s2").cast("double") / lit(1000000.0)), 6).as("mean_norm"),
+        round(lit(1.0) - sqrt(col("s2").cast("double") / lit(1000000.0)), 6)
+          .as("diversity"))
+      .orderBy(col("label"))
+  }
+
   /** Greedy MMR kernel over ONE query's candidates (executor-local):
     * maintains per-candidate max-sim-to-selected incrementally, so the
     * whole selection is O(m·k) [[cosine6]] calls. Returns (id,

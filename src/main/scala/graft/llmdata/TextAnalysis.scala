@@ -523,6 +523,43 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Temperature-adjusted source-mixture weights — the data-mixing
+    * math every multi-source pretraining run performs (the XLM-R-style
+    * `p_i ∝ share_i^α` rule): α < 1 flattens the mixture, up-sampling
+    * small sources and down-sampling dominant ones. Emits per source:
+    * token count, natural share, α-adjusted sampling weight, and the
+    * implied up/down-sampling factor (weight/share) a sampler applies.
+    *
+    * Scale shape: one corpus pass rolls tokens up per source; both
+    * normalizers are 1-row broadcast cross joins (the allow-listed
+    * global-aggregate shape); everything after the roll-up is
+    * source-count-sized.
+    *
+    * Determinism: shares are double divisions of exact longs; the
+    * α-power outputs are micro-quantized to longs BEFORE normalizing
+    * (JVM `Math.pow` and DuckDB's libm pow agree well past micro
+    * precision — the oracle gate would catch a flip), so the final
+    * weights are divisions of exact longs. */
+  def mixtureWeights(spark: SparkSession, dir: String,
+                     alpha: Double = 0.3): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok").cast("long")).as("tokens"))
+    val tot = perSrc.agg(sum(col("tokens")).cast("double").as("tot"))
+    val raw = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        (col("tokens").cast("double") / col("tot")).as("share"))
+      .withColumn("raw_micro",
+        floor(pow(col("share"), lit(alpha)) * lit(1000000.0) + lit(0.5)))
+    val rawTot = raw.agg(sum(col("raw_micro")).cast("double").as("raw_tot"))
+    raw.crossJoin(broadcast(rawTot))
+      .select(col("source"), col("tokens"), col("share"),
+        (col("raw_micro").cast("double") / col("raw_tot")).as("weight"))
+      .withColumn("factor", col("weight") / col("share"))
+      .orderBy(col("source"))
+  }
+
   /** BPE merge-table TRAINING — the tokenizer-construction step of a
     * training-data pipeline, as a distributed iterative operator: start
     * from characters, repeatedly merge the corpus-weighted most

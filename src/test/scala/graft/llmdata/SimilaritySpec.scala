@@ -174,6 +174,40 @@ class SimilaritySpec extends SparkSpec {
       "pure-diversity selection should reorder at least one query's picks")
   }
 
+  test("label diversity equals the driver-side micro-exact reference") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).toArray))
+    // reference: same normalize → micro-quantize → exact-long pipeline
+    val byLabel = vecs.groupBy(_._1)
+    val expected = byLabel.map { case (label, vs) =>
+      val units = vs.map(_._2).flatMap { v =>
+        var n2 = 0.0
+        v.foreach { x => n2 += x.toDouble * x.toDouble }
+        val nrm = math.sqrt(n2)
+        if (nrm > 0)
+          Some(v.map(x => math.floor(x.toDouble / nrm * 1000000.0 + 0.5).toLong))
+        else None
+      }
+      val dims = units.head.length
+      val s2 = (0 until dims).map { d =>
+        val mean = units.map(_(d)).sum.toDouble / 1000000.0 / units.length
+        math.floor(mean * mean * 1000000.0 + 0.5).toLong
+      }.sum
+      val mn = math.sqrt(s2.toDouble / 1000000.0)
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      label -> ((units.length.toLong, r6(mn), r6(1.0 - mn)))
+    }
+    val got = Similarity.labelDiversity(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got === expected)
+    // sanity: a real topic structure is neither collapsed nor orthogonal
+    got.values.foreach { case (_, mn, dv) =>
+      assert(mn > 0.0 && mn < 1.0 && math.abs(dv - (1.0 - mn)) < 2e-6)
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding"))

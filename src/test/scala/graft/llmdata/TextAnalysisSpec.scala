@@ -210,6 +210,28 @@ class TextAnalysisSpec extends SparkSpec {
       m == a + b && c > 0 })
   }
 
+  test("mixture weights: flatten toward uniform, normalize, and invert share order") {
+    val rows = TextAnalysis.mixtureWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "weights sum to 1")
+    // α < 1 flattens: smaller share ⇒ strictly larger up-sampling factor
+    val byShare = rows.sortBy(_._3)
+    byShare.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a._3 < b._3)
+          assert(a._5 > b._5, s"factor must fall as share rises: $a vs $b")
+      case _ =>
+    }
+    // α = 1 is the identity mixture (up to micro quantization)
+    TextAnalysis.mixtureWeights(spark, sf, alpha = 1.0).collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 1e-5,
+        s"alpha=1 weight must equal share: $r")
+    }
+  }
+
   test("BPE merges apply in training order: a later merge can build on an earlier one") {
     // "abab" x3: merge 1 = (a,b) -> ab; merge 2 must then see (ab,ab)
     val tmp = tmpCorpus(Seq((1L, "abab abab abab")))
