@@ -358,7 +358,63 @@ object EventAnalytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  // --------------------------------------------------------------- ea18
+  /** ea18 [funnel]: strict-order windowed conversion view → click →
+    * purchase — each user's FIRST view, first click within
+    * `windowHours` of that view, first purchase within `windowHours`
+    * of that click, reported as stage counts + conversion rates.
+    *
+    * Scale: every stage is filter → agg → equi-join, all
+    * hash-partitioned on user_id (consecutive stages reuse the
+    * partitioning), and the events scan is pruned to one event type
+    * before each join. The report is three 1-row aggregates
+    * cross-joined — the allow-listed global-aggregate shape. The
+    * oracle truncates DuckDB's nanosecond timestamps to Spark's
+    * microsecond precision so window-boundary comparisons agree. */
+  def ea18Funnel(spark: SparkSession, dir: String,
+                 windowHours: Int = 24): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr(s"INTERVAL $windowHours HOURS")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_click")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        (col("n_click").cast("double") / col("n_view")).as("click_rate"),
+        (col("n_purchase").cast("double") / col("n_click")).as("purchase_rate"))
+  }
+
+  val ea18Sql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |              date_trunc('microseconds', ts) AS ts FROM events),
+      |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN t1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |         AND e.ts <= t1.t1 + INTERVAL '24 hours' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN t2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |         AND e.ts <= t2.t2 + INTERVAL '24 hours' GROUP BY 1),
+      |c AS (SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+      |             (SELECT COUNT(*) FROM t2) AS n_click,
+      |             (SELECT COUNT(*) FROM t3) AS n_purchase)
+      |SELECT n_view, n_click, n_purchase,
+      |  n_click::DOUBLE / n_view AS click_rate,
+      |  n_purchase::DOUBLE / n_click AS purchase_rate
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ea18_funnel" -> ((s: SparkSession, d: String) => ea18Funnel(s, d)),
     "ea17_kmv_overlap" -> ea17KmvOverlap _,
     "ea15_value_percentiles" -> ea15ValuePercentiles _,
     "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
@@ -378,6 +434,7 @@ object EventAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "ea18_funnel" -> ea18Sql,
     "ea15_value_percentiles" -> ea15Sql,
     "ea16_pivot_type_by_day" -> ea16Sql,
     "ea14_grouping_sets" -> ea14Sql,

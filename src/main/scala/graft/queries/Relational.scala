@@ -280,6 +280,47 @@ object Relational {
       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------- q24
+  /** q24: lapsed high-balance customers (TPC-H Q22 shape) — balance
+    * above the average POSITIVE balance, yet no order since the cutoff
+    * year, rolled up per nation. Shape: the global threshold is a
+    * decimal-exact 1-row aggregate broadcast over the customer scan
+    * (equality-free filter, still a broadcast hash-free pattern but
+    * bounded by 1 row); the lapse test is an ANTI join whose fact side
+    * is pre-filtered to recent orders and projected to the join key
+    * only; the nation dimension broadcasts after the reduction. */
+  def q24LapsedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((moneySum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) >= 2000)
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q24Sql: String =
+    """WITH ab AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n.n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c CROSS JOIN ab
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_acctbal > ab.avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND year(o.o_orderdate) >= 2000)
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   // ---------------------------------------------------------------- q6
   /** q6: forecast-revenue-change — the pure scan-side query (TPC-H Q6
     * shape): conjunctive range predicates on date/discount/quantity and
@@ -636,7 +677,8 @@ object Relational {
     "q12_big_order_customers" -> q12BigOrderCustomers _,
     "q13_union_priorities" -> q13UnionPriorities _,
     "q15_top_orders" -> q15TopOrders _,
-    "q23_top_supplier" -> q23TopSupplier _
+    "q23_top_supplier" -> q23TopSupplier _,
+    "q24_lapsed_customers" -> q24LapsedCustomers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -660,6 +702,7 @@ object Relational {
     "q12_big_order_customers" -> q12Sql,
     "q13_union_priorities" -> q13Sql,
     "q15_top_orders" -> q15Sql,
-    "q23_top_supplier" -> q23Sql
+    "q23_top_supplier" -> q23Sql,
+    "q24_lapsed_customers" -> q24Sql
   )
 }

@@ -24,7 +24,12 @@ class PlanAuditSpec extends SparkSpec {
     "txt_cms_terms" -> "cross join against a 1-row global CMS sketch",
     "txt_bm25_topk" -> "cross join against a 1-row corpus-stats side",
     "txt_unigram_logprob" -> "cross join against a 1-row token-total side",
-    "txt_curation_report" -> "cross join against a 1-row token-total side (unigram signal)")
+    "txt_curation_report" -> "cross join against a 1-row token-total side (unigram signal)",
+    "ann_mmr_rerank" -> "candidate gen is the brute-force broadcast query side (nQueries=5)",
+    "txt_dynamic_threshold" -> "cross join against a 1-row token-total side (unigram signal)",
+    "txt_mixture_weights" -> "cross joins against 1-row token-total and normalizer sides",
+    "ea18_funnel" -> "report row = cross join of three 1-row stage aggregates",
+    "q24_lapsed_customers" -> "cross join against the 1-row global balance threshold")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan audit: $name") {
