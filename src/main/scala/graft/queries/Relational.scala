@@ -321,6 +321,65 @@ object Relational {
       |                    AND year(o.o_orderdate) >= 2000)
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
 
+  // --------------------------------------------------------------- q25
+  /** q25: sole-delayed-supplier blame report (TPC-H Q21 shape, with
+    * "delayed" = shipped >90 days after the order date since this
+    * schema carries no commit/receipt dates): suppliers who were the
+    * ONLY delayed supplier in a multi-supplier order — the EXISTS ∧
+    * NOT-EXISTS composition on one fact table. Shape: the delayed set
+    * is derived once (fact ⋈ broadcast-able order dates, distinct to
+    * (order, supplier) grain), multi-supplier orders are an aggregate
+    * of the distinct grain, the "no OTHER delayed supplier" test is a
+    * left-anti join of the delayed set against itself on the order key
+    * with supplier inequality — every join hash-partitions on the
+    * order key, nothing fans out beyond the (order, supplier) grain. */
+  def q25SoleDelayedSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val delayed = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val multi = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_supp"))
+      .filter(col("n_supp") > 1)
+      .select(col("l_orderkey"))
+    // self-join: rename the probe side's columns so resolution is
+    // unambiguous (both inputs descend from the same `delayed` plan)
+    val others = delayed
+      .select(col("l_orderkey").as("d2_orderkey"),
+        col("l_suppkey").as("d2_suppkey"))
+    delayed
+      .join(multi, "l_orderkey")
+      .join(others,
+        col("l_orderkey") === col("d2_orderkey") &&
+          col("l_suppkey") =!= col("d2_suppkey"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_solely_delayed"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_solely_delayed"))
+      .orderBy(col("n_solely_delayed").desc, col("s_suppkey"))
+  }
+
+  val q25Sql: String =
+    """WITH delayed AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL '90 days'),
+      |multi AS (
+      |  SELECT l_orderkey
+      |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |  GROUP BY 1 HAVING COUNT(*) > 1)
+      |SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_solely_delayed
+      |FROM delayed d
+      |JOIN multi USING (l_orderkey)
+      |JOIN supplier s ON d.l_suppkey = s.s_suppkey
+      |WHERE NOT EXISTS (SELECT 1 FROM delayed d2
+      |                  WHERE d2.l_orderkey = d.l_orderkey
+      |                    AND d2.l_suppkey <> d.l_suppkey)
+      |GROUP BY 1, 2
+      |ORDER BY n_solely_delayed DESC, s_suppkey""".stripMargin
+
   // ---------------------------------------------------------------- q6
   /** q6: forecast-revenue-change — the pure scan-side query (TPC-H Q6
     * shape): conjunctive range predicates on date/discount/quantity and
@@ -678,7 +737,8 @@ object Relational {
     "q13_union_priorities" -> q13UnionPriorities _,
     "q15_top_orders" -> q15TopOrders _,
     "q23_top_supplier" -> q23TopSupplier _,
-    "q24_lapsed_customers" -> q24LapsedCustomers _
+    "q24_lapsed_customers" -> q24LapsedCustomers _,
+    "q25_sole_delayed_supplier" -> q25SoleDelayedSupplier _
   )
 
   val oracles: Map[String, String] = Map(
@@ -703,6 +763,7 @@ object Relational {
     "q13_union_priorities" -> q13Sql,
     "q15_top_orders" -> q15Sql,
     "q23_top_supplier" -> q23Sql,
-    "q24_lapsed_customers" -> q24Sql
+    "q24_lapsed_customers" -> q24Sql,
+    "q25_sole_delayed_supplier" -> q25Sql
   )
 }
