@@ -116,6 +116,86 @@ object StreamingAnalytics {
       }
   }
 
+  // `ts` rides along unused by the fold: the watermark's event-time
+  // column must survive into the stateful operator's input schema
+  case class FunnelEvent(user_id: Long, event_type: String,
+                         ts: java.sql.Timestamp, us: Long)
+  case class FunnelState(t1: Long, t2: Long, done: Boolean)
+  case class FunnelHit(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** Streaming CONVERSION FUNNEL — the live twin of the batch
+    * `ea18_funnel`: a per-user state machine over an events stream
+    * (user_id, event_type, ts) that emits one row the moment a user
+    * completes view → click-within-window → purchase-within-window,
+    * with each stage anchored to the FIRST qualifying event (= the
+    * batch query's min-aggregate chain under in-order delivery).
+    *
+    * Semantics/scale notes:
+    *  - timestamps are tracked as exact microsecond longs (Spark's
+    *    native timestamp precision), so stage-window comparisons are
+    *    bit-identical to the batch twin's;
+    *  - rows sort (us, event_type) within an invocation: ties process
+    *    click < purchase < view, which matches the batch chain's
+    *    STRICT ts inequalities at every stage;
+    *  - state is ONE tiny record per user (two stage anchors + a done
+    *    flag), expired by an event-time timeout past the user's latest
+    *    activity (clamped above the watermark) — a converted or idle
+    *    user costs nothing forever; a user who re-appears after
+    *    eviction starts a fresh funnel, standard monitor semantics;
+    *  - ARRIVAL-ORDER CAVEAT (same trade as [[velocityAlerts]]): a
+    *    late-but-within-watermark event folding into a LATER trigger is
+    *    applied after already-processed later-timestamped events, so a
+    *    late first-view can be missed as an anchor; exact event-time
+    *    replay would buffer rows in state until the watermark passes. */
+  def funnelConversions(events: DataFrame, windowHours: Int = 24,
+                        watermarkDelay: String = "10 minutes",
+                        stateGapMs: Long = 48L * 3600 * 1000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowHours.toLong * 3600L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .where(col("user_id").isNotNull && col("us").isNotNull)
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+            val out = Seq.newBuilder[FunnelHit]
+            var maxUs = Long.MinValue
+            rows.toArray.sortBy(r => (r.us, r.event_type)).foreach { r =>
+              maxUs = math.max(maxUs, r.us)
+              if (!st.done) {
+                if (st.t1 < 0) {
+                  if (r.event_type == "view") st = st.copy(t1 = r.us)
+                } else if (st.t2 < 0) {
+                  if (r.event_type == "click" && r.us > st.t1 && r.us <= st.t1 + winUs)
+                    st = st.copy(t2 = r.us)
+                } else if (r.event_type == "purchase" && r.us > st.t2 &&
+                    r.us <= st.t2 + winUs) {
+                  out += FunnelHit(uid, st.t1, st.t2, r.us)
+                  st = st.copy(done = true)
+                }
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxUs / 1000, state.getCurrentWatermarkMs()) + stateGapMs)
+            out.result().iterator
+          }
+      }
+      .select(col("user_id"),
+        timestamp_micros(col("t1_us")).as("t1"),
+        timestamp_micros(col("t2_us")).as("t2"),
+        timestamp_micros(col("t3_us")).as("t3"))
+  }
+
   /** Stream-stream interval join (SURVEY §2.11 extended surface): each
     * valid transaction matched to error-stream rows of the SAME card
     * within ± the interval — the cross-stream correlation (was a clean

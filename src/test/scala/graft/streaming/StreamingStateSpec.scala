@@ -95,6 +95,50 @@ class StreamingStateSpec extends SparkSpec {
     assert(expected.exceptAll(live).count() === 0)
   }
 
+  test("streaming funnel across TWO micro-batches equals the batch min-agg chain") {
+    // events corpus, time-split into two files ≥1.5 s apart so the file
+    // source yields two micro-batches in event-time order — the t1/t2
+    // anchors must survive the trigger boundary in state
+    val dir = Files.createTempDirectory("graft-funnel").toString + "/input"
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).cache()
+    try {
+      val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head.getDouble(0).toLong
+      ev.filter(unix_micros(col("ts")) < cut)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1500)
+      ev.filter(unix_micros(col("ts")) >= cut)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val live = drain(
+        StreamingAnalytics.funnelConversions(stream, windowHours = 24,
+          stateGapMs = 365L * 24 * 3600 * 1000),
+        "funnel_live").cache()
+      // independent batch oracle: the ea18-style first-qualifying-event
+      // chain per user (min view; min click in (t1, t1+24h]; min
+      // purchase in (t2, t2+24h])
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val expected = t1.join(t2, "user_id").join(t3, "user_id")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3")).cache()
+      assert(expected.count() > 0, "corpus must produce conversions")
+      assert(live.count() === expected.count())
+      assert(live.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(live).count() === 0)
+    } finally { ev.unpersist(); () }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val s = enrichedStream(maxFilesPerTrigger = None)
     val live = drain(
