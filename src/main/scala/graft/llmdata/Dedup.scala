@@ -300,6 +300,28 @@ object Dedup {
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
   }
 
+  /** Similarity-threshold CALIBRATION histogram — how a dedup
+    * operator's cosine threshold actually gets chosen: the full
+    * pairwise-similarity distribution of a deterministic id sample
+    * (`vec_id % mod == 0`), bucketed at `binWidth`. O((N/mod)²) pairs —
+    * bounded by the SAMPLE, not the corpus (the all-pairs join is the
+    * intended, allow-listed shape; at 100 TB you calibrate on exactly
+    * this kind of held-out slice and the sample mod is the knob).
+    * Sims are the round-6 cosine, so bin assignment is engine-exact. */
+  def simCalibration(spark: SparkSession, dir: String, mod: Int = 10,
+                     binWidth: Double = 0.05): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") % mod === 0)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(Similarity.cosineBest(spark, col("va"), col("vb")).as("sim"))
+      .select(floor(col("sim") / lit(binWidth)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select((col("bin") * lit(binWidth)).as("bin_lo"), col("n"))
+      .orderBy(col("bin_lo"))
+  }
+
   /** LSH-bucketed embedding near-dup: candidates = vector pairs sharing
     * a hyperplane band bucket (8 bands × 2 bits — the high-recall
     * banding; DedupSpec measures recall vs the exact baseline), then the

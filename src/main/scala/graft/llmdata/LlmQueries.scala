@@ -29,6 +29,18 @@ object LlmQueries {
       |    ELSE []::VARCHAR[] END AS sh
       |  FROM documents)""".stripMargin
 
+  /** Calibration-histogram mirror of [[Dedup.simCalibration]]: same
+    * deterministic sample, round-6 cosine, `::DOUBLE` bin math (a bare
+    * 0.05 is DECIMAL in DuckDB). */
+  val ddSimCalibrationSql: String =
+    """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE vec_id % 10 = 0),
+      |p AS (SELECT round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |      FROM s a JOIN s b ON a.vec_id < b.vec_id),
+      |h AS (SELECT CAST(floor(sim / 0.05::DOUBLE) AS BIGINT) AS bin,
+      |        COUNT(*) AS n FROM p GROUP BY 1)
+      |SELECT bin * 0.05::DOUBLE AS bin_lo, n FROM h ORDER BY bin_lo""".stripMargin
+
   val ddExactSql: String =
     """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
@@ -590,6 +602,7 @@ object LlmQueries {
       Dedup.dedupDelta(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_pagerank" -> ((s, d) =>
       Dedup.pageRank(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
+    "dd_sim_calibration" -> ((s, d) => Dedup.simCalibration(s, d)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
@@ -643,6 +656,7 @@ object LlmQueries {
     "txt_contamination" -> txtContaminationSql,
     "dd_delta" -> ddDeltaSql,
     "dd_pagerank" -> ddPagerankSql,
+    "dd_sim_calibration" -> ddSimCalibrationSql,
     "dd_embed_pairs" -> ddEmbedPairsSql,
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,

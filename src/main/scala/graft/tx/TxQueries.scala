@@ -443,7 +443,53 @@ object TxQueries {
       |FROM enr WHERE $validPred
       |GROUP BY merchant_name ORDER BY merchant""".stripMargin
 
+  // --------------------------------------------------------------- tx13
+  /** tx13 [SCD2 interval build]: turn the sparse published-rate stream
+    * (the same every-3rd-day publications tx11 gap-fills) into TYPE-2
+    * VALIDITY INTERVALS — (rate_date, rate, valid_from, valid_to,
+    * days_valid), where valid_to is the day before the next
+    * publication and the open-ended last interval is capped at the
+    * corpus' max activity date. This is the slowly-changing-dimension
+    * materialization a warehouse keeps so facts can BETWEEN-join rate
+    * history without re-deriving as-of logic per query.
+    *
+    * Scale: the lead() window is global but runs over the
+    * O(#publications) DIMENSION — bounded by calendar days, never a
+    * fact-sized window input (the same dimension-not-facts rule as
+    * tx11); the 1-row max-date bound is an allow-listed broadcast
+    * cross join. */
+  def tx13RateIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir).select(to_date(col("ts")).as("d"))
+    val maxDay = days.agg(max(col("d")).as("max_d"))
+    val rates = days.distinct()
+      .filter(dayofmonth(col("d")) % 3 === 1)
+      .withColumn("rate", rateFor(col("d")))
+    val w = Window.orderBy(col("d"))
+    rates
+      .withColumn("next_d", lead(col("d"), 1).over(w))
+      .crossJoin(broadcast(maxDay))
+      .select(col("d").as("rate_date"), col("rate"),
+        col("d").as("valid_from"),
+        coalesce(date_sub(col("next_d"), 1), col("max_d")).as("valid_to"))
+      .withColumn("days_valid",
+        datediff(col("valid_to"), col("valid_from")) + 1)
+      .orderBy(col("rate_date"))
+  }
+
+  val tx13Sql: String =
+    s"""WITH days AS (SELECT CAST(ts AS DATE) AS d FROM events),
+      |mx AS (SELECT MAX(d) AS max_d FROM days),
+      |rates AS (SELECT DISTINCT d, $RateBase + day(d) * 10 AS rate
+      |          FROM days WHERE day(d) % 3 = 1),
+      |iv AS (SELECT d, rate, lead(d) OVER (ORDER BY d) AS next_d FROM rates)
+      |SELECT d AS rate_date, rate, d AS valid_from,
+      |  COALESCE(next_d - 1, mx.max_d) AS valid_to,
+      |  (COALESCE(next_d - 1, mx.max_d) - d + 1) AS days_valid
+      |FROM iv, mx ORDER BY rate_date""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx13_rate_intervals" -> tx13RateIntervals _,
     "tx1_bucket_counts" -> tx1BucketCounts _,
     "tx2_valid_daily" -> tx2ValidDaily _,
     "tx3_invalid_reasons" -> tx3InvalidReasons _,
@@ -461,6 +507,7 @@ object TxQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx13_rate_intervals" -> tx13Sql,
     "tx1_bucket_counts" -> tx1Sql,
     "tx2_valid_daily" -> tx2Sql,
     "tx3_invalid_reasons" -> tx3Sql,

@@ -29,7 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     "txt_dynamic_threshold" -> "cross join against a 1-row token-total side (unigram signal)",
     "txt_mixture_weights" -> "cross joins against 1-row token-total and normalizer sides",
     "ea18_funnel" -> "report row = cross join of three 1-row stage aggregates",
-    "q24_lapsed_customers" -> "cross join against the 1-row global balance threshold")
+    "q24_lapsed_customers" -> "cross join against the 1-row global balance threshold",
+    "tx13_rate_intervals" -> "cross join against the 1-row max-activity-date bound",
+    "dd_sim_calibration" -> "sample-bounded all-pairs calibration (vec_id % 10 sample by construction)")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan audit: $name") {
