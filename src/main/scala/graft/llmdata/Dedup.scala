@@ -315,6 +315,10 @@ object Dedup {
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(Similarity.cosineBest(spark, col("va"), col("vb")).as("sim"))
+      // Spark's floor-to-long maps NaN to 0 (silently corrupting the
+      // [0, binWidth) bin) where DuckDB's cast errors — drop zero-norm
+      // NaN sims symmetrically on both sides instead
+      .filter(!isnan(col("sim")))
       .select(floor(col("sim") / lit(binWidth)).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -760,6 +764,11 @@ object Dedup {
   def pageRankEdges(edges: DataFrame, iters: Int = 3,
                     damping: Double = 0.85,
                     teleport: Double = 0.15): DataFrame = {
+    // both constants are pre-folded literals (deriving one from the
+    // other in doubles breaks oracle parity — the BM25 rule), so the
+    // mass-conservation invariant must be enforced, not assumed
+    require(teleport + damping == 1.0,
+      s"teleport ($teleport) must be the pre-folded literal 1 - damping ($damping)")
     val spark = edges.sparkSession
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))

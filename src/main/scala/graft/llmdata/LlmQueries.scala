@@ -38,7 +38,7 @@ object LlmQueries {
       |p AS (SELECT round(list_cosine_similarity(a.v, b.v), 6) AS sim
       |      FROM s a JOIN s b ON a.vec_id < b.vec_id),
       |h AS (SELECT CAST(floor(sim / 0.05::DOUBLE) AS BIGINT) AS bin,
-      |        COUNT(*) AS n FROM p GROUP BY 1)
+      |        COUNT(*) AS n FROM p WHERE NOT isnan(sim) GROUP BY 1)
       |SELECT bin * 0.05::DOUBLE AS bin_lo, n FROM h ORDER BY bin_lo""".stripMargin
 
   val ddExactSql: String =

@@ -599,6 +599,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     val withVec = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(cand), "neighbor_id")
+      // a zero-norm query yields NaN relevance for every candidate;
+      // NaN never orders, so drop such rows before the greedy
+      .filter(!isnan(col("sim")))
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("embedding"))
       .as[(Long, Long, Double, Array[Float])]
     withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
@@ -671,7 +674,8 @@ object Similarity {
     val chosen = Array.fill(cands.length)(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
     var step = 0
-    while (step < math.min(k, cands.length)) {
+    var exhausted = false
+    while (!exhausted && step < math.min(k, cands.length)) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
@@ -687,6 +691,12 @@ object Similarity {
         }
         i += 1
       }
+      if (best < 0) {
+        // every remaining candidate scored NaN (zero-norm vectors make
+        // cosine6 NaN, and NaN fails every comparison above): nothing
+        // pickable — return the picks made so far instead of indexing -1
+        exhausted = true
+      } else {
       chosen(best) = true
       out += ((cands(best)._1, cands(best)._2, round6(bestScore)))
       var j = 0
@@ -698,6 +708,7 @@ object Similarity {
         j += 1
       }
       step += 1
+      }
     }
     out.toSeq
   }

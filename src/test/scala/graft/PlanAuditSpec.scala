@@ -33,7 +33,17 @@ class PlanAuditSpec extends SparkSpec {
     "tx13_rate_intervals" -> "cross join against the 1-row max-activity-date bound",
     "dd_sim_calibration" -> "sample-bounded all-pairs calibration (vec_id % 10 sample by construction)")
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  /** Queries whose registered frame is a DRIVER-LOCAL result — the
+    * distributed work runs during construction (BPE training's
+    * per-round agg + TakeOrderedAndProject jobs) and the returned plan
+    * is a LocalRelation that cannot contain a join: auditing it would
+    * execute the full algorithm to assert nothing. Their distributed
+    * round shapes are gated by their specs instead. */
+  private val localResult: Set[String] = Set("txt_bpe_merges")
+
+  SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot { case (name, _) => localResult(name) }
+    .foreach { case (name, fn) =>
     test(s"plan audit: $name") {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
