@@ -332,6 +332,42 @@ object EventAnalytics {
         s"  COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
       |FROM events GROUP BY 1 ORDER BY day_name ASC NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- ea19
+  /** ea19 [UNPIVOT + ratio-to-report]: the inverse of ea16's pivot —
+    * the wide day×type count matrix melted back to long form via
+    * `Dataset.unpivot` (plan-time schema, single pass, zero-filled
+    * combos preserved as n=0 rows), each cell annotated with its share
+    * of the day's total (the ratio-to-report window: `sum` over the
+    * day partition — a day-sized partition, never a fact-sized window
+    * input since the matrix is already aggregated). Pivot/unpivot as a
+    * round-trip pair is the §2.9-adjacent reshaping surface BI tools
+    * lean on. */
+  def ea19UnpivotShares(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val long = ea16PivotTypeByDay(spark, dir)
+      .unpivot(Array(col("day_name")), EventTypes.map(col).toArray,
+        "event_type", "n")
+    val w = Window.partitionBy(col("day_name"))
+    long
+      .withColumn("day_total", sum(col("n")).over(w))
+      .withColumn("share", col("n").cast("double") / col("day_total"))
+      .orderBy(col("day_name"), col("event_type"))
+  }
+
+  val ea19Sql: String =
+    """WITH base AS (SELECT dayname(ts) AS day_name, event_type FROM events),
+      |c AS (SELECT day_name, event_type, COUNT(*) AS n FROM base GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day_name FROM base),
+      |types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+      |            AS event_type),
+      |long AS (SELECT d.day_name, t.event_type, COALESCE(c.n, 0) AS n
+      |         FROM days d CROSS JOIN types t
+      |         LEFT JOIN c USING (day_name, event_type))
+      |SELECT day_name, event_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY day_name) AS BIGINT) AS day_total,
+      |  n::DOUBLE / CAST(SUM(n) OVER (PARTITION BY day_name) AS BIGINT) AS share
+      |FROM long ORDER BY day_name, event_type""".stripMargin
+
   // --------------------------------------------------------------- ea17
   /** ea17 [custom sketch aggregate, §2.12+]: audience overlap between
     * every pair of event types, estimated from KMV sketches
@@ -415,6 +451,7 @@ object EventAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ea18_funnel" -> ((s: SparkSession, d: String) => ea18Funnel(s, d)),
+    "ea19_unpivot_shares" -> ea19UnpivotShares _,
     "ea17_kmv_overlap" -> ea17KmvOverlap _,
     "ea15_value_percentiles" -> ea15ValuePercentiles _,
     "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
@@ -435,6 +472,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "ea18_funnel" -> ea18Sql,
+    "ea19_unpivot_shares" -> ea19Sql,
     "ea15_value_percentiles" -> ea15Sql,
     "ea16_pivot_type_by_day" -> ea16Sql,
     "ea14_grouping_sets" -> ea14Sql,

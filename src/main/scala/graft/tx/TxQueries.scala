@@ -488,7 +488,50 @@ object TxQueries {
       |  (COALESCE(next_d - 1, mx.max_d) - d + 1) AS days_valid
       |FROM iv, mx ORDER BY rate_date""".stripMargin
 
+  // --------------------------------------------------------------- tx14
+  /** tx14 [interval RANGE JOIN]: valid facts joined to the tx13 SCD2
+    * validity intervals via `d BETWEEN valid_from AND valid_to` — the
+    * genuine non-equi range-join operator class, rolled up to VND
+    * totals per rate regime. The interval side is an O(#publications)
+    * broadcast DIMENSION, so the nested-loop probe is bounded by
+    * design (allow-listed); a fact-×-fact range join at scale would
+    * first bucket both sides by coarse time ranges to recover an equi
+    * key and only range-compare within buckets. Facts earlier than the
+    * first publication fall outside every interval and drop, the same
+    * leading-gap semantics as the tx11 as-of composition. */
+  def tx14IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val txs = Splitter.valid(processedTable(spark, dir))
+      .withColumn("d", to_date(col("transaction_date")))
+      .select(col("d"), col("Amount_USD"))
+    val iv = tx13RateIntervals(spark, dir)
+      .select(col("rate_date"), col("rate"),
+        col("valid_from"), col("valid_to"))
+    txs.join(broadcast(iv),
+        col("d") >= col("valid_from") && col("d") <= col("valid_to"))
+      .groupBy(col("rate_date"), col("rate"))
+      .agg(count(lit(1)).as("n"),
+        sum(usdDec * col("rate")).cast("double").as("vnd_total"))
+      .orderBy(col("rate_date"))
+  }
+
+  val tx14Sql: String =
+    s"""$processedCte,
+      |days AS (SELECT CAST(ts AS DATE) AS d FROM events),
+      |mx AS (SELECT MAX(d) AS max_d FROM days),
+      |rates AS (SELECT DISTINCT d, $RateBase + day(d) * 10 AS rate
+      |          FROM days WHERE day(d) % 3 = 1),
+      |iv AS (SELECT d AS rate_date, rate, d AS valid_from,
+      |         COALESCE(lead(d) OVER (ORDER BY d) - 1, (SELECT max_d FROM mx))
+      |           AS valid_to
+      |       FROM rates),
+      |txd AS (SELECT CAST(td AS DATE) AS d, amount_usd FROM enr WHERE $validPred)
+      |SELECT iv.rate_date, iv.rate, COUNT(*) AS n,
+      |  CAST(SUM($usdDecSql * iv.rate) AS DOUBLE) AS vnd_total
+      |FROM txd JOIN iv ON txd.d BETWEEN iv.valid_from AND iv.valid_to
+      |GROUP BY 1, 2 ORDER BY rate_date""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx14_interval_join" -> tx14IntervalJoin _,
     "tx13_rate_intervals" -> tx13RateIntervals _,
     "tx1_bucket_counts" -> tx1BucketCounts _,
     "tx2_valid_daily" -> tx2ValidDaily _,
@@ -507,6 +550,7 @@ object TxQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx14_interval_join" -> tx14Sql,
     "tx13_rate_intervals" -> tx13Sql,
     "tx1_bucket_counts" -> tx1Sql,
     "tx2_valid_daily" -> tx2Sql,

@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "ea18_funnel" -> "report row = cross join of three 1-row stage aggregates",
     "q24_lapsed_customers" -> "cross join against the 1-row global balance threshold",
     "tx13_rate_intervals" -> "cross join against the 1-row max-activity-date bound",
+    "tx14_interval_join" -> "range join against the broadcast O(#publications) interval dimension",
     "dd_sim_calibration" -> "sample-bounded all-pairs calibration (vec_id % 10 sample by construction)")
 
   /** Queries whose registered frame is a DRIVER-LOCAL result — the
