@@ -368,6 +368,36 @@ object EventAnalytics {
       |  n::DOUBLE / CAST(SUM(n) OVER (PARTITION BY day_name) AS BIGINT) AS share
       |FROM long ORDER BY day_name, event_type""".stripMargin
 
+  // --------------------------------------------------------------- ea20
+  /** ea20 [typed `Aggregator`, §2.12]: recency-weighted mean event
+    * value per type — weight = day of month, value in exact integer
+    * cents — computed through the Dataset-native
+    * [[graft.functions.WeightedMeanAgg]] custom aggregate (the typed
+    * counterpart of the KMV/CMS `TypedImperativeAggregate`s). The
+    * buffer is two exact longs, so partial aggregation merges in any
+    * order without drift and the DuckDB mirror reproduces the one
+    * final double division bit-for-bit. */
+  def ea20TypedWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("cents"),
+        dayofmonth(col("ts")).cast("long").as("w"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.WeightedMeanAgg.toColumn.name("wavg"))
+      .toDF("event_type", "wavg")
+      .orderBy(col("event_type"))
+  }
+
+  val ea20Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * day(ts)) AS BIGINT)::DOUBLE / 100.0
+      |    / CAST(SUM(day(ts)) AS BIGINT) AS wavg
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- ea17
   /** ea17 [custom sketch aggregate, §2.12+]: audience overlap between
     * every pair of event types, estimated from KMV sketches
@@ -452,6 +482,7 @@ object EventAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ea18_funnel" -> ((s: SparkSession, d: String) => ea18Funnel(s, d)),
     "ea19_unpivot_shares" -> ea19UnpivotShares _,
+    "ea20_typed_weighted_avg" -> ea20TypedWeightedAvg _,
     "ea17_kmv_overlap" -> ea17KmvOverlap _,
     "ea15_value_percentiles" -> ea15ValuePercentiles _,
     "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
@@ -473,6 +504,7 @@ object EventAnalytics {
   val oracles: Map[String, String] = Map(
     "ea18_funnel" -> ea18Sql,
     "ea19_unpivot_shares" -> ea19Sql,
+    "ea20_typed_weighted_avg" -> ea20Sql,
     "ea15_value_percentiles" -> ea15Sql,
     "ea16_pivot_type_by_day" -> ea16Sql,
     "ea14_grouping_sets" -> ea14Sql,

@@ -27,4 +27,29 @@ class UdfsSpec extends SparkSpec {
     val out = spark.sql("SELECT usd_to_vnd(CAST(2.0 AS DOUBLE)) AS v").collect()(0)
     assert(out.getDouble(0) === 2.0 * 25057.0)
   }
+
+  test("typed WeightedMeanAgg equals the Column formulation bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(("a", 1050L, 3L), ("a", 200L, 1L), ("b", 99L, 2L),
+      ("b", 1L, 5L), ("a", 7L, 31L))
+    val typed = rows.toDF("k", "cents", "w").as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.WeightedMeanAgg.toColumn.name("wavg"))
+      .collect().toMap
+    val column = rows.toDF("k", "cents", "w")
+      .groupBy("k")
+      .agg((sum(col("cents") * col("w")).cast("double") / lit(100.0) /
+        sum(col("w"))).as("wavg"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed === column)
+    // zero-weight group surfaces NaN rather than masking it
+    val nan = Seq(("z", 10L, 0L)).toDF("k", "cents", "w")
+      .as[(String, Long, Long)].groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.WeightedMeanAgg.toColumn.name("wavg"))
+      .collect()(0)._2
+    assert(nan.isNaN)
+  }
 }
