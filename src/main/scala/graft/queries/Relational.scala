@@ -715,7 +715,90 @@ object Relational {
       |FROM o FULL OUTER JOIN l USING (d)
       |ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** q26 [§2.7 RANGE frames]: trailing-30-day spend per customer — a
+    * time-based RANGE window frame (`rangeBetween` over integer epoch
+    * days), the frame class ROWS frames cannot express: the frame width
+    * is a VALUE interval, so same-day orders enter each other's frames
+    * and gaps in the order history shrink the frame to whatever actually
+    * falls inside the 30 days. Scale shape: partitioned by `o_custkey`
+    * (millions of small groups, no skew), sorted only within each
+    * customer's own orders — no global or single-task sort anywhere.
+    * Decimal partials keep the moving sums exact in both engines. */
+  def q26TrailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_date(col("o_d")))
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_d"),
+        dec(col("o_totalprice")).as("p"))
+      .withColumn("trailing_spend", sum(col("p")).over(w).cast("double"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .filter(col("n_in_window") >= 2)
+      .select(col("o_custkey"), col("o_d").as("o_date"),
+        col("trailing_spend"), col("n_in_window"))
+      .orderBy(col("o_custkey"), col("o_date"), col("trailing_spend"))
+  }
+
+  val q26Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend,
+      |    COUNT(*) OVER (
+      |      PARTITION BY o_custkey ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_in_window
+      |  FROM orders)
+      |WHERE n_in_window >= 2
+      |ORDER BY o_custkey, o_date, trailing_spend""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** q27 [§2.9 bag set ops]: quarter-over-quarter priority-mix movement
+    * via EXCEPT ALL / INTERSECT ALL — multiset semantics, a different
+    * operator (and plan) from q21's set-semantics INTERSECT/EXCEPT:
+    * Spark plans these as a count-per-value aggregate followed by a
+    * `Generate` replicating each value max(0, n₁−n₂) (resp. min) times,
+    * so duplicates carry through without ever materializing either bag
+    * row-by-row against the other. Both inputs prune at the scan on the
+    * quarter predicate and aggregate map-side before the single shuffle
+    * on the priority value. */
+  def q27PriorityBagDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def prios(yr: Int, q: Int) =
+      o.filter(year(col("o_orderdate")) === yr &&
+          quarter(col("o_orderdate")) === q)
+        .select(col("o_orderpriority"))
+    val a = prios(1995, 1)
+    val b = prios(1995, 2)
+    def tag(df: DataFrame, name: String) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(name).as("arm"), col("o_orderpriority"), col("n"))
+    tag(a.exceptAll(b), "q1_surplus")
+      .unionByName(tag(b.exceptAll(a), "q2_surplus"))
+      .unionByName(tag(a.intersectAll(b), "common"))
+      .orderBy(col("arm"), col("o_orderpriority"))
+  }
+
+  val q27Sql: String =
+    """WITH a AS (SELECT o_orderpriority FROM orders
+      |           WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1),
+      |     b AS (SELECT o_orderpriority FROM orders
+      |           WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2)
+      |SELECT 'q1_surplus' AS arm, o_orderpriority, COUNT(*) AS n
+      |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+      |UNION ALL
+      |SELECT 'q2_surplus', o_orderpriority, COUNT(*)
+      |FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a) GROUP BY 2
+      |UNION ALL
+      |SELECT 'common', o_orderpriority, COUNT(*)
+      |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+      |ORDER BY arm, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_trailing_spend" -> q26TrailingSpend _,
+    "q27_priority_bag_diff" -> q27PriorityBagDiff _,
     "q22_order_ship_calendar" -> q22OrderShipCalendar _,
     "q21_customer_retention" -> q21CustomerRetention _,
     "q20_running_revenue" -> q20RunningRevenue _,
@@ -742,6 +825,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_trailing_spend" -> q26Sql,
+    "q27_priority_bag_diff" -> q27Sql,
     "q22_order_ship_calendar" -> q22Sql,
     "q21_customer_retention" -> q21Sql,
     "q20_running_revenue" -> q20Sql,
