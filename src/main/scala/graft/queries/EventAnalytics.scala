@@ -398,6 +398,120 @@ object EventAnalytics {
       |    / CAST(SUM(day(ts)) AS BIGINT) AS wavg
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- ea21
+  /** ea21 [bivariate statistics, §2.6+]: per-type Pearson correlation and
+    * OLS slope of event value against hour-of-day — trend detection
+    * ("do payments grow through the day?") as ONE hash-partitioned
+    * aggregate pass. Built-in `corr`/`regr_slope` stream doubles through
+    * Welford-style merges, so their low bits depend on partition count
+    * and merge order; instead the five raw moments (Σx, Σy, Σx², Σxy,
+    * Σy²) are accumulated as EXACT integers (hours and cents), widened
+    * to decimal(38,0) for the centered products (n·Σy² overflows a long
+    * at ~10⁶ rows/group), and only the final division/sqrt runs in
+    * IEEE doubles — bit-identical on any cluster layout, so an exact
+    * DuckDB oracle (HUGEINT moments) hash-matches. Zero-variance groups
+    * surface NULL, never ±Inf/NaN. Scale: map-side partial agg into 10
+    * groups; nothing but the 6-number moment rows ever shuffles. */
+  def ea21HourlyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        (dec(col("value")) * 100).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"),
+        sum(col("y")).cast(d38).as("sy"),
+        sum(col("x") * col("x")).cast(d38).as("sxx"),
+        sum(col("x") * col("y")).cast(d38).as("sxy"),
+        sum(col("y") * col("y")).cast(d38).as("syy"))
+    val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val bx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val by = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("event_type"), col("n").cast("long").as("n_events"),
+        when(bx === 0d || by === 0d, lit(null).cast("double"))
+          .otherwise(round(a / sqrt(bx * by), 6)).as("corr_value_hour"),
+        when(bx === 0d, lit(null).cast("double"))
+          .otherwise(round(a / bx / 100d, 6)).as("slope_per_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  val ea21Sql: String =
+    """WITH pts AS (
+      |  SELECT event_type, hour(ts) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      |  FROM pts GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+      |    ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+      |  END AS corr_value_hour,
+      |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+      |    ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6)
+      |  END AS slope_per_hour
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- ea22
+  /** ea22 [gaps-and-islands sessionization, §2.7+]: assign session IDs
+    * with a 30-minute inactivity gap — the canonical batch twin of
+    * `session_window` that keeps the IDs: per-user `lag` marks session
+    * starts, a running ROWS-frame sum over the 0/1 indicator numbers
+    * the islands, and a second-level re-aggregation rolls (user,
+    * session) up to a corpus-wide session-shape histogram. Everything
+    * (both windows AND the first group-by) is partitioned by `user_id`,
+    * so one hash exchange serves the whole chain; the final histogram
+    * re-shuffles only O(#sessions) rows pre-aggregated map-side. Spans
+    * are exact epoch-microsecond integers; ties inside a user's
+    * timeline break on `event_id` so the indicator is deterministic. */
+  def ea22SessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("events_per_session"),
+        (max(col("us")) - min(col("us"))).as("span_us"))
+      .groupBy(col("events_per_session"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("span_us")).as("total_span_us"))
+      .orderBy(col("events_per_session"))
+  }
+
+  val ea22Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(date_trunc('microseconds', ts)) AS us
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |s AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sid AS (
+      |  SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM s),
+      |g AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MAX(us) - MIN(us) AS span_us
+      |  FROM sid GROUP BY 1, 2)
+      |SELECT CAST(n_events AS BIGINT) AS events_per_session,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(span_us) AS BIGINT) AS total_span_us
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- ea17
   /** ea17 [custom sketch aggregate, §2.12+]: audience overlap between
     * every pair of event types, estimated from KMV sketches
@@ -483,6 +597,8 @@ object EventAnalytics {
     "ea18_funnel" -> ((s: SparkSession, d: String) => ea18Funnel(s, d)),
     "ea19_unpivot_shares" -> ea19UnpivotShares _,
     "ea20_typed_weighted_avg" -> ea20TypedWeightedAvg _,
+    "ea21_hourly_trend" -> ea21HourlyTrend _,
+    "ea22_session_stats" -> ea22SessionStats _,
     "ea17_kmv_overlap" -> ea17KmvOverlap _,
     "ea15_value_percentiles" -> ea15ValuePercentiles _,
     "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
@@ -505,6 +621,8 @@ object EventAnalytics {
     "ea18_funnel" -> ea18Sql,
     "ea19_unpivot_shares" -> ea19Sql,
     "ea20_typed_weighted_avg" -> ea20Sql,
+    "ea21_hourly_trend" -> ea21Sql,
+    "ea22_session_stats" -> ea22Sql,
     "ea15_value_percentiles" -> ea15Sql,
     "ea16_pivot_type_by_day" -> ea16Sql,
     "ea14_grouping_sets" -> ea14Sql,
