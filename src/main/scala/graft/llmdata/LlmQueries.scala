@@ -317,6 +317,25 @@ object LlmQueries {
       |      FROM m GROUP BY doc_id)
       |ORDER BY score_micro DESC, doc_id LIMIT 15""".stripMargin
 
+  /** TF-IDF mirror of [[TextAnalysis.tfidfTopTerms]] — same micro-unit
+    * quantization and term-ASC tie-break; df counts rows of the
+    * already-(doc,term)-distinct tf table in both engines. */
+  val txtTfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+      |s AS (SELECT doc_id, tf.term AS term, tf,
+      |        CAST(floor(tf * ln(n_docs / df) * 1000000.0 + 0.5) AS BIGINT)
+      |          AS score_micro
+      |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rnk
+      |      FROM s)
+      |SELECT doc_id, rnk, term, tf, score_micro,
+      |  score_micro / 1000000.0 AS score
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   /** Unigram-logprob mirror of [[TextAnalysis.unigramLogprob]] — same
     * micro-unit quantization, exact-long per-doc sums. */
   val txtUnigramLogprobSql: String =
@@ -617,6 +636,7 @@ object LlmQueries {
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfTopK(s, d, 5, 10)),
     "ann_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 5, 20, 10)),
     "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    "txt_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
     "txt_dynamic_threshold" -> ((s, d) => TextAnalysis.dynamicThreshold(s, d)),
     "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
@@ -663,6 +683,7 @@ object LlmQueries {
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
     "txt_bm25_topk" -> txtBm25Sql,
+    "txt_tfidf_topterms" -> txtTfidfSql,
     "txt_curation_report" -> txtCurationReportSql,
     "txt_dynamic_threshold" -> txtDynamicThresholdSql,
     "txt_mixture_weights" -> txtMixtureWeightsSql,

@@ -392,6 +392,51 @@ object TextAnalysis {
       .orderBy(col("shared_windows").desc, col("train_id"), col("test_id"))
   }
 
+  /** Per-document TF-IDF top terms — the classic document
+    * feature-extraction pass (keyword tagging, topic labeling, the
+    * sparse half of a doc representation). Scores every (doc, term)
+    * with `tf · ln(N/df)` and keeps each document's k highest-weighted
+    * terms. Distinct from [[bm25TopK]]: BM25 ranks docs for one query;
+    * this extracts descriptive terms for EVERY doc in one pass.
+    *
+    * Scale shape: tf is one hash-partitioned agg of the exploded token
+    * stream; df aggregates the already-(doc,term)-distinct tf table, so
+    * no second corpus pass; tf⋈df is a shuffle join on term (a real
+    * vocabulary may not broadcast-fit — Zipf-hot terms are what AQE's
+    * runtime skew/broadcast handling re-plans); the 1-row doc count
+    * broadcasts. The per-doc window ranks at most |distinct terms in
+    * doc| rows per partition key — bounded by doc length, never
+    * corpus-sized.
+    *
+    * Determinism: scores quantized to integer micro-units
+    * (`floor(x·1e6 + 0.5)`, identical in the DuckDB mirror); ranking
+    * ties broken by term ASC in both engines. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term): counting its rows per
+    // term IS the document frequency — no second pass over the corpus
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        floor(col("tf") * log(col("n_docs") / col("df")) * lit(1000000.0)
+          + lit(0.5)).as("score_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        col("score_micro"),
+        (col("score_micro") / lit(1000000.0)).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** BM25 parameters (the standard Robertson/Lucene defaults) and the
     * default keyword query for the registered entry. */
   val Bm25K1 = 1.2

@@ -512,6 +512,60 @@ object EventAnalytics {
       |  CAST(SUM(span_us) AS BIGINT) AS total_span_us
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- ea23
+  /** ea23 [robust outlier detection]: per-type anomalies by MEDIAN
+    * ABSOLUTE DEVIATION — the robust twin of the mean/stddev screen
+    * (ea11): a handful of extreme values drags a mean-based threshold
+    * toward themselves and masks real anomalies; the median/MAD pair is
+    * breakdown-resistant to 50% contamination. Flags `0.6745·|x−med| >
+    * 3.5·MAD` (the standard modified-z cut, multiplied through so no
+    * division touches the comparison).
+    *
+    * Scale shape: two exact per-type percentile aggregates (same
+    * reducer-buffering caveat + `approx_percentile` t-digest swap-in as
+    * ea15), each producing a #types-row table that BROADCASTS back onto
+    * the facts; the final pass is one hash-partitioned count. Three
+    * linear scans total, no fact-sized shuffle beyond the group-bys.
+    *
+    * Determinism: `percentile` ≡ DuckDB `quantile_cont` (linear
+    * interpolation, proven by ea15); the outlier comparison uses
+    * identical double arithmetic in both engines. */
+  def ea23MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(lit(0.6745) * col("adev") > lit(3.5) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val ea23Sql: String =
+    """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |        FROM ev GROUP BY 1),
+      |dev AS (SELECT event_type, value, med, abs(value - med) AS adev
+      |        FROM ev JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT event_type, round(max(med), 6) AS med, round(max(mad), 6) AS mad,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN 0.6745 * adev > 3.5 * mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- ea17
   /** ea17 [custom sketch aggregate, §2.12+]: audience overlap between
     * every pair of event types, estimated from KMV sketches
@@ -599,6 +653,7 @@ object EventAnalytics {
     "ea20_typed_weighted_avg" -> ea20TypedWeightedAvg _,
     "ea21_hourly_trend" -> ea21HourlyTrend _,
     "ea22_session_stats" -> ea22SessionStats _,
+    "ea23_mad_outliers" -> ea23MadOutliers _,
     "ea17_kmv_overlap" -> ea17KmvOverlap _,
     "ea15_value_percentiles" -> ea15ValuePercentiles _,
     "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
@@ -623,6 +678,7 @@ object EventAnalytics {
     "ea20_typed_weighted_avg" -> ea20Sql,
     "ea21_hourly_trend" -> ea21Sql,
     "ea22_session_stats" -> ea22Sql,
+    "ea23_mad_outliers" -> ea23Sql,
     "ea15_value_percentiles" -> ea15Sql,
     "ea16_pivot_type_by_day" -> ea16Sql,
     "ea14_grouping_sets" -> ea14Sql,

@@ -530,8 +530,73 @@ object TxQueries {
       |FROM txd JOIN iv ON txd.d BETWEEN iv.valid_from AND iv.valid_to
       |GROUP BY 1, 2 ORDER BY rate_date""".stripMargin
 
+  // ---------------------------------------------------------------- tx15
+  /** tx15 [warehouse MERGE upsert]: reconcile a late-month DELTA into
+    * the month-to-date per-(card, merchant) spend dimension — the
+    * `MERGE INTO` every warehouse sync needs (and Spark without a table
+    * format lacks as a statement): key-matched rows UPDATE (totals
+    * accumulate), source-only keys INSERT, target-only keys pass
+    * through unchanged, and every output row carries its `op` verdict.
+    * Expressed as aggregate + aggregate + FULL OUTER join on the key —
+    * the join's using-columns coalesce is exactly MERGE's key
+    * resolution.
+    *
+    * Scale shape: both sides reduce to their key grain BEFORE the join
+    * (the join input is O(distinct keys), never fact-sized) and the
+    * full-outer SMJ hash-partitions on the same key both aggregates
+    * already shuffled on — one exchange serves all three steps. At
+    * warehouse scale the target side is the bucketed dimension
+    * ([[graft.sync.Warehouse]]), making this a zero-extra-shuffle
+    * co-located merge. City filter bounds the demo output; totals are
+    * exact DECIMAL(18,2) sums with one final double cast. */
+  def tx15MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val v = Splitter.valid(processedTable(spark, dir))
+      .filter(col("Merchant_City") === "City_7")
+      .select(col("Card").as("card"), col("Merchant_Name").as("merchant"),
+        col("Day"), usdDec.as("usd"))
+    val zero = lit(0).cast("decimal(18,2)")
+    val base = v.filter(col("Day") <= 20)
+      .groupBy(col("card"), col("merchant"))
+      .agg(count(lit(1)).as("n_base"), sum(col("usd")).as("s_base"))
+    val delta = v.filter(col("Day") > 20)
+      .groupBy(col("card"), col("merchant"))
+      .agg(count(lit(1)).as("n_delta"), sum(col("usd")).as("s_delta"))
+    base.join(delta, Seq("card", "merchant"), "full_outer")
+      .select(col("card"), col("merchant"),
+        when(col("n_base").isNull, "insert")
+          .when(col("n_delta").isNull, "unchanged")
+          .otherwise("update").as("op"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_total"),
+        (coalesce(col("s_base"), zero) + coalesce(col("s_delta"), zero))
+          .cast("double").as("usd_total"))
+      .orderBy(col("card"), col("merchant"))
+  }
+
+  val tx15Sql: String =
+    s"""$processedCte,
+      |v AS (SELECT card, merchant_name, dy, $usdDecSql AS usd FROM enr
+      |      WHERE $validPred AND merchant_city = 'City_7'),
+      |b AS (SELECT card, merchant_name, COUNT(*) AS n_base, SUM(usd) AS s_base
+      |      FROM v WHERE dy <= 20 GROUP BY 1, 2),
+      |d AS (SELECT card, merchant_name, COUNT(*) AS n_delta, SUM(usd) AS s_delta
+      |      FROM v WHERE dy > 20 GROUP BY 1, 2)
+      |SELECT COALESCE(b.card, d.card) AS card,
+      |  COALESCE(b.merchant_name, d.merchant_name) AS merchant,
+      |  CASE WHEN b.card IS NULL THEN 'insert'
+      |       WHEN d.card IS NULL THEN 'unchanged' ELSE 'update' END AS op,
+      |  COALESCE(n_base, 0) AS n_base, COALESCE(n_delta, 0) AS n_delta,
+      |  COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_total,
+      |  CAST(COALESCE(s_base, 0) + COALESCE(s_delta, 0) AS DOUBLE) AS usd_total
+      |FROM b FULL OUTER JOIN d
+      |  ON b.card = d.card AND b.merchant_name = d.merchant_name
+      |ORDER BY card, merchant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx14_interval_join" -> tx14IntervalJoin _,
+    "tx15_merge_upsert" -> tx15MergeUpsert _,
     "tx13_rate_intervals" -> tx13RateIntervals _,
     "tx1_bucket_counts" -> tx1BucketCounts _,
     "tx2_valid_daily" -> tx2ValidDaily _,
@@ -551,6 +616,7 @@ object TxQueries {
 
   val oracles: Map[String, String] = Map(
     "tx14_interval_join" -> tx14Sql,
+    "tx15_merge_upsert" -> tx15Sql,
     "tx13_rate_intervals" -> tx13Sql,
     "tx1_bucket_counts" -> tx1Sql,
     "tx2_valid_daily" -> tx2Sql,

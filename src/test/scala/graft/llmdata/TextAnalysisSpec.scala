@@ -119,6 +119,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tfidf top terms: dense ranks, descending scores, ubiquitous terms scored zero") {
+    import spark.implicits._
+    val rows = TextAnalysis.tfidfTopTerms(spark, sf, 3)
+      .select("doc_id", "rnk", "term", "score_micro").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getInt(1))
+      // ranks are exactly 1..k' with scores non-increasing in rank
+      assert(ranked.map(_.getInt(1)).toSeq === (1 to ranked.length))
+      val scores = ranked.map(_.getLong(3)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+    // a term present in EVERY doc has idf = ln(1) = 0: it can never carry
+    // a positive tf-idf weight, so any selected term with positive score
+    // must be non-ubiquitous
+    val nDocs = Tables.documents(spark, sf).count()
+    val ubiquitous = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct().groupBy("term").count()
+      .filter(col("count") === nDocs)
+      .select("term").as[String].collect().toSet
+    rows.filter(_.getLong(3) > 0L)
+      .foreach(r => assert(!ubiquitous.contains(r.getString(2))))
+  }
+
   test("unigram logprob: common-token docs outscore rare-token docs, exact mean") {
     val tmp = tmpCorpus(Seq(
       (1L, "a a a a"),
