@@ -349,6 +349,30 @@ object LlmQueries {
       |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM mirror of [[TextAnalysis.bigramLogprob]] — identical
+    * λ-interpolation literals, association order, and micro-unit
+    * quantization; bigrams enumerated positionally (`t[i], t[i+1]`)
+    * exactly as the per-doc `lead` window produces them. */
+  val txtBigramLogprobSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+      |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM tok),
+      |uni AS (SELECT term, COUNT(*) AS cu FROM tok GROUP BY 1),
+      |bg AS (SELECT doc_id, t[i] AS w0, t[i + 1] AS w1
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+      |bgc AS (SELECT w0, w1, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w0, SUM(cb) AS cc FROM bgc GROUP BY 1),
+      |m AS (SELECT doc_id,
+      |        CAST(floor(ln(0.75 * (cb::DOUBLE / cc::DOUBLE)
+      |          + 0.25 * (cu::DOUBLE / tot)) * 1000000.0 + 0.5) AS BIGINT)
+      |          AS micro
+      |      FROM bg JOIN bgc USING (w0, w1) JOIN ctx USING (w0)
+      |      JOIN uni ON bg.w1 = uni.term CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*)
+      |    AS avg_logprob
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Curation-report mirror of [[TextAnalysis.curationReport]]: same
     * signals (inline length/TTR, bigram dup ratio, micro-quantized
     * unigram log-prob), same first-failing-filter CASE order, same
@@ -644,6 +668,7 @@ object LlmQueries {
     "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
+    "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
@@ -690,6 +715,7 @@ object LlmQueries {
     "emb_diversity" -> embDiversitySql,
     "txt_shard_assign" -> txtShardAssignSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
+    "txt_bigram_logprob" -> txtBigramLogprobSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,

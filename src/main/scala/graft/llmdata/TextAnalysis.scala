@@ -532,6 +532,56 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Interpolated BIGRAM language-model scoring — one step up the LM
+    * ladder from [[unigramLogprob]]: each bigram position is scored
+    * `ln(λ·P(w1|w0) + (1−λ)·P(w1))` with MLE estimates from the corpus
+    * itself (`P(w1|w0) = c(w0,w1)/c(w0·)`, context counts derived from
+    * the bigram table so the final token of each doc never inflates a
+    * denominator). The unigram interpolation arm smooths unseen
+    * transitions, so the score is finite wherever the token exists —
+    * the Jelinek-Mercer scheme every n-gram quality filter uses.
+    * Low scores flag incoherent token streams (shuffled text, spam
+    * keyword stuffing) that per-token frequency scoring cannot see.
+    *
+    * Scale shape: one posexplode pass; the bigram stream comes from a
+    * per-doc `lead` window (partitioned by doc, bounded by doc length);
+    * bigram/context/unigram tables are hash-partitioned aggs joined
+    * back on their own keys (vocabulary² may not broadcast — AQE
+    * re-plans the Zipf-hot transitions); the 1-row total broadcasts.
+    *
+    * Determinism: per-position scores micro-quantized (`floor(x·1e6 +
+    * 0.5)`, identical in DuckDB), summed as exact longs. */
+  def bigramLogprob(spark: SparkSession, dir: String,
+                    lambda: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+    val total = tok.agg(count(lit(1)).cast("double").as("tot"))
+    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("t", "u1")
+    val bg = tok
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), col("t").as("w0"), col("t1").as("w1"))
+    val bgc = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("cb"))
+    val ctx = bgc.groupBy(col("w0")).agg(sum(col("cb")).as("cc"))
+    val p = lit(lambda) * (col("cb").cast("double") / col("cc").cast("double")) +
+      lit(1.0 - lambda) * (col("cu").cast("double") / col("tot"))
+    bg.join(bgc, Seq("w0", "w1"))
+      .join(ctx, Seq("w0"))
+      .join(uni, col("w1") === col("u1"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), floor(log(p) * lit(1000000.0) + lit(0.5)).as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("micro")).as("micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("micro_sum").cast("double") / lit(1000000.0) / col("n_bigrams"))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source DYNAMIC quality threshold — the adaptive-cutoff
     * curation pass: instead of one global constant (a cut tuned for
     * encyclopedia text guts code or forum text), each source drops its

@@ -35,6 +35,31 @@ object StreamingAnalytics {
       .select(col("w.start").as("hour_start"), col("n"),
         col("usd_total").cast("double").as("usd_total"))
 
+  /** Q1 live, SLIDING variant: hopping event-time windows
+    * (`window(ts, windowDur, slide)`) — the smooth-trend view tumbling
+    * windows cannot give (a burst at :59 splits across two tumbling
+    * hours; a 1h/15m hop sees it whole in four overlapping frames).
+    * Each event lands in exactly windowDur/slide windows, so streaming
+    * state holds that many open rows per group key instead of one —
+    * the watermark still evicts every window whose end passes, keeping
+    * state proportional to (windows open within the delay), not stream
+    * life. Same batch≡streaming plan property as [[hourlyTraffic]];
+    * StreamingAnalyticsSpec oracles it and asserts the per-event
+    * window multiplicity. */
+  def slidingTraffic(enriched: DataFrame,
+                     windowDur: String = "1 hour",
+                     slide: String = "15 minutes",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    enriched
+      .withWatermark("transaction_date", watermarkDelay)
+      .groupBy(window(col("transaction_date"), windowDur, slide).as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("Amount_USD").cast("decimal(18,2)")).as("usd_total"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n"),
+        col("usd_total").cast("double").as("usd_total"))
+
   /** Streaming exact dedup: drop re-deliveries of the same (Card,
     * timestamp) — the at-least-once Kafka producer's duplicate shape —
     * with state bounded by the watermark (a duplicate arriving later

@@ -157,6 +157,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r(1L)._2 - math.log(7.0 / 8.0)) < 1e-5)
   }
 
+  test("bigram LM: coherent word order outscores shuffled text with the same bag") {
+    // docs 1-4 establish the dominant transitions (the cat sat ...);
+    // doc 5 repeats them coherently, doc 6 carries the SAME token bag
+    // in scrambled order — a unigram model scores 5 and 6 identically,
+    // the bigram LM must not
+    val tmp = tmpCorpus(Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "the cat sat on the mat"),
+      (5L, "the cat sat on the mat"),
+      (6L, "mat the on sat cat the")))
+    val bi = TextAnalysis.bigramLogprob(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(5L) > bi(6L),
+      s"coherent ${bi(5L)} should outscore shuffled ${bi(6L)}")
+    val uni = TextAnalysis.unigramLogprob(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(5L) - uni(6L)) < 1e-9,
+      "unigram scoring is blind to word order by construction")
+  }
+
   test("dynamic threshold: per-source P10 cutoffs match a driver-side quantile") {
     val got = TextAnalysis.dynamicThreshold(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -47,6 +47,20 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(batch.exceptAll(live).count() === 0)
   }
 
+  test("streaming sliding windows equal batch and give each event 4× multiplicity") {
+    val live = drain(StreamingAnalytics.slidingTraffic(enrichedStream),
+      "complete", "sliding_live").cache()
+    val batch = StreamingAnalytics.slidingTraffic(enrichedBatch)
+    assert(live.count() > 0)
+    assert(live.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(live).count() === 0)
+    // 1 h window hopping every 15 min ⇒ every event is counted in
+    // exactly 4 overlapping windows
+    val totalWindowed = live.agg(sum(col("n"))).collect()(0).getLong(0)
+    val events = enrichedBatch.filter(col("transaction_date").isNotNull).count()
+    assert(totalWindowed === events * 4)
+  }
+
   test("streaming dedup drops at-least-once redeliveries within the watermark") {
     // duplicate every message: the input dir written twice
     val dupDir = Files.createTempDirectory("graft-dedup").toString + "/in"
