@@ -666,6 +666,7 @@ object LlmQueries {
     "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "txt_mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
+    "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
@@ -690,7 +691,10 @@ object LlmQueries {
     * reference and the λ=1 ≡ brute-force identity. txt_bpe_merges is
     * rows-only too (iterative list-fold state isn't reasonable SQL);
     * TextAnalysisSpec gates it against an exact driver-side BPE
-    * reference. */
+    * reference. emb_pca_project is rows-only (an eigendecomposition
+    * isn't SQL); SimilaritySpec gates orthonormality, eigenvalue ≡
+    * projected-variance, trace preservation, reconstruction, and
+    * bit-determinism. */
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,

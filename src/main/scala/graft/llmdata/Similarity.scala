@@ -637,6 +637,210 @@ object Similarity {
     * for cosine; every cross-partition sum is exact longs; the final
     * sqrt/round run on reproducible doubles — DuckDB oracle
     * hash-matches. */
+  // ------------------------------------------------------------- PCA
+  /** Trained PCA basis for a corpus: per-dimension mean, eigenvalues
+    * (descending), and orthonormal principal components (`comps(j)` =
+    * j-th PC as a d-vector, deterministically sign-fixed). */
+  case class PcaModel(n: Long, mean: Array[Double], eigvals: Array[Double],
+                      comps: Array[Array[Double]])
+
+  private final class PcaHolder(thunk: () => PcaModel) {
+    lazy val value: PcaModel = thunk()
+  }
+  private val pcaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), PcaHolder]
+
+  /** Memoized per (session, corpus dir), like [[ivfCentroidsFor]]:
+    * PCA training is index-build work with the same immutable-input
+    * contract. */
+  private[llmdata] def pcaModelFor(spark: SparkSession, dir: String): PcaModel =
+    pcaMemo.computeIfAbsent((spark, dir),
+      k => new PcaHolder(() => trainPca(k._1, Tables.embeddings(k._1, k._2)))).value
+
+  /** PCA training: one distributed pass accumulates the first and
+    * second moments (count, Σx, Σxxᵀ) per partition — d + d² numbers
+    * per PARTITION, never per row — then the driver assembles the d×d
+    * covariance and runs a cyclic Jacobi eigensolver (d=64: microseconds
+    * of driver work, same legitimacy class as the 16 IVF centroids).
+    *
+    * Determinism: inputs are micro-quantized (`floor(x·1e6 + 0.5)`) and
+    * the moment sums accumulate as EXACT longs, so the model is
+    * independent of partition count/order. Long capacity bounds this at
+    * ~1e6 rows per partition for |x| ≈ 1 embeddings (q² ≤ 1e12 per
+    * term); a 100 TB run flips the accumulator to Double and accepts
+    * last-ulp nondeterminism, or widens to 128-bit — the partition-pass
+    * shape is unchanged. Jacobi is a fixed driver-side computation of
+    * the exact moments, so the whole model is bit-reproducible. */
+  private[llmdata] def trainPca(spark: SparkSession,
+                                corpus: DataFrame): PcaModel = {
+    import spark.implicits._
+    val parts = corpus.select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        var n = 0L
+        var s: Array[Long] = null
+        var ss: Array[Long] = null
+        it.foreach { v =>
+          val d = v.length
+          if (s == null) { s = new Array[Long](d); ss = new Array[Long](d * d) }
+          require(v.length == s.length,
+            s"ragged embedding: ${v.length} vs ${s.length}")
+          val q = new Array[Long](d)
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(v(i).toDouble * 1e6 + 0.5).toLong; i += 1
+          }
+          i = 0
+          while (i < d) {
+            s(i) += q(i)
+            val base = i * d
+            var j = 0
+            while (j < d) { ss(base + j) += q(i) * q(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((n, s.toSeq, ss.toSeq))
+      }.collect()
+    require(parts.nonEmpty, "PCA training needs a non-empty corpus")
+    val d = parts.head._2.length
+    val n = parts.map(_._1).sum
+    val s = new Array[Long](d)
+    val ss = new Array[Long](d * d)
+    parts.foreach { case (_, ps, pss) =>
+      var i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+      i = 0
+      while (i < d * d) { ss(i) += pss(i); i += 1 }
+    }
+    val mean = s.map(_.toDouble / 1e6 / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      ss(i * d + j).toDouble / 1e12 / n - mean(i) * mean(j)
+    }
+    val (vals, comps) = jacobiEigen(cov)
+    PcaModel(n, mean, vals, comps)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: sweeps every
+    * (p,q) pair in fixed order rotating the off-diagonal to zero,
+    * until the off-diagonal norm vanishes. Returns eigenvalues
+    * descending with orthonormal eigenvectors as rows, each sign-fixed
+    * (largest-|coordinate| entry positive, ties to the lowest index) so
+    * the basis orientation is deterministic. Pure function of its
+    * input — no randomness, no library dependence. */
+  private[llmdata] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { acc += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      acc
+    }
+    var sweep = 0
+    while (sweep < 100 && off() > 1e-20) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - sn * aiq
+              a(i)(q) = sn * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - sn * aqi
+              a(q)(i) = sn * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(j => (-a(j)(j), j))
+    val vals = order.map(j => a(j)(j)).toArray
+    val comps = order.map { j =>
+      val cvec = Array.tabulate(d)(i => v(i)(j))
+      var bi = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(cvec(i)) > math.abs(cvec(bi))) bi = i
+        i += 1
+      }
+      if (cvec(bi) < 0) cvec.map(x => -x) else cvec
+    }.toArray
+    (vals, comps)
+  }
+
+  /** PCA projection of every corpus vector onto the top-k principal
+    * components — the dimensionality-reduction / decorrelation pass an
+    * embedding pipeline runs before clustering, dedup, or a cheap
+    * linear quality probe (and the feature layout a SemDeDup-style
+    * semantic dedup wants: most of the cosine structure in k ≪ d
+    * coordinates). Whitening is `pc_j / sqrt(λ_j)` on this output —
+    * left to the caller so one projection serves both uses.
+    *
+    * Scale shape: training is the memoized one-pass moment aggregation
+    * above; projection broadcasts the (k·d + d)-double model and maps
+    * each partition independently — no shuffle at all in the projection
+    * job (the presentation sort exists only for the registered entry).
+    * Rows-only in CORRECTNESS (an eigendecomposition isn't reasonable
+    * SQL); SimilaritySpec gates orthonormality, eigenvalue/variance
+    * agreement, reconstruction, and determinism. */
+  def pcaProject(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val model = pcaModelFor(spark, dir)
+    val kk = math.min(k, model.comps.length)
+    val bc = spark.sparkContext.broadcast(
+      (model.mean, model.comps.take(kk)))
+    val proj = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])]
+      .map { case (id, label, e) =>
+        val (mu, comps) = bc.value
+        val y = comps.map { cj =>
+          var acc = 0.0
+          var i = 0
+          while (i < mu.length) {
+            acc += (e(i).toDouble - mu(i)) * cj(i); i += 1
+          }
+          round6(acc)
+        }
+        (id, label, y)
+      }.toDF("vec_id", "label", "y")
+    val pcCols = (0 until kk).map(j => element_at(col("y"), j + 1).as(s"pc${j + 1}"))
+    proj.select(col("vec_id") +: col("label") +: pcCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
   def labelDiversity(spark: SparkSession, dir: String): DataFrame = {
     val perDim = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))

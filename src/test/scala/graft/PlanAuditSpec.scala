@@ -24,6 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "txt_cms_terms" -> "cross join against a 1-row global CMS sketch",
     "txt_bm25_topk" -> "cross join against a 1-row corpus-stats side",
     "txt_unigram_logprob" -> "cross join against a 1-row token-total side",
+    "txt_bigram_logprob" -> "cross join against a 1-row token-total side",
+    "txt_tfidf_topterms" -> "cross join against a 1-row doc-count side",
     "txt_curation_report" -> "cross join against a 1-row token-total side (unigram signal)",
     "ann_mmr_rerank" -> "candidate gen is the brute-force broadcast query side (nQueries=5)",
     "txt_dynamic_threshold" -> "cross join against a 1-row token-total side (unigram signal)",

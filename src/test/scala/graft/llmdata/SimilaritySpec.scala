@@ -208,6 +208,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pca: orthonormal basis, eigvals ≡ projected variance, trace preserved, reconstruction exact") {
+    val m = Similarity.pcaModelFor(spark, sf)
+    val d = m.mean.length
+    // orthonormal components (rows of comps)
+    for (i <- m.comps.indices; j <- i until m.comps.length) {
+      val dotv = m.comps(i).zip(m.comps(j)).map { case (x, y) => x * y }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dotv - expect) < 1e-8, s"comp $i · comp $j = $dotv")
+    }
+    // eigenvalues descending and non-negative (to solver tolerance)
+    m.eigvals.sliding(2).foreach { w => assert(w(0) >= w(1) - 1e-12) }
+    assert(m.eigvals.forall(_ > -1e-10))
+    // Σλ equals the covariance trace computed by an independent
+    // driver-side reference over the same (micro-quantized) data
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e6 + 0.5) / 1e6).toArray)
+    val n = vecs.length
+    val mu = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val trace = (0 until d).map { i =>
+      vecs.map(v => (v(i) - mu(i)) * (v(i) - mu(i))).sum / n
+    }.sum
+    assert(math.abs(m.eigvals.sum - trace) < 1e-6,
+      s"sum λ ${m.eigvals.sum} vs trace $trace")
+    // per-component projected variance equals its eigenvalue
+    val proj = Similarity.pcaProject(spark, sf, 4).collect()
+    for (j <- 1 to 4) {
+      val ys = proj.map(_.getDouble(1 + j))
+      val vbar = ys.sum / ys.length
+      val varJ = ys.map(y => (y - vbar) * (y - vbar)).sum / ys.length
+      assert(math.abs(varJ - m.eigvals(j - 1)) < 1e-4,
+        s"var(pc$j) $varJ vs λ ${m.eigvals(j - 1)}")
+    }
+    // full-rank reconstruction: x − μ = Σ_j y_j v_j for any orthonormal
+    // basis — checked driver-side on a handful of vectors
+    vecs.take(5).foreach { x =>
+      val ys = m.comps.map(cj =>
+        (0 until d).map(i => (x(i) - m.mean(i)) * cj(i)).sum)
+      (0 until d).foreach { i =>
+        val rec = m.mean(i) + m.comps.indices.map(j => ys(j) * m.comps(j)(i)).sum
+        assert(math.abs(rec - x(i)) < 1e-6)
+      }
+    }
+    // bit-determinism: an independent (memo-bypassing) training run
+    // yields the identical model
+    val m2 = Similarity.trainPca(spark, Tables.embeddings(spark, sf))
+    assert(m2.mean.sameElements(m.mean))
+    assert(m2.eigvals.sameElements(m.eigvals))
+    assert(m2.comps.zip(m.comps).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding"))
