@@ -349,6 +349,26 @@ object LlmQueries {
       |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Weighted-sample mirror of [[TextAnalysis.weightedSample]] —
+    * identical salted-md5 uniform (positional strpos arithmetic),
+    * ln(u)/w key, nano-unit quantization, doc_id tie-break. */
+  val txtWeightedSampleSql: String =
+    """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS w,
+      |             substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 4) AS h4
+      |           FROM documents),
+      |v AS (SELECT doc_id, source, w,
+      |        (strpos('0123456789abcdef', substr(h4, 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substr(h4, 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(h4, 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(h4, 4, 1)) - 1) AS hv
+      |      FROM d WHERE w > 0),
+      |s AS (SELECT doc_id, source, w AS n_tokens,
+      |        CAST(floor(ln((hv + 0.5) / 65536.0) / w * 1000000000.0 + 0.5)
+      |          AS BIGINT) AS keyq
+      |      FROM v)
+      |SELECT doc_id, source, n_tokens, keyq, keyq / 1000000000.0 AS key
+      |FROM s ORDER BY keyq DESC, doc_id LIMIT 100""".stripMargin
+
   /** Bigram-LM mirror of [[TextAnalysis.bigramLogprob]] — identical
     * λ-interpolation literals, association order, and micro-unit
     * quantization; bigrams enumerated positionally (`t[i], t[i+1]`)
@@ -670,6 +690,7 @@ object LlmQueries {
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
+    "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
@@ -720,6 +741,7 @@ object LlmQueries {
     "txt_shard_assign" -> txtShardAssignSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "txt_bigram_logprob" -> txtBigramLogprobSql,
+    "txt_weighted_sample" -> txtWeightedSampleSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,

@@ -191,6 +191,45 @@ object TextAnalysis {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis–Vitter A-Res, the one-pass distributed form): each doc
+    * draws a pseudo-uniform `u` from a salted md5 of its id and scores
+    * `key = ln(u)/w` — the top-k keys are a weighted sample where
+    * inclusion probability tilts ∝ weight (here token count: the
+    * "sample long docs proportionally to their training mass" knob a
+    * mixture builder wants; any positive quality score drops in).
+    *
+    * Scale shape: embarrassingly parallel scoring + one
+    * `TakeOrderedAndProject` top-k — no shuffle beyond the k-row
+    * gather, no sampling state, and re-runs/backfills/other engines
+    * reproduce the identical sample (pure function of doc id).
+    *
+    * Determinism: `u` is built positionally from 4 hex chars (identical
+    * strpos arithmetic in the DuckDB mirror), keys are quantized to
+    * nano-units (`floor(x·1e9 + 0.5)`) with doc_id tie-break, so the
+    * selected set is hash-exact across engines. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val hvExpr = expr(
+      "(instr('0123456789abcdef', substring(h4, 1, 1)) - 1) * 4096 + " +
+        "(instr('0123456789abcdef', substring(h4, 2, 1)) - 1) * 256 + " +
+        "(instr('0123456789abcdef', substring(h4, 3, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(h4, 4, 1)) - 1)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).as("w"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":wsample"))
+          .cast("binary")), 1, 4).as("h4"))
+      .filter(col("w") > 0)
+      .withColumn("hv", hvExpr)
+      .withColumn("keyq",
+        floor(log((col("hv") + lit(0.5)) / lit(65536.0)) / col("w")
+          * lit(1000000000.0) + lit(0.5)).cast("long"))
+      .orderBy(col("keyq").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("w").as("n_tokens"),
+        col("keyq"), (col("keyq") / lit(1000000000.0)).as("key"))
+  }
+
   /** Default per-source sampling rates for [[stratifiedSample]]: the
     * up/down-weighting a pretraining mixture applies per source. A
     * source absent from the map keeps [[DefaultSampleRate]]. */

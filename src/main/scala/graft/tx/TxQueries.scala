@@ -530,6 +530,38 @@ object TxQueries {
       |FROM txd JOIN iv ON txd.d BETWEEN iv.valid_from AND iv.valid_to
       |GROUP BY 1, 2 ORDER BY rate_date""".stripMargin
 
+  // ---------------------------------------------------------------- tx16
+  /** tx16 [bucketed interval join — the fact-scale range-join path]:
+    * same question as tx14, but executed the way a fact-×-fact range
+    * join must run at 100 TB, where the interval side is too big to
+    * broadcast: both sides map to COARSE time buckets (weeks here — an
+    * interval explodes into every bucket it overlaps, a fact into the
+    * one bucket containing it), the join becomes a plain hash
+    * EQUI-join on the bucket key, and the exact `BETWEEN` refines the
+    * survivors. Candidate volume is bounded by bucket co-residency
+    * (each fact meets only the few intervals overlapping its week),
+    * never |facts|×|intervals|; every operator hash-partitions.
+    * Oracle: the tx14 SQL verbatim — bucket+refine must be
+    * EQUAL-BY-CONSTRUCTION to the broadcast range join. */
+  def tx16BucketedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    def wkOf(c: Column): Column =
+      floor(datediff(c, to_date(lit("1970-01-05"))) / 7).cast("long")
+    val txs = Splitter.valid(processedTable(spark, dir))
+      .withColumn("d", to_date(col("transaction_date")))
+      .select(col("d"), col("Amount_USD"), wkOf(col("d")).as("wk"))
+    val iv = tx13RateIntervals(spark, dir)
+      .select(col("rate_date"), col("rate"),
+        col("valid_from"), col("valid_to"),
+        explode(sequence(wkOf(col("valid_from")), wkOf(col("valid_to"))))
+          .as("wk"))
+    txs.join(iv, "wk")
+      .filter(col("d") >= col("valid_from") && col("d") <= col("valid_to"))
+      .groupBy(col("rate_date"), col("rate"))
+      .agg(count(lit(1)).as("n"),
+        sum(usdDec * col("rate")).cast("double").as("vnd_total"))
+      .orderBy(col("rate_date"))
+  }
+
   // ---------------------------------------------------------------- tx15
   /** tx15 [warehouse MERGE upsert]: reconcile a late-month DELTA into
     * the month-to-date per-(card, merchant) spend dimension — the
@@ -597,6 +629,7 @@ object TxQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx14_interval_join" -> tx14IntervalJoin _,
     "tx15_merge_upsert" -> tx15MergeUpsert _,
+    "tx16_bucketed_interval" -> tx16BucketedIntervalJoin _,
     "tx13_rate_intervals" -> tx13RateIntervals _,
     "tx1_bucket_counts" -> tx1BucketCounts _,
     "tx2_valid_daily" -> tx2ValidDaily _,
@@ -617,6 +650,8 @@ object TxQueries {
   val oracles: Map[String, String] = Map(
     "tx14_interval_join" -> tx14Sql,
     "tx15_merge_upsert" -> tx15Sql,
+    // bucket+refine must reproduce the broadcast range join exactly
+    "tx16_bucketed_interval" -> tx14Sql,
     "tx13_rate_intervals" -> tx13Sql,
     "tx1_bucket_counts" -> tx1Sql,
     "tx2_valid_daily" -> tx2Sql,

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "q24_lapsed_customers" -> "cross join against the 1-row global balance threshold",
     "tx13_rate_intervals" -> "cross join against the 1-row max-activity-date bound",
     "tx14_interval_join" -> "range join against the broadcast O(#publications) interval dimension",
+    "tx16_bucketed_interval" -> "inherits tx13's cross join against the 1-row max-activity-date bound (the interval JOIN itself is the bucket equi-join under audit)",
     "dd_sim_calibration" -> "sample-bounded all-pairs calibration (vec_id % 10 sample by construction)")
 
   /** Queries whose registered frame is a DRIVER-LOCAL result — the

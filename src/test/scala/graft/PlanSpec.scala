@@ -151,6 +151,16 @@ class PlanSpec extends SparkSpec {
     assert(plan(TxQueries.tx6MerchantTopk(spark, sf)).contains("TakeOrderedAndProject"))
   }
 
+  test("per-group top-k pushes the rank limit below the window (WindowGroupLimit)") {
+    // rnk <= k must prune INSIDE each sort partition before the full
+    // window materializes — without this rewrite a per-doc top-3 sorts
+    // and ranks every (doc, term) row at the reducer
+    assert(plan(graft.llmdata.TextAnalysis.tfidfTopTerms(spark, sf, 3))
+      .contains("WindowGroupLimit"))
+    assert(plan(Relational.q10TopPartsPerSupplier(spark, sf))
+      .contains("WindowGroupLimit"))
+  }
+
   test("bucketed warehouse tables join with zero shuffle exchanges") {
     import graft.sync.Warehouse
     try {

@@ -157,6 +157,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r(1L)._2 - math.log(7.0 / 8.0)) < 1e-5)
   }
 
+  test("weighted sample matches a driver-side A-Res reference and tilts toward heavy docs") {
+    val k = 20
+    val got = TextAnalysis.weightedSample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // independent driver-side reference: same salted-md5 uniform,
+    // ln(u)/w key, nano quantization, (key desc, id asc) order
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).length))
+      .filter(_._2 > 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Int): Long = {
+      val hex = md.digest(s"$id:wsample".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val hv = hex.foldLeft(0L)((acc, c) => acc * 16 + "0123456789abcdef".indexOf(c))
+      math.floor(math.log((hv + 0.5) / 65536.0) / w * 1000000000.0 + 0.5).toLong
+    }
+    val expect = docs.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, kq) => (-kq, id) }.take(k)
+    assert(got.toSeq === expect.toSeq)
+    // the tilt: the sample's mean weight must exceed the corpus mean
+    val wMap = docs.toMap
+    val sampleMean = got.map(g => wMap(g._1)).sum.toDouble / got.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"sample mean weight $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("bigram LM: coherent word order outscores shuffled text with the same bag") {
     // docs 1-4 establish the dominant transitions (the cat sat ...);
     // doc 5 repeats them coherently, doc 6 carries the SAME token bag
