@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Relational.dec
@@ -566,6 +566,100 @@ object EventAnalytics {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- ea24
+  /** ea24 [table profiling — the data-quality stats pass]: per-column
+    * row count, null count, exact distinct count, and min/max (native
+    * values for numerics, epoch-micros for the timestamp, string
+    * LENGTHS for text columns — length bounds are the schema-drift
+    * signal, and they dodge cross-engine string-format traps). This is
+    * the profile a warehouse loader or curation job emits before
+    * accepting a shard.
+    *
+    * Scale shape: ONE aggregation pass computes every metric (the
+    * multi-column COUNT(DISTINCT) expands the input once per distinct
+    * column — the exact form; `approx_count_distinct` is the 100 TB
+    * swap-in exactly as ea13 gates); the long-format stack is a 1-row
+    * explode, not a second scan.
+    *
+    * Determinism: counts are exact longs; min/max are exact casts of
+    * int/length/epoch-micro values (≤ 2^53, double-exact). */
+  def ea24TableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    def nulls(c: Column) = sum(when(c.isNull, 1L).otherwise(0L))
+    def numStats(name: String, c: Column) = Seq(
+      nulls(c).as(s"null_$name"),
+      countDistinct(c).as(s"ndv_$name"),
+      min(c).cast("double").as(s"min_$name"),
+      max(c).cast("double").as(s"max_$name"))
+    def strStats(name: String, c: Column) = Seq(
+      nulls(c).as(s"null_$name"),
+      countDistinct(c).as(s"ndv_$name"),
+      min(length(c)).cast("double").as(s"min_$name"),
+      max(length(c)).cast("double").as(s"max_$name"))
+    val metrics = Seq(count(lit(1)).as("n")) ++
+      numStats("event_id", col("event_id")) ++
+      numStats("user_id", col("user_id")) ++
+      numStats("value", col("value")) ++
+      numStats("ts_us", col("ts_us")) ++
+      strStats("event_type", col("event_type")) ++
+      strStats("props", col("props"))
+    val ag = ev.agg(metrics.head, metrics.tail: _*)
+    def r(name: String) = struct(lit(name).as("col_name"), col("n"),
+      col(s"null_$name").as("n_null"), col(s"ndv_$name").as("ndv"),
+      col(s"min_$name").as("min_v"), col(s"max_$name").as("max_v"))
+    ag.select(explode(array(
+        r("event_id"), r("event_type"), r("props"),
+        r("ts_us"), r("user_id"), r("value"))).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val ea24Sql: String =
+    """WITH e AS (SELECT *, epoch_us(date_trunc('microseconds', ts)) AS ts_us
+      |           FROM events),
+      |a AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+      |  COUNT(DISTINCT event_id) AS ndv_event_id,
+      |  CAST(MIN(event_id) AS DOUBLE) AS min_event_id,
+      |  CAST(MAX(event_id) AS DOUBLE) AS max_event_id,
+      |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+      |  COUNT(DISTINCT user_id) AS ndv_user_id,
+      |  CAST(MIN(user_id) AS DOUBLE) AS min_user_id,
+      |  CAST(MAX(user_id) AS DOUBLE) AS max_user_id,
+      |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      |  COUNT(DISTINCT value) AS ndv_value,
+      |  CAST(MIN(value) AS DOUBLE) AS min_value,
+      |  CAST(MAX(value) AS DOUBLE) AS max_value,
+      |  CAST(SUM(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts_us,
+      |  COUNT(DISTINCT ts_us) AS ndv_ts_us,
+      |  CAST(MIN(ts_us) AS DOUBLE) AS min_ts_us,
+      |  CAST(MAX(ts_us) AS DOUBLE) AS max_ts_us,
+      |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+      |  COUNT(DISTINCT event_type) AS ndv_event_type,
+      |  CAST(MIN(length(event_type)) AS DOUBLE) AS min_event_type,
+      |  CAST(MAX(length(event_type)) AS DOUBLE) AS max_event_type,
+      |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+      |  COUNT(DISTINCT props) AS ndv_props,
+      |  CAST(MIN(length(props)) AS DOUBLE) AS min_props,
+      |  CAST(MAX(length(props)) AS DOUBLE) AS max_props
+      | FROM e)
+      |SELECT * FROM (
+      |  SELECT 'event_id' AS col_name, n, null_event_id AS n_null,
+      |    ndv_event_id AS ndv, min_event_id AS min_v, max_event_id AS max_v FROM a
+      |  UNION ALL
+      |  SELECT 'user_id', n, null_user_id, ndv_user_id, min_user_id, max_user_id FROM a
+      |  UNION ALL
+      |  SELECT 'value', n, null_value, ndv_value, min_value, max_value FROM a
+      |  UNION ALL
+      |  SELECT 'ts_us', n, null_ts_us, ndv_ts_us, min_ts_us, max_ts_us FROM a
+      |  UNION ALL
+      |  SELECT 'event_type', n, null_event_type, ndv_event_type,
+      |    min_event_type, max_event_type FROM a
+      |  UNION ALL
+      |  SELECT 'props', n, null_props, ndv_props, min_props, max_props FROM a)
+      |ORDER BY col_name""".stripMargin
+
   // --------------------------------------------------------------- ea17
   /** ea17 [custom sketch aggregate, §2.12+]: audience overlap between
     * every pair of event types, estimated from KMV sketches
@@ -654,6 +748,7 @@ object EventAnalytics {
     "ea21_hourly_trend" -> ea21HourlyTrend _,
     "ea22_session_stats" -> ea22SessionStats _,
     "ea23_mad_outliers" -> ea23MadOutliers _,
+    "ea24_table_profile" -> ea24TableProfile _,
     "ea17_kmv_overlap" -> ea17KmvOverlap _,
     "ea15_value_percentiles" -> ea15ValuePercentiles _,
     "ea16_pivot_type_by_day" -> ea16PivotTypeByDay _,
@@ -679,6 +774,7 @@ object EventAnalytics {
     "ea21_hourly_trend" -> ea21Sql,
     "ea22_session_stats" -> ea22Sql,
     "ea23_mad_outliers" -> ea23Sql,
+    "ea24_table_profile" -> ea24Sql,
     "ea15_value_percentiles" -> ea15Sql,
     "ea16_pivot_type_by_day" -> ea16Sql,
     "ea14_grouping_sets" -> ea14Sql,
