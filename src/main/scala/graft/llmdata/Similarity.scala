@@ -704,6 +704,12 @@ object Similarity {
       }.collect()
     require(parts.nonEmpty, "PCA training needs a non-empty corpus")
     val d = parts.head._2.length
+    // the per-partition ragged guard only proves each partition is
+    // internally homogeneous — a corpus whose FILES disagree on the
+    // dimension would pass it and silently merge mismatched buffers
+    require(parts.forall(_._2.length == d),
+      s"embedding dimension differs across partitions: " +
+        s"${parts.map(_._2.length).distinct.mkString(",")}")
     val n = parts.map(_._1).sum
     val s = new Array[Long](d)
     val ss = new Array[Long](d * d)

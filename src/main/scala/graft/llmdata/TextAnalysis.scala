@@ -597,9 +597,12 @@ object TextAnalysis {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("t"))
-    val total = tok.agg(count(lit(1)).cast("double").as("tot"))
     val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
       .withColumnRenamed("t", "u1")
+    // token total = Σcu over the vocabulary-sized aggregate — NOT a
+    // third corpus-wide scan+explode (identical value to COUNT(*) of
+    // the token stream, which is what the DuckDB mirror computes)
+    val total = uni.agg(sum(col("cu")).cast("double").as("tot"))
     val bg = tok
       .withColumn("t1", lead(col("t"), 1).over(w))
       .filter(col("t1").isNotNull)

@@ -38,11 +38,14 @@ object ZOrder {
 
   /** Rank-normalize a numeric column to `[0, 2^bits)` buckets via its
     * (min, max) range — the cheap monotone map that makes dimensions of
-    * any scale interleavable. Constant columns map to bucket 0. */
+    * any scale interleavable. Constant columns map to bucket 0, and so
+    * do NULL values (explicitly: `least(null, …)` would otherwise skip
+    * the null and silently treat missing coordinates as the TOP bucket,
+    * scattering null rows across the high-end files). */
   def normalize(c: Column, minC: Column, maxC: Column, bits: Int = 16): Column = {
     val span = maxC.cast("double") - minC.cast("double")
     val buckets = math.pow(2, bits).toLong
-    when(span <= 0, lit(0L)).otherwise(
+    when(c.isNull || span <= 0, lit(0L)).otherwise(
       least(
         floor((c.cast("double") - minC.cast("double")) / span * buckets).cast("long"),
         lit(buckets - 1)))
