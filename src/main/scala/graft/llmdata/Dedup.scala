@@ -600,8 +600,9 @@ object Dedup {
   private val embedPairsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Double), LabelHolder]
 
-  private def jaccardLabelsFor(spark: SparkSession, dir: String, threshold: Double,
-                               maxDocFreq: Option[Long]): DataFrame =
+  private[llmdata] def jaccardLabelsFor(spark: SparkSession, dir: String,
+                                        threshold: Double,
+                                        maxDocFreq: Option[Long]): DataFrame =
     labelsMemo.computeIfAbsent((spark, dir, threshold, maxDocFreq),
       k => new LabelHolder(() => connectedComponents(
         jaccardPairs(k._1, k._2, k._3, k._4)

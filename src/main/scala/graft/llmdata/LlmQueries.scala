@@ -349,6 +349,99 @@ object LlmQueries {
       |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus-materialization mirror of
+    * [[TextAnalysis.finalCorpus]] — the verbatim composition of the
+    * already-verified component mirrors: curation verdicts
+    * ([[txtCurationReportSql]]'s CTEs at doc grain), exact-dedup min-id
+    * ([[ddCorpusDedupSql]]), the recursive cluster fixpoint
+    * ([[ddClustersSql]]), and the contamination postings
+    * ([[txtContaminationSql]]), stitched with the same quality → exact
+    * → near-dup → contamination precedence. */
+  val txtFinalCorpusSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+      |           len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |             / len(string_split(text, ' ')) AS ttr
+      |         FROM documents),
+      |bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)),
+      |pb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, COUNT(*) AS n_distinct,
+      |          CAST(SUM(c) AS BIGINT) AS n_bigrams FROM pb GROUP BY doc_id),
+      |rep2 AS (SELECT d.doc_id,
+      |           COALESCE(1 - rep.n_distinct::DOUBLE / rep.n_bigrams, 0.0) AS dup_ratio
+      |         FROM documents d LEFT JOIN rep USING (doc_id)),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM tok),
+      |freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |mm AS (SELECT doc_id,
+      |         CAST(floor(ln(cnt / tot) * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |       FROM tok JOIN freq USING (term) CROSS JOIN tot),
+      |lp AS (SELECT doc_id,
+      |         CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS alp
+      |       FROM mm GROUP BY doc_id),
+      |vd AS (SELECT b.doc_id, b.source, b.n_tok,
+      |        CASE WHEN b.n_tok < 20 THEN 'too_short'
+      |             WHEN r2.dup_ratio > 0.08 THEN 'repetitive'
+      |             WHEN b.ttr < 0.30 THEN 'low_diversity'
+      |             WHEN lp.alp < -3.43 THEN 'rare_tokens'
+      |             ELSE 'kept' END AS verdict
+      |      FROM base b JOIN rep2 r2 USING (doc_id) JOIN lp USING (doc_id)),
+      |hh AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |exm AS (SELECT h, MIN(doc_id) AS min_id FROM hh GROUP BY h),
+      |exd AS (SELECT hh.doc_id FROM hh JOIN exm USING (h)
+      |        WHERE hh.doc_id <> exm.min_id),
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |prs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |  WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+      |      UNION ALL SELECT id_b, id_a FROM prs),
+      |r(id, label) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.label FROM r JOIN e ON e.src = r.id),
+      |lab AS (SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id),
+      |ndd AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_id),
+      |w AS (SELECT DISTINCT doc_id,
+      |        md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS w
+      |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM tk)),
+      |sp AS (SELECT doc_id,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM documents),
+      |wf AS (SELECT w.w FROM w JOIN sp USING (doc_id)
+      |       WHERE sp.split <> 'val' GROUP BY w.w HAVING COUNT(*) <= 16),
+      |ctp AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id
+      |        FROM w tr JOIN wf ON tr.w = wf.w
+      |        JOIN sp str ON tr.doc_id = str.doc_id AND str.split = 'train'
+      |        JOIN w te ON tr.w = te.w
+      |        JOIN sp ste ON te.doc_id = ste.doc_id AND ste.split = 'test'
+      |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |ctr AS (SELECT DISTINCT train_id AS doc_id FROM ctp),
+      |fin AS (SELECT vd.source, vd.n_tok,
+      |          CASE WHEN exd.doc_id IS NOT NULL THEN 'exact_dup'
+      |               WHEN ndd.doc_id IS NOT NULL THEN 'near_dup'
+      |               WHEN vd.verdict <> 'kept' THEN 'filtered_' || vd.verdict
+      |               WHEN ctr.doc_id IS NOT NULL THEN 'contaminated'
+      |               ELSE 'kept' END AS status
+      |        FROM vd LEFT JOIN exd USING (doc_id)
+      |        LEFT JOIN ndd USING (doc_id)
+      |        LEFT JOIN ctr USING (doc_id))
+      |SELECT source, status, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN status = 'kept' THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept
+      |FROM fin GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
   /** Weighted-sample mirror of [[TextAnalysis.weightedSample]] —
     * identical salted-md5 uniform (positional strpos arithmetic),
     * ln(u)/w key, nano-unit quantization, doc_id tie-break. */
@@ -691,6 +784,8 @@ object LlmQueries {
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
+    "txt_final_corpus" -> ((s, d) =>
+      TextAnalysis.finalCorpus(s, d, 0.2, Some(JaccardDocFreqCap))),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
@@ -742,6 +837,7 @@ object LlmQueries {
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "txt_bigram_logprob" -> txtBigramLogprobSql,
     "txt_weighted_sample" -> txtWeightedSampleSql,
+    "txt_final_corpus" -> txtFinalCorpusSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,

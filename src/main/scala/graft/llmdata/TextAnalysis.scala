@@ -320,7 +320,21 @@ object TextAnalysis {
                      minTokens: Int = 20,
                      maxDupRatio: Double = 0.08,
                      minTypeTokenRatio: Double = 0.30,
-                     minAvgLogprob: Double = -3.43): DataFrame = {
+                     minAvgLogprob: Double = -3.43): DataFrame =
+    curationVerdicts(spark, dir, minTokens, maxDupRatio, minTypeTokenRatio,
+      minAvgLogprob)
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("tokens"))
+      .orderBy(col("source"), col("verdict"))
+
+  /** Per-document first-failing-filter verdicts — [[curationReport]]'s
+    * doc-grain intermediate, exposed for composition ([[finalCorpus]]). */
+  private[llmdata] def curationVerdicts(spark: SparkSession, dir: String,
+                                        minTokens: Int = 20,
+                                        maxDupRatio: Double = 0.08,
+                                        minTypeTokenRatio: Double = 0.30,
+                                        minAvgLogprob: Double = -3.43): DataFrame = {
     val t = toks(col("text"))
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), size(t).as("n_tok"),
@@ -330,16 +344,64 @@ object TextAnalysis {
     val lp = unigramRaw(spark, dir)
       .select(col("doc_id"), col("avg_logprob"))
     base.join(rep, "doc_id").join(lp, "doc_id")
-      .select(col("source"), col("n_tok"),
+      .select(col("doc_id"), col("source"), col("n_tok"),
         when(col("n_tok") < minTokens, "too_short")
           .when(col("dup_ratio") > maxDupRatio, "repetitive")
           .when(col("ttr") < minTypeTokenRatio, "low_diversity")
           .when(col("avg_logprob") < minAvgLogprob, "rare_tokens")
           .otherwise("kept").as("verdict"))
-      .groupBy(col("source"), col("verdict"))
+  }
+
+  /** END-TO-END corpus materialization — the single report a training
+    * run acts on: every document attributed to its final fate across
+    * the whole pipeline, dedup first (the pipeline order — a duplicate
+    * is dropped before anyone pays to quality-score it, and the same
+    * exact-first attribution [[Dedup.dedupCorpus]] uses): exact content
+    * copies, then near-dup cluster non-canonicals, then the quality
+    * filters, then train/test contamination — `exact_dup / near_dup /
+    * filtered_* / contaminated / kept`, rolled up per source with
+    * surviving tokens.
+    *
+    * Scale shape: pure composition — every component is the already
+    * registered operator's plan (curation verdicts, md5 min-id
+    * equi-join, memoized capped-Jaccard cluster labels, window-postings
+    * contamination), stitched by four doc_id-keyed left joins; nothing
+    * new shuffles wider than its component did. Arm coverage follows
+    * the corpus across the verified scales (dd_delta's documented
+    * pattern): near_dup fires at sf0.01 (24 docs), exact_dup at sf0.1
+    * (8 content copies), filters/contaminated/kept at both. */
+  def finalCorpus(spark: SparkSession, dir: String,
+                  threshold: Double = 0.2,
+                  maxDocFreq: Option[Long] = None,
+                  minShared: Int = 2): DataFrame = {
+    val cur = curationVerdicts(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exDrop = docs
+      .join(docs.groupBy(col("h")).agg(min(col("doc_id")).as("min_id")), "h")
+      .filter(col("doc_id") =!= col("min_id"))
+      .select(col("doc_id"), lit(true).as("ex"))
+    val ndDrop = Dedup.jaccardLabelsFor(spark, dir, threshold, maxDocFreq)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"), lit(true).as("nd"))
+    val contam = contaminationPairs(spark, dir, minShared)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("ct", lit(true))
+    cur
+      .join(exDrop, Seq("doc_id"), "left")
+      .join(ndDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("ex").isNotNull, "exact_dup")
+          .when(col("nd").isNotNull, "near_dup")
+          .when(col("verdict") =!= "kept", concat(lit("filtered_"), col("verdict")))
+          .when(col("ct").isNotNull, "contaminated")
+          .otherwise("kept"))
+      .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok").cast("long")).as("tokens"))
-      .orderBy(col("source"), col("verdict"))
+        sum(when(col("status") === "kept", col("n_tok").cast("long"))
+          .otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("source"), col("status"))
   }
 
   /** CMS term-frequency estimates vs exact counts for the corpus's

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "txt_bigram_logprob" -> "cross join against a 1-row token-total side",
     "txt_tfidf_topterms" -> "cross join against a 1-row doc-count side",
     "txt_curation_report" -> "cross join against a 1-row token-total side (unigram signal)",
+    "txt_final_corpus" -> "inherits the curation verdicts' 1-row token-total cross join (unigram signal)",
     "ann_mmr_rerank" -> "candidate gen is the brute-force broadcast query side (nQueries=5)",
     "txt_dynamic_threshold" -> "cross join against a 1-row token-total side (unigram signal)",
     "txt_mixture_weights" -> "cross joins against 1-row token-total and normalizer sides",
