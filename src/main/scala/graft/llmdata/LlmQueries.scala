@@ -777,6 +777,7 @@ object LlmQueries {
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
     "txt_dynamic_threshold" -> ((s, d) => TextAnalysis.dynamicThreshold(s, d)),
     "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "txt_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "txt_mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
     "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
@@ -807,7 +808,8 @@ object LlmQueries {
     * reference and the λ=1 ≡ brute-force identity. txt_bpe_merges is
     * rows-only too (iterative list-fold state isn't reasonable SQL);
     * TextAnalysisSpec gates it against an exact driver-side BPE
-    * reference. emb_pca_project is rows-only (an eigendecomposition
+    * reference, and txt_bpe_encode (the trained table applied back to
+    * the corpus) is gated the same way. emb_pca_project is rows-only (an eigendecomposition
     * isn't SQL); SimilaritySpec gates orthonormality, eigenvalue ≡
     * projected-variance, trace preservation, reconstruction, and
     * bit-determinism. */

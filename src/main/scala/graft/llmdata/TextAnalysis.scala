@@ -825,6 +825,75 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  // trained merge tables are index artifacts: memoized per (session,
+  // corpus, rounds) like the IVF centroids / PQ codebooks, so encode
+  // queries don't re-pay training per call
+  private final class MergeHolder(thunk: () => Array[(String, String, String)]) {
+    lazy val value: Array[(String, String, String)] = thunk()
+  }
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), MergeHolder]
+
+  private[llmdata] def bpeMergesFor(spark: SparkSession, dir: String,
+                                    numMerges: Int): Array[(String, String, String)] =
+    mergeMemo.computeIfAbsent((spark, dir, numMerges),
+      k => new MergeHolder(() =>
+        bpeMerges(k._1, k._2, k._3).orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2), r.getString(3))))).value
+
+  /** One merge pass over a token sequence — the EXACT driver twin of
+    * the Column `aggregate` fold [[bpeMerges]] trains with (acc-last
+    * check), shared by the encoder and its spec reference. */
+  private[llmdata] def applyMerge(seq: List[String], a: String, b: String,
+                                  m: String): List[String] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[String]
+    seq.foreach { x =>
+      if (acc.nonEmpty && acc.last == a && x == b) {
+        acc.remove(acc.length - 1); acc += m
+      } else acc += x
+    }
+    acc.toList
+  }
+
+  /** BPE ENCODE — the other half of the tokenizer loop: apply the
+    * [[bpeMerges]]-trained merge table (rank order, the same fold
+    * semantics) to every document and report word/char/BPE-token
+    * counts — the per-doc token accounting a shard packer or training
+    * cost model consumes from a REAL tokenizer rather than the
+    * regex proxy ([[tokenCounts]]).
+    *
+    * Scale shape: training is memoized (index artifact); encoding
+    * broadcasts the merge table and maps each partition independently —
+    * zero shuffles beyond the presentation sort — with a per-partition
+    * word→length cache (Zipf makes the hit rate high, exactly like a
+    * production tokenizer's). Rows-only in CORRECTNESS (iterative
+    * list-fold state isn't reasonable SQL, as with txt_bpe_merges);
+    * TextAnalysisSpec gates exact parity with a driver-side encode over
+    * the same trained table plus count monotonicity. */
+  def bpeEncode(spark: SparkSession, dir: String,
+                numMerges: Int = 12): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(bpeMergesFor(spark, dir, numMerges))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Int]
+        def encodedLen(word: String): Int = cache.getOrElseUpdate(word, {
+          var seq: List[String] = word.map(_.toString).toList
+          ms.foreach { case (a, b, m) => seq = applyMerge(seq, a, b, m) }
+          seq.length
+        })
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          (id, words.length.toLong,
+            words.map(_.length.toLong).sum,
+            words.map(w => encodedLen(w).toLong).sum)
+        }
+      }.toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc repetition scores — the Gopher/C4-style repetition quality
     * signals: bigram duplication (1 − distinct/total) and the fraction
     * of the doc covered by its single most frequent bigram. High values

@@ -157,6 +157,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r(1L)._2 - math.log(7.0 / 8.0)) < 1e-5)
   }
 
+  test("bpe encode equals a driver-side application of the trained table, counts monotone") {
+    import spark.implicits._
+    val got = TextAnalysis.bpeEncode(spark, sf, 12).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val merges = TextAnalysis.bpeMergesFor(spark, sf, 12)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      val nBpe = words.map { w =>
+        var seq: List[String] = w.map(_.toString).toList
+        merges.foreach { case (a, b, m) =>
+          seq = TextAnalysis.applyMerge(seq, a, b, m)
+        }
+        seq.length.toLong
+      }.sum
+      val (nw, nc, nb) = got(id)
+      assert(nw === words.length.toLong)
+      assert(nc === words.map(_.length.toLong).sum)
+      assert(nb === nBpe, s"doc $id")
+      // every merge only ever shrinks a sequence; every word is ≥ 1 token
+      assert(nb <= nc && nb >= nw)
+    }
+    // the trained merges actually fire on the corpus they were trained on
+    assert(got.values.map(_._3).sum < got.values.map(_._2).sum,
+      "12 merges over the training corpus must compress at least one doc")
+  }
+
   test("weighted sample matches a driver-side A-Res reference and tilts toward heavy docs") {
     val k = 20
     val got = TextAnalysis.weightedSample(spark, sf, k).collect()
