@@ -741,7 +741,33 @@ object LlmQueries {
       |  CAST(SUM(n_chars % 1024) AS BIGINT) AS width_total
       |FROM documents GROUP BY lang ORDER BY format""".stripMargin
 
+  /** Mirror of [[TextAnalysis.spanRemoval]]: identical md5 4-token
+    * windows (cf. the contamination mirror); a window is duplicated
+    * when ≥2 distinct docs contain it; covered positions expand
+    * per-occurrence and de-duplicate per doc. DuckDB lists are 1-based
+    * where Spark positions are 0-based — only distinct-position COUNTS
+    * cross the engine boundary, so the offset never shows. */
+  val txtSpanRemovalSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, i,
+      |        md5(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS w
+      |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i FROM tk)),
+      |dup AS (SELECT w FROM (SELECT DISTINCT w, doc_id FROM w)
+      |        GROUP BY w HAVING COUNT(*) >= 2),
+      |cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_dup
+      |        FROM (SELECT doc_id, unnest(range(i, i + 4)) AS p
+      |              FROM w WHERE w.w IN (SELECT w FROM dup))
+      |        GROUP BY doc_id)
+      |SELECT d.doc_id, d.source,
+      |  len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+      |  COALESCE(cov.n_dup, 0)::BIGINT AS n_dup_tokens,
+      |  len(string_split(d.text, ' '))::BIGINT - COALESCE(cov.n_dup, 0)
+      |    AS n_kept_tokens
+      |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_span_removal" -> ((s, d) => TextAnalysis.spanRemoval(s, d)),
     "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dd_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
@@ -814,6 +840,7 @@ object LlmQueries {
     * projected-variance, trace preservation, reconstruction, and
     * bit-determinism. */
   val oracles: Map[String, String] = Map(
+    "txt_span_removal" -> txtSpanRemovalSql,
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
     "dd_clusters" -> ddClustersSql,

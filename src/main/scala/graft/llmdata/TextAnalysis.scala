@@ -943,4 +943,59 @@ object TextAnalysis {
         coalesce(col("top_frac"), lit(0.0)).as("top_frac"),
         coalesce(col("flagged"), lit(true)).as("flagged"))
   }
+
+  /** Duplicate-SPAN removal accounting — exact substring dedup at the
+    * span (not document) grain: any [[RollWindow]]-token window whose
+    * text occurs in ≥2 distinct documents marks all of its token
+    * positions as duplicated, and the report says how much of each
+    * document survives span excision. This is the operation that cuts
+    * boilerplate/quotation overlap which document-level dedup
+    * ([[Dedup.exactDedup]] / near-dup clustering) cannot touch: two
+    * documents 95% different still shed their one shared passage.
+    * Windows are md5 of the 4-token string so the DuckDB oracle
+    * reproduces them exactly (cf. [[contaminationPairs]]).
+    *
+    * Scale shape: one lead-chain window pass over the exploded token
+    * stream (hash-partitioned by doc); the ≥2-docs window set derives
+    * from a (window, doc)-distinct aggregate; marking is a LEFT-SEMI
+    * join of window occurrences against that set — unlike the pair
+    * explodes in [[Dedup.jaccardPairs]] there is NO df blowup to cap: a
+    * window in d docs contributes its occurrences linearly (d rows),
+    * never d², so no maxDocFreq knob is needed. Coverage expansion is a
+    * constant 4× of matched windows, de-duplicated per (doc, position)
+    * by a doc-partitioned aggregate bounded by document length. */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"))
+      .select(col("doc_id"), col("pos"), col("t0"),
+        lead(col("t0"), 1).over(w).as("t1"),
+        lead(col("t0"), 2).over(w).as("t2"),
+        lead(col("t0"), 3).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"))
+          .cast("binary")).as("w"))
+      // both the dup-set aggregate and the marking join consume this;
+      // materialize once (at 100 TB this is the persisted window index)
+      .localCheckpoint()
+    val dup = wins.select(col("w"), col("doc_id")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("w"))
+    val covered = wins.join(dup, Seq("w"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(RollWindow - 1)))
+          .as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_dup_tokens"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("n_kept_tokens", col("n_tokens") - col("n_dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

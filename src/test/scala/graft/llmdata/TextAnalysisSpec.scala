@@ -343,4 +343,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) === ((1, "a", "b", 6L)))
     assert(got(1) === ((2, "ab", "ab", 3L)))
   }
+
+  test("span removal: shared passages excise exactly, unique text survives") {
+    // docs 1 and 2 share one 6-token passage (⇒ three 4-token windows
+    // covering 6 positions in each); doc 3 is fully unique; doc 4 is an
+    // exact copy of doc 3 (every window duplicated ⇒ nothing kept).
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val tmp = tmpCorpus(Seq(
+      (1L, s"u1 u2 u3 $passage u4 u5 u6"),
+      (2L, s"v1 $passage v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7")))
+    val r = TextAnalysis.spanRemoval(spark, tmp).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r(1L) === ((12L, 6L, 6L)), "doc 1: exactly the passage excised")
+    assert(r(2L) === ((11L, 6L, 5L)), "doc 2: exactly the passage excised")
+    assert(r(3L) === ((7L, 7L, 0L)), "doc 3: fully duplicated by its copy")
+    assert(r(4L) === ((7L, 7L, 0L)), "doc 4: fully duplicated by its copy")
+  }
+
+  test("span removal: within-doc repetition alone is not cross-doc duplication") {
+    // the repeated phrase lives in ONE doc only ⇒ df=1 ⇒ nothing excised
+    val tmp = tmpCorpus(Seq(
+      (1L, "p q r s p q r s p q r s"),
+      (2L, "a b c d e f g h")))
+    val r = TextAnalysis.spanRemoval(spark, tmp).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(1L) === 0L)
+    assert(r(2L) === 0L)
+  }
 }
