@@ -796,7 +796,113 @@ object Relational {
       |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
       |ORDER BY arm, o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- q28
+  /** q28: cheapest supplier per part with ties (TPC-H Q2 shape) — the
+    * groupwise-min + join-back class, distinct from [[q23TopSupplier]]'s
+    * single GLOBAL max: here the min is computed PER GROUP and joined
+    * back on (group, value) equality, returning every tied winner — a
+    * correlated `= (SELECT MIN ...)` subquery expressed as two
+    * aggregates and an equi join. Cost of (part, supplier) = the
+    * decimal-exact MIN list price they ever shipped at.
+    *
+    * Scale shape: the fact table reduces to (part, supplier) grain
+    * ONCE; the per-part min aggregates that reduced table (O(parts)),
+    * and the join-back runs reduced⋈mins on the part key — both inputs
+    * are post-reduction, the fact table is never re-scanned. The brand
+    * predicate lands on the part dimension BEFORE the fact reduction
+    * via a broadcast semi-ish inner join, so at 100 TB the reduction
+    * only sees the selected parts' lineitems. */
+  def q28MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(
+      Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"), col("p_name")))
+    val cost = Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    val best = cost.groupBy(col("p_partkey").as("b_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    cost.join(best,
+        col("p_partkey") === col("b_partkey") && col("cost") === col("min_cost"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("cost").cast("double").as("min_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  val q28Sql: String =
+    """WITH cost AS (
+      |  SELECT p_partkey, p_name, l_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#1'
+      |  GROUP BY 1, 2, 3)
+      |SELECT p_partkey, p_name, s_name, n_name,
+      |  CAST(cost AS DOUBLE) AS min_cost
+      |FROM cost
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE cost = (SELECT MIN(c2.cost) FROM cost c2
+      |              WHERE c2.p_partkey = cost.p_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  // --------------------------------------------------------------- q29
+  /** q29: parts holding an outsized share of a nation's shipped value
+    * (TPC-H Q11 shape) — aggregate-vs-global HAVING: a part qualifies
+    * when its value exceeds 2× the average per-part value. TPC-H's
+    * literal `> fraction × total` cannot bind across scale factors (10×
+    * more parts dilutes every share 10×); the avg-multiple form keeps
+    * the identical plan shape and stays non-vacuous at every sf. The
+    * comparison stays exact: decimal value × integer part count vs
+    * 2 × decimal total — no float fraction ever enters the predicate
+    * (cf. the float-determinism contract above).
+    *
+    * Scale shape: suppliers of the target nation reduce to a broadcast
+    * key set; the fact table aggregates to part grain in one
+    * hash-partitioned pass; the 1-row total derives from the SAME
+    * per-part aggregate (no second fact scan) and broadcasts back. */
+  def q29ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = broadcast(
+      Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("value"),
+        count(lit(1)).as("n_lines"))
+    val total = perPart.agg(sum(col("value")).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") * col("n_parts") > col("total_value") * 2)
+      .select(col("l_partkey"), col("value").cast("double").as("value"),
+        col("n_lines"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q29Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value,
+      |    COUNT(*) AS n_lines
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_9'
+      |  GROUP BY 1)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS value, n_lines
+      |FROM pp
+      |WHERE value * (SELECT COUNT(*) FROM pp)
+      |  > (SELECT SUM(value) FROM pp) * 2
+      |ORDER BY l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_min_cost_supplier" -> q28MinCostSupplier _,
+    "q29_important_parts" -> q29ImportantParts _,
     "q26_trailing_spend" -> q26TrailingSpend _,
     "q27_priority_bag_diff" -> q27PriorityBagDiff _,
     "q22_order_ship_calendar" -> q22OrderShipCalendar _,
@@ -825,6 +931,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_min_cost_supplier" -> q28Sql,
+    "q29_important_parts" -> q29Sql,
     "q26_trailing_spend" -> q26Sql,
     "q27_priority_bag_diff" -> q27Sql,
     "q22_order_ship_calendar" -> q22Sql,
