@@ -766,8 +766,25 @@ object LlmQueries {
       |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Mirror of [[Similarity.hofStats]]: DuckDB's list higher-order
+    * functions reproduce Spark's array HOFs; both sides quantize the
+    * squared component BEFORE any sum so the fold order never shows. */
+  val embHofStatsSql: String =
+    """WITH v AS (SELECT label,
+      |    list_sum(list_transform(embedding::DOUBLE[],
+      |      x -> CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT))) AS sq_micro,
+      |    len(list_filter(embedding::DOUBLE[], x -> x >= 0)) AS n_nonneg,
+      |    list_max(embedding::DOUBLE[]) AS max_comp
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(sq_micro) AS BIGINT) AS tot_sq_micro,
+      |  CAST(SUM(n_nonneg) AS BIGINT) AS tot_nonneg,
+      |  MAX(max_comp) AS max_comp
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_span_removal" -> ((s, d) => TextAnalysis.spanRemoval(s, d)),
+    "emb_hof_stats" -> ((s, d) => Similarity.hofStats(s, d)),
     "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dd_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
@@ -841,6 +858,7 @@ object LlmQueries {
     * bit-determinism. */
   val oracles: Map[String, String] = Map(
     "txt_span_removal" -> txtSpanRemovalSql,
+    "emb_hof_stats" -> embHofStatsSql,
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
     "dd_clusters" -> ddClustersSql,

@@ -870,6 +870,35 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Per-label vector-stat profile computed entirely with HIGHER-ORDER
+    * array functions (`transform` / `aggregate` / `filter` /
+    * `array_max`) — the array-processing surface a vector pipeline
+    * leans on when a scalar pass per component would otherwise need an
+    * explode (this plan never explodes: each vector folds to 3 scalars
+    * row-locally, then one hash-partitioned rollup). Exactness: the
+    * squared-component sum is micro-quantized per COMPONENT and folded
+    * as exact longs, so every emitted number is integer or an exact
+    * float→double widening — the DuckDB mirror (list_transform /
+    * list_sum / list_filter / list_max) reproduces all of it bit-wise,
+    * which a float dot-product sum would not guarantee. */
+  def hofStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        expr(
+          """aggregate(
+            |  transform(embedding,
+            |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+            |                    * 1000000.0 + 0.5) AS BIGINT)),
+            |  0L, (acc, v) -> acc + v)""".stripMargin).as("sq_micro"),
+        expr("size(filter(embedding, x -> x >= 0))").as("n_nonneg"),
+        expr("array_max(embedding)").cast("double").as("max_comp"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sq_micro")).as("tot_sq_micro"),
+        sum(col("n_nonneg").cast("long")).as("tot_nonneg"),
+        max(col("max_comp")).as("max_comp"))
+      .orderBy(col("label"))
+
   /** Greedy MMR kernel over ONE query's candidates (executor-local):
     * maintains per-candidate max-sim-to-selected incrementally, so the
     * whole selection is O(m·k) [[cosine6]] calls. Returns (id,
