@@ -247,6 +247,41 @@ object StreamingAnalytics {
          |         AND v_ts + INTERVAL $intervalMinutes MINUTES""".stripMargin))
   }
 
+  /** A static city-tier dimension derived from a BATCH frame — the
+    * slowly-changing lookup side for [[cityTierTraffic]]. Deterministic
+    * rule (name length) so every engine/re-run builds the same dim. */
+  def cityTiers(batch: DataFrame): DataFrame =
+    batch.select(col("Merchant_City")).distinct()
+      .withColumn("tier",
+        when(length(col("Merchant_City")) >= 8, "long").otherwise("short"))
+
+  /** STREAM-STATIC dimension join: the live stream enriched against a
+    * bounded batch-side dimension, then aggregated per tier. Unlike the
+    * stream-stream [[errorCorrelation]], the static side needs no
+    * watermark and builds NO join state — Spark re-plans the static
+    * side per micro-batch and (with the explicit hint) broadcasts it,
+    * so each batch pays one hash-map build of dimension size. That is
+    * exactly the 100 TB warehouse shape: a fact stream decorated by a
+    * dimension that fits an executor, join state zero, agg state one
+    * row per group. For a dimension that mutates mid-stream, re-read it
+    * inside `foreachBatch` instead (the per-batch rate refresh in
+    * [[Pipeline]] shows that pattern); a plain stream-static join
+    * resolves the static plan once per batch from the SAME source, so
+    * file-backed updates are picked up, but a cached/derived frame like
+    * this one stays frozen — which is the semantics a tier lookup
+    * wants. Batch mode degenerates to an ordinary broadcast join:
+    * StreamingAnalyticsSpec oracles streaming against batch and asserts
+    * the BroadcastHashJoin. */
+  def cityTierTraffic(enriched: DataFrame, cityDim: DataFrame): DataFrame =
+    enriched
+      .join(broadcast(cityDim), Seq("Merchant_City"), "left")
+      .groupBy(coalesce(col("tier"), lit("unknown")).as("tier"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("Amount_USD").cast("decimal(18,2)")).as("usd_total"))
+      .select(col("tier"), col("n"),
+        col("usd_total").cast("double").as("usd_total"))
+
   /** Q5 live: gap-based per-user sessions; sessions with ≥ minEvents
     * events are the streaming form of the rapid-consecutive-transaction
     * detector (requirements.md:47). */

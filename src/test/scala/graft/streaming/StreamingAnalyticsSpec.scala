@@ -78,6 +78,22 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(live.exceptAll(distinctExpected).count() === 0)
   }
 
+  test("stream-static tier join equals batch and broadcasts the dimension") {
+    val dim = StreamingAnalytics.cityTiers(enrichedBatch).cache()
+    val live = drain(StreamingAnalytics.cityTierTraffic(enrichedStream, dim),
+      "complete", "tier_live")
+    val batch = StreamingAnalytics.cityTierTraffic(enrichedBatch, dim)
+    assert(live.count() > 0)
+    assert(live.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(live).count() === 0)
+    // every stream row is accounted for exactly once (left join + coalesce)
+    assert(live.agg(sum(col("n"))).collect()(0).getLong(0) ===
+      enrichedBatch.count())
+    // the batch twin of the plan must broadcast the dimension side
+    assert(batch.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("streaming user sessions (append mode) emit exactly the watermark-closed batch sessions") {
     val live = drain(StreamingAnalytics.userSessions(enrichedStream),
       "append", "sessions_live").cache()
