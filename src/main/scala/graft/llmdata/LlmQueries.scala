@@ -782,8 +782,31 @@ object LlmQueries {
       |  MAX(max_comp) AS max_comp
       |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  /** Mirror of [[TextAnalysis.sourceEntropy]]: identical exact-count
+    * ratios, ln, and micro-quantization on both sides. */
+  val txtSourceEntropySql: String =
+    """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |            FROM documents),
+      |sc AS (SELECT source, term, COUNT(*) AS c FROM st GROUP BY 1, 2),
+      |ts AS (SELECT source, SUM(c) AS ts FROM sc GROUP BY 1),
+      |cc AS (SELECT term, SUM(c) AS cc FROM sc GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM sc),
+      |m AS (SELECT sc.source, sc.c,
+      |        CAST(floor(-((sc.c::DOUBLE / ts.ts) * ln(sc.c::DOUBLE / ts.ts))
+      |          * 1000000.0 + 0.5) AS BIGINT) AS h_micro,
+      |        CAST(floor((sc.c::DOUBLE / ts.ts)
+      |          * ln((sc.c::DOUBLE / ts.ts) / (cc.cc::DOUBLE / tot.tot))
+      |          * 1000000.0 + 0.5) AS BIGINT) AS kl_micro
+      |      FROM sc JOIN ts USING (source) JOIN cc USING (term), tot)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_terms,
+      |  CAST(SUM(h_micro) AS BIGINT)::DOUBLE / 1000000.0 AS entropy,
+      |  CAST(SUM(kl_micro) AS BIGINT)::DOUBLE / 1000000.0 AS kl_vs_corpus
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_span_removal" -> ((s, d) => TextAnalysis.spanRemoval(s, d)),
+    "txt_source_entropy" -> ((s, d) => TextAnalysis.sourceEntropy(s, d)),
     "emb_hof_stats" -> ((s, d) => Similarity.hofStats(s, d)),
     "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dd_jaccard_pairs" -> ((s, d) =>
@@ -858,6 +881,7 @@ object LlmQueries {
     * bit-determinism. */
   val oracles: Map[String, String] = Map(
     "txt_span_removal" -> txtSpanRemovalSql,
+    "txt_source_entropy" -> txtSourceEntropySql,
     "emb_hof_stats" -> embHofStatsSql,
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,

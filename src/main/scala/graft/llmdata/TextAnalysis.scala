@@ -944,6 +944,46 @@ object TextAnalysis {
         coalesce(col("flagged"), lit(true)).as("flagged"))
   }
 
+  /** Per-source token-distribution ENTROPY and KL divergence vs the
+    * corpus — the information-theoretic slice of a mixture report:
+    * entropy `H(s) = -Σ p ln p` says how degenerate a source's
+    * vocabulary usage is (keyword-stuffed spam scores near 0), and
+    * `KL(source ‖ corpus) = Σ p_s ln(p_s/p_c)` says how far the source
+    * drifts from the corpus-wide distribution (the signal that a
+    * source's mixture weight needs revisiting, cf. [[mixtureWeights]]).
+    *
+    * Scale shape: ONE exploded-token pass feeds everything — the
+    * (source, term) count table is the base; source totals and the
+    * corpus distribution are re-aggregations of that base, never a
+    * second corpus scan; the vocabulary-sized corpus table broadcasts
+    * back onto the (source, term) grain. Determinism: per-term
+    * contributions are pure functions of exact-long count ratios
+    * (identical doubles in both engines), micro-quantized then summed
+    * as exact longs — the [[unigramLogprob]] recipe. */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val corpus = st.groupBy(col("term")).agg(sum(col("c")).as("cc"))
+    val tot = st.agg(sum(col("c")).cast("double").as("tot"))
+    val ps = col("c").cast("double") / col("ts")
+    val pc = col("cc").cast("double") / col("tot")
+    st.join(srcTot, "source")
+      .join(broadcast(corpus), "term")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("c"),
+        floor(-(ps * log(ps)) * lit(1000000.0) + lit(0.5)).as("h_micro"),
+        floor(ps * log(ps / pc) * lit(1000000.0) + lit(0.5)).as("kl_micro"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        (sum(col("h_micro")).cast("double") / lit(1000000.0)).as("entropy"),
+        (sum(col("kl_micro")).cast("double") / lit(1000000.0)).as("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
+
   /** Duplicate-SPAN removal accounting — exact substring dedup at the
     * span (not document) grain: any [[RollWindow]]-token window whose
     * text occurs in ≥2 distinct documents marks all of its token

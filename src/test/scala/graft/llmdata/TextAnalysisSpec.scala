@@ -344,6 +344,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) === ((2, "ab", "ab", 3L)))
   }
 
+  test("source entropy: bounds hold and degenerate/uniform sources hit them") {
+    val r = TextAnalysis.sourceEntropy(spark, sf).collect()
+    assert(r.length > 1)
+    r.foreach { row =>
+      val (terms, h, kl) = (row.getLong(2), row.getDouble(3), row.getDouble(4))
+      assert(h >= 0.0 && h <= math.log(terms.toDouble) + 1e-6,
+        s"entropy outside [0, ln n_terms]: $row")
+      assert(kl >= -1e-6, s"KL(source||corpus) must be non-negative: $row")
+    }
+    // crafted: a one-token source has H=0; a uniform 4-token source has H=ln 4
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ent").toString
+    Seq((1L, "x x x x x x x x", "mono"), (2L, "a b c d", "uni"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = TextAnalysis.sourceEntropy(spark, tmp).collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(m("mono") === 0.0)
+    assert(math.abs(m("uni") - math.log(4.0)) < 1e-5)
+  }
+
   test("span removal: shared passages excise exactly, unique text survives") {
     // docs 1 and 2 share one 6-token passage (⇒ three 4-token windows
     // covering 6 positions in each); doc 3 is fully unique; doc 4 is an
