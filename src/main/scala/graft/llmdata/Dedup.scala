@@ -808,4 +808,62 @@ object Dedup {
       jaccardPairs(spark, dir, threshold, maxDocFreq)
         .select(col("id_a"), col("id_b")),
       iters)
+
+  /** TRIANGLE census of an undirected edge list: node/edge/wedge
+    * counts, triangle count, and the global clustering coefficient
+    * `3·T / wedges` — the graph-density diagnostic that says whether
+    * near-dup pairs are isolated couples or clique-ish families (a
+    * template shared by many docs shows up as high transitivity long
+    * before cluster resolution runs).
+    *
+    * Scale shape: the classic degree-ordered orientation — every edge
+    * points from its (degree, id)-smaller endpoint to the larger, so a
+    * hub's Σd² wedge blowup lands on the LOW-degree side: out-degrees
+    * are bounded by O(√edges) on any graph, which caps the per-key
+    * fan-out of the wedge self-join. Triangle = wedge (u→v, u→w)
+    * closed by oriented edge (v→w), checked with a LEFT-SEMI join —
+    * each triangle is counted exactly once because the orientation is
+    * acyclic. Only 1-row aggregates are ever cross-joined. */
+  def triangleStatsEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val deg = e.select(col("id_a").as("id"))
+      .unionByName(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // total order by (degree, id): unique because ids are unique
+    val keyed = deg.select(col("id"),
+      (col("deg") * lit(4294967296L) + col("id")).as("k"))
+    val oriented = e
+      .join(keyed.select(col("id").as("id_a"), col("k").as("ka")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("k").as("kb")), "id_b")
+      .select(
+        when(col("ka") < col("kb"), col("id_a")).otherwise(col("id_b")).as("u"),
+        when(col("ka") < col("kb"), col("id_b")).otherwise(col("id_a")).as("v"),
+        greatest(col("ka"), col("kb")).as("kv"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("u"), col("v").as("b"), col("kv").as("kb2"))
+      .join(oriented.select(col("u"), col("v").as("c"), col("kv").as("kc2")),
+        Seq("u"))
+      .filter(col("kb2") < col("kc2"))
+    val tri = wedges
+      .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg") * (col("deg") - 1)) / lit(2)).cast("long").as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
+  /** [[triangleStatsEdges]] over the capped-Jaccard near-dup graph —
+    * the registered corpus entry. A lower threshold / higher df-cap
+    * than the dedup queries: transitivity needs the WEAK ties too. */
+  def triangleStats(spark: SparkSession, dir: String,
+                    threshold: Double = 0.1,
+                    maxDocFreq: Option[Long] = Some(16L)): DataFrame =
+    triangleStatsEdges(jaccardPairs(spark, dir, threshold, maxDocFreq))
 }

@@ -804,8 +804,40 @@ object LlmQueries {
       |  CAST(SUM(kl_micro) AS BIGINT)::DOUBLE / 1000000.0 AS kl_vs_corpus
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** Mirror of [[Dedup.triangleStats]] (threshold 0.1, df-cap 16 —
+    * deliberately looser than the dedup queries' 0.2/6). DuckDB
+    * enumerates triangles by plain id order (a<b<c); Spark orients by
+    * (degree, id) — any total order counts each triangle exactly once,
+    * so the counts agree. */
+  val ddTrianglesSql: String =
+    s"""WITH $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= 16),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |e AS (SELECT id_a, id_b FROM p
+      |      JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |      WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.1),
+      |deg AS (SELECT id, COUNT(*) AS deg FROM
+      |          (SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+      |        GROUP BY 1),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a
+      |        JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+      |g AS (SELECT COUNT(*) AS n_nodes,
+      |        CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+      |ec AS (SELECT COUNT(*) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges
+      |       ELSE 0.0 END AS clustering_coeff
+      |FROM g, ec, tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_span_removal" -> ((s, d) => TextAnalysis.spanRemoval(s, d)),
+    "dd_triangles" -> ((s, d) => Dedup.triangleStats(s, d)),
     "txt_source_entropy" -> ((s, d) => TextAnalysis.sourceEntropy(s, d)),
     "emb_hof_stats" -> ((s, d) => Similarity.hofStats(s, d)),
     "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -882,6 +914,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "txt_span_removal" -> txtSpanRemovalSql,
     "txt_source_entropy" -> txtSourceEntropySql,
+    "dd_triangles" -> ddTrianglesSql,
     "emb_hof_stats" -> embHofStatsSql,
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,

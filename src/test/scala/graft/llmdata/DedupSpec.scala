@@ -253,4 +253,28 @@ class DedupSpec extends SparkSpec {
   test("pagerank on an edgeless graph returns empty, not an error") {
     assert(Dedup.pageRank(spark, sf, 1.5).count() === 0)
   }
+
+  test("triangle census: clique, path, and star graphs hit the known values") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]) =
+      Dedup.triangleStatsEdges(edges.toDF("id_a", "id_b")).collect()(0)
+    // K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, coefficient 1
+    val k4 = census(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert((k4.getLong(0), k4.getLong(1), k4.getLong(2), k4.getLong(3)) ===
+      ((4L, 6L, 12L, 4L)))
+    assert(k4.getDouble(4) === 1.0)
+    // path 1-2-3-4: 2 wedges, no triangle
+    val path = census(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert((path.getLong(2), path.getLong(3), path.getDouble(4)) === ((2L, 0L, 0.0)))
+    // star (hub 1): 3 wedges at the hub, no triangle — and the
+    // degree-ordering sends every edge INTO the hub (out-degree 1 per leaf)
+    val star = census(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert((star.getLong(2), star.getLong(3), star.getDouble(4)) === ((3L, 0L, 0.0)))
+  }
+
+  test("triangle census on the corpus graph is non-vacuous and bounded") {
+    val r = Dedup.triangleStats(spark, sf).collect()(0)
+    assert(r.getLong(3) >= 1L, "corpus near-dup graph should close >= 1 triangle")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
 }
