@@ -835,9 +835,36 @@ object LlmQueries {
       |       ELSE 0.0 END AS clustering_coeff
       |FROM g, ec, tri""".stripMargin
 
+  /** Mirror of [[Similarity.sq8Report]]: DuckDB lists are 1-based so
+    * `i - 1` aligns the dim ids; every arithmetic step is the identical
+    * per-component IEEE chain, errors quantized to 1e-8 units. */
+  val embSq8Sql: String =
+    """WITH c AS (SELECT i - 1 AS dim, v[i] AS x
+      |           FROM (SELECT embedding::DOUBLE[] AS v,
+      |                   unnest(range(1, len(embedding) + 1)) AS i
+      |                 FROM embeddings)),
+      |st AS (SELECT dim, MIN(x) AS vmin, MAX(x) AS vmax FROM c GROUP BY 1),
+      |m AS (SELECT c.dim, x, vmin, vmax, (vmax - vmin) / 255.0 AS scale
+      |      FROM c JOIN st USING (dim)),
+      |q AS (SELECT dim, x, vmin, vmax, scale,
+      |        CASE WHEN scale > 0
+      |             THEN least(255.0, floor((x - vmin) / scale + 0.5))
+      |             ELSE 0.0 END AS code
+      |      FROM m),
+      |e AS (SELECT dim, vmin, vmax,
+      |        CAST(floor(abs(x - (vmin + code * scale)) * 100000000.0 + 0.5)
+      |          AS BIGINT) AS err8
+      |      FROM q)
+      |SELECT dim, COUNT(*) AS n, MIN(vmin) AS vmin, MAX(vmax) AS vmax,
+      |  CAST(SUM(err8) AS BIGINT) AS tot_err_1e8,
+      |  CAST(MAX(err8) AS BIGINT) AS max_err_1e8,
+      |  CAST(SUM(err8) AS BIGINT)::DOUBLE / 100000000.0 / COUNT(*) AS mae
+      |FROM e GROUP BY dim ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_span_removal" -> ((s, d) => TextAnalysis.spanRemoval(s, d)),
     "dd_triangles" -> ((s, d) => Dedup.triangleStats(s, d)),
+    "emb_sq8_error" -> ((s, d) => Similarity.sq8Report(s, d)),
     "txt_source_entropy" -> ((s, d) => TextAnalysis.sourceEntropy(s, d)),
     "emb_hof_stats" -> ((s, d) => Similarity.hofStats(s, d)),
     "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -915,6 +942,7 @@ object LlmQueries {
     "txt_span_removal" -> txtSpanRemovalSql,
     "txt_source_entropy" -> txtSourceEntropySql,
     "dd_triangles" -> ddTrianglesSql,
+    "emb_sq8_error" -> embSq8Sql,
     "emb_hof_stats" -> embHofStatsSql,
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,

@@ -899,6 +899,50 @@ object Similarity {
         max(col("max_comp")).as("max_comp"))
       .orderBy(col("label"))
 
+  /** SCALAR (per-dimension INT8) quantization error report — the
+    * simplest vector-compression rung below [[pqTopK]]'s product
+    * quantization: every dimension maps linearly onto 256 codes between
+    * its corpus min and max (4 bytes → 1 byte, 4× compression, the
+    * memory-bound ANN serving trick), and the report says what that
+    * costs per dimension (mean/max absolute reconstruction error).
+    * Dimensions the corpus barely uses (tiny range) quantize nearly
+    * free; heavy-tailed dimensions surface as outsized max errors — the
+    * signal that PQ/OPQ or per-dim clipping is needed.
+    *
+    * Scale shape: one posexplode pass; per-dim min/max is a 64-row
+    * aggregate broadcast back over the component stream; code/error
+    * arithmetic is row-local; the final rollup is a 64-group agg.
+    * Determinism: the whole chain (widen float→double, subtract,
+    * divide, floor, clamp, reconstruct, abs) is per-component IEEE
+    * arithmetic with zero order-dependence, and errors are quantized to
+    * exact 1e-8 units before summing — DuckDB reproduces every bit. */
+  def sq8Report(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("dim"), col("col").cast("double").as("x"))
+      .localCheckpoint()
+    val stats = comp.groupBy(col("dim"))
+      .agg(min(col("x")).as("vmin"), max(col("x")).as("vmax"))
+    val scale = (col("vmax") - col("vmin")) / lit(255.0)
+    comp.join(broadcast(stats), "dim")
+      .withColumn("scale", scale)
+      .withColumn("code", when(col("scale") > 0,
+          least(lit(255.0), floor((col("x") - col("vmin")) / col("scale") + lit(0.5))))
+        .otherwise(lit(0.0)))
+      .withColumn("err8",
+        floor(abs(col("x") - (col("vmin") + col("code") * col("scale")))
+          * lit(100000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+        sum(col("err8")).as("tot_err_1e8"), max(col("err8")).as("max_err_1e8"))
+      .select(col("dim"), col("n"), col("vmin"), col("vmax"),
+        col("tot_err_1e8"), col("max_err_1e8"),
+        (col("tot_err_1e8").cast("double") / lit(100000000.0) / col("n"))
+          .as("mae"))
+      .orderBy(col("dim"))
+  }
+
   /** Greedy MMR kernel over ONE query's candidates (executor-local):
     * maintains per-candidate max-sim-to-selected incrementally, so the
     * whole selection is O(m·k) [[cosine6]] calls. Returns (id,

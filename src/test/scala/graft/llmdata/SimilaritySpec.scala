@@ -259,6 +259,29 @@ class SimilaritySpec extends SparkSpec {
     assert(m2.comps.zip(m.comps).forall { case (x, y) => x.sameElements(y) })
   }
 
+  test("sq8 quantization: error bounded by half a step, grid values exact") {
+    // corpus run: every dim's max error must stay within half a
+    // quantization step of that dim's range
+    val rows = Similarity.sq8Report(spark, sf).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (vmin, vmax, maxErr) = (r.getDouble(2), r.getDouble(3), r.getLong(5))
+      val halfStep = (vmax - vmin) / 255.0 / 2.0
+      assert(maxErr <= math.floor(halfStep * 1e8 + 0.5).toLong + 1,
+        s"reconstruction error exceeds half a step: $r")
+    }
+    // crafted: components already on the 0..255 integer grid ⇒ scale 1,
+    // zero reconstruction error everywhere
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Seq((1L, Array(0f, 255f), "a"), (2L, Array(255f, 0f), "a"),
+        (3L, Array(128f, 128f), "a"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val g = Similarity.sq8Report(spark, tmp).collect()
+    assert(g.forall(_.getLong(4) === 0L), "grid-aligned values must be exact")
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val e = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding"))
