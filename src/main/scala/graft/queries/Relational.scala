@@ -900,7 +900,46 @@ object Relational {
       |  > (SELECT SUM(value) FROM pp) * 2
       |ORDER BY l_partkey""".stripMargin
 
+  // --------------------------------------------------------------- q30
+  /** q30: cohort retention matrix — customers grouped by FIRST-order
+    * year (the cohort), tracked across every later activity year: the
+    * classic triangular retention view ([[q21CustomerRetention]] gives
+    * one year-pair as sets; this gives the whole matrix with rates).
+    *
+    * Scale shape: the fact table reduces to (customer, year)-distinct
+    * grain once; the cohort label is a customer-grain MIN re-aggregate
+    * of that same table; the customer-keyed join is one hash
+    * partitioning shared by both sides; cohort sizes are a years-sized
+    * broadcast. Retention = exact-long count ÷ exact-long cohort size,
+    * a single double division per emitted cell. */
+  def q30CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .distinct()
+    val first = active.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort"))
+    val cohortSize = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+    active.join(first, "o_custkey")
+      .groupBy(col("cohort"), col("yr"))
+      .agg(count(lit(1)).as("active_n"))
+      .join(broadcast(cohortSize), "cohort")
+      .select(col("cohort"), col("yr"), col("active_n"), col("cohort_n"),
+        (col("active_n").cast("double") / col("cohort_n")).as("retention"))
+      .orderBy(col("cohort"), col("yr"))
+  }
+
+  val q30Sql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT o_custkey, year(o_orderdate) AS yr FROM orders),
+      |first AS (SELECT o_custkey, MIN(yr) AS cohort FROM active GROUP BY 1),
+      |cs AS (SELECT cohort, COUNT(*) AS cohort_n FROM first GROUP BY 1)
+      |SELECT cohort, yr, COUNT(*) AS active_n, cohort_n,
+      |  COUNT(*)::DOUBLE / cohort_n AS retention
+      |FROM active JOIN first USING (o_custkey) JOIN cs USING (cohort)
+      |GROUP BY cohort, yr, cohort_n
+      |ORDER BY cohort, yr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_cohort_retention" -> q30CohortRetention _,
     "q28_min_cost_supplier" -> q28MinCostSupplier _,
     "q29_important_parts" -> q29ImportantParts _,
     "q26_trailing_spend" -> q26TrailingSpend _,
@@ -931,6 +970,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q30_cohort_retention" -> q30Sql,
     "q28_min_cost_supplier" -> q28Sql,
     "q29_important_parts" -> q29Sql,
     "q26_trailing_spend" -> q26Sql,

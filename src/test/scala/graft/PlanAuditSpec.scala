@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "tx16_bucketed_interval" -> "inherits tx13's cross join against the 1-row max-activity-date bound (the interval JOIN itself is the bucket equi-join under audit)",
     "dd_sim_calibration" -> "sample-bounded all-pairs calibration (vec_id % 10 sample by construction)",
     "q29_important_parts" -> "cross join against the 1-row global total/count side",
-    "dd_triangles" -> "cross joins of three 1-row census aggregates")
+    "dd_triangles" -> "cross joins of three 1-row census aggregates",
+    "txt_source_entropy" -> "cross join against the 1-row corpus-total side")
 
   /** Queries whose registered frame is a DRIVER-LOCAL result — the
     * distributed work runs during construction (BPE training's
