@@ -141,6 +141,62 @@ object StreamingAnalytics {
       }
   }
 
+  case class Milestone(card: String, n_tx: Long, at: java.sql.Timestamp)
+
+  /** Per-card transaction-count MILESTONES on the MODERN arbitrary
+    * state API (`transformWithState` + [[MilestoneProcessor]]) — the
+    * Spark 4 replacement for `flatMapGroupsWithState` that
+    * [[velocityAlerts]] uses: state is a named, schema'd
+    * `ValueState[Long]` managed by the state-store (RocksDB provider
+    * required), not an opaque user blob, which is what unlocks state
+    * TTL, re-scaling, and the state reader at 100 TB. Emits one row
+    * each time a card's cumulative valid-transaction count crosses a
+    * multiple of `k` (the "every 5th transaction earns a reward" shape).
+    *
+    * Same determinism conventions as [[velocityAlerts]]: rows sort
+    * (ts, cents) within an invocation, so under in-order delivery the
+    * output equals the batch `row_number % k == 0` oracle
+    * (StreamingStateSpec drives TWO micro-batches to prove the count
+    * carries across triggers). State is one long per card. */
+  def milestoneAlerts(enriched: DataFrame, k: Long = 5L): Dataset[Milestone] = {
+    val spark = enriched.sparkSession
+    import spark.implicits._
+    enriched
+      .select(col("Card").as("card"), col("transaction_date").as("ts"),
+        (col("Amount_USD").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .where(col("card").isNotNull && col("ts").isNotNull && col("cents").isNotNull)
+      .as[CardTx]
+      .groupByKey(_.card)
+      .transformWithState(new MilestoneProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The [[milestoneAlerts]] state machine: a named ValueState counter
+    * per card, folded in deterministic (ts, cents) order per batch. */
+  class MilestoneProcessor(k: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CardTx, Milestone] {
+    @transient private var count:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(card: String, rows: Iterator[CardTx],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Milestone] = {
+      var c = if (count.exists()) count.get() else 0L
+      val out = Seq.newBuilder[Milestone]
+      rows.toArray.sortBy(r => (r.ts.getTime, r.cents)).foreach { r =>
+        c += 1
+        if (c % k == 0) out += Milestone(card, c, r.ts)
+      }
+      count.update(c)
+      out.result().iterator
+    }
+  }
+
   // `ts` rides along unused by the fold: the watermark's event-time
   // column must survive into the stateful operator's input schema
   case class FunnelEvent(user_id: Long, event_type: String,

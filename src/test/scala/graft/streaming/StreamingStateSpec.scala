@@ -139,6 +139,39 @@ class StreamingStateSpec extends SparkSpec {
     } finally { ev.unpersist(); () }
   }
 
+  test("transformWithState milestones across TWO micro-batches equal the batch row_number oracle") {
+    // transformWithState requires the RocksDB state-store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val live = drain(
+        StreamingAnalytics.milestoneAlerts(
+          enrichedStream(maxFilesPerTrigger = Some(1)), k = 5L).toDF(),
+        "milestone_live").cache()
+      // batch oracle: every 5th row per card in (ts, cents) order
+      val w = Window.partitionBy(col("card")).orderBy(col("ts"), col("cents"))
+      val expected = enrichedBatch
+        .select(col("Card").as("card"), col("transaction_date").as("ts"),
+          (col("Amount_USD").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .where(col("card").isNotNull && col("ts").isNotNull &&
+          col("cents").isNotNull)
+        .withColumn("n_tx", row_number().over(w).cast("long"))
+        .filter(col("n_tx") % 5 === 0)
+        .select(col("card"), col("n_tx"), col("ts").as("at")).cache()
+      assert(expected.count() > 0, "corpus must produce milestones")
+      assert(live.count() === expected.count())
+      assert(live.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(live).count() === 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val s = enrichedStream(maxFilesPerTrigger = None)
     val live = drain(
