@@ -894,6 +894,7 @@ object LlmQueries {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
+    "ann_pca_topk" -> ((s, d) => Similarity.pcaTopK(s, d, 5, 10)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfTopK(s, d, 5, 10)),
     "ann_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 5, 20, 10)),
@@ -932,6 +933,9 @@ object LlmQueries {
     * SQL-expressible; SimilaritySpec gates it against a driver-side
     * reference and the λ=1 ≡ brute-force identity. txt_bpe_merges is
     * rows-only too (iterative list-fold state isn't reasonable SQL);
+    * ann_pca_topk is rows-only for the same reason as emb_pca_project
+    * (the eigenbasis isn't SQL) — SimilaritySpec gates its recall floor,
+    * exact-rerank sims, and determinism. txt_bpe_merges is additionally
     * TextAnalysisSpec gates it against an exact driver-side BPE
     * reference, and txt_bpe_encode (the trained table applied back to
     * the corpus) is gated the same way. emb_pca_project is rows-only (an eigendecomposition

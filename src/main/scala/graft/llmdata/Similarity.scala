@@ -847,6 +847,62 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** PCA-ACCELERATED top-k — dimension-reduction ANN, the third scale
+    * path next to [[lshTopK]] (bucketing) and [[pqTopK]] (code
+    * compression): the corpus projects onto the top `pcaDims`
+    * principal components (a zero-shuffle broadcast map off the
+    * memoized [[PcaModel]]), the coarse phase runs the brute-force
+    * shape on vectors 4× smaller (at 100 TB: the projected corpus fits
+    * cache tiers the full one cannot, and the scan moves 4× fewer
+    * bytes), and the exact-cosine rerank of the short-list makes every
+    * reported sim bit-identical to [[bruteForceTopK]]'s — the PQ
+    * playbook with a spectral, data-adaptive compressor. Candidate
+    * volume is Q × nCandidates; the rerank fetches only short-listed
+    * full vectors by key. */
+  def pcaTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
+              pcaDims: Int = 16, nCandidates: Int = 50): DataFrame = {
+    import spark.implicits._
+    val model = pcaModelFor(spark, dir)
+    val kk = math.min(pcaDims, model.comps.length)
+    val bc = spark.sparkContext.broadcast((model.mean, model.comps.take(kk)))
+    val proj = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val (mu, comps) = bc.value
+        val y = comps.map { cj =>
+          var acc = 0.0
+          var i = 0
+          while (i < mu.length) { acc += (e(i).toDouble - mu(i)) * cj(i); i += 1 }
+          round6(acc)
+        }
+        (id, y)
+      }.toDF("vec_id", "p")
+    val q = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val shortlist = q
+      .join(proj.select(col("vec_id").as("neighbor_id"), col("p").as("np")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse", cosine(col("qp"), col("np")))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        "neighbor_id")
+      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def labelDiversity(spark: SparkSession, dir: String): DataFrame = {
     val perDim = Tables.embeddings(spark, dir)
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))

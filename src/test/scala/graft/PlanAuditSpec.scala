@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "dd_sim_calibration" -> "sample-bounded all-pairs calibration (vec_id % 10 sample by construction)",
     "q29_important_parts" -> "cross join against the 1-row global total/count side",
     "dd_triangles" -> "cross joins of three 1-row census aggregates",
-    "txt_source_entropy" -> "cross join against the 1-row corpus-total side")
+    "txt_source_entropy" -> "cross join against the 1-row corpus-total side",
+    "ann_pca_topk" -> "coarse phase broadcasts the tiny projected query side (nQueries=5)")
 
   /** Queries whose registered frame is a DRIVER-LOCAL result — the
     * distributed work runs during construction (BPE training's

@@ -85,6 +85,27 @@ class SimilaritySpec extends SparkSpec {
     } finally { pq.unpersist(); () }
   }
 
+  test("PCA-accelerated top-k: recall floor, exact sims, determinism") {
+    val pca = Similarity.pcaTopK(spark, sf, nQ, k).cache()
+    try {
+      val perQ = pca.groupBy("query_id").agg(count(lit(1)).as("n"))
+      assert(perQ.filter(col("n") =!= k).count() === 0)
+      val recall = (exactSet & resultSet(pca)).size.toDouble / exactSet.size
+      // 16 of 64 spectral dims with a 5k-candidate shortlist on this
+      // weak-structure corpus — assert the measured floor
+      assert(recall >= 0.6, s"PCA recall $recall")
+      // shortlist survivors rerank with the exact cosine ⇒ sims are
+      // bit-identical to brute force on every overlapping pair
+      val joined = exact.join(
+        pca.withColumnRenamed("sim", "sim_pca").drop("rnk"),
+        Seq("query_id", "neighbor_id"))
+      assert(joined.filter(col("sim") =!= col("sim_pca")).count() === 0)
+      val again = Similarity.pcaTopK(spark, sf, nQ, k)
+      assert(pca.exceptAll(again).count() === 0 &&
+        again.exceptAll(pca).count() === 0)
+    } finally { pca.unpersist(); () }
+  }
+
   test("LSH sims equal brute-force sims for every overlapping neighbor") {
     val lsh = Similarity.lshTopK(spark, sf, nQ, k, multiProbe = true)
       .withColumnRenamed("sim", "sim_lsh").drop("rnk")
