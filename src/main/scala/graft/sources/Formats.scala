@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus interchange formats beyond the parquet test tables.
+  *
+  * Real training corpora arrive as JSONL shards (one JSON document per
+  * line — the lingua franca of every public text dataset) and leave as
+  * columnar shards; the loaders here make that boundary explicit and
+  * SCHEMA-DECLARED, never inferred: at 100 TB a schema-inference pass
+  * is a full extra read of the corpus, and silent type drift between
+  * shards (a numeric doc_id in one file, a string in the next) must
+  * fail loudly at the scan, not corrupt a join three stages later.
+  *
+  * Malformed lines follow Spark's PERMISSIVE mode with an explicit
+  * corrupt-record column so a dirty shard degrades into an auditable
+  * quarantine stream instead of killing the job ([[readDocumentsJsonl]]
+  * returns both streams; the caller picks its policy).
+  */
+object Formats {
+
+  /** The documents-table schema, declared once (TESTDATA.md shape). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", IntegerType),
+    StructField("_corrupt", StringType)))
+
+  /** Write a documents frame as JSONL shards (one JSON object per
+    * line). `coalesce` bounds the shard count like the reference's
+    * sink does; compression stays splittable-friendly (none) so a
+    * downstream scan parallelizes per line range. */
+  def writeDocumentsJsonl(df: DataFrame, path: String, shards: Int = 1): Unit =
+    df.coalesce(shards).write.mode("overwrite").json(path)
+
+  /** Read JSONL documents with the declared schema: well-formed rows
+    * and a quarantine stream of raw corrupt lines. */
+  def readDocumentsJsonl(spark: SparkSession,
+                         path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(documentsSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      // PERMISSIVE quirk: corrupt-record extraction requires a
+      // materialized intermediate (Spark refuses raw filters on the
+      // corrupt column of a lazy scan)
+      .cache()
+    val good = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+    val quarantine = raw.filter(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("raw_line"))
+    (good, quarantine)
+  }
+
+  /** Schema-evolution read over a partitioned/sharded parquet dir whose
+    * shards were written at DIFFERENT schema versions (the v1 24-col vs
+    * v2 21-col situation in the reference, generalized): `mergeSchema`
+    * unions the per-file schemas at footer-read time — columns absent
+    * in an older shard surface as nulls, no rewrite of old data. The
+    * cost (a footer read per file at planning) is why it is opt-in
+    * here and off by default in Spark. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+}
