@@ -895,6 +895,7 @@ object LlmQueries {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "ann_pca_topk" -> ((s, d) => Similarity.pcaTopK(s, d, 5, 10)),
+    "emb_kmeans" -> ((s, d) => Similarity.kmeansReport(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfTopK(s, d, 5, 10)),
     "ann_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 5, 20, 10)),

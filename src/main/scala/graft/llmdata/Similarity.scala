@@ -847,6 +847,33 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** K-MEANS clustering exposed as a product operator (not just the
+    * IVF index's internal step): every vector assigns to its nearest
+    * Lloyd centroid (the memoized, deterministically-trained 16-cell
+    * model [[ivfTopK]] probes) and the report gives per-cluster size
+    * and cohesion — mean cosine similarity to the centroid, the
+    * corpus-partitioning view a data-curation pass reads to find
+    * degenerate or dominant content groups. Assignment is a broadcast
+    * map (centroids ride the closure), the rollup one 16-group agg;
+    * cohesion sums micro-quantized exact longs so the report is
+    * partition-order-free. Rows-only gate: the trained centroids are
+    * not SQL-reproducible (cf. ann_ivf_topk). */
+  def kmeansReport(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroidsFor(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nc",
+        element_at(nearestCells(spark, col("embedding"), cents, 1), 1))
+      .select(col("nc").getField("cell").as("cluster"),
+        floor(-col("nc").getField("neg") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("sim_micro"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("sim_micro")).cast("double") / lit(1000000.0)
+          / count(lit(1))).as("mean_cohesion"))
+      .orderBy(col("cluster"))
+  }
+
   /** PCA-ACCELERATED top-k — dimension-reduction ANN, the third scale
     * path next to [[lshTopK]] (bucketing) and [[pqTopK]] (code
     * compression): the corpus projects onto the top `pcaDims`

@@ -106,6 +106,20 @@ class SimilaritySpec extends SparkSpec {
     } finally { pca.unpersist(); () }
   }
 
+  test("kmeans report: partition of the corpus, cohesion bounded, deterministic") {
+    val r = Similarity.kmeansReport(spark, sf).cache()
+    try {
+      assert(r.agg(sum(col("n_vecs"))).collect()(0).getLong(0) ===
+        graft.Tables.embeddings(spark, sf).count())
+      r.collect().foreach { row =>
+        val c = row.getDouble(2)
+        assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"cohesion out of range: $row")
+      }
+      val again = Similarity.kmeansReport(spark, sf)
+      assert(r.exceptAll(again).count() === 0 && again.exceptAll(r).count() === 0)
+    } finally { r.unpersist(); () }
+  }
+
   test("LSH sims equal brute-force sims for every overlapping neighbor") {
     val lsh = Similarity.lshTopK(spark, sf, nQ, k, multiProbe = true)
       .withColumnRenamed("sim", "sim_lsh").drop("rnk")
