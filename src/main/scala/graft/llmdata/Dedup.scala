@@ -177,6 +177,63 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** ROW-LOCAL banded MinHash keys for a (doc_id, text) frame — the
+    * streaming-safe twin of [[lshBands]]∘signature-aggregation: the
+    * whole signature computes inside one row via array lambdas (shingle
+    * array → per-hash `array_min(transform(...))`), no groupBy, so it
+    * runs on an unbounded stream with ZERO state. Hash-identical to the
+    * aggregate form (same `xxhash64(j, g)` per shingle, min over the
+    * same distinct-shingle set; DedupSpec asserts frame equality), so a
+    * stream-side key joins the batch-built index correctly. Docs too
+    * short for a shingle emit no keys, matching the postings form. */
+  def lshBandsRowLocal(docs: DataFrame): DataFrame = {
+    val sh = array_distinct(expr(
+      """transform(sequence(0, greatest(size(t0) - 3, -1)),
+        |  i -> concat_ws(' ', element_at(t0, i + 1), element_at(t0, i + 2),
+        |                 element_at(t0, i + 3)))""".stripMargin))
+    val mh = (0 until NumHashes).map(j =>
+      array_min(transform(col("sh"), g => xxhash64(lit(j), g))).as(s"mh$j"))
+    val bandCols = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("sig"))
+    }
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t0"))
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id") +: mh: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** The corpus-side LSH band index — the artifact a production gate
+    * keeps hot (rebuilt per corpus compaction, broadcast to the
+    * ingestion stream). */
+  def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    val posting = shinglePostings(spark, dir)
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
+    lshBands(posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*))
+      .withColumnRenamed("doc_id", "corpus_id")
+  }
+
+  /** STREAMING NEAR-DUP GATE — the live ingestion filter: incoming
+    * (doc_id, text) rows emit a match event per corpus document they
+    * LSH-collide with. The stream side computes its band keys
+    * row-locally ([[lshBandsRowLocal]]) and equi-joins the STATIC
+    * corpus index on (band, sig) — a stream-static join, so zero join
+    * state, append-safe with no watermark, broadcastable index. This
+    * is the production split: the cheap in-stream gate emits
+    * candidates; exact verification (and [[dedupDelta]]'s full
+    * classification) runs out-of-band on the candidate set only.
+    * Works identically on a batch frame (DedupSpec proves stream ≡
+    * batch ≡ the aggregate-form candidates). */
+  def streamingNearDupGate(incoming: DataFrame,
+                           corpusIndex: DataFrame): DataFrame =
+    lshBandsRowLocal(incoming)
+      .join(broadcast(corpusIndex), Seq("band", "sig"))
+      .select(col("doc_id"), col("corpus_id"), col("band"))
+
   /** MinHash-LSH near-dup pairs, exact-verified: banded candidates →
     * distinct pairs → exact Jaccard filter. Output matches
     * [[jaccardPairs]] up to LSH recall (deterministic hashes ⇒

@@ -254,6 +254,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.pageRank(spark, sf, 1.5).count() === 0)
   }
 
+  test("row-local LSH band keys equal the aggregate-form keys on the whole corpus") {
+    val rowLocal = Dedup.lshBandsRowLocal(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val aggregate = Dedup.corpusBandIndex(spark, sf)
+      .withColumnRenamed("corpus_id", "doc_id")
+    assert(rowLocal.count() > 0)
+    assert(rowLocal.exceptAll(aggregate).count() === 0)
+    assert(aggregate.exceptAll(rowLocal).count() === 0)
+  }
+
+  test("near-dup gate: copies and near-dups collide with their source, unique docs pass") {
+    import spark.implicits._
+    val srcText = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).collect()(0).getAs[String]("text")
+    val incoming = Seq(
+      (100000L, srcText),                              // exact copy
+      (100001L, "zz1 zz2 " + srcText),                 // near-dup (prefix noise)
+      (100002L, (0 until 60).map(i => s"uniq$i").mkString(" "))) // unique
+      .toDF("doc_id", "text")
+    val hits = Dedup.streamingNearDupGate(incoming,
+        Dedup.corpusBandIndex(spark, sf))
+      .select(col("doc_id"), col("corpus_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(hits.contains(100000L) && hits(100000L).exists(_._2 == 0L),
+      "exact copy must collide with its source")
+    assert(hits.contains(100001L) && hits(100001L).exists(_._2 == 0L),
+      "near-dup must collide with its source")
+    assert(!hits.contains(100002L), "unique doc must pass the gate")
+  }
+
   test("triangle census: clique, path, and star graphs hit the known values") {
     import spark.implicits._
     def census(edges: Seq[(Long, Long)]) =

@@ -94,6 +94,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("streaming near-dup gate emits the batch candidate set with zero join state") {
+    import spark.implicits._
+    import graft.llmdata.Dedup
+    // incoming shard: one exact copy of corpus doc 0, one unique doc
+    val srcText = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).collect()(0).getAs[String]("text")
+    val shard = Seq((200000L, srcText),
+      (200001L, (0 until 60).map(i => s"nv$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-gate").toString + "/in"
+    shard.coalesce(1).write.parquet(dir)
+    val index = Dedup.corpusBandIndex(spark, sf).cache()
+    try {
+      val stream = spark.readStream.schema(shard.schema).parquet(dir)
+      val live = drain(Dedup.streamingNearDupGate(stream, index),
+        "append", "gate_live")
+      val batch = Dedup.streamingNearDupGate(shard, index)
+      assert(live.count() > 0)
+      assert(live.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(live).count() === 0)
+      assert(live.filter(col("doc_id") === 200000L && col("corpus_id") === 0L)
+        .count() > 0)
+      assert(live.filter(col("doc_id") === 200001L).count() === 0)
+    } finally { index.unpersist(); () }
+  }
+
   test("streaming user sessions (append mode) emit exactly the watermark-closed batch sessions") {
     val live = drain(StreamingAnalytics.userSessions(enrichedStream),
       "append", "sessions_live").cache()
