@@ -861,8 +861,29 @@ object LlmQueries {
       |  CAST(SUM(err8) AS BIGINT)::DOUBLE / 100000000.0 / COUNT(*) AS mae
       |FROM e GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** Mirror of [[TextAnalysis.splitOov]]: identical split hash, 3-gram
+    * units, occurrence-grain counts. */
+  val txtSplitOovSql: String =
+    """WITH sp AS (SELECT doc_id, text,
+      |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+      |             WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM documents),
+      |tg AS (SELECT split, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+      |       FROM (SELECT split, string_split(text, ' ') AS t,
+      |               unnest(range(1, len(string_split(text, ' ')) - 1)) AS i
+      |             FROM sp)),
+      |tv AS (SELECT DISTINCT g FROM tg WHERE split = 'train')
+      |SELECT tg.split, COUNT(*) AS n_ngrams,
+      |  CAST(SUM(CASE WHEN tv.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN tv.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+      |    / COUNT(*) AS oov_rate
+      |FROM tg LEFT JOIN tv ON tg.g = tv.g
+      |GROUP BY tg.split ORDER BY tg.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_span_removal" -> ((s, d) => TextAnalysis.spanRemoval(s, d)),
+    "txt_split_oov" -> ((s, d) => TextAnalysis.splitOov(s, d)),
     "dd_triangles" -> ((s, d) => Dedup.triangleStats(s, d)),
     "emb_sq8_error" -> ((s, d) => Similarity.sq8Report(s, d)),
     "txt_source_entropy" -> ((s, d) => TextAnalysis.sourceEntropy(s, d)),
@@ -945,6 +966,7 @@ object LlmQueries {
     * bit-determinism. */
   val oracles: Map[String, String] = Map(
     "txt_span_removal" -> txtSpanRemovalSql,
+    "txt_split_oov" -> txtSplitOovSql,
     "txt_source_entropy" -> txtSourceEntropySql,
     "dd_triangles" -> ddTrianglesSql,
     "emb_sq8_error" -> embSq8Sql,

@@ -984,6 +984,43 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Split OOV / COVERAGE report — the eval-prep sanity check: what
+    * fraction of each split's 3-gram occurrences never appears in the
+    * TRAIN split ("out of vocabulary" at the n-gram level). A val/test
+    * slice evaluating mostly-unseen n-grams measures generalization; a
+    * near-zero OOV rate warns the eval is memorization-reachable, and a
+    * train row is the 0.0 control. Unigram OOV is vacuous on any
+    * realistic vocabulary — the 3-gram grain is where coverage
+    * separates (and it matches the dedup shingle unit).
+    *
+    * Scale shape: one lead-chain n-gram pass (the shingle machinery's
+    * shape, at occurrence grain); the train vocabulary is a distinct
+    * aggregate of the same stream; the membership join is
+    * hash-partitioned on the n-gram (AQE runtime-broadcasts a small
+    * vocabulary); final rollup is 3 groups. */
+  def splitOov(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tg = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t0"))
+      .select(col("doc_id"), col("t0"),
+        lead(col("t0"), 1).over(w).as("t1"),
+        lead(col("t0"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(splitColumn(col("doc_id")).as("split"),
+        concat_ws(" ", col("t0"), col("t1"), col("t2")).as("g"))
+      .localCheckpoint()
+    val trainVocab = tg.filter(col("split") === "train")
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    tg.join(trainVocab, Seq("g"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_ngrams"))
+      .orderBy(col("split"))
+  }
+
   /** Duplicate-SPAN removal accounting — exact substring dedup at the
     * span (not document) grain: any [[RollWindow]]-token window whose
     * text occurs in ≥2 distinct documents marks all of its token
