@@ -183,39 +183,41 @@ object Dedup {
     * array → per-hash `array_min(transform(...))`), no groupBy, so it
     * runs on an unbounded stream with ZERO state. Hash-identical to the
     * aggregate form (same `xxhash64(j, g)` per shingle, min over the
-    * same distinct-shingle set; DedupSpec asserts frame equality), so a
-    * stream-side key joins the batch-built index correctly. Docs too
-    * short for a shingle emit no keys, matching the postings form. */
+    * same distinct-shingle set, same [[lshBands]] banding code; DedupSpec
+    * asserts frame equality), so a stream-side key joins the batch-built
+    * index correctly. Docs too short for a shingle are filtered BEFORE
+    * the shingle lambda and emit no keys, matching the postings form —
+    * the filter must come first because Spark's `sequence(0, -1)` is the
+    * descending [0, -1], not empty, and would index element_at(t0, 0). */
   def lshBandsRowLocal(docs: DataFrame): DataFrame = {
     val sh = array_distinct(expr(
-      """transform(sequence(0, greatest(size(t0) - 3, -1)),
+      """transform(sequence(0, size(t0) - 3),
         |  i -> concat_ws(' ', element_at(t0, i + 1), element_at(t0, i + 2),
         |                 element_at(t0, i + 3)))""".stripMargin))
     val mh = (0 until NumHashes).map(j =>
       array_min(transform(col("sh"), g => xxhash64(lit(j), g))).as(s"mh$j"))
-    val bandCols = (0 until NumBands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("sig"))
-    }
-    docs
+    lshBands(docs
       .select(col("doc_id"), split(col("text"), " ").as("t0"))
+      .filter(size(col("t0")) >= 3)
       .select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id") +: mh: _*)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id") +: mh: _*))
+  }
+
+  /** (doc_id, mh0..mh31) MinHash signature table from the shingle
+    * postings — shared by [[minhashNearDup]] and [[corpusBandIndex]] so
+    * the signature definition lives in exactly one place. */
+  private def minhashSignatures(posting: DataFrame): DataFrame = {
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
+    posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** The corpus-side LSH band index — the artifact a production gate
     * keeps hot (rebuilt per corpus compaction, broadcast to the
     * ingestion stream). */
-  def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {
-    val posting = shinglePostings(spark, dir)
-    val sigAggs = (0 until NumHashes).map(j =>
-      min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
-    lshBands(posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*))
+  def corpusBandIndex(spark: SparkSession, dir: String): DataFrame =
+    lshBands(minhashSignatures(shinglePostings(spark, dir)))
       .withColumnRenamed("doc_id", "corpus_id")
-  }
 
   /** STREAMING NEAR-DUP GATE — the live ingestion filter: incoming
     * (doc_id, text) rows emit a match event per corpus document they
@@ -242,9 +244,7 @@ object Dedup {
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val posting = shinglePostings(spark, dir)
     val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val sigAggs = (0 until NumHashes).map(j =>
-      min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
-    val sigs = posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = minhashSignatures(posting)
     // Candidates = docs agreeing on a (band, sig) bucket: group the
     // bucket's sorted members and explode pairs locally (pairExplode)
     // instead of self-joining the band table against itself.
@@ -887,9 +887,12 @@ object Dedup {
       .unionByName(e.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    // total order by (degree, id): unique because ids are unique
+    // total order by (degree, id): unique because ids are unique. A
+    // lexicographic STRUCT comparison, not a packed `deg·2³² + id`
+    // long — packing collides/mis-orders for ids ≥ 2³² or negative
+    // ids, and this is a public API over arbitrary edge frames
     val keyed = deg.select(col("id"),
-      (col("deg") * lit(4294967296L) + col("id")).as("k"))
+      struct(col("deg"), col("id")).as("k"))
     val oriented = e
       .join(keyed.select(col("id").as("id_a"), col("k").as("ka")), "id_a")
       .join(keyed.select(col("id").as("id_b"), col("k").as("kb")), "id_b")

@@ -904,6 +904,9 @@ object Similarity {
         }
         (id, y)
       }.toDF("vec_id", "p")
+      // the projection feeds BOTH join sides; materialize it once or
+      // the per-row d×k map runs twice per action (cf. sq8Report)
+      .localCheckpoint()
     val q = proj.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("p").as("qp"))
     val wc = Window.partitionBy(col("query_id"))

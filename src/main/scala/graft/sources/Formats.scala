@@ -38,21 +38,25 @@ object Formats {
     df.coalesce(shards).write.mode("overwrite").json(path)
 
   /** Read JSONL documents with the declared schema: well-formed rows
-    * and a quarantine stream of raw corrupt lines. */
+    * and a quarantine stream of raw corrupt lines. Implemented as a
+    * text scan + `from_json` rather than the json datasource: the
+    * datasource's corrupt-record column cannot be filtered without
+    * materializing (Spark's documented restriction), which would force
+    * a full-corpus cache this reader has no business holding; the
+    * text+parse form keeps both streams lazy and cache-free (the line
+    * scan runs once per consumed stream — two cheap passes beat a
+    * pinned copy of the corpus). */
   def readDocumentsJsonl(spark: SparkSession,
                          path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read
-      .schema(documentsSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .json(path)
-      // PERMISSIVE quirk: corrupt-record extraction requires a
-      // materialized intermediate (Spark refuses raw filters on the
-      // corrupt column of a lazy scan)
-      .cache()
-    val good = raw.filter(col("_corrupt").isNull).drop("_corrupt")
-    val quarantine = raw.filter(col("_corrupt").isNotNull)
-      .select(col("_corrupt").as("raw_line"))
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), documentsSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+    // a line the parser cannot touch at all yields a NULL struct;
+    // partial failures (type drift) populate the corrupt column
+    val bad = col("j").isNull || col("j").getField("_corrupt").isNotNull
+    val good = parsed.filter(!bad).select(col("j.*")).drop("_corrupt")
+    val quarantine = parsed.filter(bad).select(col("value").as("raw_line"))
     (good, quarantine)
   }
 

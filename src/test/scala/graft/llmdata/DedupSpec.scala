@@ -302,6 +302,28 @@ class DedupSpec extends SparkSpec {
     assert((star.getLong(2), star.getLong(3), star.getDouble(4)) === ((3L, 0L, 0.0)))
   }
 
+  test("triangle census is id-range-safe: >2^32 and negative ids orient correctly") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]) =
+      Dedup.triangleStatsEdges(edges.toDF("id_a", "id_b")).collect()(0)
+    // K3 on ids that break a deg*2^32+id packed key
+    val big = 1L << 33
+    val k3 = census(Seq((big, big + 1), (big, -5L), (big + 1, -5L)))
+    assert((k3.getLong(1), k3.getLong(3)) === ((3L, 1L)))
+    // path over mixed-sign ids: no phantom triangle
+    val p = census(Seq((-10L, big), (big, -2L)))
+    assert((p.getLong(2), p.getLong(3)) === ((1L, 0L)))
+  }
+
+  test("row-local LSH band keys: short docs emit no keys instead of crashing") {
+    import spark.implicits._
+    val r = Dedup.lshBandsRowLocal(Seq(
+      (1L, "only two"), (2L, "one"), (3L, ""),
+      (4L, "three token doc")).toDF("doc_id", "text"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(r === Set(4L))
+  }
+
   test("triangle census on the corpus graph is non-vacuous and bounded") {
     val r = Dedup.triangleStats(spark, sf).collect()(0)
     assert(r.getLong(3) >= 1L, "corpus near-dup graph should close >= 1 triangle")
