@@ -93,6 +93,75 @@ object Multimodal {
       }
   }
 
+  case class ChannelStats(media_id: Long, n_px: Long,
+                          mean_r: Double, mean_g: Double, mean_b: Double,
+                          mean_luma: Double, var_luma: Double,
+                          degenerate: Boolean, decoded: Boolean)
+
+  /** Per-image CHANNEL statistics over REAL decoded pixels — the
+    * image-curation signal a multimodal dataset pass filters on:
+    * near-black / blown-out / single-color (degenerate) images show up
+    * as extreme channel means and zero luminance variance, the visual
+    * analogue of [[TextAnalysis.repetitionScores]]' degenerate-text
+    * flag. Sums accumulate as exact integer totals per image (means and
+    * variance are two final divisions), luma is the integer-exact
+    * `2126·R + 7152·G + 722·B` (per-myriad BT.709 weights — no float
+    * accumulates), so results are bit-stable across partitionings.
+    * Undecodable payloads yield a zeroed row flagged `decoded=false`,
+    * same contract as [[decodeFeatures]]. */
+  def channelStats(media: DataFrame, batchSize: Int = 64): Dataset[ChannelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null || img.getWidth == 0 || img.getHeight == 0)
+              ChannelStats(id, 0L, 0.0, 0.0, 0.0, 0.0, 0.0,
+                degenerate = false, decoded = false)
+            else {
+              val w = img.getWidth
+              val row = new Array[Int](w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var sl = 0L; var sl2 = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val px = row(x)
+                  val r = (px >> 16) & 0xFF
+                  val g = (px >> 8) & 0xFF
+                  val b = px & 0xFF
+                  // BT.709 luma in per-myriad integer weights: exact
+                  val l = 2126L * r + 7152L * g + 722L * b
+                  sr += r; sg += g; sb += b
+                  sl += l; sl2 += l * l
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * img.getHeight
+              val meanL = sl.toDouble / 10000.0 / n
+              // Var[l] = E[l²] − E[l]² on the exact myriad-scaled sums
+              val varL =
+                (sl2.toDouble / n - (sl.toDouble / n) * (sl.toDouble / n)) / 1e8
+              ChannelStats(id, n,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+                meanL, varL,
+                degenerate = sl2 * n == sl * sl, // exact zero-variance test
+                decoded = true)
+            }
+          }
+        }
+      }
+  }
+
   case class AudioFeature(media_id: Long, n_bytes: Int, sample_rate: Float,
                           channels: Int, n_frames: Long, duration_s: Double,
                           decoded: Boolean)

@@ -85,6 +85,46 @@ class MultimodalSpec extends SparkSpec {
       "identical rasters must yield identical pixel checksums across formats")
   }
 
+  test("channel stats: solid colors, checkerboards, and degenerates measure exactly") {
+    import spark.implicits._
+    def solid(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def checker(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val frame = Seq(
+      (1L, solid(0xFF0000, 4, 3)),       // pure red: degenerate
+      (2L, solid(0x808080, 5, 5)),       // mid gray: degenerate
+      (3L, checker(4, 4)),               // black/white: high variance
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("png").as("format"), lit(0L).as("size_bytes"),
+          lit(0).as("width"), lit(0).as("height")).as("meta"))
+    val s = Multimodal.channelStats(frame, batchSize = 2)
+      .collect().map(c => c.media_id -> c).toMap
+    assert(s(1L).decoded && s(1L).n_px === 12L)
+    assert(s(1L).mean_r === 255.0 && s(1L).mean_g === 0.0 && s(1L).mean_b === 0.0)
+    assert(s(1L).degenerate && s(1L).var_luma === 0.0)
+    assert(s(2L).degenerate && s(2L).mean_r === 128.0 && s(2L).mean_luma === 128.0)
+    // even checkerboard: half white half black, mean luma exactly 127.5
+    assert(s(3L).decoded && !s(3L).degenerate)
+    assert(s(3L).mean_luma === 127.5 && s(3L).var_luma === 127.5 * 127.5)
+    assert(!s(4L).decoded && s(4L).n_px === 0L)
+  }
+
   test("resize stub shrinks payloads and rewrites metadata dimensions") {
     val resized = Multimodal.resizeStub(media, targetW = 32, targetH = 32)
     assert(resized.columns.toSeq === media.columns.toSeq)
