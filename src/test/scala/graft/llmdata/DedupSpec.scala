@@ -324,6 +324,33 @@ class DedupSpec extends SparkSpec {
     assert(r === Set(4L))
   }
 
+  test("triangle census equals a brute-force reference on 20 random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val n = 4 + rng.nextInt(9) // 4..12 nodes
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rng.nextDouble() < 0.4
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def conn(x: Long, y: Long) = adj((x min y, x max y))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val refTri = (for {
+          i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+          if conn(i, j) && conn(j, k) && conn(i, k)
+        } yield 1).size
+        val deg = nodes.map(v => edges.count(e => e._1 == v || e._2 == v))
+        val refWedges = deg.map(d => d.toLong * (d - 1) / 2).sum
+        val got = Dedup.triangleStatsEdges(edges.toDF("id_a", "id_b")).collect()(0)
+        assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ===
+          ((nodes.size.toLong, edges.size.toLong, refWedges, refTri.toLong)),
+          s"trial $trial: edges=$edges")
+      }
+    }
+  }
+
   test("triangle census on the corpus graph is non-vacuous and bounded") {
     val r = Dedup.triangleStats(spark, sf).collect()(0)
     assert(r.getLong(3) >= 1L, "corpus near-dup graph should close >= 1 triangle")

@@ -385,6 +385,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L) === ((7L, 7L, 0L)), "doc 4: fully duplicated by its copy")
   }
 
+  test("span removal equals a brute-force reference on 10 random corpora") {
+    val rng = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      // small vocab forces genuine cross-doc window collisions
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = (0 until 6).map { id =>
+        val n = 4 + rng.nextInt(8)
+        (id.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val refCounts = {
+        val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+        val wins = toks.toSeq.flatMap { case (id, ts) =>
+          ts.sliding(4).filter(_.size == 4).zipWithIndex
+            .map { case (w, i) => (id, i, w.mkString(" ")) }
+        }
+        val dup = wins.groupBy(_._3)
+          .filter(_._2.map(_._1).distinct.size >= 2).keySet
+        docs.map { case (id, _) =>
+          val covered = wins.filter(w => w._1 == id && dup(w._3))
+            .flatMap(w => w._2 until (w._2 + 4)).toSet
+          id -> covered.size.toLong
+        }.toMap
+      }
+      val tmp = tmpCorpus(docs)
+      val got = TextAnalysis.spanRemoval(spark, tmp).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got === refCounts, s"trial $trial: docs=$docs")
+    }
+  }
+
   test("span removal: within-doc repetition alone is not cross-doc duplication") {
     // the repeated phrase lives in ONE doc only ⇒ df=1 ⇒ nothing excised
     val tmp = tmpCorpus(Seq(
