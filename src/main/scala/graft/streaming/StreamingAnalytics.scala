@@ -303,6 +303,37 @@ object StreamingAnalytics {
          |         AND v_ts + INTERVAL $intervalMinutes MINUTES""".stripMargin))
   }
 
+  /** LEFT-OUTER stream-stream interval join — [[errorCorrelation]]'s
+    * audit-complete sibling: every valid transaction appears exactly
+    * once per matching error row, OR once with null error columns when
+    * no error bracketed it. The outer semantics are the genuinely
+    * different state machine: an unmatched left row cannot emit until
+    * the RIGHT watermark has passed its whole interval (only then is
+    * "no match" a fact, not "not yet"), so null rows trail matched rows
+    * by the watermark delay, and rows near the stream's end stay
+    * buffered until a later batch advances the watermark past them —
+    * the eviction-driven emission StreamingStateSpec drives with an
+    * explicit watermark-advancing flush batch. Batch mode runs the
+    * identical plan as a plain left-outer interval join (the oracle for
+    * every row the watermark released). */
+  def errorCorrelationOuter(valid: DataFrame, errors: DataFrame,
+                            intervalMinutes: Int = 60,
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = valid
+      .select(col("Card").as("v_card"), col("transaction_date").as("v_ts"),
+        col("Amount_USD").as("v_usd"))
+      .withWatermark("v_ts", watermarkDelay)
+    val e = errors
+      .select(col("Card").as("e_card"), col("transaction_date").as("e_ts"),
+        col("Errors").as("e_error"))
+      .withWatermark("e_ts", watermarkDelay)
+    v.join(e, expr(
+      s"""v_card = e_card AND
+         |e_ts BETWEEN v_ts - INTERVAL $intervalMinutes MINUTES
+         |         AND v_ts + INTERVAL $intervalMinutes MINUTES""".stripMargin),
+      "left_outer")
+  }
+
   /** A static city-tier dimension derived from a BATCH frame — the
     * slowly-changing lookup side for [[cityTierTraffic]]. Deterministic
     * rule (name length) so every engine/re-run builds the same dim. */

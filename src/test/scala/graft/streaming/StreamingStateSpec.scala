@@ -172,6 +172,70 @@ class StreamingStateSpec extends SparkSpec {
     }
   }
 
+  test("left-outer stream-stream join: null rows emit once the watermark proves no-match") {
+    // third input file: one far-future row whose only job is to advance
+    // the watermark past every real row's interval, releasing the
+    // withheld outer results (without it, trailing nulls never emit —
+    // the outer-join semantics under test)
+    val dir = Files.createTempDirectory("graft-outer").toString + "/in"
+    val raw = RawTransactions.fromEvents(spark, sf).cache()
+    try {
+      val ts = raw.select("timestamp").orderBy("timestamp")
+        .collect().map(_.getString(0))
+      val cut = ts(ts.length / 2)
+      // the corpus plants malformed 'BAD-…' timestamps that sort last;
+      // the release boundary must be the last PARSEABLE event time
+      val maxOrig = ts.filter(_.headOption.exists(_.isDigit)).last
+      TransactionParser.toJsonValue(raw.filter(col("timestamp") < cut))
+        .select("value").coalesce(1).write.mode("append").text(dir)
+      Thread.sleep(1200)
+      TransactionParser.toJsonValue(raw.filter(col("timestamp") >= cut))
+        .select("value").coalesce(1).write.mode("append").text(dir)
+      Thread.sleep(1200)
+      // the flush row must pass BOTH the valid and the error filter
+      // (valid fields + error text — the §2.4 overlap), or one side's
+      // watermark stays at 2024 and the global (min) watermark never
+      // releases the buffered outer rows
+      def flushRow(ts: String) = TransactionParser.toJsonValue(
+        raw.limit(1)
+          .withColumn("timestamp", lit(ts))
+          .withColumn("Card", lit("4532999999999999"))
+          .withColumn("Amount", lit("$10.00"))
+          .withColumn("Errors?", lit("Technical Glitch"))
+          .withColumn("Is Fraud?", lit("No"))
+          .withColumn("Year", lit(2030))
+          .withColumn("Month", lit(1))
+          .withColumn("Day", lit(1)))
+        .select("value")
+      flushRow("2030-01-01T00:00:00").coalesce(1).write.mode("append").text(dir)
+      Thread.sleep(1200)
+      // a batch only APPLIES the watermark computed by the previous one:
+      // this second flush batch runs with the 2030-derived watermark and
+      // releases the left rows buffered in the last interval+delay of
+      // real stream time (AvailableNow ends without a no-data batch)
+      flushRow("2030-01-02T00:00:00").coalesce(1).write.mode("append").text(dir)
+
+      def enriched(df: DataFrame) =
+        Enrichment.enrich(df, Enrichment.DefaultRate, pinnedClock)
+      val s = enriched(Pipeline.jsonFileSource(spark, dir,
+        maxFilesPerTrigger = Some(1)))
+      val live = drain(StreamingAnalytics.errorCorrelationOuter(
+          Splitter.valid(s), Splitter.errors(s)), "outer_live")
+        .filter(col("v_ts") <= lit(maxOrig)).cache()
+      val b = enriched(TransactionParser.fromJsonValue(spark.read.text(dir)))
+      val batch = StreamingAnalytics.errorCorrelationOuter(
+          Splitter.valid(b), Splitter.errors(b))
+        .filter(col("v_ts") <= lit(maxOrig)).cache()
+      // every real row's interval closed before the flush watermark, so
+      // live must equal batch EXACTLY — including the null-error rows
+      assert(batch.filter(col("e_error").isNull).count() > 0,
+        "outer arm must be non-vacuous")
+      assert(live.count() === batch.count())
+      assert(live.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(live).count() === 0)
+    } finally { raw.unpersist(); () }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val s = enrichedStream(maxFilesPerTrigger = None)
     val live = drain(
