@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tx.{Enrichment, RawTransactions, Splitter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The materialized view must equal the batch aggregate of everything
+  * ingested so far after EVERY incremental run, with the second run
+  * processing only the new file (checkpoint) and upserting only its
+  * changed groups. */
+class MaterializedViewSpec extends SparkSpec {
+
+  private val pinnedClock = to_timestamp(lit("2024-06-01 00:00:00"))
+
+  private def batchAggregate(inputDir: String): DataFrame =
+    Splitter.valid(Enrichment.enrich(
+        TransactionParser.fromJsonValue(spark.read.text(inputDir)),
+        Enrichment.DefaultRate, pinnedClock))
+      .groupBy(col("Merchant_Name").as("merchant"))
+      .agg(count(lit(1)).as("n_tx"),
+        sum(col("Amount_USD").cast("decimal(18,2)")).cast("double").as("usd_total"))
+
+  test("view stays equal to the batch aggregate across incremental runs") {
+    val root = Files.createTempDirectory("graft-mv").toString
+    val (inDir, store, ckpt) = (s"$root/in", s"$root/store", s"$root/ckpt")
+    val msgs = TransactionParser.toJsonValue(
+      RawTransactions.fromEvents(spark, sf)).select("value").cache()
+    val ts = msgs // deterministic halves by line hash
+      .withColumn("h", pmod(xxhash64(col("value")), lit(2)))
+    ts.filter(col("h") === 0).select("value")
+      .coalesce(1).write.mode("append").text(inDir)
+
+    def run(): Unit = {
+      val q = MaterializedView.startMerchantView(
+        Enrichment.enrich(Pipeline.jsonFileSource(spark, inDir),
+          Enrichment.DefaultRate, pinnedClock),
+        store, ckpt)
+      q.awaitTermination()
+    }
+    // run 1: half the corpus
+    run()
+    val view1 = spark.read.parquet(store).drop("bucket")
+    val expect1 = batchAggregate(inDir)
+    // materialize NOW: view1's plan points at files run 2 will replace
+    val view1Rows = view1.count()
+    assert(view1Rows > 0)
+    assert(view1.exceptAll(expect1).count() === 0)
+    assert(expect1.exceptAll(view1).count() === 0)
+
+    // run 2: append the second half; the checkpoint makes the stream
+    // process ONLY the new file, yet the store must equal the full
+    // batch aggregate — cumulative state + replace-by-key upsert
+    ts.filter(col("h") === 1).select("value")
+      .coalesce(1).write.mode("append").text(inDir)
+    run()
+    val view2 = spark.read.parquet(store).drop("bucket")
+    val expect2 = batchAggregate(inDir)
+    assert(view2.count() >= view1Rows)
+    assert(view2.exceptAll(expect2).count() === 0)
+    assert(expect2.exceptAll(view2).count() === 0)
+    msgs.unpersist()
+    ()
+  }
+}
