@@ -212,6 +212,33 @@ object EventAnalytics {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  // --------------------------------------------------------------- ea26
+  /** ea26 [VARIANT semi-structured path]: the same JSON props as
+    * [[ea10PropsBuckets]] read through Spark 4's VARIANT type —
+    * `parse_json` decodes each document ONCE into the binary variant
+    * encoding and `variant_get` extracts typed fields from it, where
+    * the [[ea10PropsBuckets]] `get_json_object` path re-parses the
+    * string per extraction. One extraction sees no difference; a real
+    * profile pulling many fields from big documents pays one parse
+    * instead of N — that is the 100 TB reason VARIANT exists (plus
+    * shredding-friendly storage). Oracle: DuckDB's JSON extraction is
+    * the semantic mirror; integer-exact outputs keep it hash-stable. */
+  def ea26VariantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k",
+        variant_get(parse_json(col("props")), "$.k", "int"))
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_mod"))
+
+  val ea26Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_mod,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
   // --------------------------------------------------------------- ea11
   /** ea11 [Q1 anomaly]: hours of day with above-average traffic
     * (requirements.md:42-43). */
@@ -764,6 +791,7 @@ object EventAnalytics {
     "ea8_weekend_profile" -> ea8WeekendProfile _,
     "ea9_above_avg_error_users" -> ea9AboveAvgErrorUsers _,
     "ea10_props_buckets" -> ea10PropsBuckets _,
+    "ea26_variant_props" -> ea26VariantProps _,
     "ea11_anomalous_hours" -> ea11AnomalousHours _
   )
 
@@ -788,6 +816,7 @@ object EventAnalytics {
     "ea8_weekend_profile" -> ea8Sql,
     "ea9_above_avg_error_users" -> ea9Sql,
     "ea10_props_buckets" -> ea10Sql,
+    "ea26_variant_props" -> ea26Sql,
     "ea11_anomalous_hours" -> ea11Sql
   )
 }
