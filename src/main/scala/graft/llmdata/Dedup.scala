@@ -684,6 +684,33 @@ object Dedup {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** QUALITY-POLICY survivor selection per near-dup cluster — the
+    * production upgrade over [[nearDupClusters]]' min-id canonical: a
+    * real dedup keeps the BEST copy of a duplicated document (longest,
+    * cleanest, richest), not the one with the smallest id. Survivor =
+    * argmax over (distinct-type count, then min id) — a deterministic,
+    * engine-reproducible quality key expressed as a single lexicographic
+    * struct MAX, so selection is one aggregate over the label table (no
+    * window, no second corpus scan; the struct max partially aggregates
+    * map-side like any max). Any scalar quality signal drops into the
+    * same slot ([[TextAnalysis.qualityScores]], unigram log-prob, a
+    * model score). */
+  def bestOfClusters(spark: SparkSession, dir: String, threshold: Double,
+                     maxDocFreq: Option[Long] = None): DataFrame = {
+    val labels = jaccardLabelsFor(spark, dir, threshold, maxDocFreq)
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("n_types"))
+    labels.join(quality, labels("id") === quality("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("n_types"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.nid")).as("survivor_id"),
+        col("best.n_types").as("survivor_n_types"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Semantic (embedding-space) dedup clusters — the SemDeDup-style
     * flow: LSH-bucketed cosine near-dup pairs ([[embeddingNearDup]])
     * resolved into clusters by connected components, one canonical

@@ -741,6 +741,42 @@ object LlmQueries {
       |  CAST(SUM(n_chars % 1024) AS BIGINT) AS width_total
       |FROM documents GROUP BY lang ORDER BY format""".stripMargin
 
+  /** Mirror of [[Dedup.bestOfClusters]]: the [[ddClustersSql]] cluster
+    * fixpoint at the looser 0.1/df-cap-16 graph (the registered 0.2/6
+    * graph is empty at sf0.1 — this one binds at both scales) with the
+    * survivor picked by (n_types DESC, doc_id ASC) — the same
+    * lexicographic order the Spark struct-max encodes. */
+  val ddBestSurvivorSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= 16),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |  WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.1),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |r(id, label) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.label FROM r JOIN e ON e.src = r.id),
+      |lab AS (SELECT id, MIN(label) AS cluster_id FROM r GROUP BY id),
+      |q AS (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_types
+      |      FROM documents),
+      |rk AS (SELECT lab.cluster_id, lab.id, q.n_types,
+      |         row_number() OVER (PARTITION BY lab.cluster_id
+      |           ORDER BY q.n_types DESC, lab.id ASC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size
+      |       FROM lab JOIN q ON lab.id = q.doc_id)
+      |SELECT cluster_id, cluster_size, id AS survivor_id,
+      |  n_types AS survivor_n_types
+      |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   /** Mirror of [[TextAnalysis.spanRemoval]]: identical md5 4-token
     * windows (cf. the contamination mirror); a window is duplicated
     * when ≥2 distinct docs contain it; covered positions expand
@@ -885,6 +921,8 @@ object LlmQueries {
     "txt_span_removal" -> ((s, d) => TextAnalysis.spanRemoval(s, d)),
     "txt_split_oov" -> ((s, d) => TextAnalysis.splitOov(s, d)),
     "dd_triangles" -> ((s, d) => Dedup.triangleStats(s, d)),
+    "dd_best_survivor" -> ((s, d) =>
+      Dedup.bestOfClusters(s, d, 0.1, maxDocFreq = Some(16L))),
     "emb_sq8_error" -> ((s, d) => Similarity.sq8Report(s, d)),
     "txt_source_entropy" -> ((s, d) => TextAnalysis.sourceEntropy(s, d)),
     "emb_hof_stats" -> ((s, d) => Similarity.hofStats(s, d)),
@@ -969,6 +1007,7 @@ object LlmQueries {
     "txt_split_oov" -> txtSplitOovSql,
     "txt_source_entropy" -> txtSourceEntropySql,
     "dd_triangles" -> ddTrianglesSql,
+    "dd_best_survivor" -> ddBestSurvivorSql,
     "emb_sq8_error" -> embSq8Sql,
     "emb_hof_stats" -> embHofStatsSql,
     "dd_exact" -> ddExactSql,
