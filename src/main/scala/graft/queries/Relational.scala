@@ -938,7 +938,45 @@ object Relational {
       |GROUP BY cohort, yr, cohort_n
       |ORDER BY cohort, yr""".stripMargin
 
+  // --------------------------------------------------------------- q31
+  /** q31: customer spend QUARTILES via `ntile` — the equal-population
+    * segmentation window (marketing tiers, ABC analysis) that
+    * [[q20RunningRevenue]]'s percent_rank does not give: ntile assigns
+    * exact bucket MEMBERSHIP with the remainder spread to the first
+    * buckets. The window input is the customer-grain aggregate (never
+    * fact-sized), totally ordered by (spend desc, custkey) so bucket
+    * assignment is deterministic; the single unpartitioned window is
+    * the price of exact global quantile ranks — the approx_percentile
+    * cut-point form is the 100 TB swap-in when exactness can soften. */
+  def q31SpendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("spend")).cast("double").as("min_spend"),
+        max(col("spend")).cast("double").as("max_spend"),
+        sum(col("spend")).cast("double").as("total_spend"))
+      .orderBy(col("quartile"))
+  }
+
+  val q31Sql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT spend,
+      |        ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+      |      FROM s)
+      |SELECT quartile, COUNT(*) AS n_customers,
+      |  CAST(MIN(spend) AS DOUBLE) AS min_spend,
+      |  CAST(MAX(spend) AS DOUBLE) AS max_spend,
+      |  CAST(SUM(spend) AS DOUBLE) AS total_spend
+      |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_spend_quartiles" -> q31SpendQuartiles _,
     "q30_cohort_retention" -> q30CohortRetention _,
     "q28_min_cost_supplier" -> q28MinCostSupplier _,
     "q29_important_parts" -> q29ImportantParts _,
@@ -970,6 +1008,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_spend_quartiles" -> q31Sql,
     "q30_cohort_retention" -> q30Sql,
     "q28_min_cost_supplier" -> q28Sql,
     "q29_important_parts" -> q29Sql,
