@@ -99,6 +99,7 @@ object Dedup {
       postingsMemo.clear()
     }
     labelsMemo.clear()
+    pairsMemo.clear()
     embedPairsMemo.clear()
   }
 
@@ -657,13 +658,28 @@ object Dedup {
   private val embedPairsMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Double), LabelHolder]
 
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double, Option[Long]), LabelHolder]
+
+  /** Memoized (id_a, id_b) capped-Jaccard edge table per (session, dir,
+    * threshold, cap) — the pair generation is the expensive shared
+    * stage under cluster resolution, the quality-survivor policy, AND
+    * the triangle census; materialize it once (same immutable-input
+    * contract as [[shinglePostings]]). */
+  private[llmdata] def jaccardPairsFor(spark: SparkSession, dir: String,
+                                       threshold: Double,
+                                       maxDocFreq: Option[Long]): DataFrame =
+    pairsMemo.computeIfAbsent((spark, dir, threshold, maxDocFreq),
+      k => new LabelHolder(() =>
+        jaccardPairs(k._1, k._2, k._3, k._4)
+          .select(col("id_a"), col("id_b")).localCheckpoint())).value
+
   private[llmdata] def jaccardLabelsFor(spark: SparkSession, dir: String,
                                         threshold: Double,
                                         maxDocFreq: Option[Long]): DataFrame =
     labelsMemo.computeIfAbsent((spark, dir, threshold, maxDocFreq),
       k => new LabelHolder(() => connectedComponents(
-        jaccardPairs(k._1, k._2, k._3, k._4)
-          .select(col("id_a"), col("id_b"))))).value
+        jaccardPairsFor(k._1, k._2, k._3, k._4)))).value
 
   /** Near-dup clusters over the exact capped-Jaccard pair graph
     * ([[jaccardPairs]] edges): one row per clustered document with its
@@ -952,5 +968,5 @@ object Dedup {
   def triangleStats(spark: SparkSession, dir: String,
                     threshold: Double = 0.1,
                     maxDocFreq: Option[Long] = Some(16L)): DataFrame =
-    triangleStatsEdges(jaccardPairs(spark, dir, threshold, maxDocFreq))
+    triangleStatsEdges(jaccardPairsFor(spark, dir, threshold, maxDocFreq))
 }
