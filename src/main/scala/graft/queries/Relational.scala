@@ -975,7 +975,132 @@ object Relational {
       |  CAST(SUM(spend) AS DOUBLE) AS total_spend
       |FROM t GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  // --------------------------------------------------------------- q32
+  /** q32: product-line PROFIT by nation × year (TPC-H Q9 shape) — the
+    * class where the measure itself spans joined tables: profit =
+    * revenue(lineitem) − cost(part × quantity), so no single-table
+    * pre-aggregation can compute it; the arithmetic must happen on the
+    * joined row. Also the one query joining BOTH fact tables
+    * (lineitem ⋈ orders, for the order year) plus three dimensions.
+    *
+    * Scale shape: the part-name predicate prunes the part dimension
+    * BEFORE its broadcast, so the fact scan only keeps matching parts'
+    * lines (the join is the filter); supplier/nation broadcast; the one
+    * genuine shuffle is lineitem ⋈ orders on the order key — fact-fact,
+    * hash-partitioned, exactly where AQE's skew handling applies at
+    * 100 TB. All money math stays decimal (exact integer-scaled in both
+    * engines) until the final double cast. */
+  def q32ProfitByNationYear(spark: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(
+      Tables.part(spark, dir).filter(col("p_name").contains("bolt"))
+        .select(col("p_partkey"), col("p_retailprice")))
+    val orderYears = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orderYears, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(
+        sum(revenue - dec(col("p_retailprice")) * dec(col("l_quantity")))
+          .cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  val q32Sql: String =
+    s"""SELECT n_name, year(o_orderdate) AS o_year,
+      |  CAST(SUM($revenueSql
+      |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- q33
+  /** q33: segment sales through the SALTED equi join
+    * ([[Skew.saltedEquiJoin]]) — proves the skew-mitigation join rewrite
+    * is a pure plan transform: the oracle is the PLAIN join's SQL, so
+    * the hash gate shows salting changes nothing but the shuffle layout.
+    * [[TxQueries]]' tx10 grades the salted AGGREGATION; this grades the
+    * salted JOIN — the tool for a hot fact key against a dimension too
+    * large to broadcast (where AQE skew-split only handles sort-merge).
+    *
+    * Here customer stands in for that dimension (hinted shuffle_hash;
+    * replicated 8×), orders for the skewed fact. At 100 TB the same
+    * call spreads a celebrity customer's orders over 8 reducers. */
+  def q33SaltedSegmentSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Skew.saltedEquiJoin(Tables.orders(spark, dir), cust,
+        factKey = "o_custkey", dimKey = "c_custkey",
+        saltFrom = xxhash64(col("o_orderkey")), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(moneySum(col("o_totalprice")).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q33Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q34
+  /** q34: order-priority TRANSITION matrix — `first_value`/`last_value`
+    * over an explicit unbounded ROWS frame (the frame-sensitive window
+    * pair the registry didn't yet exercise: with the default RANGE
+    * frame, last_value would see only up to the current row). Each
+    * customer contributes (first priority, last priority) from their
+    * order history, rolled into the priority × priority flow matrix —
+    * the behavior-migration view (did ultra-urgent customers stay?).
+    *
+    * Scale shape: the window input is projected to 3 columns and
+    * partitioned by customer (millions of small groups — no global
+    * sort); the distinct reduces to customer grain before the final
+    * priority²-sized aggregate. Ties inside a customer's history break
+    * on the order key, so the frame endpoints are deterministic. */
+  def q34PriorityTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .select(col("o_custkey"),
+        first(col("o_orderpriority")).over(w).as("first_pri"),
+        last(col("o_orderpriority")).over(w).as("last_pri"))
+      .distinct()
+      .groupBy(col("first_pri"), col("last_pri"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("first_pri"), col("last_pri"))
+  }
+
+  val q34Sql: String =
+    """WITH pc AS (
+      |  SELECT DISTINCT o_custkey,
+      |    first_value(o_orderpriority) OVER w AS first_pri,
+      |    last_value(o_orderpriority)  OVER w AS last_pri
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT first_pri, last_pri, COUNT(*) AS n_customers
+      |FROM pc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_profit_by_nation_year" -> q32ProfitByNationYear _,
+    "q33_salted_segment_sales" -> q33SaltedSegmentSales _,
+    "q34_priority_transitions" -> q34PriorityTransitions _,
     "q31_spend_quartiles" -> q31SpendQuartiles _,
     "q30_cohort_retention" -> q30CohortRetention _,
     "q28_min_cost_supplier" -> q28MinCostSupplier _,
@@ -1008,6 +1133,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q32_profit_by_nation_year" -> q32Sql,
+    "q33_salted_segment_sales" -> q33Sql,
+    "q34_priority_transitions" -> q34Sql,
     "q31_spend_quartiles" -> q31Sql,
     "q30_cohort_retention" -> q30Sql,
     "q28_min_cost_supplier" -> q28Sql,

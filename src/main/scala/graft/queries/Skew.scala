@@ -35,4 +35,29 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("_partial_sum")).as("total"), sum(col("_partial_n")).as("n"))
   }
+
+  /** Salted shuffle EQUI JOIN — the join-side twin of [[saltedSumCount]]
+    * for the case AQE's `OptimizeSkewedJoin` cannot help: a hot fact key
+    * against a dimension too large to broadcast, where one reducer would
+    * receive the entire hot key's rows. The fact side gets a
+    * deterministic salt in [0, salts); the dimension side is REPLICATED
+    * `salts`× (one copy per salt value) so every (key, salt) bucket can
+    * join locally — the hot key's rows spread over `salts` reducers at
+    * the cost of a `salts`× inflation of the (much smaller) dimension.
+    *
+    * Result is row-for-row equal to `fact.join(dim, factKey === dimKey)`
+    * (inner; SkewSpec property). The salt source must be deterministic
+    * per fact row (e.g. `xxhash64` of a unique id) for retry idempotence.
+    * The dimension is hinted `shuffle_hash`: replication already priced
+    * the shuffle, and a broadcast of dim×salts would defeat the point. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, saltFrom: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(saltFrom, lit(salts)))
+    val repDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .hint("shuffle_hash")
+    saltedFact
+      .join(repDim, saltedFact(factKey) === repDim(dimKey) &&
+        saltedFact("_salt") === repDim("_salt"))
+      .drop("_salt")
+  }
 }
