@@ -60,6 +60,39 @@ object StreamingAnalytics {
         col("w.end").as("window_end"), col("n"),
         col("usd_total").cast("double").as("usd_total"))
 
+  /** CHAINED windowed aggregation — TWO stateful window aggregates in
+    * ONE streaming query (the multiple-stateful-operator class Spark
+    * supports since 3.4, append mode only): quarter-hour partials roll
+    * up into hourly rows carrying the PEAK quarter's count — intra-hour
+    * structure a single hourly aggregation cannot compute, and a
+    * two-query pipeline could only compute with an intermediate sink.
+    * `window(col, …)` accepts the upstream window STRUCT as its time
+    * column, so the second aggregate groups finalized 15-min windows
+    * into their enclosing hour.
+    *
+    * Scale/state: stage 1 holds one row per open quarter-hour, stage 2
+    * one row per open hour; the single watermark drives both — an
+    * hourly row emits once the watermark passes the hour end, by which
+    * point all four quarters are final. In batch mode both windows are
+    * ordinary grouping expressions, so the batch run of the same plan
+    * is the spec's oracle. */
+  def chainedTraffic(enriched: DataFrame,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    enriched
+      .withWatermark("transaction_date", watermarkDelay)
+      .groupBy(window(col("transaction_date"), "15 minutes").as("w15"))
+      .agg(
+        count(lit(1)).as("n15"),
+        sum(col("Amount_USD").cast("decimal(18,2)")).as("usd15"))
+      .groupBy(window(col("w15"), "1 hour").as("w"))
+      .agg(
+        sum(col("n15")).as("n"),
+        sum(col("usd15")).as("usd_total"),
+        max(col("n15")).as("peak_quarter_n"))
+      .select(col("w.start").as("hour_start"), col("n"),
+        col("usd_total").cast("double").as("usd_total"),
+        col("peak_quarter_n"))
+
   /** Streaming exact dedup: drop re-deliveries of the same (Card,
     * timestamp) — the at-least-once Kafka producer's duplicate shape —
     * with state bounded by the watermark (a duplicate arriving later

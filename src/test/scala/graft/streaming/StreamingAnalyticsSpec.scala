@@ -61,6 +61,34 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(totalWindowed === events * 4)
   }
 
+  test("chained window aggregation: hourly rollup of quarter partials equals batch") {
+    val live = drain(StreamingAnalytics.chainedTraffic(enrichedStream),
+      "append", "chained_live").cache()
+    val batch = StreamingAnalytics.chainedTraffic(enrichedBatch).cache()
+
+    // append mode: every emitted hour must be batch-identical
+    assert(live.exceptAll(batch).count() === 0)
+
+    // hours closed strictly before the final watermark must all emit
+    val maxTs = enrichedBatch.agg(max(col("transaction_date"))).collect()(0)
+      .getTimestamp(0)
+    val wm = new Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val mustEmit = batch.filter(
+      col("hour_start") + expr("INTERVAL 1 HOUR") < lit(wm))
+    assert(mustEmit.count() > 0)
+    assert(mustEmit.exceptAll(live).count() === 0,
+      "a watermark-closed hour was never emitted")
+
+    // the peak quarter is genuinely intra-hour structure: for some hour
+    // it differs from n/4 (the flat-traffic value), and it never exceeds n
+    assert(batch.filter(col("peak_quarter_n") > col("n")).count() === 0)
+    assert(batch.filter(col("peak_quarter_n") * 4 =!= col("n")).count() > 0)
+    // cross-check against the single-level hourly aggregation
+    val hourly = StreamingAnalytics.hourlyTraffic(enrichedBatch)
+    assert(batch.select(col("hour_start"), col("n"), col("usd_total"))
+      .exceptAll(hourly).count() === 0)
+  }
+
   test("streaming dedup drops at-least-once redeliveries within the watermark") {
     // duplicate every message: the input dir written twice
     val dupDir = Files.createTempDirectory("graft-dedup").toString + "/in"
