@@ -741,6 +741,33 @@ object LlmQueries {
       |  CAST(SUM(n_chars % 1024) AS BIGINT) AS width_total
       |FROM documents GROUP BY lang ORDER BY format""".stripMargin
 
+  /** Mirror of [[Multimodal.formatSniff]]: this DuckDB build cannot
+    * slice BLOBs directly, so byte positions map onto the hex string
+    * instead (byte k ↔ hex chars 2k−1..2k; both engines' `hex` is
+    * uppercase) — semantically identical to Spark's
+    * hex(substring(payload, …)) prefix tests, including short-payload
+    * behavior (a truncated slice hexes to a shorter string and every
+    * comparison is simply false). */
+  val mmFormatSniffSql: String =
+    """WITH p AS (SELECT lang, hex(text::BLOB) AS hx,
+      |             octet_length(text::BLOB) AS len FROM documents)
+      |SELECT lang AS declared,
+      |  CASE
+      |    WHEN substring(hx, 1, 8) = '89504E47' THEN 'png'
+      |    WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+      |    WHEN substring(hx, 1, 8) = '47494638' THEN 'gif'
+      |    WHEN substring(hx, 1, 4) = '424D' THEN 'bmp'
+      |    WHEN substring(hx, 1, 8) = '52494646'
+      |      AND substring(hx, 17, 8) = '57415645' THEN 'wav'
+      |    WHEN substring(hx, 1, 8) = '464F524D'
+      |      AND substring(hx, 17, 8) = '41494646' THEN 'aiff'
+      |    WHEN substring(hx, 1, 4) = '1F8B' THEN 'gzip'
+      |    WHEN substring(hx, 1, 8) = '504B0304' THEN 'zip'
+      |    WHEN substring(hx, 1, 8) = '25504446' THEN 'pdf'
+      |    ELSE 'other' END AS sniffed,
+      |  COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS payload_bytes
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Mirror of [[Dedup.bestOfClusters]]: the [[ddClustersSql]] cluster
     * fixpoint at the looser 0.1/df-cap-16 graph (the registered 0.2/6
     * graph is empty at sf0.1 — this one binds at both scales) with the
@@ -980,7 +1007,8 @@ object LlmQueries {
     "txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprintSummary(s, d)),
     "txt_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d)),
-    "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d))
+    "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
+    "mm_format_sniff" -> ((s, d) => Multimodal.formatSniff(s, d))
   )
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
@@ -1042,6 +1070,7 @@ object LlmQueries {
     "txt_token_counts" -> txtTokenCountsSql,
     "txt_fingerprint" -> txtFingerprintSql,
     "txt_split_assign" -> txtSplitAssignSql,
-    "mm_meta_stats" -> mmMetaStatsSql
+    "mm_meta_stats" -> mmMetaStatsSql,
+    "mm_format_sniff" -> mmFormatSniffSql
   )
 }

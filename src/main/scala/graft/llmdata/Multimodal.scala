@@ -1,7 +1,7 @@
 package graft.llmdata
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with a
@@ -363,6 +363,48 @@ object Multimodal {
              |  f -> f IS NOT NULL)""".stripMargin)))
       .select(col("media_id"), col("pos").as("frame_idx"),
         col("col").as("frame_payload"))
+
+  /** Content-type SNIFF as pure Column algebra — the declared-metadata-
+    * vs-actual-bytes screen a media ingest runs BEFORE any decode (a
+    * mislabeled or truncated payload should be quarantined without
+    * paying a codec attempt): classify by magic bytes via
+    * `hex(substring(payload, …))` prefix tests. No UDF, no
+    * mapPartitions — whole-stage codegen'd, and the same hex-prefix
+    * logic is expressible verbatim in the DuckDB oracle (`hex` is
+    * uppercase in both engines). Formats beyond the JDK's decoders
+    * (gzip, zip, pdf) are still sniffable — detection is independent of
+    * decodability, which is exactly what makes it the cheap first
+    * screen. Unmatched payloads classify as "other" (this corpus's
+    * text-bytes payloads land there). */
+  def sniffFormat(payload: Column): Column = {
+    def hexAt(pos: Int, len: Int): Column = hex(substring(payload, pos, len))
+    when(hexAt(1, 4) === "89504E47", "png")
+      .when(hexAt(1, 3) === "FFD8FF", "jpeg")
+      .when(hexAt(1, 4) === "47494638", "gif")
+      .when(hexAt(1, 2) === "424D", "bmp")
+      .when(hexAt(1, 4) === "52494646" && hexAt(9, 4) === "57415645", "wav")
+      .when(hexAt(1, 4) === "464F524D" && hexAt(9, 4) === "41494646", "aiff")
+      .when(hexAt(1, 2) === "1F8B", "gzip")
+      .when(hexAt(1, 4) === "504B0304", "zip")
+      .when(hexAt(1, 4) === "25504446", "pdf")
+      .otherwise("other")
+  }
+
+  /** Registered sniff report: declared format (metadata) × sniffed
+    * format (actual leading bytes) with counts and byte totals — the
+    * mismatch rollup that decides whether a shard's metadata can be
+    * trusted. One scan, no decode; MultimodalSpec gates the sniff
+    * against REAL generated PNG/GIF/WAV/gzip payloads (this corpus's
+    * stand-in payloads all classify "other", which is itself the
+    * correct answer for text bytes). */
+  def formatSniff(spark: SparkSession, dir: String): DataFrame =
+    mediaFrame(spark, dir)
+      .select(col("meta.format").as("declared"),
+        sniffFormat(col("payload")).as("sniffed"),
+        length(col("payload")).as("len"))
+      .groupBy(col("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("payload_bytes"))
+      .orderBy(col("declared"), col("sniffed"))
 
   /** Metadata rollup over the media frame (oracle-checked: exercises the
     * binary length + struct field access paths). */

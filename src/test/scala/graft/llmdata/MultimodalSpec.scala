@@ -258,4 +258,42 @@ class MultimodalSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf).count()
     assert(f1.select("checksum").distinct().count() >= docs - 2)
   }
+
+  test("format sniff classifies real payloads by magic bytes, no decode") {
+    import spark.implicits._
+    def gzipped(s: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(baos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      baos.toByteArray
+    }
+    def wav(nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](nFrames * 2)), fmt,
+        nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val rows = Seq(
+      (1L, encode("png", 5, 4, 1), "png"),
+      (2L, encode("jpg", 6, 3, 2), "jpeg"),
+      (3L, encode("gif", 4, 4, 3), "gif"),
+      (4L, encode("bmp", 3, 3, 4), "bmp"),
+      (5L, wav(100), "wav"),
+      (6L, gzipped("compressed text payload"), "gzip"),
+      (7L, "plain text payload".getBytes("UTF-8"), "other"),
+      (8L, Array[Byte](), "other"),
+      // a RIFF header WITHOUT the WAVE tag must NOT classify as wav
+      (9L, "RIFF1234AVI LIST".getBytes("UTF-8"), "other"))
+    val got = rows.toDF("media_id", "payload", "expected")
+      .withColumn("sniffed", Multimodal.sniffFormat(col("payload")))
+    assert(got.filter(col("sniffed") =!= col("expected")).count() === 0)
+    // sniffing is detection, not decoding: the gzip payload classifies
+    // even though no JVM image/audio codec can open it
+    assert(got.filter(col("media_id") === 6L && col("sniffed") === "gzip")
+      .count() === 1)
+  }
 }
