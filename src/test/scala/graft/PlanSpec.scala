@@ -196,6 +196,27 @@ class PlanSpec extends SparkSpec {
       s"single-day read of the materialized layout must prune partitions:\n$p")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact at runtime") {
+    // DPP is the 100 TB mechanism static pruning can't replace: the
+    // day list arrives from a JOIN (dim side), not a literal, so the
+    // partitioned scan must receive a dynamicpruningexpression that
+    // skips non-matching Year/Month/Day directories at execution time
+    // (reusing the dim's broadcast — no extra scan).
+    val pt = TxQueries.processedTable(spark, sf)
+    val days = pt.select("Day").na.drop().distinct()
+      .orderBy("Day").limit(2).collect().map(_.getInt(0))
+    val dim = spark.range(0, 32).toDF("d")
+      .filter(col("d").isin(days.map(_.toLong): _*))
+    val joined = pt.join(broadcast(dim), col("Day") === col("d"))
+      .groupBy(col("Day")).agg(count(lit(1)).as("n"))
+    val p = plan(joined)
+    assert(p.contains("dynamicpruningexpression"),
+      s"partitioned fact scan must carry a DPP filter:\n$p")
+    // and it actually executes: only the dim's days come back
+    val got = joined.collect().map(_.getInt(0)).sorted
+    assert(got.toSeq === days.toSeq.sorted)
+  }
+
   test("enrichment + split stays in one whole-stage codegen span (no UDF breaks)") {
     val p = plan(Splitter.valid(TxQueries.processed(spark, sf)))
     // formatted mode marks codegen'd operators with "* Node [codegen id : n]"
