@@ -678,6 +678,19 @@ object LlmQueries {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** Mirror of [[TextAnalysis.ngramTopK]] — positional (non-distinct)
+    * 3-grams, unlike [[shingleCte]]'s list_distinct sets. */
+  val txtNgramTopkSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CASE WHEN len(w) >= 3 THEN
+      |          list_transform(range(1, len(w) - 1),
+      |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |        ELSE []::VARCHAR[] END) AS ngram
+      |      FROM t)
+      |SELECT ngram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin
+
   val txtSourceStatsSql: String =
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens,
@@ -1001,6 +1014,7 @@ object LlmQueries {
     "txt_final_corpus" -> ((s, d) =>
       TextAnalysis.finalCorpus(s, d, 0.2, Some(JaccardDocFreqCap))),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
+    "txt_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(s, d, 3, 20)),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "txt_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1065,6 +1079,7 @@ object LlmQueries {
     "txt_weighted_sample" -> txtWeightedSampleSql,
     "txt_final_corpus" -> txtFinalCorpusSql,
     "txt_term_topk" -> txtTermTopkSql,
+    "txt_ngram_topk" -> txtNgramTopkSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,
     "txt_token_counts" -> txtTokenCountsSql,

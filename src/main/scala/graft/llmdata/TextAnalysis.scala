@@ -29,6 +29,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Positional word n-grams of `text` as one row per n-gram — prefers
+    * the native [[graft.plans.WordNgrams]] generator (streams n-grams
+    * with no intermediate array materialization) when the session has
+    * GraftExtensions, else the composable transform-and-explode form;
+    * WordNgramsSpec proves the two identical. Duplicates preserved —
+    * this is occurrence grain, unlike the dedup family's distinct
+    * shingle sets. */
+  def ngramRows(spark: SparkSession, docs: DataFrame, n: Int): DataFrame =
+    if (spark.catalog.functionExists("word_ngrams"))
+      docs.select(col("doc_id"), expr(s"word_ngrams(text, $n)"))
+    else {
+      val grams = when(size(col("_toks")) >= n,
+        transform(sequence(lit(0), size(col("_toks")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("_toks"), i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      // _toks projected separately: interpreted lambdas re-evaluate their
+      // argument per element (see shinglesFromTokens' note)
+      docs.select(col("doc_id"), toks(col("text")).as("_toks"))
+        .select(col("doc_id"), explode(grams).as("ngram"))
+    }
+
+  /** Top-k word n-grams by occurrence (collocation mining — the
+    * phrase-level view termTopK's unigram counts can't give): one
+    * generator fan-out, one hash-partitioned aggregate, deterministic
+    * (n DESC, ngram) tie-break. */
+  def ngramTopK(spark: SparkSession, dir: String, n: Int, k: Int): DataFrame =
+    ngramRows(spark, Tables.documents(spark, dir), n)
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+
   /** Per-source corpus profile: doc count, token totals, average doc
     * length in tokens and chars (int-exact sums, one final division). */
   def sourceStats(spark: SparkSession, dir: String): DataFrame =

@@ -76,6 +76,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CmsEstimate(args.head, args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "word_ngrams takes exactly 2 arguments: word_ngrams(text, n)")
+        val n = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case num: java.lang.Number => num.intValue()
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams: n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams: n must be a literal, not a column")
+        }
+        WordNgrams(args.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("kmv_card"),
       new ExpressionInfo(classOf[KmvCardinality].getName, "kmv_card"),
       (args: Seq[Expression]) => {
