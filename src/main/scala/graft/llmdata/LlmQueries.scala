@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 
 /** Registry + DuckDB oracles for the LLM-data-pipeline operator
   * families (dedup / similarity / text analysis / multimodal).
@@ -678,6 +678,15 @@ object LlmQueries {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
       |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** Mirror of the [[graft.queries.StableIds]] dense-id assignment:
+    * ids ≡ global rank in (source, doc_id) order — the engine computes
+    * them distributed (range partition + zipWithIndex), the oracle with
+    * the plain single-reducer window. */
+  val txtDocIndexSql: String =
+    """SELECT source, doc_id,
+      |  row_number() OVER (ORDER BY source, doc_id) - 1 AS stable_id
+      |FROM documents ORDER BY source, doc_id""".stripMargin
+
   /** Mirror of [[TextAnalysis.ngramTopK]] — positional (non-distinct)
     * 3-grams, unlike [[shingleCte]]'s list_distinct sets. */
   val txtNgramTopkSql: String =
@@ -1015,6 +1024,11 @@ object LlmQueries {
       TextAnalysis.finalCorpus(s, d, 0.2, Some(JaccardDocFreqCap))),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(s, d, 3, 20)),
+    "txt_doc_index" -> ((s, d) =>
+      graft.queries.StableIds.assign(
+        graft.Tables.documents(s, d)
+          .select(functions.col("source"), functions.col("doc_id")),
+        Seq(functions.col("source"), functions.col("doc_id")))),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "txt_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1080,6 +1094,7 @@ object LlmQueries {
     "txt_final_corpus" -> txtFinalCorpusSql,
     "txt_term_topk" -> txtTermTopkSql,
     "txt_ngram_topk" -> txtNgramTopkSql,
+    "txt_doc_index" -> txtDocIndexSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,
     "txt_token_counts" -> txtTokenCountsSql,

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Scalable global row-id assignment — contiguous 0..N−1 ids in total
+  * sort order WITHOUT the classic anti-pattern (`row_number()` over a
+  * global `Window.orderBy` funnels the whole dataset through ONE
+  * reducer; at 100 TB that task never finishes). This is the id-stamping
+  * step of a corpus ingest: every document gets a stable dense id the
+  * rest of the pipeline keys on.
+  *
+  * Mechanism: range-repartition on the sort key (each partition owns a
+  * contiguous key range), sort within partitions, then
+  * `RDD.zipWithIndex` — the one sanctioned RDD drop-down in this
+  * engine, and deliberately so: zipWithIndex runs its partition-count
+  * job and its assignment pass over the SAME RDD instance, so the
+  * shuffle files are reused (no recompute) and the range boundaries
+  * CANNOT drift between the two jobs — a two-`DataFrame`-action
+  * formulation would re-sample boundaries per action (RangePartitioner
+  * seeds from the runtime RDD id) and could mis-stitch offsets.
+  *
+  * Determinism contract: `sortCols` must be a TOTAL order (add a unique
+  * tie-breaker). Then ids equal the global sort rank regardless of
+  * where sampled partition boundaries land, so re-runs — even with
+  * different parallelism — produce identical ids (StableIdsSpec).
+  *
+  * Cost: one full shuffle (the range exchange) + one tiny count job
+  * over its output; never a single-partition stage. */
+object StableIds {
+
+  def assign(df: DataFrame, sortCols: Seq[Column],
+             idName: String = "stable_id", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val outSchema = sorted.schema.add(idName, LongType, nullable = false)
+    // hold ONE RDD reference: both of zipWithIndex's jobs must see the
+    // same lineage (see scaladoc)
+    val rdd = sorted.rdd
+    val withIds = rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withIds, outSchema)
+  }
+}
