@@ -768,6 +768,21 @@ object EventAnalytics {
       |  n_purchase::DOUBLE / n_click AS purchase_rate
       |FROM c""".stripMargin
 
+  // --------------------------------------------------------------- ea27
+  /** ea27 [sketches as stored data, §2.13]: monthly distinct-user
+    * rollup computed from the pre-aggregated per-day HLL sketch table
+    * ([[graft.sync.SketchTable]]) — facts reduce once to O(#days)
+    * sketch rows, every range rollup is a sketch union over that
+    * table. Rows-only (DuckDB's HLL differs); SketchTableSpec gates
+    * error vs exact, day→month merge exactness, and incremental
+    * append. */
+  def ea27SketchRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.sync.SketchTable.rollup(
+      graft.sync.SketchTable.buildDaily(Tables.events(spark, dir)), "week")
+      .select(col("period"), col("est_users"), col("n"),
+        col("value_total").cast("double").as("value_total"))
+      .orderBy(col("period"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ea18_funnel" -> ((s: SparkSession, d: String) => ea18Funnel(s, d)),
     "ea19_unpivot_shares" -> ea19UnpivotShares _,
@@ -792,7 +807,8 @@ object EventAnalytics {
     "ea9_above_avg_error_users" -> ea9AboveAvgErrorUsers _,
     "ea10_props_buckets" -> ea10PropsBuckets _,
     "ea26_variant_props" -> ea26VariantProps _,
-    "ea11_anomalous_hours" -> ea11AnomalousHours _
+    "ea11_anomalous_hours" -> ea11AnomalousHours _,
+    "ea27_sketch_rollup" -> ea27SketchRollup _
   )
 
   val oracles: Map[String, String] = Map(
