@@ -687,6 +687,32 @@ object LlmQueries {
       |  row_number() OVER (ORDER BY source, doc_id) - 1 AS stable_id
       |FROM documents ORDER BY source, doc_id""".stripMargin
 
+  /** Mirror of [[graft.queries.StableIds.extend]] on a doc_id%4 corpus
+    * split: existing rows (¬div4) hold ids 0..n−1 (their own assign),
+    * so the incoming delta's ids are its (source, doc_id) ranks offset
+    * by n — existing ids never move on ingest. */
+  val txtDocIndexDeltaSql: String =
+    """WITH ex AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 4 <> 0)
+      |SELECT source, doc_id,
+      |  row_number() OVER (ORDER BY source, doc_id) - 1 + (SELECT n FROM ex)
+      |    AS stable_id
+      |FROM documents WHERE doc_id % 4 = 0
+      |ORDER BY source, doc_id""".stripMargin
+
+  /** Mirror of [[TextAnalysis.passageChunks]] (c=32, s=24): same
+    * start-grid (`0..n−c+s−1 step s`, always ≥ one chunk) and the same
+    * clipped 32-token slices, via DuckDB list functions. */
+  val txtChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+      |g AS (SELECT doc_id, tk, n,
+      |        unnest(range(0, greatest(n - 32 + 24 - 1, 0) + 1, 24)) AS start
+      |      FROM s)
+      |SELECT doc_id, (start // 24)::INT AS chunk_idx, start::INT AS start,
+      |  least(32, n - start)::INT AS n_toks,
+      |  array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk
+      |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Mirror of [[TextAnalysis.ngramTopK]] — positional (non-distinct)
     * 3-grams, unlike [[shingleCte]]'s list_distinct sets. */
   val txtNgramTopkSql: String =
@@ -1022,6 +1048,7 @@ object LlmQueries {
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "txt_final_corpus" -> ((s, d) =>
       TextAnalysis.finalCorpus(s, d, 0.2, Some(JaccardDocFreqCap))),
+    "txt_chunks" -> ((s, d) => TextAnalysis.passageChunks(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(s, d, 3, 20)),
     "txt_doc_index" -> ((s, d) =>
@@ -1029,6 +1056,15 @@ object LlmQueries {
         graft.Tables.documents(s, d)
           .select(functions.col("source"), functions.col("doc_id")),
         Seq(functions.col("source"), functions.col("doc_id")))),
+    "txt_doc_index_delta" -> ((s, d) => {
+      val keys = graft.Tables.documents(s, d)
+        .select(functions.col("source"), functions.col("doc_id"))
+      val sort = Seq(functions.col("source"), functions.col("doc_id"))
+      val existing = graft.queries.StableIds.assign(
+        keys.filter(functions.col("doc_id") % 4 =!= 0), sort)
+      graft.queries.StableIds.extend(existing,
+        keys.filter(functions.col("doc_id") % 4 === 0), sort)
+    }),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
     "txt_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -1095,6 +1131,8 @@ object LlmQueries {
     "txt_term_topk" -> txtTermTopkSql,
     "txt_ngram_topk" -> txtNgramTopkSql,
     "txt_doc_index" -> txtDocIndexSql,
+    "txt_doc_index_delta" -> txtDocIndexDeltaSql,
+    "txt_chunks" -> txtChunksSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,
     "txt_token_counts" -> txtTokenCountsSql,

@@ -62,6 +62,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
 
+  /** Passage CHUNKING — the doc→passage splitter a RAG index or a
+    * fixed-context pretraining packer runs over every document:
+    * fixed-size token windows (`chunkTokens`) at a fixed `stride`
+    * (overlap = chunkTokens − stride keeps boundary context), with
+    * FULL-COVERAGE-NO-REDUNDANT-TAIL semantics: starts are 0, s, 2s, …
+    * but only while the PREVIOUS chunk hasn't already reached the end
+    * (`start < n − c + s`), so every token lands in ≥1 chunk and no
+    * chunk is wholly contained in its predecessor. The final chunk may
+    * be short (`n_toks < chunkTokens`), never empty.
+    *
+    * Scale: one `Generate` (sequence+explode) per doc — no shuffle at
+    * all until a consumer aggregates; chunk text is a row-local
+    * `slice`+`array_join`, and per-doc output is O(n/stride) rows.
+    * Downstream embedding/packing stages key on (doc_id, chunk_idx). */
+  def passageChunks(spark: SparkSession, dir: String,
+                    chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      "need 0 < stride <= chunkTokens (non-positive overlap loses tokens)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      // last valid start = the largest multiple of `stride` at which the
+      // previous chunk still ended short of n; sequence() is inclusive
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(col("n") - chunkTokens + stride - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        col("start"),
+        least(lit(chunkTokens), col("n") - col("start")).as("n_toks"),
+        array_join(slice(col("t"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk"))
+  }
+
   /** Per-source corpus profile: doc count, token totals, average doc
     * length in tokens and chars (int-exact sums, one final division). */
   def sourceStats(spark: SparkSession, dir: String): DataFrame =

@@ -46,4 +46,24 @@ object StableIds {
     }
     spark.createDataFrame(withIds, outSchema)
   }
+
+  /** Continuous-ingestion continuation: stamp an INCOMING delta with
+    * ids that extend an already-stamped corpus — existing ids never
+    * move (they're keys downstream tables already reference; a full
+    * re-rank would invalidate every one), the delta gets the next
+    * contiguous block in its own sort order. Offset = max existing id
+    * + 1, read with a column-pruned 1-row aggregate (never a count of
+    * assumptions: gaps in the existing range are preserved, not
+    * reused). Cost on top of [[assign]] over the delta alone: one tiny
+    * agg job over the existing id column. */
+  def extend(existing: DataFrame, incoming: DataFrame, sortCols: Seq[Column],
+             idName: String = "stable_id", numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, max}
+    val offset = existing
+      .agg(coalesce(max(org.apache.spark.sql.functions.col(idName)), lit(-1L)))
+      .head().getLong(0) + 1L
+    val stamped = assign(incoming, sortCols, idName, numPartitions)
+    stamped.withColumn(idName,
+      (org.apache.spark.sql.functions.col(idName) + lit(offset)).cast(LongType))
+  }
 }

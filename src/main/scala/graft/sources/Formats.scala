@@ -60,6 +60,25 @@ object Formats {
     (good, quarantine)
   }
 
+  /** ORC interchange — the other columnar format a warehouse boundary
+    * speaks (Hive-lineage systems emit ORC the way lakehouse stacks
+    * emit parquet). Spark's native ORC reader/writer keeps the same
+    * scan-level virtues as the parquet path — column pruning and
+    * predicate pushdown into file/stripe/row-group min-max indexes
+    * (FormatsSpec asserts `PushedFilters` lands in the ORC scan) — so
+    * ingesting an ORC-delivered corpus costs no plan quality. Snappy
+    * block compression stays splittable: one 100 TB delivery still
+    * fans out per stripe. */
+  def writeDocumentsOrc(df: DataFrame, path: String, shards: Int = 1): Unit =
+    df.coalesce(shards).write.mode("overwrite").orc(path)
+
+  /** Schema-declared ORC read (same no-inference stance as the JSONL
+    * reader; ORC carries its schema in the footer, but DECLARING the
+    * expected one makes shard-level type drift fail at the scan). */
+  def readDocumentsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(StructType(documentsSchema.filterNot(_.name == "_corrupt")))
+      .orc(path)
+
   /** Schema-evolution read over a partitioned/sharded parquet dir whose
     * shards were written at DIFFERENT schema versions (the v1 24-col vs
     * v2 21-col situation in the reference, generalized): `mergeSchema`

@@ -415,6 +415,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("passage chunks cover every token exactly, with no redundant tail") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 toks: 4 chunks
+      (2L, (1 to 33).map(i => s"w$i").mkString(" ")),  // 33: starts 0,24
+      (3L, (1 to 25).map(i => s"w$i").mkString(" ")),  // 25: tail redundant ⇒ 1 chunk
+      (4L, "solo"),                                    // 1 token
+      (5L, (1 to 32).map(i => s"w$i").mkString(" ")))  // exactly c
+    val tmp = tmpCorpus(docs)
+    val rows = TextAnalysis.passageChunks(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).length === 4 && byDoc(2L).length === 2)
+    assert(byDoc(3L).length === 1 && byDoc(4L).length === 1)
+    assert(byDoc(5L).length === 1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val chunks = byDoc(id).sortBy(_._2)
+      // chunk text IS the token slice it claims
+      chunks.foreach { case (_, _, start, nToks, chunk) =>
+        assert(chunk === toks.slice(start, start + 32).mkString(" "))
+        assert(nToks === math.min(32, toks.length - start))
+      }
+      // coverage: every position in ≥1 chunk; starts on the stride grid
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered === toks.indices.toSet)
+      chunks.foreach(c => assert(c._3 === c._2 * 24))
+      // no chunk fully contained in its predecessor
+      chunks.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 < b._3 + b._4)
+        case _ =>
+      }
+    }
+  }
+
   test("span removal: within-doc repetition alone is not cross-doc duplication") {
     // the repeated phrase lives in ONE doc only ⇒ df=1 ⇒ nothing excised
     val tmp = tmpCorpus(Seq(

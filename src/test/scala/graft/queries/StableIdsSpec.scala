@@ -52,6 +52,37 @@ class StableIdsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-reducer stage in:\n$plan")
   }
 
+  test("extend stamps a delta with the next contiguous block, never moving old ids") {
+    val keys = Tables.documents(spark, sf).select(col("source"), col("doc_id"))
+    val sort = Seq(col("source"), col("doc_id"))
+    val existing = StableIds.assign(
+      keys.filter(col("doc_id") % 4 =!= 0), sort).cache()
+    val delta = StableIds.extend(
+      existing, keys.filter(col("doc_id") % 4 === 0), sort).cache()
+    val nExisting = existing.count()
+    val nDelta = delta.count()
+    // delta block starts exactly after the existing range, stays contiguous
+    val stats = delta.agg(min("stable_id"), max("stable_id"),
+      countDistinct("stable_id")).collect()(0)
+    assert(stats.getLong(0) === nExisting)
+    assert(stats.getLong(1) === nExisting + nDelta - 1)
+    assert(stats.getLong(2) === nDelta)
+    // the union is a full dense id space with zero collisions
+    val all = existing.unionByName(delta)
+    assert(all.select("stable_id").distinct().count() === nExisting + nDelta)
+    // re-running extend never perturbs the existing assignment
+    val again = StableIds.assign(keys.filter(col("doc_id") % 4 =!= 0), sort)
+    assert(existing.exceptAll(again).count() === 0)
+  }
+
+  test("extend on an empty existing table starts at zero") {
+    val keys = Tables.documents(spark, sf).select(col("doc_id"))
+    val empty = StableIds.assign(keys.filter(col("doc_id") < 0), Seq(col("doc_id")))
+    val delta = StableIds.extend(empty, keys.limit(10), Seq(col("doc_id")))
+    val stats = delta.agg(min("stable_id"), max("stable_id")).collect()(0)
+    assert(stats.getLong(0) === 0L && stats.getLong(1) === 9L)
+  }
+
   test("empty input yields an empty, correctly-shaped result") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 0)
       .select(col("doc_id"))

@@ -56,4 +56,21 @@ class FormatsSpec extends SparkSpec {
     assert(merged.filter(col("doc_id") === 3L).select("quality")
       .collect()(0).getDouble(0) === 0.9)
   }
+
+  test("documents survive an ORC round-trip with pushdown reaching the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/docs"
+    val docs = Tables.documents(spark, sf)
+    Formats.writeDocumentsOrc(docs, dir)
+    val back = Formats.readDocumentsOrc(spark, dir)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+    // predicate pushdown + column pruning must land in the ORC scan
+    val q = back.filter(col("doc_id") < 100).select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      s"ORC scan lost the pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"ORC scan reads more than the projection:\n$plan")
+  }
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.sync.SketchTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The streaming sketch view must equal the batch-built sketch table
+  * over everything ingested so far after EVERY incremental run, and a
+  * replayed completed batch must be a no-op (the additive measures
+  * would otherwise double). */
+class SketchViewSpec extends SparkSpec {
+
+  /** (day, estimate, n, value_total) normal form — sketch binaries
+    * differ by merge order, estimates must not. */
+  private def normal(daily: DataFrame): DataFrame =
+    daily.select(col("day"),
+      hll_sketch_estimate(col("users_sketch")).as("est"),
+      col("n"), col("value_total").cast("double").as("v"))
+
+  private def assertSame(store: String, sourceSoFar: DataFrame): Unit = {
+    val got = normal(spark.read.parquet(store))
+    val want = normal(SketchTable.buildDaily(sourceSoFar))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  test("view equals the batch-built sketch table across incremental runs; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-skv").toString
+    val (inDir, store, ckpt) = (s"$root/in", s"$root/store", s"$root/ckpt")
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("value"))
+      .withColumn("h", pmod(xxhash64(col("user_id")), lit(2)))
+      .cache()
+    val half0 = ev.filter(col("h") === 0).drop("h").cache()
+    val half1 = ev.filter(col("h") === 1).drop("h")
+    half0.coalesce(1).write.mode("append").parquet(inDir)
+
+    def run(): Unit = {
+      val src = spark.readStream.schema(half0.schema).parquet(inDir)
+      val q = SketchView.startDailySketchView(src, store, ckpt)
+      q.awaitTermination()
+    }
+    // run 1: half the corpus
+    run()
+    assertSame(store, spark.read.parquet(inDir))
+
+    // run 2: append the rest; checkpoint processes ONLY the new file,
+    // yet the store equals the full batch build — stored partials merge
+    half1.coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    assertSame(store, spark.read.parquet(inDir))
+
+    // replaying an already-committed batch (restart re-delivery) must
+    // not double the additive measures
+    val before = normal(spark.read.parquet(store)).collect().toSet
+    SketchView.mergeBatch(half0, 0L, store)
+    val after = normal(spark.read.parquet(store)).collect().toSet
+    assert(after === before)
+
+    // sanity: the guard is what protected it — an unguarded re-merge of
+    // the same rows WOULD have changed the table
+    SketchView.mergeBatch(half0, 999L, store)
+    val doubled = normal(spark.read.parquet(store)).collect().toSet
+    assert(doubled !== before)
+    ev.unpersist(); half0.unpersist()
+    ()
+  }
+}
