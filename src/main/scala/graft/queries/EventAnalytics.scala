@@ -769,7 +769,7 @@ object EventAnalytics {
       |FROM c""".stripMargin
 
   // --------------------------------------------------------------- ea27
-  /** ea27 [sketches as stored data, §2.13]: monthly distinct-user
+  /** ea27 [sketches as stored data, §2.13]: WEEKLY distinct-user
     * rollup computed from the pre-aggregated per-day HLL sketch table
     * ([[graft.sync.SketchTable]]) — facts reduce once to O(#days)
     * sketch rows, every range rollup is a sketch union over that

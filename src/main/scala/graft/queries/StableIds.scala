@@ -15,28 +15,41 @@ import org.apache.spark.sql.types.LongType
   * `RDD.zipWithIndex` — the one sanctioned RDD drop-down in this
   * engine, and deliberately so: zipWithIndex runs its partition-count
   * job and its assignment pass over the SAME RDD instance, so the
-  * shuffle files are reused (no recompute) and the range boundaries
+  * range exchange's MAP output is reused and the sampled boundaries
   * CANNOT drift between the two jobs — a two-`DataFrame`-action
   * formulation would re-sample boundaries per action (RangePartitioner
-  * seeds from the runtime RDD id) and could mis-stitch offsets.
+  * seeds from the runtime RDD id) and could mis-stitch offsets. (The
+  * reduce-side fetch + in-partition sort does re-execute for the
+  * second job — what the shared instance pins is correctness plus the
+  * map-side work, not the whole second pass; budget ~two reduce
+  * passes over the data.)
   *
   * Determinism contract: `sortCols` must be a TOTAL order (add a unique
   * tie-breaker). Then ids equal the global sort rank regardless of
   * where sampled partition boundaries land, so re-runs — even with
   * different parallelism — produce identical ids (StableIdsSpec).
   *
-  * Cost: one full shuffle (the range exchange) + one tiny count job
-  * over its output; never a single-partition stage. */
+  * Cost: one range-exchange shuffle whose reduce side (fetch + sort)
+  * runs twice — zipWithIndex's count job and its assignment pass;
+  * never a single-partition stage. */
 object StableIds {
+
+  /** The distributed sort `assign` stamps over — separate so the spec
+    * can assert on the PRODUCTION plan (range exchange, never
+    * SinglePartition), not a hand-rebuilt twin. */
+  private[queries] def rangeSorted(df: DataFrame, sortCols: Seq[Column],
+                                   numPartitions: Int): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+  }
 
   def assign(df: DataFrame, sortCols: Seq[Column],
              idName: String = "stable_id", numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val sorted = rangeSorted(df, sortCols, numPartitions)
     val outSchema = sorted.schema.add(idName, LongType, nullable = false)
     // hold ONE RDD reference: both of zipWithIndex's jobs must see the
     // same lineage (see scaladoc)

@@ -46,7 +46,9 @@ object MaterializedView {
       .start()
 
   /** Replace-by-key upsert of the changed groups into the bucketed
-    * store. Public so a batch backfill can use the identical path. */
+    * store. Public so a batch backfill can use the identical path.
+    * Store mechanics (Hadoop-FS existence, dynamic-overwrite scaffold)
+    * are the shared [[graft.sync.PartitionedStore]]. */
   def upsert(delta: DataFrame, storeDir: String): Unit = {
     val spark = delta.sparkSession
     if (delta.isEmpty) return
@@ -54,24 +56,14 @@ object MaterializedView {
       pmod(hash(col("merchant")), lit(NumBuckets)))
     val buckets = keyed.select(col("bucket")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val existing =
-        if (new java.io.File(storeDir).exists())
-          spark.read.parquet(storeDir)
-            .where(col("bucket").isin(buckets: _*))
-        else keyed.limit(0)
-      val merged = existing
-        .join(keyed.select(col("merchant")), Seq("merchant"), "left_anti")
-        .unionByName(keyed)
-        .localCheckpoint(true) // sever lineage: the write replaces its input files
-      merged.write.mode("overwrite").partitionBy("bucket").parquet(storeDir)
-      // the session's FileStatusCache still lists the replaced files;
-      // a reader hitting the store next would FAILED_READ_FILE without
-      // this (the REFRESH TABLE every external-overwrite needs)
-      spark.catalog.refreshByPath(storeDir)
-    } finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val existing =
+      if (graft.sync.PartitionedStore.exists(spark, storeDir))
+        spark.read.parquet(storeDir)
+          .where(col("bucket").isin(buckets: _*))
+      else keyed.limit(0)
+    val merged = existing
+      .join(keyed.select(col("merchant")), Seq("merchant"), "left_anti")
+      .unionByName(keyed)
+    graft.sync.PartitionedStore.overwritePartitions(merged, storeDir, Seq("bucket"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sync.SketchTable
+import graft.sync.{PartitionedStore, SketchTable}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -47,20 +47,35 @@ object SketchView {
       .start()
 
   /** Idempotent merge of one micro-batch into the stored sketch table.
-    * Public so a batch backfill can use the identical path. */
-  def mergeBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    * Public so a batch backfill can use the identical path — pick a
+    * batchId disjoint from the streaming query's (its ids start at 0
+    * and increment; negative ids are a safe backfill convention).
+    *
+    * @return true if the batch was applied; false if `batchId` was
+    *         already committed (restart re-delivery, or a backfill id
+    *         colliding with the ledger) and the call was a no-op —
+    *         callers doing backfills MUST check this, a dropped shard
+    *         is otherwise invisible. */
+  def mergeBatch(batch: DataFrame, batchId: Long, storeDir: String): Boolean = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(s"$storeDir/_committed/$batchId")
-    if (marker.exists()) return // replayed completed batch: no-op
-    val delta = SketchTable.buildDaily(batch)
-    if (!delta.isEmpty) {
-      val days = delta.select(col("day")).distinct().collect()
-        .map(_.getDate(0)).toSeq
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
+    // all paths through the Hadoop FS API: the store lives on
+    // HDFS/object storage in any real deployment, where java.io.File
+    // answers are meaningless (PartitionedStore)
+    val marker = s"$storeDir/_committed/$batchId"
+    if (PartitionedStore.markerExists(spark, marker))
+      return false // replayed completed batch: no-op
+    // `day` is the store key: a null-ts row has no day to merge into —
+    // excluded here (a null group would clobber, not merge, the
+    // default partition: isin(days) can never match null). A pipeline
+    // that cares about null-ts rows quarantines them upstream.
+    val delta = SketchTable.buildDaily(batch.filter(col("ts").isNotNull))
+      .persist() // one build serves isEmpty + days + merge (3 actions)
+    try {
+      if (!delta.isEmpty) {
+        val days = delta.select(col("day")).distinct().collect()
+          .map(_.getDate(0)).toSeq
         val existing =
-          if (new java.io.File(storeDir).exists())
+          if (PartitionedStore.exists(spark, storeDir))
             spark.read.parquet(storeDir).where(col("day").isin(days: _*))
           else delta.limit(0)
         // store rows are partials: combining = the same union/re-sum
@@ -71,14 +86,10 @@ object SketchView {
             hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
             sum(col("n")).as("n"),
             sum(col("value_total")).as("value_total"))
-          .localCheckpoint(true) // sever lineage: the write replaces its input
-        merged.write.mode("overwrite").partitionBy("day").parquet(storeDir)
-        spark.catalog.refreshByPath(storeDir)
-      } finally
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    }
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
-    ()
+        PartitionedStore.overwritePartitions(merged, storeDir, Seq("day"))
+      }
+    } finally { delta.unpersist(); () }
+    PartitionedStore.createMarker(spark, marker)
+    true
   }
 }

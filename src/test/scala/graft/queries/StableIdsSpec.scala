@@ -44,9 +44,9 @@ class StableIdsSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf).select(col("doc_id"))
     val got = StableIds.assign(docs, Seq(col("doc_id")), numPartitions = 4)
     assert(got.rdd.getNumPartitions === 4)
-    // and the sorted input's plan is a range exchange, never SinglePartition
-    val plan = docs.repartitionByRange(4, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
+    // and the PRODUCTION sort path plans a range exchange, never
+    // SinglePartition (rangeSorted is exactly what assign executes)
+    val plan = StableIds.rangeSorted(docs, Seq(col("doc_id")), 4)
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), s"expected range exchange:\n$plan")
     assert(!plan.contains("SinglePartition"), s"single-reducer stage in:\n$plan")

@@ -55,13 +55,13 @@ class SketchViewSpec extends SparkSpec {
     // replaying an already-committed batch (restart re-delivery) must
     // not double the additive measures
     val before = normal(spark.read.parquet(store)).collect().toSet
-    SketchView.mergeBatch(half0, 0L, store)
+    assert(!SketchView.mergeBatch(half0, 0L, store)) // reports the no-op
     val after = normal(spark.read.parquet(store)).collect().toSet
     assert(after === before)
 
     // sanity: the guard is what protected it — an unguarded re-merge of
     // the same rows WOULD have changed the table
-    SketchView.mergeBatch(half0, 999L, store)
+    assert(SketchView.mergeBatch(half0, 999L, store))
     val doubled = normal(spark.read.parquet(store)).collect().toSet
     assert(doubled !== before)
     ev.unpersist(); half0.unpersist()
