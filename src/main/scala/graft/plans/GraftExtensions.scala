@@ -93,6 +93,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(args.head, n)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("qsample_sketch"),
+      new ExpressionInfo(classOf[QSampleSketchAgg].getName, "qsample_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, value) => QSampleSketchAgg(id, value).toAggregateExpression()
+        case Seq(id, value, kExpr) =>
+          val k = kExpr match {
+            case e if e.foldable => e.eval() match {
+              case n: java.lang.Number => n.intValue()
+              case other => throw new IllegalArgumentException(
+                s"qsample_sketch: k must be an integer literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "qsample_sketch: k must be a literal, not a column")
+          }
+          QSampleSketchAgg(id, value, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "qsample_sketch takes 2 or 3 arguments: qsample_sketch(id, value[, k])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("qsample_merge"),
+      new ExpressionInfo(classOf[QSampleMergeAgg].getName, "qsample_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "qsample_merge takes exactly 1 argument")
+        QSampleMergeAgg(args.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("qsample_quantile"),
+      new ExpressionInfo(classOf[QSampleQuantile].getName, "qsample_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "qsample_quantile takes exactly 2 arguments")
+        QSampleQuantile(args.head, args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("kmv_card"),
       new ExpressionInfo(classOf[KmvCardinality].getName, "kmv_card"),
       (args: Seq[Expression]) => {

@@ -783,7 +783,37 @@ object EventAnalytics {
         col("value_total").cast("double").as("value_total"))
       .orderBy(col("period"))
 
+  // --------------------------------------------------------------- ea28
+  /** ea28 [quantile sketches as stored data, §2.13]: weekly value
+    * p50/p90/p99 rolled up from per-day deterministic bottom-k sample
+    * sketches ([[graft.plans.QSampleSketchAgg]]) — the quantile
+    * counterpart of ea27's HLL rollup: latency-style percentiles over
+    * arbitrary date ranges from O(#days) stored rows, no fact re-scan,
+    * merges exactly associative (byte-identical to a direct build;
+    * QuantileSampleSpec). Rows-only (the sample depends on xxhash64,
+    * which DuckDB cannot reproduce); the spec gates below-capacity
+    * exactness and over-capacity rank error. */
+  def ea28QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    require(spark.catalog.functionExists("qsample_sketch"),
+      "ea28 needs GraftExtensions (spark.sql.extensions=graft.plans.GraftExtensions)")
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        call_function("qsample_sketch", col("event_id"), col("value")).as("sk"),
+        count(lit(1)).as("n_p"))
+      .groupBy(trunc(col("day"), "week").as("period"))
+      .agg(call_function("qsample_merge", col("sk")).as("wsk"),
+        sum(col("n_p")).as("n"))
+      .select(col("period"),
+        call_function("qsample_quantile", col("wsk"), lit(0.5)).as("p50"),
+        call_function("qsample_quantile", col("wsk"), lit(0.9)).as("p90"),
+        call_function("qsample_quantile", col("wsk"), lit(0.99)).as("p99"),
+        col("n"))
+      .orderBy(col("period"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ea28_quantile_rollup" -> ea28QuantileRollup _,
     "ea18_funnel" -> ((s: SparkSession, d: String) => ea18Funnel(s, d)),
     "ea19_unpivot_shares" -> ea19UnpivotShares _,
     "ea20_typed_weighted_avg" -> ea20TypedWeightedAvg _,
