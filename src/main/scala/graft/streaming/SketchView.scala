@@ -31,8 +31,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * lineage-severed merge, the [[MaterializedView.upsert]] pattern). */
 object SketchView {
 
-  /** Maintain the per-day user-sketch table from a streaming events
-    * frame (`ts`, `user_id`, `value`). */
+  /** Maintain the per-day sketch table from a streaming events frame
+    * (`ts`, `user_id`, `event_id`, `value`). */
   def startDailySketchView(events: DataFrame, storeDir: String,
                            checkpoint: String,
                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -84,6 +84,8 @@ object SketchView {
           .groupBy(col("day"))
           .agg(
             hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
+            call_function("qsample_merge", col("value_sketch"))
+              .as("value_sketch"),
             sum(col("n")).as("n"),
             sum(col("value_total")).as("value_total"))
         PartitionedStore.overwritePartitions(merged, storeDir, Seq("day"))

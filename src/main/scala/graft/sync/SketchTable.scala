@@ -39,28 +39,46 @@ import org.apache.spark.sql.functions._
   * incremental-append equivalence. */
 object SketchTable {
 
-  /** One row per day: HLL sketch of distinct `user_id` + exact
-    * additive measures. The input must carry `ts` (timestamp),
-    * `user_id`, `value` (raw 2-decimal double). */
-  def buildDaily(events: DataFrame, lgK: Int = 12): DataFrame =
+  /** One row per day: HLL sketch of distinct `user_id`, deterministic
+    * quantile sample of `value` ([[graft.plans.QSampleSketchAgg]],
+    * keyed by the unique `event_id`), and exact additive measures —
+    * one stored row answers range UNIQUES and range QUANTILES. The
+    * input must carry `ts` (timestamp), `user_id`, `event_id`
+    * (unique), `value` (raw 2-decimal double). Needs GraftExtensions
+    * for the qsample functions (custom aggregates have no composable
+    * fallback). */
+  def buildDaily(events: DataFrame, lgK: Int = 12): DataFrame = {
+    require(events.sparkSession.catalog.functionExists("qsample_sketch"),
+      "SketchTable needs GraftExtensions (spark.sql.extensions=graft.plans.GraftExtensions)")
     events
       .groupBy(to_date(col("ts")).as("day"))
       .agg(
         hll_sketch_agg(col("user_id"), lit(lgK)).as("users_sketch"),
+        call_function("qsample_sketch", col("event_id"), col("value"))
+          .as("value_sketch"),
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("value_total"))
+  }
 
   /** Coarser-grain rollup ("week", "month", "quarter", …) computed
-    * from the sketch table ALONE: distinct users by sketch union,
-    * exact rows/value by re-summing the additive partials. */
+    * from the sketch table ALONE: distinct users by HLL union, value
+    * p50/p99 by quantile-sample union (EXACT merge — byte-identical to
+    * a direct build), exact rows/value by re-summing the additive
+    * partials. */
   def rollup(daily: DataFrame, grain: String = "month"): DataFrame =
     daily
       .groupBy(trunc(col("day"), grain).as("period"))
       .agg(
         hll_sketch_estimate(hll_union_agg(col("users_sketch"), lit(false)))
           .as("est_users"),
+        call_function("qsample_merge", col("value_sketch")).as("vsk"),
         sum(col("n")).as("n"),
         sum(col("value_total")).as("value_total"))
+      .withColumn("est_p50",
+        call_function("qsample_quantile", col("vsk"), lit(0.5)))
+      .withColumn("est_p99",
+        call_function("qsample_quantile", col("vsk"), lit(0.99)))
+      .drop("vsk")
 
   /** Distinct-user estimate for an arbitrary [from, until) day range —
     * the query shape the table exists for: filters prune the O(#days)

@@ -12,11 +12,15 @@ import java.nio.file.Files
   * would otherwise double). */
 class SketchViewSpec extends SparkSpec {
 
-  /** (day, estimate, n, value_total) normal form — sketch binaries
-    * differ by merge order, estimates must not. */
+  /** (day, estimates, n, value_total) normal form — HLL binaries
+    * differ by merge order, estimates must not (and the quantile
+    * sample's merge is exactly associative, so p50 compares equal
+    * too). */
   private def normal(daily: DataFrame): DataFrame =
     daily.select(col("day"),
       hll_sketch_estimate(col("users_sketch")).as("est"),
+      call_function("qsample_quantile", col("value_sketch"), lit(0.5))
+        .as("p50"),
       col("n"), col("value_total").cast("double").as("v"))
 
   private def assertSame(store: String, sourceSoFar: DataFrame): Unit = {
@@ -30,7 +34,7 @@ class SketchViewSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-skv").toString
     val (inDir, store, ckpt) = (s"$root/in", s"$root/store", s"$root/ckpt")
     val ev = Tables.events(spark, sf)
-      .select(col("ts"), col("user_id"), col("value"))
+      .select(col("ts"), col("user_id"), col("event_id"), col("value"))
       .withColumn("h", pmod(xxhash64(col("user_id")), lit(2)))
       .cache()
     val half0 = ev.filter(col("h") === 0).drop("h").cache()

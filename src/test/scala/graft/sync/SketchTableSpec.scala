@@ -51,6 +51,20 @@ class SketchTableSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("range quantiles from stored day sketches equal a direct build exactly") {
+    // the qsample merge is exactly associative, so the stored-table
+    // path must give the SAME doubles as sketching the raw range
+    val got = SketchTable.rollup(daily, "month")
+      .select(col("est_p50"), col("est_p99")).collect()(0)
+    val direct = events
+      .agg(call_function("qsample_sketch", col("event_id"), col("value")).as("sk"))
+      .select(
+        call_function("qsample_quantile", col("sk"), lit(0.5)),
+        call_function("qsample_quantile", col("sk"), lit(0.99))).collect()(0)
+    assert(got.getDouble(0) === direct.getDouble(0))
+    assert(got.getDouble(1) === direct.getDouble(1))
+  }
+
   test("additive measures on the sketch row are exact") {
     val got = daily.agg(
       sum(col("n")).as("n"),
