@@ -161,6 +161,28 @@ class PlanSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
   }
 
+  test("sketch aggregates partial-aggregate map-side: buffers cross the shuffle, not raw rows") {
+    // the stored-sketch table's scale claim is that each executor ships
+    // one sketch buffer per (partition, day), never user ids/values —
+    // i.e. the ObjectHashAggregate pair (partial below the exchange,
+    // merge above it) that TypedImperativeAggregate plans as. A plan
+    // that aggregated only after the exchange would ship every raw row.
+    val p = plan(graft.sync.SketchTable.buildDaily(Tables.events(spark, sf)))
+    val kinds = p.linesIterator
+      .filter(l => l.contains("ObjectHashAggregate") || l.contains("Exchange"))
+      .toList
+    assert(kinds.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+merge ObjectHashAggregate pair in:\n$p")
+    // the pair must SANDWICH the exchange (one aggregate on each side
+    // of it) — whichever direction the explain prints, the textual
+    // Agg…Exchange…Agg order only holds for the partial/merge split
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange", firstAgg)
+    val mergeAgg = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && mergeAgg > exchange,
+      s"aggregates don't sandwich the exchange in:\n$p")
+  }
+
   test("bucketed warehouse tables join with zero shuffle exchanges") {
     import graft.sync.Warehouse
     try {
