@@ -70,7 +70,10 @@ object QSample {
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt
     val n = bb.getInt
-    require(k >= 1 && n >= 0 && bytes.length == 8 + 16L * n,
+    // k=0 is the legal EMPTY sketch (capacity wildcard): the partial
+    // stage of qsample_merge serializes it for an all-null group, and
+    // an empty group's stored output must merge with any capacity later
+    require(k >= 0 && n >= 0 && n <= k && bytes.length == 8 + 16L * n,
       s"not a qsample sketch: header k=$k n=$n for ${bytes.length} bytes")
     val buf = new Buf(k, new java.util.TreeMap[java.lang.Long, java.lang.Double])
     var i = 0
@@ -199,11 +202,11 @@ case class QSampleMergeAgg(
     buf
   }
 
-  override def eval(buf: QSample.Buf): Any = {
-    // an all-null/empty group still serializes a valid empty sketch
-    if (buf.k == 0) buf.k = QSample.DefaultK
-    QSample.serialize(buf)
-  }
+  // an all-null group's output stays the k=0 EMPTY sketch — a capacity
+  // WILDCARD that merges with any k later (stamping a concrete default
+  // here would poison downstream merges of non-default-k tables with a
+  // spurious "mixed capacities" error)
+  override def eval(buf: QSample.Buf): Any = QSample.serialize(buf)
   override def serialize(buf: QSample.Buf): Array[Byte] = QSample.serialize(buf)
   override def deserialize(b: Array[Byte]): QSample.Buf = QSample.deserialize(b)
 

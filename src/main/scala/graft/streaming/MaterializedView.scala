@@ -61,8 +61,13 @@ object MaterializedView {
         spark.read.parquet(storeDir)
           .where(col("bucket").isin(buckets: _*))
       else keyed.limit(0)
+    // null-SAFE anti join: a null merchant is a legitimate aggregation
+    // group, and a plain key anti-join never matches null = null — the
+    // old null row would survive next to every batch's new one,
+    // accumulating duplicates
+    val newKeys = keyed.select(col("merchant").as("m_new")).distinct()
     val merged = existing
-      .join(keyed.select(col("merchant")), Seq("merchant"), "left_anti")
+      .join(newKeys, existing("merchant") <=> col("m_new"), "left_anti")
       .unionByName(keyed)
     graft.sync.PartitionedStore.overwritePartitions(merged, storeDir, Seq("bucket"))
   }

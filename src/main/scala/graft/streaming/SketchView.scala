@@ -51,9 +51,18 @@ object SketchView {
     * batchId disjoint from the streaming query's (its ids start at 0
     * and increment; negative ids are a safe backfill convention).
     *
-    * @return true if the batch was applied; false if `batchId` was
-    *         already committed (restart re-delivery, or a backfill id
-    *         colliding with the ledger) and the call was a no-op —
+    * Single WRITER per store assumed (same contract as
+    * [[graft.tx.ProcessedStore]]): the marker check and the merge are
+    * not one atomic step, so two processes racing the SAME batchId can
+    * both merge before either writes the marker — the loser's atomic
+    * marker-create reports false, but its merge may already be in the
+    * additive sums. True multi-writer safety needs a transactional
+    * table format; this ledger targets the single-writer restart
+    * re-delivery case.
+    *
+    * @return true if this call committed the batch; false if `batchId`
+    *         was already committed (restart re-delivery, a backfill id
+    *         colliding with the ledger, or a lost same-id race) —
     *         callers doing backfills MUST check this, a dropped shard
     *         is otherwise invisible. */
   def mergeBatch(batch: DataFrame, batchId: Long, storeDir: String): Boolean = {
@@ -79,8 +88,12 @@ object SketchView {
             spark.read.parquet(storeDir).where(col("day").isin(days: _*))
           else delta.limit(0)
         // store rows are partials: combining = the same union/re-sum
-        // aggregation that built them (sketch merge is associative)
-        val merged = existing.unionByName(delta)
+        // aggregation that built them (sketch merge is associative).
+        // allowMissingColumns: a store written before a sketch column
+        // existed (schema evolution) null-fills it — the merge then
+        // skips those nulls, so pre-upgrade rows contribute nothing to
+        // the NEW sketch until backfilled (degraded, never wedged)
+        val merged = existing.unionByName(delta, allowMissingColumns = true)
           .groupBy(col("day"))
           .agg(
             hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
@@ -91,7 +104,8 @@ object SketchView {
         PartitionedStore.overwritePartitions(merged, storeDir, Seq("day"))
       }
     } finally { delta.unpersist(); () }
+    // the atomic create is the commit point: a lost same-id race
+    // surfaces as false instead of a silent double-report
     PartitionedStore.createMarker(spark, marker)
-    true
   }
 }

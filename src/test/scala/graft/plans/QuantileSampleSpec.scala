@@ -78,6 +78,30 @@ class QuantileSampleSpec extends SparkSpec {
       err.getCause != null && err.getCause.getMessage.contains("qsample"))
   }
 
+  test("all-null groups merge as the empty wildcard sketch, never crash or poison capacities") {
+    import spark.implicits._
+    // all-null sketch column: the partial stage serializes the k=0
+    // empty buffer — the merge side must accept it (CONFIRMED crash
+    // before the fix) and quantiles come back null
+    val allNull = Seq(1, 2, 3).toDF("g")
+      .select(lit(null).cast("binary").as("sk"))
+      .agg(call_function("qsample_merge", col("sk")).as("m"))
+    assert(allNull.select(
+      call_function("qsample_quantile", col("m"), lit(0.5)))
+      .collect()(0).isNullAt(0))
+    // and the stored empty output is a capacity WILDCARD: merging it
+    // with a non-default k must work, not throw "mixed capacities"
+    val emptySk = allNull.collect()(0).getAs[Array[Byte]](0)
+    val k16 = events.limit(50).agg(call_function("qsample_sketch",
+      col("event_id"), col("value"), lit(16)).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val merged = Seq(emptySk, k16).toDF("sk")
+      .agg(call_function("qsample_merge", col("sk")).as("m"))
+      .select(call_function("qsample_quantile", col("m"), lit(0.5)))
+      .collect()(0)
+    assert(!merged.isNullAt(0))
+  }
+
   test("mixed-capacity merges fail loudly instead of degrading the bound") {
     val a = events.limit(50).agg(call_function("qsample_sketch",
       col("event_id"), col("value"), lit(16)).as("sk"))

@@ -63,4 +63,18 @@ class MaterializedViewSpec extends SparkSpec {
     msgs.unpersist()
     ()
   }
+
+  test("a null-merchant group upserts by replacement, never accumulating") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-mv-null").toString + "/store"
+    val d1 = Seq((Option.empty[String], 1L, 10.0), (Some("m1"), 2L, 5.0))
+      .toDF("merchant", "n_tx", "usd_total")
+    val d2 = Seq((Option.empty[String], 3L, 30.0))
+      .toDF("merchant", "n_tx", "usd_total")
+    MaterializedView.upsert(d1, store)
+    MaterializedView.upsert(d2, store) // absolute totals replace the null row
+    val rows = spark.read.parquet(store).drop("bucket")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(rows === Set((None, 3L), (Some("m1"), 2L)))
+  }
 }

@@ -53,16 +53,18 @@ class SketchTableSpec extends SparkSpec {
 
   test("range quantiles from stored day sketches equal a direct build exactly") {
     // the qsample merge is exactly associative, so the stored-table
-    // path must give the SAME doubles as sketching the raw range
+    // path must give the SAME doubles as sketching the raw range —
+    // compared per period so the test holds on any fixture span
     val got = SketchTable.rollup(daily, "month")
-      .select(col("est_p50"), col("est_p99")).collect()(0)
+      .select(col("period"), col("est_p50"), col("est_p99"))
     val direct = events
+      .groupBy(trunc(to_date(col("ts")), "month").as("period"))
       .agg(call_function("qsample_sketch", col("event_id"), col("value")).as("sk"))
-      .select(
-        call_function("qsample_quantile", col("sk"), lit(0.5)),
-        call_function("qsample_quantile", col("sk"), lit(0.99))).collect()(0)
-    assert(got.getDouble(0) === direct.getDouble(0))
-    assert(got.getDouble(1) === direct.getDouble(1))
+      .select(col("period"),
+        call_function("qsample_quantile", col("sk"), lit(0.5)).as("est_p50"),
+        call_function("qsample_quantile", col("sk"), lit(0.99)).as("est_p99"))
+    assert(got.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(got).count() === 0)
   }
 
   test("additive measures on the sketch row are exact") {
