@@ -904,10 +904,10 @@ object Dedup {
     * ([[LlmQueries.ddPagerankSql]]). */
   def pageRank(spark: SparkSession, dir: String, threshold: Double,
                maxDocFreq: Option[Long] = None, iters: Int = 3): DataFrame =
-    pageRankEdges(
-      jaccardPairs(spark, dir, threshold, maxDocFreq)
-        .select(col("id_a"), col("id_b")),
-      iters)
+    // the memoized edge table: the registered entry's (threshold, cap)
+    // is the exact key dd_clusters/dd_corpus/dd_delta already share, so
+    // a registry sweep generates the pair graph once, not twice
+    pageRankEdges(jaccardPairsFor(spark, dir, threshold, maxDocFreq), iters)
 
   /** TRIANGLE census of an undirected edge list: node/edge/wedge
     * counts, triangle count, and the global clustering coefficient
@@ -924,8 +924,14 @@ object Dedup {
     * closed by oriented edge (v→w), checked with a LEFT-SEMI join —
     * each triangle is counted exactly once because the orientation is
     * acyclic. Only 1-row aggregates are ever cross-joined. */
-  def triangleStatsEdges(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("id_a"), col("id_b")).localCheckpoint()
+  def triangleStatsEdges(edges: DataFrame,
+                         inputMaterialized: Boolean = false): DataFrame = {
+    // the edge frame is read by the degree pass AND the wedge join;
+    // checkpoint unless the caller already materialized it (the memoized
+    // jaccardPairsFor table is — a second checkpoint would copy every
+    // edge block into duplicate executor storage for zero benefit)
+    val sel = edges.select(col("id_a"), col("id_b"))
+    val e = if (inputMaterialized) sel else sel.localCheckpoint()
     val deg = e.select(col("id_a").as("id"))
       .unionByName(e.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -968,5 +974,6 @@ object Dedup {
   def triangleStats(spark: SparkSession, dir: String,
                     threshold: Double = 0.1,
                     maxDocFreq: Option[Long] = Some(16L)): DataFrame =
-    triangleStatsEdges(jaccardPairsFor(spark, dir, threshold, maxDocFreq))
+    triangleStatsEdges(jaccardPairsFor(spark, dir, threshold, maxDocFreq),
+      inputMaterialized = true)
 }

@@ -17,6 +17,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Shared integer-literal reader for function parameters: INTEGRAL
+    * literals only — `Number.intValue` on a decimal/double would
+    * silently truncate (`word_ngrams(text, 2.9)` → bigrams), turning a
+    * meaningless call into a plausible wrong answer instead of the
+    * promised analysis error. */
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        val v = n.asInstanceOf[java.lang.Number].longValue()
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"$fn: $what out of int range: $v")
+        v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a literal, not a column")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
@@ -31,42 +51,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(child) => KmvSketchAgg(child).toAggregateExpression()
         case Seq(child, kExpr) =>
-          // k must be a non-null integer literal — anything else should
-          // fail analysis with a readable message, not an internal
-          // NPE/ClassCastException from eval()
-          val k = kExpr match {
-            case e if e.foldable => e.eval() match {
-              case n: java.lang.Number => n.intValue()
-              case other => throw new IllegalArgumentException(
-                s"kmv_sketch: k must be an integer literal, got $other")
-            }
-            case _ => throw new IllegalArgumentException(
-              "kmv_sketch: k must be a literal, not a column")
-          }
-          KmvSketchAgg(child, k).toAggregateExpression()
+          KmvSketchAgg(child, intLit(kExpr, "kmv_sketch", "k"))
+            .toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "kmv_sketch takes 1 or 2 arguments: kmv_sketch(col[, k])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
-      (args: Seq[Expression]) => {
-        def lit(e: Expression, what: String): Int = e match {
-          case x if x.foldable => x.eval() match {
-            case n: java.lang.Number => n.intValue()
-            case other => throw new IllegalArgumentException(
-              s"cms_sketch: $what must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            s"cms_sketch: $what must be a literal, not a column")
-        }
-        args match {
-          case Seq(child) => CmsSketchAgg(child).toAggregateExpression()
-          case Seq(child, d, w) =>
-            CmsSketchAgg(child, lit(d, "depth"), lit(w, "width")).toAggregateExpression()
-          case _ => throw new IllegalArgumentException(
-            "cms_sketch takes 1 or 3 arguments: cms_sketch(col[, depth, width])")
-        }
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => CmsSketchAgg(child).toAggregateExpression()
+        case Seq(child, d, w) =>
+          CmsSketchAgg(child, intLit(d, "cms_sketch", "depth"),
+            intLit(w, "cms_sketch", "width")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "cms_sketch takes 1 or 3 arguments: cms_sketch(col[, depth, width])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("cms_estimate"),
@@ -81,16 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2,
           "word_ngrams takes exactly 2 arguments: word_ngrams(text, n)")
-        val n = args(1) match {
-          case e if e.foldable => e.eval() match {
-            case num: java.lang.Number => num.intValue()
-            case other => throw new IllegalArgumentException(
-              s"word_ngrams: n must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "word_ngrams: n must be a literal, not a column")
-        }
-        WordNgrams(args.head, n)
+        WordNgrams(args.head, intLit(args(1), "word_ngrams", "n"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("qsample_sketch"),
@@ -98,16 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(id, value) => QSampleSketchAgg(id, value).toAggregateExpression()
         case Seq(id, value, kExpr) =>
-          val k = kExpr match {
-            case e if e.foldable => e.eval() match {
-              case n: java.lang.Number => n.intValue()
-              case other => throw new IllegalArgumentException(
-                s"qsample_sketch: k must be an integer literal, got $other")
-            }
-            case _ => throw new IllegalArgumentException(
-              "qsample_sketch: k must be a literal, not a column")
-          }
-          QSampleSketchAgg(id, value, k).toAggregateExpression()
+          QSampleSketchAgg(id, value, intLit(kExpr, "qsample_sketch", "k"))
+            .toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "qsample_sketch takes 2 or 3 arguments: qsample_sketch(id, value[, k])")
       }))

@@ -28,6 +28,9 @@ object Skew {
     * unsalted `groupBy(keys).agg(sum, count)` (SkewSpec property). */
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: Column,
                      saltFrom: Column, salts: Int): DataFrame = {
+    require(!df.columns.contains("_salt"),
+      "saltedSumCount: input already has a _salt column — it would be " +
+        "overwritten and dropped, corrupting the caller's data")
     val keyCols = keys.map(col)
     df.withColumn("_salt", pmod(saltFrom, lit(salts)))
       .groupBy(keyCols :+ col("_salt"): _*)
@@ -52,6 +55,9 @@ object Skew {
     * the shuffle, and a broadcast of dim×salts would defeat the point. */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                      dimKey: String, saltFrom: Column, salts: Int): DataFrame = {
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedEquiJoin: an input already has a _salt column — it would be " +
+        "overwritten and dropped, breaking plain-join equality")
     val saltedFact = fact.withColumn("_salt", pmod(saltFrom, lit(salts)))
     val repDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
       .hint("shuffle_hash")

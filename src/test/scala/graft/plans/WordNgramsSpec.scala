@@ -69,9 +69,17 @@ class WordNgramsSpec extends SparkSpec {
       .select(expr("word_ngrams(text, 3)"))
       .queryExecution.executedPlan.toString
     assert(p.contains("Generate"), s"expected Generate in:\n$p")
-    intercept[Exception] {
-      spark.sql("SELECT word_ngrams(text, n_chars) FROM documents_missing")
+    // a REAL registered view, so the failures below are the argument
+    // checks, never a missing-table error masking a regressed builder
+    Tables.documents(spark, sf).limit(3).createOrReplaceTempView("ngram_args")
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT word_ngrams(text, n_chars) FROM ngram_args").collect()
     }
+    assert(nonLiteral.getMessage.contains("literal"), nonLiteral.getMessage)
+    val fractional = intercept[Exception] {
+      spark.sql("SELECT word_ngrams(text, 2.9) FROM ngram_args").collect()
+    }
+    assert(fractional.getMessage.contains("integer literal"), fractional.getMessage)
     intercept[Exception] {
       Tables.documents(spark, sf).select(expr("word_ngrams(doc_id, 3)"))
         .collect()
