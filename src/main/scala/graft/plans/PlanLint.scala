@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+/** Runtime PLAN LINTER — the engine's own "would this survive 100×"
+  * audit ([[graft.PlanAuditSpec]] gates every registered query with
+  * it) exposed as a library API, so users can gate THEIR queries the
+  * same way before a 100 TB run: `PlanLint.lint(df)` inspects the
+  * compiled physical plan (nothing executes) and returns the
+  * scale-killers by kind. CI usage is one assert:
+  * `assert(PlanLint.lint(df).isEmpty)`.
+  *
+  * Checks (each a class of plan, not a heuristic on strings):
+  *  - `cartesian`: a `CartesianProduct` — an equi-join key was lost;
+  *    |L|×|R| rows at the reducers.
+  *  - `bnl-join`: a `BroadcastNestedLoopJoin` — every broadcast row
+  *    tested against every stream row; legitimate only against a
+  *    provably tiny side (1-row aggregates, bounded query sets), which
+  *    the caller allow-lists by catching the finding.
+  *  - `single-partition-exchange`: an `Exchange` to `SinglePartition`
+  *    — the whole dataset funnels through ONE task (the classic
+  *    un-partitioned `Window.orderBy` / global `orderBy`-without-limit
+  *    shape; `TakeOrderedAndProject` is the fix for top-k and does not
+  *    trigger this).
+  *
+  * The linter reads through AQE roots (the initial plan — AQE can
+  * improve it at runtime but never introduces these shapes). */
+object PlanLint {
+
+  final case class Finding(kind: String, operator: String) {
+    override def toString: String = s"[$kind] $operator"
+  }
+
+  /** Lint the query's compiled physical plan; empty = clean. */
+  def lint(df: DataFrame): Seq[Finding] =
+    collectPlan(df.queryExecution.executedPlan).flatMap { p =>
+      val name = p.getClass.getSimpleName
+      p match {
+        case _ if name.contains("CartesianProduct") =>
+          Some(Finding("cartesian", p.nodeName))
+        case _ if name.contains("BroadcastNestedLoopJoin") =>
+          Some(Finding("bnl-join", p.nodeName))
+        case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition =>
+          Some(Finding("single-partition-exchange", p.nodeName))
+        case _ => None
+      }
+    }
+
+  /** Pre-order walk that descends into AQE roots (whose `children` is
+    * empty — the plan hangs off the node itself). `executedPlan`, not
+    * `inputPlan`: the input predates `EnsureRequirements`, so it
+    * contains NO exchange nodes yet and the single-partition check
+    * would never fire. */
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: collectPlan(a.executedPlan)
+    case _ => p +: p.children.flatMap(collectPlan)
+  }
+}

@@ -49,4 +49,46 @@ class SqlParitySpec extends SparkSpec {
       assert(viaSql.exceptAll(df).count() === 0, s"case $i: sql has extra rows")
     }
   }
+
+  test("extension sketch functions are first-class in SQL: ea28 twin via qsample_*") {
+    registerViews()
+    val df = queries.EventAnalytics.ea28QuantileRollup(spark, sf)
+    // the full stored-sketch rollup written as plain SQL — build, merge,
+    // and probe are ordinary function calls for a SQL user
+    val viaSql = spark.sql(
+      """SELECT period,
+        |  qsample_quantile(wsk, 0.5d) AS p50,
+        |  qsample_quantile(wsk, 0.9d) AS p90,
+        |  qsample_quantile(wsk, 0.99d) AS p99,
+        |  n
+        |FROM (
+        |  SELECT TRUNC(day, 'week') AS period,
+        |    qsample_merge(sk) AS wsk, SUM(n_p) AS n
+        |  FROM (
+        |    SELECT CAST(ts AS DATE) AS day,
+        |      qsample_sketch(event_id, value) AS sk, COUNT(*) AS n_p
+        |    FROM events GROUP BY CAST(ts AS DATE))
+        |  GROUP BY TRUNC(day, 'week'))
+        |ORDER BY period""".stripMargin)
+    assert(df.schema.fieldNames.toSeq === viaSql.schema.fieldNames.toSeq)
+    assert(df.exceptAll(viaSql).count() === 0)
+    assert(viaSql.exceptAll(df).count() === 0)
+  }
+
+  test("passage chunking twin via the SQL sequence/slice surface") {
+    registerViews()
+    val df = llmdata.TextAnalysis.passageChunks(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT doc_id, CAST(start / 24 AS INT) AS chunk_idx, start,
+        |  LEAST(32, n - start) AS n_toks,
+        |  array_join(slice(t, start + 1, 32), ' ') AS chunk
+        |FROM (
+        |  SELECT doc_id, t, n,
+        |    explode(sequence(0, GREATEST(n - 32 + 24 - 1, 0), 24)) AS start
+        |  FROM (SELECT doc_id, split(text, ' ') AS t, size(split(text, ' ')) AS n
+        |        FROM documents))""".stripMargin)
+    assert(df.schema.fieldNames.toSeq === viaSql.schema.fieldNames.toSeq)
+    assert(df.exceptAll(viaSql).count() === 0)
+    assert(viaSql.exceptAll(df).count() === 0)
+  }
 }

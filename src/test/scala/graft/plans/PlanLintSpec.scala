@@ -1,0 +1,54 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The linter must flag each scale-killer class on a plan that
+  * genuinely contains it, and stay silent on the healthy twin. */
+class PlanLintSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select(col("doc_id"), col("source"), col("n_chars"))
+
+  test("flags a cartesian product; silent on the equi join") {
+    val other = docs.select(col("doc_id").as("id2"))
+    // shuffle_replicate_nl blocks the broadcast fallback: a small side
+    // would otherwise plan as BNLJ (the OTHER finding) and a true
+    // CartesianProduct would never appear at test scale
+    val cart = docs.hint("shuffle_replicate_nl").crossJoin(other)
+    assert(PlanLint.lint(cart).exists(_.kind == "cartesian"))
+    val equi = docs.join(other, col("doc_id") === col("id2"))
+    assert(!PlanLint.lint(equi).exists(_.kind == "cartesian"))
+  }
+
+  test("flags a broadcast nested-loop join; silent on the broadcast equi join") {
+    val dim = docs.select(col("n_chars").as("lo")).limit(3)
+    val bnl = docs.join(broadcast(dim), col("n_chars") > col("lo"))
+    assert(PlanLint.lint(bnl).exists(_.kind == "bnl-join"))
+    val equi = docs.join(broadcast(docs.select(col("doc_id").as("id2"))),
+      col("doc_id") === col("id2"))
+    assert(!PlanLint.lint(equi).exists(_.kind == "bnl-join"))
+  }
+
+  test("flags the global-window single-partition exchange; silent on partitioned windows and top-k") {
+    val global = docs.withColumn("r",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    assert(PlanLint.lint(global)
+      .exists(_.kind == "single-partition-exchange"))
+    val partitioned = docs.withColumn("r",
+      row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    assert(!PlanLint.lint(partitioned)
+      .exists(_.kind == "single-partition-exchange"))
+    // top-k via sort+limit plans TakeOrderedAndProject — no exchange
+    val topk = docs.orderBy(col("n_chars").desc).limit(5)
+    assert(PlanLint.lint(topk).isEmpty, PlanLint.lint(topk).mkString(", "))
+  }
+
+  test("registered healthy queries lint clean") {
+    assert(PlanLint.lint(
+      graft.queries.Relational.q2RegionRevenue(spark, sf)).isEmpty)
+    assert(PlanLint.lint(
+      graft.queries.Relational.q10TopPartsPerSupplier(spark, sf)).isEmpty)
+  }
+}
