@@ -699,6 +699,23 @@ object LlmQueries {
       |FROM documents WHERE doc_id % 4 = 0
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Mirror of [[TextAnalysis.redactPii]] — the IDENTICAL RE2-safe
+    * patterns and the same URL→EMAIL→IP scrub order; DuckDB's
+    * regexp_replace needs the explicit 'g' flag (Spark's is global by
+    * default). */
+  val txtRedactSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    'https?://[^\s]+', '<URL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Mirror of [[TextAnalysis.passageChunks]] (c=32, s=24): same
     * start-grid (`0..n−c+s−1 step s`, always ≥ one chunk) and the same
     * clipped 32-token slices, via DuckDB list functions. */
@@ -1049,6 +1066,7 @@ object LlmQueries {
     "txt_final_corpus" -> ((s, d) =>
       TextAnalysis.finalCorpus(s, d, 0.2, Some(JaccardDocFreqCap))),
     "txt_chunks" -> ((s, d) => TextAnalysis.passageChunks(s, d)),
+    "txt_redact" -> TextAnalysis.redactPii _,
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(s, d, 3, 20)),
     "txt_doc_index" -> ((s, d) =>
@@ -1133,6 +1151,7 @@ object LlmQueries {
     "txt_doc_index" -> txtDocIndexSql,
     "txt_doc_index_delta" -> txtDocIndexDeltaSql,
     "txt_chunks" -> txtChunksSql,
+    "txt_redact" -> txtRedactSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,
     "txt_token_counts" -> txtTokenCountsSql,

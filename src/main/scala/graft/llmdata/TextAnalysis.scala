@@ -95,6 +95,42 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** PII-redaction patterns — restricted to syntax Java regex and RE2
+    * (DuckDB) interpret IDENTICALLY (no lookaround, no backrefs), so
+    * the oracle runs the very same expressions. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII REDACTION (curation scrub, C4/Dolma-style): URLs, emails, and
+    * IPv4 literals replaced by typed placeholder tokens, with per-doc
+    * match counts for the curation report. Scrub order is fixed and
+    * semantic: URL first (an email inside a URL's userinfo is part of
+    * the URL), then email, then IP (an IP inside a URL/email is
+    * already gone). Idempotent — placeholders match none of the
+    * patterns (TextAnalysisSpec). Pure row-local `regexp_replace` /
+    * `regexp_extract_all` chain: zero shuffles, codegen'd, linear in
+    * corpus bytes — exactly what a 100 TB scrub pass must be. The
+    * report carries `clean_md5` rather than the scrubbed text so the
+    * verification artifact stays O(docs), not O(bytes); the scrubbed
+    * text itself is [[redactedText]]. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        md5(redactedText(col("text")).cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The scrubbed text column (URL → EMAIL → IP order, see above). */
+  def redactedText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
   /** Per-source corpus profile: doc count, token totals, average doc
     * length in tokens and chars (int-exact sums, one final division). */
   def sourceStats(spark: SparkSession, dir: String): DataFrame =

@@ -449,6 +449,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction: typed placeholders, exact counts, fixed order, idempotent") {
+    val tmp = tmpCorpus(Seq(
+      (1L, "contact bob.smith+x@corp.example.com or visit https://x.io/a?u=me@y.z now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 replied"),
+      (3L, "plain text with no pii at all"),
+      (4L, "mixed: http://a.b/c then c@d.ee then 8.8.8.8")))
+    val got = TextAnalysis.redactPii(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    // doc 1: the email inside the URL's query belongs to the URL (order)
+    assert(got(1L) === ((1, 1, 0)))
+    assert(got(2L) === ((0, 0, 2)))
+    assert(got(3L) === ((0, 0, 0)))
+    assert(got(4L) === ((1, 1, 1)))
+    // the scrubbed text carries placeholders, no residual matches
+    import spark.implicits._
+    val texts = Tables.documents(spark, tmp)
+      .select(col("doc_id"), TextAnalysis.redactedText(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(texts(1L) === "contact <EMAIL> or visit <URL> now")
+    assert(texts(2L) === "server at <IP> and <IP> replied")
+    assert(texts(4L) === "mixed: <URL> then <EMAIL> then <IP>")
+    // idempotence: placeholders match none of the patterns
+    val twice = Tables.documents(spark, tmp)
+      .select(col("doc_id"),
+        TextAnalysis.redactedText(TextAnalysis.redactedText(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(twice === texts)
+  }
+
   test("span removal: within-doc repetition alone is not cross-doc duplication") {
     // the repeated phrase lives in ONE doc only ⇒ df=1 ⇒ nothing excised
     val tmp = tmpCorpus(Seq(
