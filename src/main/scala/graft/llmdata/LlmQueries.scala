@@ -699,22 +699,32 @@ object LlmQueries {
       |FROM documents WHERE doc_id % 4 = 0
       |ORDER BY source, doc_id""".stripMargin
 
-  /** Mirror of [[TextAnalysis.redactPii]] — the IDENTICAL RE2-safe
-    * patterns and the same URL→EMAIL→IP scrub order; DuckDB's
-    * regexp_replace needs the explicit 'g' flag (Spark's is global by
-    * default). */
+  /** Mirror of [[TextAnalysis.redactPii]] — the IDENTICAL RE2∩Java
+    * patterns (explicit whitespace class, no `\s`), the same
+    * URL→EMAIL→IP scrub order, and the same PROGRESSIVE counting
+    * (each pattern counted on the previous stage's scrubbed text);
+    * DuckDB's regexp_replace needs the explicit 'g' flag (Spark's is
+    * global by default). */
   val txtRedactSql: String =
-    """SELECT doc_id,
-      |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
-      |  len(regexp_extract_all(text,
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(text,
+      |      'https?://[^ \t\n\f\r\x0B]+', '<URL>', 'g') AS after_url
+      |  FROM documents),
+      |s2 AS (
+      |  SELECT *, regexp_replace(after_url,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |    '<EMAIL>', 'g') AS after_email
+      |  FROM s)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, 'https?://[^ \t\n\f\r\x0B]+')) AS n_urls,
+      |  len(regexp_extract_all(after_url,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-      |  len(regexp_extract_all(text,
+      |  len(regexp_extract_all(after_email,
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      |    'https?://[^\s]+', '<URL>', 'g'),
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |  md5(regexp_replace(after_email,
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_md5
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM s2 ORDER BY doc_id""".stripMargin
 
   /** Mirror of [[TextAnalysis.passageChunks]] (c=32, s=24): same
     * start-grid (`0..n−c+s−1 step s`, always ≥ one chunk) and the same

@@ -96,9 +96,11 @@ object TextAnalysis {
   }
 
   /** PII-redaction patterns — restricted to syntax Java regex and RE2
-    * (DuckDB) interpret IDENTICALLY (no lookaround, no backrefs), so
-    * the oracle runs the very same expressions. */
-  val UrlRe = "https?://[^\\s]+"
+    * (DuckDB) interpret IDENTICALLY (no lookaround, no backrefs, and
+    * no `\s`: Java's includes vertical tab, RE2's does not — the URL
+    * terminator class is spelled out so both engines stop at the same
+    * byte), so the oracle runs the very same expressions. */
+  val UrlRe = "https?://[^ \\t\\n\\f\\r\\x0B]+"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
@@ -106,22 +108,28 @@ object TextAnalysis {
     * IPv4 literals replaced by typed placeholder tokens, with per-doc
     * match counts for the curation report. Scrub order is fixed and
     * semantic: URL first (an email inside a URL's userinfo is part of
-    * the URL), then email, then IP (an IP inside a URL/email is
-    * already gone). Idempotent — placeholders match none of the
-    * patterns (TextAnalysisSpec). Pure row-local `regexp_replace` /
-    * `regexp_extract_all` chain: zero shuffles, codegen'd, linear in
-    * corpus bytes — exactly what a 100 TB scrub pass must be. The
-    * report carries `clean_md5` rather than the scrubbed text so the
-    * verification artifact stays O(docs), not O(bytes); the scrubbed
-    * text itself is [[redactedText]]. */
-  def redactPii(spark: SparkSession, dir: String): DataFrame =
+    * the URL), then email, then IP — and the COUNTS follow the same
+    * order, each pattern counted on the text the previous stage
+    * already scrubbed, so counts always reconcile with the
+    * placeholders in the output (an email inside a URL is one `<URL>`,
+    * zero `n_emails`). Idempotent — placeholders match none of the
+    * patterns (TextAnalysisSpec). The scrub itself
+    * ([[redactedText]]) is a row-local codegen'd `regexp_replace`
+    * chain — zero shuffles, linear in corpus bytes, exactly what a
+    * 100 TB scrub pass must be; this REPORT additionally sorts by
+    * doc_id for the verification harness and carries `clean_md5`
+    * rather than the scrubbed text so the artifact stays O(docs). */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val afterUrl = regexp_replace(col("text"), UrlRe, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailRe, "<EMAIL>")
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(afterUrl, lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
         md5(redactedText(col("text")).cast("binary")).as("clean_md5"))
       .orderBy(col("doc_id"))
+  }
 
   /** The scrubbed text column (URL → EMAIL → IP order, see above). */
   def redactedText(text: Column): Column =

@@ -451,17 +451,21 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("PII redaction: typed placeholders, exact counts, fixed order, idempotent") {
     val tmp = tmpCorpus(Seq(
-      (1L, "contact bob.smith+x@corp.example.com or visit https://x.io/a?u=me@y.z now"),
+      (1L, "contact bob.smith+x@corp.example.com or visit https://x.io/a?u=me@yy.zz now"),
       (2L, "server at 10.0.0.1 and 192.168.1.255 replied"),
       (3L, "plain text with no pii at all"),
-      (4L, "mixed: http://a.b/c then c@d.ee then 8.8.8.8")))
+      (4L, "mixed: http://a.b/c then c@d.ee then 8.8.8.8"),
+      (5L, "ping http://10.0.0.1/x now")))
     val got = TextAnalysis.redactPii(spark, tmp).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
-    // doc 1: the email inside the URL's query belongs to the URL (order)
+    // doc 1: me@yy.zz IS a well-formed email, but it sits inside the
+    // URL — progressive counting sees only the outside address
     assert(got(1L) === ((1, 1, 0)))
     assert(got(2L) === ((0, 0, 2)))
     assert(got(3L) === ((0, 0, 0)))
     assert(got(4L) === ((1, 1, 1)))
+    // doc 5: an IP that is only a URL's host never counts as an IP
+    assert(got(5L) === ((1, 0, 0)))
     // the scrubbed text carries placeholders, no residual matches
     import spark.implicits._
     val texts = Tables.documents(spark, tmp)

@@ -45,6 +45,28 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.lint(topk).isEmpty, PlanLint.lint(topk).mkString(", "))
   }
 
+  test("healthy single-partition shapes are exempt: global aggregate and global limit") {
+    // partial buffers cross the exchange, not the dataset
+    val globalAgg = docs.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    assert(PlanLint.lint(globalAgg).isEmpty,
+      PlanLint.lint(globalAgg).mkString(", "))
+    // LocalLimit bounds what crosses; the dim side of the BNL test
+    // used exactly this shape
+    val limited = docs.limit(3)
+    assert(!PlanLint.lint(limited).exists(_.kind == "single-partition-exchange"))
+  }
+
+  test("scale-killers inside subquery expressions are found") {
+    docs.createOrReplaceTempView("lint_docs")
+    val q = spark.sql(
+      """SELECT * FROM lint_docs
+        |WHERE n_chars > (SELECT MIN(a.n_chars + b.id2) FROM lint_docs a
+        |  JOIN (SELECT doc_id AS id2 FROM lint_docs) b)""".stripMargin)
+    assert(PlanLint.lint(q).exists(f =>
+      f.kind == "cartesian" || f.kind == "bnl-join"),
+      PlanLint.lint(q).mkString(", "))
+  }
+
   test("registered healthy queries lint clean") {
     assert(PlanLint.lint(
       graft.queries.Relational.q2RegionRevenue(spark, sf)).isEmpty)
