@@ -42,6 +42,19 @@ class PlanAuditSpec extends SparkSpec {
     "txt_source_entropy" -> "cross join against the 1-row corpus-total side",
     "ann_pca_topk" -> "coarse phase broadcasts the tiny projected query side (nQueries=5)")
 
+  /** Queries whose single-partition exchange is over a frame that is
+    * SMALL BY CONSTRUCTION (the same boundedness argument as
+    * [[bnlAllowed]]): a global window over a pre-aggregated or
+    * dimension-sized input funnels O(groups)/O(dim) rows through one
+    * task, not the fact table. */
+  private val singlePartitionAllowed: Map[String, String] = Map(
+    "q31_spend_quartiles" -> ("global ntile over the pre-aggregated " +
+      "O(customers) spend table — equal-population quartiles are a total order"),
+    "tx11_vnd_asof_gapfill" -> "ignoreNulls last() window over the O(#days) rate dimension",
+    "tx13_rate_intervals" -> "lead() window over the O(#publications) rate dimension",
+    "tx14_interval_join" -> "inherits tx13's dimension-sized interval build",
+    "tx16_bucketed_interval" -> "inherits tx13's dimension-sized interval build")
+
   /** Queries whose registered frame is a DRIVER-LOCAL result — the
     * distributed work runs during construction (BPE training's
     * per-round agg + TakeOrderedAndProject jobs) and the returned plan
@@ -54,12 +67,24 @@ class PlanAuditSpec extends SparkSpec {
     .filterNot { case (name, _) => localResult(name) }
     .foreach { case (name, fn) =>
     test(s"plan audit: $name") {
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
+      // the audit IS the productized linter (graft.plans.PlanLint) —
+      // the user-facing API and the registry gate can never drift
+      val df = fn(spark, sf)
+      val findings = graft.plans.PlanLint.lint(df)
+      def plan = df.queryExecution.executedPlan.toString
+      assert(!findings.exists(_.kind == "cartesian"),
         s"$name plans a cartesian product:\n$plan")
       if (!bnlAllowed.contains(name)) {
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
+        assert(!findings.exists(_.kind == "bnl-join"),
           s"$name plans a nested-loop join without an allow-list reason:\n$plan")
+      }
+      // no registered query may funnel the dataset through one task
+      // (partial-aggregate / local-limit exchanges are exempt in the
+      // linter — those ship buffers, not data; dimension-sized global
+      // windows are allow-listed above with the boundedness reason)
+      if (!singlePartitionAllowed.contains(name)) {
+        assert(!findings.exists(_.kind == "single-partition-exchange"),
+          s"$name funnels through a single-partition exchange:\n$plan")
       }
     }
   }
