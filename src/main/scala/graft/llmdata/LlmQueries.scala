@@ -740,6 +740,27 @@ object LlmQueries {
       |  array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk
       |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Mirror of [[TextAnalysis.chunkDedup]] — the [[txtChunksSql]] grid
+    * feeding an md5-per-chunk dedup window (survivor = least
+    * (doc_id, chunk_idx) per hash). */
+  val txtChunkDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+      |g AS (SELECT doc_id, tk, n,
+      |        unnest(range(0, greatest(n - 32 + 24 - 1, 0) + 1, 24)) AS start
+      |      FROM s),
+      |ch AS (SELECT doc_id, (start // 24)::INT AS chunk_idx,
+      |         md5(array_to_string(list_slice(tk, start + 1, start + 32), ' '))
+      |           AS h
+      |       FROM g),
+      |w AS (SELECT doc_id, chunk_idx,
+      |        COUNT(*) OVER (PARTITION BY h) AS n_copies,
+      |        ROW_NUMBER() OVER (PARTITION BY h
+      |          ORDER BY doc_id, chunk_idx) AS rn
+      |      FROM ch)
+      |SELECT doc_id, chunk_idx, n_copies FROM w WHERE rn = 1
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Mirror of [[TextAnalysis.ngramTopK]] — positional (non-distinct)
     * 3-grams, unlike [[shingleCte]]'s list_distinct sets. */
   val txtNgramTopkSql: String =
@@ -1077,6 +1098,7 @@ object LlmQueries {
       TextAnalysis.finalCorpus(s, d, 0.2, Some(JaccardDocFreqCap))),
     "txt_chunks" -> ((s, d) => TextAnalysis.passageChunks(s, d)),
     "txt_redact" -> TextAnalysis.redactPii _,
+    "txt_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(s, d, 3, 20)),
     "txt_doc_index" -> ((s, d) =>
@@ -1162,6 +1184,7 @@ object LlmQueries {
     "txt_doc_index_delta" -> txtDocIndexDeltaSql,
     "txt_chunks" -> txtChunksSql,
     "txt_redact" -> txtRedactSql,
+    "txt_chunk_dedup" -> txtChunkDedupSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,
     "txt_token_counts" -> txtTokenCountsSql,

@@ -95,6 +95,32 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** CHUNK-grain exact dedup — the step between [[passageChunks]] and
+    * an embedding index: identical passages (boilerplate headers,
+    * license blocks, templated paragraphs) collapse to one canonical
+    * survivor BEFORE anyone pays to embed them. Survivor = the
+    * (doc_id, chunk_idx)-least holder of each chunk hash, with the
+    * copy count for the dedup report.
+    *
+    * Scale: chunks never leave their hash partition — one shuffle on
+    * md5(chunk) serves both window functions (copy count + survivor
+    * rank share the partitioning); near-unique hashes keep every
+    * window group tiny. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("h"))
+    passageChunks(spark, dir, chunkTokens, stride)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk").cast("binary")).as("h"))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .withColumn("rn", row_number().over(
+        byHash.orderBy(col("doc_id"), col("chunk_idx"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_idx"), col("n_copies"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** PII-redaction patterns — restricted to syntax Java regex and RE2
     * (DuckDB) interpret IDENTICALLY (no lookaround, no backrefs, and
     * no `\s`: Java's includes vertical tab, RE2's does not — the URL

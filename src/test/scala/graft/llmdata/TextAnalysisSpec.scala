@@ -449,6 +449,17 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup: identical passages collapse to the least (doc, idx) survivor") {
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ") // exactly one chunk
+    val tmp = tmpCorpus(Seq(
+      (7L, boiler),                                       // duplicate of 3's chunk
+      (3L, boiler),                                       // survivor (least doc_id)
+      (9L, (1 to 20).map(i => s"u$i").mkString(" "))))    // unique chunk
+    val got = TextAnalysis.chunkDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set((3L, 0, 2L), (9L, 0, 1L)))
+  }
+
   test("PII redaction: typed placeholders, exact counts, fixed order, idempotent") {
     val tmp = tmpCorpus(Seq(
       (1L, "contact bob.smith+x@corp.example.com or visit https://x.io/a?u=me@yy.zz now"),
