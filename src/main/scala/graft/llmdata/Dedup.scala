@@ -385,10 +385,13 @@ object Dedup {
   }
 
   /** LSH-bucketed embedding near-dup: candidates = vector pairs sharing
-    * a hyperplane band bucket (8 bands × 2 bits — the high-recall
-    * banding; DedupSpec measures recall vs the exact baseline), then the
-    * exact cosine filter. Same posting-list pair generation as the text
-    * dedups — never all-pairs. The pair set is memoized per (session,
+    * a hyperplane band bucket (8 bands; bits per band scale with the
+    * corpus so expected bucket width stays bounded — 2 bits at toy
+    * scale, the high-recall banding DedupSpec measures against the
+    * exact baseline), then the exact cosine filter. Never all-pairs,
+    * and per-task width is ENFORCED: oversized buckets tile into
+    * chunk-pair tasks and degenerate masses fail loudly — see
+    * [[embedPairsOf]]. The pair set is memoized per (session,
     * corpus, threshold) — [[embeddingClusters]] consumes the same edges,
     * so the bucket kernel runs once per session, not once per query
     * (same immutable-input contract as the postings memo; released by
@@ -405,66 +408,172 @@ object Dedup {
         embedPairsKernel(k._1, k._2, k._3).localCheckpoint())).value
 
   private def embedPairsKernel(spark: SparkSession, dir: String,
-                               threshold: Double): DataFrame = {
+                               threshold: Double): DataFrame =
+    embedPairsOf(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      threshold)
+
+  /** Enforced per-task width bound for the embedding-LSH pair kernel
+    * (VERDICT r05 #1 — the one banded dedup that lacked a cap): a
+    * (band, bucket) group wider than this is TILED, never pair-looped
+    * in one task. 4096 × 64 floats ≈ 1 MB resident per side. */
+  val EmbedMaxBucketWidth = 4096
+
+  /** Loud-failure bound on tiling blow-up: a bucket needing more than
+    * this many chunks (width > maxChunks·maxBucketWidth after the
+    * corpus-scaled banding already spread the space) is a degenerate
+    * near-identical mass — exact-dedup it upstream rather than paying
+    * O(width²) verify flops. The guard raises with that instruction
+    * instead of melting an executor. */
+  val EmbedMaxChunks = 256
+
+  /** Bounded LSH pair kernel over an arbitrary (vec_id, embedding)
+    * frame. Three scale defenses, in order:
+    *
+    *  1. `bitsPerBand` GROWS with the corpus (2 at toy scale, up to 8 —
+    *     the plane pool holds 8 bands × 8 bits) so the EXPECTED bucket
+    *     width stays ≤ `maxBucketWidth` regardless of N;
+    *  2. buckets that are still oversized (skewed dense regions — no
+    *     hyperplane count fixes adversarial skew) are decomposed into
+    *     chunk-pair TILES: members hash into `ceil(w / maxBucketWidth)`
+    *     chunks, every within-bucket pair lands in EXACTLY one
+    *     (chunk_i ≤ chunk_j) tile, and each tile task holds ≤ 2 chunks
+    *     — bounded memory, identical pair set (recall is untouched, by
+    *     construction, unlike sub-splitting on extra planes which loses
+    *     cross-sub-bucket pairs);
+    *  3. a bucket wider than `maxChunks · maxBucketWidth` fails loudly
+    *     (see [[EmbedMaxChunks]]) — beyond that the quadratic verify
+    *     flops are the problem, not the memory, and the right tool is
+    *     upstream exact dedup.
+    *
+    * The bucket census behind 2–3 is a driver-side collect of at most
+    * 8 bands × 2^bits ≤ 2048 count rows — O(#buckets), not O(N).
+    * Per-pair arithmetic is [[Similarity.cosine6]] (bit-identical to
+    * the Column form); a pair sharing k bands is computed k ≤ 8 times
+    * and deduped by the post-filter distinct. */
+  private[llmdata] def embedPairsOf(spark: SparkSession, vecs: DataFrame,
+                                    threshold: Double,
+                                    maxBucketWidth: Int = EmbedMaxBucketWidth,
+                                    maxChunks: Int = EmbedMaxChunks,
+                                    bitsPerBand: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-    val keys = Similarity.lshKeys(
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-      numBands = 8, bitsPerBand = 2)
-    // lshKeys carries the embedding, so each (band, bucket) group holds
+    require(maxBucketWidth >= 2, s"maxBucketWidth $maxBucketWidth: need ≥ 2")
+    def ceilLog2(x: Long): Int =
+      if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    val n = vecs.count()
+    // expected bucket width ≈ n / 2^bits; aim it at maxBucketWidth/2 so
+    // tiling only fires on genuine skew, not on the uniform bulk.
+    // `bitsPerBand` pins the banding (spec use: compare tiled vs
+    // untiled kernels over the SAME candidate set)
+    val bits = bitsPerBand.getOrElse(
+      math.max(2, math.min(8, ceilLog2(2L * n / maxBucketWidth))))
+    val keys = Similarity.lshKeys(vecs, "vec_id", "embedding",
+      numBands = 8, bitsPerBand = bits)
+    // lshKeys carries the embedding, so each tile's group holds
     // everything its pair verification needs: compute the exact cosine
-    // INSIDE the bucket's task and shuffle only pairs that pass the
-    // threshold. The previous shape shuffled every candidate pair
-    // through a distinct plus TWO embedding fetch joins (≈all-pairs ×2
-    // on a weakly-clustered corpus) — the joins, not the flops, were
-    // the 6 s. Per-pair arithmetic is [[Similarity.cosine6]] (bit-
-    // identical to the Column form); a pair sharing k bands is computed
-    // k ≤ 8 times and deduped by the tiny post-filter distinct. Bucket
-    // width is the skew bound (≈N/2^bits per band) — the same cap knob
-    // every banded dedup here exposes.
-    keys.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("vec_id").as("_1"), col("embedding").as("_2"))).as("ms"))
+    // INSIDE the tile's task and shuffle only pairs that pass the
+    // threshold (the join alternative shuffled ≈all-pairs ×2).
+    val widths = keys.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("w")).filter(col("w") > 1)
+      .as[(Int, Int, Long)].collect()
+    val chunksBy: Map[(Int, Int), Int] = widths.map { case (b, bk, w) =>
+      ((b, bk), ((w + maxBucketWidth - 1) / maxBucketWidth).toInt)
+    }.toMap
+    val hottest = if (chunksBy.isEmpty) 0 else chunksBy.values.max
+    require(hottest <= maxChunks,
+      s"embedding-LSH hot bucket: widest (band, bucket) needs $hottest chunks of " +
+        s"$maxBucketWidth (> $maxChunks) even at $bits bits/band — a near-identical " +
+        "mass this dense should be removed by exact dedup (dd_exact / chunk hash) " +
+        "before pairwise verification; raise maxChunks only if you accept the flops")
+    val chunkOf = spark.sparkContext.broadcast(chunksBy)
+    keys.select(col("band"), col("bucket"), col("vec_id"), col("embedding"))
+      .as[(Int, Int, Long, Array[Float])]
+      .flatMap { case (band, bucket, id, v) =>
+        chunkOf.value.get((band, bucket)) match {
+          case None => Iterator.empty // width-1 bucket: no pairs possible
+          case Some(c) =>
+            // SplitMix64 finalizer → chunk: id-deterministic, and safe
+            // against clustered id ranges (floorMod(id, c) is not)
+            var z = id + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            val mc = Math.floorMod(z ^ (z >>> 31), c.toLong).toInt
+            // one row per tile this member participates in; a pair
+            // (chunk x, chunk y) meets in exactly tile (min, max)
+            (0 until c).iterator.map { o =>
+              if (o == mc) (band, bucket, mc, mc, 0, id, v)
+              else if (mc < o) (band, bucket, mc, o, 0, id, v)
+              else (band, bucket, o, mc, 1, id, v)
+            }
+        }
+      }
+      .toDF("band", "bucket", "ti", "tj", "side", "vec_id", "embedding")
+      .groupBy(col("band"), col("bucket"), col("ti"), col("tj"))
+      .agg(collect_list(struct(col("side").as("_1"), col("vec_id").as("_2"),
+        col("embedding").as("_3"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(col("ms")).as[Seq[(Long, Array[Float])]]
-      .flatMap { ms0 =>
-        val ms = ms0.toArray.sortBy(_._1)
-        val norms = ms.map { case (_, v) =>
+      .select((col("ti") === col("tj")).as("diag"), col("ms"))
+      .as[(Boolean, Seq[(Int, Long, Array[Float])])]
+      .flatMap { case (diag, ms0) =>
+        val guard = threshold - 5e-7 // see embeddingNearDupExact
+        def norm(v: Array[Float]): Double = {
           var na = 0.0; var i = 0
           while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
           math.sqrt(na)
         }
-        val guard = threshold - 5e-7 // see embeddingNearDupExact
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        var i = 0
-        while (i < ms.length) {
-          val va = ms(i)._2
-          var j = i + 1
-          while (j < ms.length) {
-            val vb = ms(j)._2
-            val n = math.min(va.length, vb.length)
-            var dot = 0.0; var k = 0
-            while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-            // ragged pairs: recompute both norms over min(len) so the
-            // kernel matches CosineSim exactly (see embeddingNearDupExact)
-            val denom =
-              if (va.length == n && vb.length == n) norms(i) * norms(j)
-              else {
-                var sa = 0.0; var sb = 0.0; var k2 = 0
-                while (k2 < n) {
-                  sa += va(k2).toDouble * va(k2).toDouble
-                  sb += vb(k2).toDouble * vb(k2).toDouble
-                  k2 += 1
-                }
-                math.sqrt(sa) * math.sqrt(sb)
+        // exact cosine over min(len) — ragged pairs recompute both
+        // norms so the kernel matches CosineSim bit-for-bit
+        def emit(ida: Long, va: Array[Float], na: Double,
+                 idb: Long, vb: Array[Float], nb: Double,
+                 out: scala.collection.mutable.Builder[(Long, Long, Double), Seq[(Long, Long, Double)]]): Unit = {
+          val n = math.min(va.length, vb.length)
+          var dot = 0.0; var k = 0
+          while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
+          val denom =
+            if (va.length == n && vb.length == n) na * nb
+            else {
+              var sa = 0.0; var sb = 0.0; var k2 = 0
+              while (k2 < n) {
+                sa += va(k2).toDouble * va(k2).toDouble
+                sb += vb(k2).toDouble * vb(k2).toDouble
+                k2 += 1
               }
-            val raw = dot / denom
-            if (raw >= guard) {
-              val cos = Similarity.round6(raw)
-              if (cos >= threshold) out += ((ms(i)._1, ms(j)._1, cos))
+              math.sqrt(sa) * math.sqrt(sb)
             }
-            j += 1
+          val raw = dot / denom
+          if (raw >= guard) {
+            val cos = Similarity.round6(raw)
+            if (cos >= threshold)
+              out += (if (ida < idb) (ida, idb, cos) else (idb, ida, cos))
           }
-          i += 1
+        }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        if (diag) { // one chunk, triangular loop — the classic kernel
+          val ms = ms0.toArray.map { case (_, id, v) => (id, v) }.sortBy(_._1)
+          val norms = ms.map { case (_, v) => norm(v) }
+          var i = 0
+          while (i < ms.length) {
+            var j = i + 1
+            while (j < ms.length) {
+              emit(ms(i)._1, ms(i)._2, norms(i), ms(j)._1, ms(j)._2, norms(j), out)
+              j += 1
+            }
+            i += 1
+          }
+        } else { // cross tile: chunks are disjoint, full A×B
+          val a = ms0.iterator.filter(_._1 == 0).map { case (_, id, v) => (id, v) }.toArray
+          val b = ms0.iterator.filter(_._1 == 1).map { case (_, id, v) => (id, v) }.toArray
+          val nb = b.map { case (_, v) => norm(v) }
+          var i = 0
+          while (i < a.length) {
+            val na = norm(a(i)._2)
+            var j = 0
+            while (j < b.length) {
+              emit(a(i)._1, a(i)._2, na, b(j)._1, b(j)._2, nb(j), out)
+              j += 1
+            }
+            i += 1
+          }
         }
         out.result()
       }

@@ -89,6 +89,14 @@ object Similarity {
   val NumBands = 4
   private val BitsPerBand = NumPlanes / NumBands
 
+  /** Full deterministic plane pool. The first [[NumPlanes]] entries are
+    * the legacy 16 (the SplitMix64 stream is sequential, so growing the
+    * pool is prefix-stable — every existing 16-plane banding hashes to
+    * byte-identical buckets); the tail exists so corpus-scaled bandings
+    * (up to 8 bands × 8 bits in [[Dedup.embedPairsOf]]) never reuse a
+    * plane within a band. */
+  private[llmdata] val MaxPlanes = 64
+
   private[llmdata] val hyperplanes: Array[Array[Double]] = {
     var state = 42L
     def next(): Long = { // SplitMix64, public-domain mixing constants
@@ -98,7 +106,7 @@ object Similarity {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    Array.fill(NumPlanes)(Array.fill(64)(if ((next() & 1L) == 0L) 1.0 else -1.0))
+    Array.fill(MaxPlanes)(Array.fill(64)(if ((next() & 1L) == 0L) 1.0 else -1.0))
   }
 
   /** (id, band, bucket) keys: bucket = sign bits of hyperplane dots.
@@ -107,7 +115,7 @@ object Similarity {
   def lshKeys(vecs: DataFrame, idCol: String, vecCol: String,
               numBands: Int = NumBands,
               bitsPerBand: Int = BitsPerBand): DataFrame = {
-    require(numBands * bitsPerBand <= NumPlanes)
+    require(numBands * bitsPerBand <= MaxPlanes)
     val bandCols = (0 until numBands).map { b =>
       val bits = (0 until bitsPerBand).map { r =>
         val plane = typedlit(hyperplanes(b * bitsPerBand + r).toSeq)

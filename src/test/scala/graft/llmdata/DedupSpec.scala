@@ -87,6 +87,44 @@ class DedupSpec extends SparkSpec {
       "candidates are exact-cosine-verified, so no sub-threshold pair may survive")
   }
 
+  // deterministic hot-bucket corpus: positive scalings of one base
+  // vector share every hyperplane sign, so ALL land in the same
+  // (band, bucket) in all 8 bands — the adversarial skew the width
+  // bound exists for
+  private def hotVectors(m: Int): Seq[(Long, Array[Float])] = {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1.0) * 2).toFloat)
+    (0L until m.toLong).map(i => (i, base.map(x => x * (1.0f + i * 1e-3f))))
+  }
+
+  test("planted hot bucket: tiled kernel equals the unbounded kernel pair-for-pair") {
+    import spark.implicits._
+    val loose = (100L until 140L).map(i =>
+      (i, Array.tabulate(64)(d => (math.sin(i * 64.0 + d) * 2).toFloat)))
+    val vecs = (hotVectors(60) ++ loose).toDF("vec_id", "embedding")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // width 60 > 8 forces ceil(60/8) = 8 chunks → 36 tiles per band;
+    // pin the banding so both runs verify the SAME candidate set (the
+    // default corpus-scaled bits would differ between the two widths)
+    val bounded = rows(Dedup.embedPairsOf(spark, vecs, 0.9,
+      maxBucketWidth = 8, bitsPerBand = Some(2)))
+    val unbounded = rows(Dedup.embedPairsOf(spark, vecs, 0.9,
+      maxBucketWidth = Int.MaxValue, bitsPerBand = Some(2)))
+    assert(bounded === unbounded, "tiling must not change the pair set or a single cosine")
+    // every within-bucket pair lands in exactly one tile: all 60·59/2
+    // planted pairs (cosine 1.0 across positive scalings) must survive
+    assert(bounded.count { case (a, b, _) => a < 60 && b < 60 } === 60 * 59 / 2)
+  }
+
+  test("degenerate hot bucket fails loudly, pointing at upstream exact dedup") {
+    import spark.implicits._
+    val vecs = hotVectors(60).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embedPairsOf(spark, vecs, 0.9, maxBucketWidth = 8, maxChunks = 4).count()
+    }
+    assert(ex.getMessage.contains("exact dedup"))
+  }
+
   test("near-identical documents collide in simhash (distance ≤ planted-dup bound)") {
     // the corpus' exact-Jaccard near-dups (J≥0.5) must also be close in
     // simhash space — token multisets differ by a small fraction
