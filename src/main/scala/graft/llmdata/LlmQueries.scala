@@ -1096,7 +1096,10 @@ object LlmQueries {
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "txt_final_corpus" -> ((s, d) =>
       TextAnalysis.finalCorpus(s, d, 0.2, Some(JaccardDocFreqCap))),
-    "txt_chunks" -> ((s, d) => TextAnalysis.passageChunks(s, d)),
+    // terminal sort matches the oracle's ORDER BY contract — the
+    // operator itself stays sort-free (chunkDedup re-shuffles anyway)
+    "txt_chunks" -> ((s, d) => TextAnalysis.passageChunks(s, d)
+      .orderBy("doc_id", "chunk_idx")),
     "txt_redact" -> TextAnalysis.redactPii _,
     "txt_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),

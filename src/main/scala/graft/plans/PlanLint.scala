@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{LocalLimitExec, SparkPlan}
+import org.apache.spark.sql.execution.{CollectLimitExec, LocalLimitExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -28,7 +28,12 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *    through ONE task (the classic un-partitioned `Window.orderBy`
   *    shape). Exchanges fed by a PARTIAL aggregate or a local limit
   *    are exempt: only per-partition buffers / ≤limit rows cross
-  *    them, the healthy global-aggregate and global-limit plans.
+  *    them, the healthy global-aggregate and global-limit plans —
+  *    but the limit itself must be ≤ [[MaxExemptLocalLimit]]: a
+  *    `limit(100M)` is a global collect wearing a limit costume.
+  *    The TERMINAL-limit twin (`CollectLimitExec`, which has no
+  *    Exchange node at all yet funnels every partition into one
+  *    task) is held to the same bound.
   *    (A global `orderBy` plans a RANGE exchange — scalable, and
   *    deliberately not flagged; `TakeOrderedAndProject` top-k
   *    triggers nothing either.)
@@ -41,8 +46,16 @@ object PlanLint {
     override def toString: String = s"[$kind] $operator"
   }
 
+  /** Largest `LocalLimit` that still exempts a single-partition
+    * exchange: a top-k funnel is healthy because k is SMALL, and an
+    * unbounded exemption would let `limit(100_000_000)` funnel through
+    * one task while linting clean. 1M rows/upstream-partition is far
+    * above any registered top-k and far below a memory hazard. */
+  val MaxExemptLocalLimit: Int = 1000000
+
   /** Lint the query's compiled physical plan; empty = clean. */
-  def lint(df: DataFrame): Seq[Finding] =
+  def lint(df: DataFrame,
+           maxExemptLimit: Int = MaxExemptLocalLimit): Seq[Finding] =
     collectPlan(df.queryExecution.executedPlan).flatMap { p =>
       val name = p.getClass.getSimpleName
       p match {
@@ -52,21 +65,29 @@ object PlanLint {
           Some(Finding("bnl-join", p.nodeName))
         case e: ShuffleExchangeLike
             if e.outputPartitioning == SinglePartition &&
-              !inputAlreadyReduced(e.child) =>
+              !inputAlreadyReduced(e.child, maxExemptLimit) =>
+          Some(Finding("single-partition-exchange", p.nodeName))
+        case c: CollectLimitExec if c.limit > maxExemptLimit ||
+              c.limit < 0 =>
+          // a TERMINAL limit plans CollectLimit — no Exchange node
+          // exists, but all partitions still funnel into one task
+          // (and limit(-1)/tail shapes are unbounded outright)
           Some(Finding("single-partition-exchange", p.nodeName))
         case _ => None
       }
     }
 
   /** True when only reduced data crosses the exchange: a PARTIAL
-    * aggregate (per-partition buffers) or a local limit (≤limit rows
-    * per partition) directly below it. */
-  private def inputAlreadyReduced(child: SparkPlan): Boolean = child match {
+    * aggregate (per-partition buffers) or a SMALL local limit (≤limit
+    * rows per partition, limit itself bounded — see
+    * [[MaxExemptLocalLimit]]) directly below it. */
+  private def inputAlreadyReduced(child: SparkPlan,
+                                  maxExemptLimit: Int): Boolean = child match {
     case agg: BaseAggregateExec =>
       agg.aggregateExpressions.nonEmpty &&
         agg.aggregateExpressions.forall(e =>
           e.mode == Partial || e.mode == PartialMerge)
-    case _: LocalLimitExec => true
+    case l: LocalLimitExec => l.limit <= maxExemptLimit
     case _ => false
   }
 

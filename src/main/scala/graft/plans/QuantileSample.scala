@@ -47,7 +47,16 @@ object QSample {
                   val m: java.util.TreeMap[java.lang.Long, java.lang.Double])
 
   private[plans] def add(buf: Buf, flipped: Long, value: Double): Unit = {
-    if (buf.m.size < buf.k) { buf.m.put(flipped, value); () }
+    // equal-key insert (duplicate row-id, or an xxhash64 collision
+    // between distinct ids, ~n²/2⁶⁴): keep the MIN value so the
+    // survivor is merge-order-independent — last-write-wins would let
+    // partial-aggregation order pick the winner and quietly break the
+    // byte-identical-merge guarantee the sketch gates assert
+    val prev = buf.m.get(flipped)
+    if (prev != null) {
+      if (value < prev) { buf.m.put(flipped, value); () }
+    }
+    else if (buf.m.size < buf.k) { buf.m.put(flipped, value); () }
     else if (flipped < buf.m.lastKey()) {
       buf.m.put(flipped, value)
       if (buf.m.size > buf.k) { buf.m.pollLastEntry(); () }

@@ -50,7 +50,10 @@ object Skew {
     *
     * Result is row-for-row equal to `fact.join(dim, factKey === dimKey)`
     * (inner; SkewSpec property). The salt source must be deterministic
-    * per fact row (e.g. `xxhash64` of a unique id) for retry idempotence.
+    * per fact row (e.g. `xxhash64` of a unique id) for retry idempotence;
+    * a NULL salt coalesces to bucket 0 (a null `_salt` equality would
+    * silently DROP the row, breaking plain-join equality — the null
+    * rows all landing in one bucket is the fallback's only cost).
     * The dimension is hinted `shuffle_hash`: replication already priced
     * the shuffle, and a broadcast of dim×salts would defeat the point. */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
@@ -58,7 +61,8 @@ object Skew {
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "saltedEquiJoin: an input already has a _salt column — it would be " +
         "overwritten and dropped, breaking plain-join equality")
-    val saltedFact = fact.withColumn("_salt", pmod(saltFrom, lit(salts)))
+    val saltedFact =
+      fact.withColumn("_salt", coalesce(pmod(saltFrom, lit(salts)), lit(0)))
     val repDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
       .hint("shuffle_hash")
     saltedFact

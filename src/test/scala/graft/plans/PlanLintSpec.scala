@@ -54,6 +54,22 @@ class PlanLintSpec extends SparkSpec {
     // used exactly this shape
     val limited = docs.limit(3)
     assert(!PlanLint.lint(limited).exists(_.kind == "single-partition-exchange"))
+    // …but the exemption is itself bounded: a huge limit is a global
+    // collect wearing a limit costume (ADVICE r05) and must lint dirty
+    // in BOTH physical shapes — terminal (CollectLimit, no Exchange
+    // node at all) and mid-plan (Exchange SinglePartition over
+    // LocalLimit)
+    val hugeTerminal = docs.limit(100000000)
+    assert(PlanLint.lint(hugeTerminal).exists(_.kind == "single-partition-exchange"),
+      "terminal limit(100M) must flag the CollectLimit funnel")
+    val hugeMidPlan = docs.limit(100000000).groupBy(col("source")).count()
+    assert(PlanLint.lint(hugeMidPlan).exists(_.kind == "single-partition-exchange"),
+      "mid-plan limit(100M) above MaxExemptLocalLimit must flag the funnel")
+    // and the bound is the caller's knob
+    assert(!PlanLint.lint(hugeTerminal, maxExemptLimit = Int.MaxValue)
+      .exists(_.kind == "single-partition-exchange"))
+    assert(!PlanLint.lint(hugeMidPlan, maxExemptLimit = Int.MaxValue)
+      .exists(_.kind == "single-partition-exchange"))
   }
 
   test("scale-killers inside subquery expressions are found") {

@@ -102,6 +102,17 @@ class QuantileSampleSpec extends SparkSpec {
     assert(!merged.isNullAt(0))
   }
 
+  test("equal-key inserts keep a merge-order-independent winner (min value)") {
+    // duplicate row-ids (or a 64-bit hash collision) hit the same slot;
+    // last-write-wins would make the survivor depend on partial-agg
+    // order (ADVICE r05) — the buffer must keep min regardless of order
+    def buf() = new QSample.Buf(4, new java.util.TreeMap[java.lang.Long, java.lang.Double])
+    val a = buf(); QSample.add(a, 10L, 1.0); QSample.add(a, 10L, 2.0)
+    val b = buf(); QSample.add(b, 10L, 2.0); QSample.add(b, 10L, 1.0)
+    assert(QSample.serialize(a).toSeq === QSample.serialize(b).toSeq)
+    assert(a.m.get(10L) === 1.0)
+  }
+
   test("mixed-capacity merges fail loudly instead of degrading the bound") {
     val a = events.limit(50).agg(call_function("qsample_sketch",
       col("event_id"), col("value"), lit(16)).as("sk"))

@@ -48,6 +48,20 @@ class SkewSpec extends SparkSpec {
     assert(hotSalts > 1)
   }
 
+  test("salted equi join keeps rows whose salt source is NULL (ADVICE r05)") {
+    import spark.implicits._
+    val fact = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "row_id")
+      // null out a third of the salt sources — before the coalesce
+      // guard these rows silently vanished from the join
+      .withColumn("salt_src",
+        when(col("row_id") % 3 === 0, lit(null)).otherwise(xxhash64(col("row_id"))))
+    val dim = (0 to 4).map(k => (k.toLong, s"d$k")).toDF("dk", "attr")
+    val salted = Skew.saltedEquiJoin(fact, dim, "k", "dk", col("salt_src"), salts = 8)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("salted equi join with salts=1 degenerates to the plain join") {
     import spark.implicits._
     val fact = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "row_id")
