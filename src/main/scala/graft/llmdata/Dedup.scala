@@ -645,12 +645,14 @@ object Dedup {
     * training corpus can be filtered — dropping only paired docs would
     * keep C or drop too much depending on pair order.
     *
-    * Scale shape: each round is one equi-join of the label table with
-    * the (symmetrized) edge list plus one min-aggregate — both hash-
-    * partitioned on node id, no driver-side graph. Lineage is severed
-    * per round with `localCheckpoint` (an iterative plan would
-    * otherwise grow by a join per round and re-execute from round 0 at
-    * every action). Two round-count/round-cost trims, both exploiting
+    * Scale shape: each propagation step is one equi-join of the label
+    * table with the (symmetrized) edge list plus one min-aggregate —
+    * both hash-partitioned on node id, no driver-side graph; steps run
+    * BATCHED IN PAIRS per materialized round (see the loop comment).
+    * Lineage is severed per round with `localCheckpoint` (an iterative
+    * plan would otherwise grow by a join per round and re-execute from
+    * round 0 at every action). Two round-count/round-cost trims, both
+    * exploiting
     * that labels are MONOTONE NON-INCREASING: the seed label is already
     * `min(id, Γ(id))` (one aggregate over the edge list — pair and
     * star components converge a full round earlier than self-seeding),
@@ -678,14 +680,22 @@ object Dedup {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
+    def propagate(l: DataFrame): DataFrame =
+      l.union(sym.join(l.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label")))
+        .groupBy("id").agg(min("label").as("label"))
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      // TWO propagation steps per materialization: the intermediate
+      // label table stays a lazy plan (its aggregate exchange is reused
+      // between the two consumers), so each Spark job advances the
+      // frontier two hops — halving the per-round job-scheduling +
+      // checkpoint + convergence-probe overhead that dominates at small
+      // component diameters (2–4 on this corpus). Labels are monotone,
+      // so over-stepping past the fixpoint is a no-op; the worst case
+      // is one wasted propagation when the diameter is odd.
+      val next = propagate(propagate(labels)).localCheckpoint()
       val s = labelSum(next)
       // an empty graph sums to null on both sides: converged
       converged =

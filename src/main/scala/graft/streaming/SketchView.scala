@@ -21,8 +21,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (sketch union alone is idempotent; sums are not). `foreachBatch`
   * re-delivers the last batch after a restart even when it committed —
   * the `_committed/<batchId>` marker (an underscore path, invisible to
-  * parquet listings) makes that replay a no-op. The unguardable
-  * remainder — a crash BETWEEN the store write and the marker write —
+  * parquet listings) makes that replay a no-op. A crash BETWEEN the
+  * store write and the marker write is reconciled per-day: every
+  * merged row is stamped with the committing batch id (`last_batch`),
+  * so the replay skips days the interrupted commit already rewrote —
+  * including the partial-commit case where only SOME day partitions
+  * had swapped in — and merges only the rest. The one remaining
+  * window is inside the file-commit protocol itself (a day directory
+  * deleted but its replacement not yet renamed in); closing that
   * needs a transactional table format (Iceberg/Delta commit) and is
   * documented, not hidden.
   *
@@ -60,11 +66,14 @@ object SketchView {
     * table format; this ledger targets the single-writer restart
     * re-delivery case.
     *
-    * @return true if this call committed the batch; false if `batchId`
-    *         was already committed (restart re-delivery, a backfill id
-    *         colliding with the ledger, or a lost same-id race) —
-    *         callers doing backfills MUST check this, a dropped shard
-    *         is otherwise invisible. */
+    * @return true if this call committed the batch (including
+    *         completing a crash-interrupted commit whose data was
+    *         already in place — the per-day `last_batch` stamp makes
+    *         that replay merge nothing and just write the marker);
+    *         false if `batchId` was already committed (restart
+    *         re-delivery, a backfill id colliding with the ledger, or
+    *         a lost same-id race) — callers doing backfills MUST check
+    *         this, a dropped shard is otherwise invisible. */
   def mergeBatch(batch: DataFrame, batchId: Long, storeDir: String): Boolean = {
     val spark = batch.sparkSession
     // all paths through the Hadoop FS API: the store lives on
@@ -83,25 +92,41 @@ object SketchView {
       if (!delta.isEmpty) {
         val days = delta.select(col("day")).distinct().collect()
           .map(_.getDate(0)).toSeq
-        val existing =
+        val existingRaw =
           if (PartitionedStore.exists(spark, storeDir))
             spark.read.parquet(storeDir).where(col("day").isin(days: _*))
           else delta.limit(0)
-        // store rows are partials: combining = the same union/re-sum
-        // aggregation that built them (sketch merge is associative).
-        // allowMissingColumns: a store written before a sketch column
-        // existed (schema evolution) null-fills it — the merge then
-        // skips those nulls, so pre-upgrade rows contribute nothing to
-        // the NEW sketch until backfilled (degraded, never wedged)
-        val merged = existing.unionByName(delta, allowMissingColumns = true)
-          .groupBy(col("day"))
-          .agg(
-            hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
-            call_function("qsample_merge", col("value_sketch"))
-              .as("value_sketch"),
-            sum(col("n")).as("n"),
-            sum(col("value_total")).as("value_total"))
-        PartitionedStore.overwritePartitions(merged, storeDir, Seq("day"))
+        // per-day commit stamp (legacy pre-stamp stores null-fill it):
+        // a day already carrying THIS batch id absorbed the delta
+        // before a crash that never reached the marker — re-merging it
+        // would double the additive sums, so it is skipped
+        val existing =
+          if (existingRaw.columns.contains("last_batch")) existingRaw
+          else existingRaw.withColumn("last_batch", lit(null).cast("long"))
+        val doneDays = existing.filter(col("last_batch") === batchId)
+          .select(col("day")).distinct().collect().map(_.getDate(0)).toSet
+        val mergeDays = days.filterNot(doneDays.contains)
+        if (mergeDays.nonEmpty) {
+          // store rows are partials: combining = the same union/re-sum
+          // aggregation that built them (sketch merge is associative).
+          // allowMissingColumns: a store written before a sketch column
+          // existed (schema evolution) null-fills it — the merge then
+          // skips those nulls, so pre-upgrade rows contribute nothing to
+          // the NEW sketch until backfilled (degraded, never wedged)
+          val merged = existing.drop("last_batch")
+            .where(col("day").isin(mergeDays: _*))
+            .unionByName(delta.where(col("day").isin(mergeDays: _*)),
+              allowMissingColumns = true)
+            .groupBy(col("day"))
+            .agg(
+              hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
+              call_function("qsample_merge", col("value_sketch"))
+                .as("value_sketch"),
+              sum(col("n")).as("n"),
+              sum(col("value_total")).as("value_total"))
+            .withColumn("last_batch", lit(batchId))
+          PartitionedStore.overwritePartitions(merged, storeDir, Seq("day"))
+        }
       }
     } finally { delta.unpersist(); () }
     // the atomic create is the commit point: a lost same-id race

@@ -106,7 +106,9 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark("Card", "timestamp")
 
   case class CardTx(card: String, ts: java.sql.Timestamp, cents: Long)
-  case class CardState(n: Long, cents: Long)
+  /** Folded running totals plus the not-yet-final rows held back until
+    * the watermark passes them. */
+  case class CardState(n: Long, cents: Long, buf: Seq[CardTx])
   case class VelocityAlert(card: String, n_tx: Long, total_usd: Double,
                            at: java.sql.Timestamp)
 
@@ -118,25 +120,32 @@ object StreamingAnalytics {
     * across micro-batches and arbitrary gaps.
     *
     * Semantics/scale notes:
-    *  - amounts are tracked in integer cents (exact, order-independent
-    *    once per-group order is fixed); within an invocation rows are
-    *    processed in deterministic (ts, cents) order;
-    *  - ARRIVAL-ORDER CAVEAT: the (ts, cents) sort is per micro-batch
-    *    only. A late-but-within-watermark row landing in a LATER trigger
-    *    folds into the running total after rows it precedes in event
-    *    time, so `n_tx`/`at` on boundary alerts reflect arrival order
-    *    across batches (the cumulative TOTAL is unaffected — addition
-    *    commutes). Exact event-time replay would require buffering rows
-    *    in state until the watermark passes them; this operator trades
-    *    that latency/state cost away, like most production velocity
-    *    monitors. The batch twin (`tx12`) is fully event-time ordered;
-    *  - state is ONE small record per card, expired by an event-time
-    *    timeout `stateGapMs` past the card's latest activity (clamped
-    *    above the current watermark, which Spark requires) — idle cards
-    *    cost nothing forever;
-    *  - in batch mode the same function runs with empty initial state
-    *    and no timeouts, so StreamingStateSpec uses an independent
-    *    window-based batch formulation as the oracle. */
+    *  - amounts are tracked in integer cents (exact);
+    *  - OUT-OF-ORDER SAFE: rows are BUFFERED in state until the
+    *    watermark passes their event time, then folded into the running
+    *    total in exact (ts, cents) event-time order — so a
+    *    late-but-within-watermark row arriving in a LATER trigger still
+    *    folds in its event-time position and boundary alerts (`n_tx`,
+    *    `at`) match the batch twin (`tx12`) exactly. The price is the
+    *    standard watermark trade: alerts trail event time by the
+    *    watermark delay, and state additionally holds the last delay's
+    *    worth of rows per card (bounded by delay × per-card rate).
+    *    Spark itself drops rows later than the watermark before they
+    *    reach the function (EventTimeTimeout implies late-row
+    *    filtering), so the fold never sees a row older than one it
+    *    already applied;
+    *  - the event-time timeout `stateGapMs` past the card's latest
+    *    activity (clamped above the current watermark, which Spark
+    *    requires) FLUSHES the remaining buffer — every buffered row is
+    *    older than the fired watermark by construction, so the flush is
+    *    the eviction-driven final emission, then state is dropped and
+    *    idle cards cost nothing forever;
+    *  - in batch mode `withWatermark` is a no-op and there IS no
+    *    watermark (`getCurrentWatermarkMs` throws), so every row is
+    *    treated as final: the single per-group invocation folds the
+    *    whole group in event-time order — the fully-ordered batch
+    *    semantics. StreamingStateSpec oracles both arrival orders
+    *    against an independent cumulative-window formulation. */
   def velocityAlerts(enriched: DataFrame, thresholdUsd: Long = 1000L,
                      watermarkDelay: String = "10 minutes",
                      stateGapMs: Long = 30L * 60 * 1000): Dataset[VelocityAlert] = {
@@ -152,24 +161,39 @@ object StreamingAnalytics {
       .groupByKey(_.card)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (card: String, rows: Iterator[CardTx], state: GroupState[CardState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var st = state.getOption.getOrElse(CardState(0L, 0L))
+          // fold rows the watermark has finalized, in event-time order
+          def fold(st0: CardState, ripe: Seq[CardTx])
+              : (CardState, Seq[VelocityAlert]) = {
+            var n = st0.n; var cents = st0.cents
             val out = Seq.newBuilder[VelocityAlert]
-            var maxTs = 0L
-            rows.toArray.sortBy(r => (r.ts.getTime, r.cents)).foreach { r =>
-              val boundariesBefore = st.cents / thresholdCents
-              st = CardState(st.n + 1, st.cents + r.cents)
-              if (st.cents / thresholdCents > boundariesBefore)
-                out += VelocityAlert(card, st.n, st.cents / 100.0, r.ts)
-              maxTs = math.max(maxTs, r.ts.getTime)
+            ripe.sortBy(r => (r.ts.getTime, r.cents)).foreach { r =>
+              val boundariesBefore = cents / thresholdCents
+              n += 1; cents += r.cents
+              if (cents / thresholdCents > boundariesBefore)
+                out += VelocityAlert(card, n, cents / 100.0, r.ts)
             }
-            state.update(st)
-            state.setTimeoutTimestamp(
-              math.max(maxTs, state.getCurrentWatermarkMs()) + stateGapMs)
-            out.result().iterator
+            (CardState(n, cents, Seq.empty), out.result())
+          }
+          if (state.hasTimedOut) {
+            // wm > maxTs + gap ≥ every buffered row: all final — flush
+            val st = state.getOption.getOrElse(CardState(0L, 0L, Seq.empty))
+            val (_, alerts) = fold(st.copy(buf = Seq.empty), st.buf)
+            state.remove()
+            alerts.iterator
+          } else {
+            val st = state.getOption.getOrElse(CardState(0L, 0L, Seq.empty))
+            // batch mode: no watermark exists — every row is final
+            val wm = scala.util.Try(state.getCurrentWatermarkMs())
+              .getOrElse(Long.MaxValue)
+            val all = st.buf ++ rows
+            val (ripe, hold) = all.partition(_.ts.getTime < wm)
+            val (folded, alerts) = fold(st.copy(buf = Seq.empty), ripe)
+            state.update(CardState(folded.n, folded.cents, hold))
+            if (wm != Long.MaxValue) {
+              val maxTs = all.foldLeft(0L)((m, r) => math.max(m, r.ts.getTime))
+              state.setTimeoutTimestamp(math.max(maxTs, wm) + stateGapMs)
+            }
+            alerts.iterator
           }
       }
   }
@@ -179,55 +203,88 @@ object StreamingAnalytics {
   /** Per-card transaction-count MILESTONES on the MODERN arbitrary
     * state API (`transformWithState` + [[MilestoneProcessor]]) — the
     * Spark 4 replacement for `flatMapGroupsWithState` that
-    * [[velocityAlerts]] uses: state is a named, schema'd
-    * `ValueState[Long]` managed by the state-store (RocksDB provider
-    * required), not an opaque user blob, which is what unlocks state
-    * TTL, re-scaling, and the state reader at 100 TB. Emits one row
-    * each time a card's cumulative valid-transaction count crosses a
-    * multiple of `k` (the "every 5th transaction earns a reward" shape).
+    * [[velocityAlerts]] uses: state is named, schema'd, state-store
+    * managed (RocksDB provider required), not an opaque user blob,
+    * which is what unlocks state TTL, re-scaling, and the state reader
+    * at 100 TB. Emits one row each time a card's cumulative
+    * valid-transaction count crosses a multiple of `k` (the "every 5th
+    * transaction earns a reward" shape).
     *
-    * Same determinism conventions as [[velocityAlerts]]: rows sort
-    * (ts, cents) within an invocation, so under in-order delivery the
-    * output equals the batch `row_number % k == 0` oracle
-    * (StreamingStateSpec drives TWO micro-batches to prove the count
-    * carries across triggers). State is one long per card. */
-  def milestoneAlerts(enriched: DataFrame, k: Long = 5L): Dataset[Milestone] = {
+    * OUT-OF-ORDER SAFE like [[velocityAlerts]], expressed in the modern
+    * API's vocabulary: a `ListState` buffers rows until the watermark
+    * finalizes them (`TimeMode.EventTime`, so the input needs the
+    * watermark this method sets), folds happen in exact (ts, cents)
+    * event-time order, and a per-card event-time TIMER at
+    * latest-activity + `stateGapMs` flushes the tail. The counter
+    * itself lives in a `ValueState[Long]` and is never expired — a
+    * returning card resumes its lifetime count. */
+  def milestoneAlerts(enriched: DataFrame, k: Long = 5L,
+                      watermarkDelay: String = "10 minutes",
+                      stateGapMs: Long = 30L * 60 * 1000): Dataset[Milestone] = {
     val spark = enriched.sparkSession
     import spark.implicits._
     enriched
+      .withWatermark("transaction_date", watermarkDelay)
       .select(col("Card").as("card"), col("transaction_date").as("ts"),
         (col("Amount_USD").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .where(col("card").isNotNull && col("ts").isNotNull && col("cents").isNotNull)
       .as[CardTx]
       .groupByKey(_.card)
-      .transformWithState(new MilestoneProcessor(k),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .transformWithState(new MilestoneProcessor(k, stateGapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** The [[milestoneAlerts]] state machine: a named ValueState counter
-    * per card, folded in deterministic (ts, cents) order per batch. */
-  class MilestoneProcessor(k: Long)
+  /** The [[milestoneAlerts]] state machine: a ValueState lifetime
+    * counter + a ListState watermark buffer per card. Rows fold only
+    * once the watermark passes them (event-time order within the
+    * finalized set); a timer re-registered at each batch's
+    * latest-activity + gap flushes whatever the watermark has finalized
+    * by then. A stale timer firing early is harmless: the expiry
+    * handler also folds only watermark-finalized rows and re-arms if a
+    * buffer remains. */
+  class MilestoneProcessor(k: Long, stateGapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, CardTx, Milestone] {
-    @transient private var count:
-        org.apache.spark.sql.streaming.ValueState[Long] = _
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, ValueState}
+    @transient private var count: ValueState[Long] = _
+    @transient private var buf: ListState[CardTx] = _
     override def init(outputMode: OutputMode,
-                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       count = getHandle.getValueState[Long]("count",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-    override def handleInputRows(card: String, rows: Iterator[CardTx],
-        timerValues: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[Milestone] = {
+      buf = getHandle.getListState[CardTx]("buf",
+        org.apache.spark.sql.Encoders.product[CardTx],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    /** Fold watermark-finalized rows into the counter; hold the rest. */
+    private def drain(card: String, incoming: Seq[CardTx],
+                      timerValues: TimerValues): Iterator[Milestone] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toSeq ++ incoming
+      val (ripe, hold) = all.partition(_.ts.getTime < wm)
       var c = if (count.exists()) count.get() else 0L
       val out = Seq.newBuilder[Milestone]
-      rows.toArray.sortBy(r => (r.ts.getTime, r.cents)).foreach { r =>
+      ripe.sortBy(r => (r.ts.getTime, r.cents)).foreach { r =>
         c += 1
         if (c % k == 0) out += Milestone(card, c, r.ts)
       }
       count.update(c)
+      if (hold.isEmpty) buf.clear() else buf.put(hold.toArray)
+      if (hold.nonEmpty || incoming.nonEmpty) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        val maxTs = all.foldLeft(0L)((m, r) => math.max(m, r.ts.getTime))
+        getHandle.registerTimer(math.max(maxTs, wm) + stateGapMs)
+      }
       out.result().iterator
     }
+    override def handleInputRows(card: String, rows: Iterator[CardTx],
+        timerValues: TimerValues): Iterator[Milestone] =
+      drain(card, rows.toSeq, timerValues)
+    override def handleExpiredTimer(card: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Milestone] =
+      drain(card, Seq.empty, timerValues)
   }
 
   // `ts` rides along unused by the fold: the watermark's event-time
@@ -256,11 +313,13 @@ object StreamingAnalytics {
     *    activity (clamped above the watermark) — a converted or idle
     *    user costs nothing forever; a user who re-appears after
     *    eviction starts a fresh funnel, standard monitor semantics;
-    *  - ARRIVAL-ORDER CAVEAT (same trade as [[velocityAlerts]]): a
-    *    late-but-within-watermark event folding into a LATER trigger is
-    *    applied after already-processed later-timestamped events, so a
-    *    late first-view can be missed as an anchor; exact event-time
-    *    replay would buffer rows in state until the watermark passes. */
+    *  - ARRIVAL-ORDER CAVEAT: a late-but-within-watermark event folding
+    *    into a LATER trigger is applied after already-processed
+    *    later-timestamped events, so a late first-view can be missed as
+    *    an anchor. [[velocityAlerts]] shows the exact event-time-replay
+    *    alternative (buffer in state until the watermark passes); this
+    *    monitor keeps the low-latency trade because a funnel anchor
+    *    emitted early is actionable while a velocity total is not. */
   def funnelConversions(events: DataFrame, windowHours: Int = 24,
                         watermarkDelay: String = "10 minutes",
                         stateGapMs: Long = 48L * 3600 * 1000): DataFrame = {

@@ -34,12 +34,17 @@ import org.apache.spark.sql.functions._
   * Under `SPARK_GRAFT_PROCESSED_DIR` the store name is the sanitized
   * source dir PLUS a hash of the raw string, so distinct dirs that
   * sanitize identically (`/a/b` vs `/a_b`) cannot collide, and the
-  * table is staged to a `.tmp-<pid>` sibling then renamed into place so
-  * a concurrent reader never sees a half-written table. Single writer
-  * per (source dir, base) is still assumed — two JVMs materializing the
-  * same source concurrently race on the final rename (last one wins; a
-  * dedicated orchestration layer should own that, as the reference's
-  * Airflow DAG does).
+  * table is staged to a `.tmp-<pid>` sibling then swapped into place
+  * under an advisory `<out>.lock` (create-if-absent, atomic on
+  * HDFS/posix) so a concurrent reader never sees a half-written table
+  * AND two JVMs materializing the same source cannot interleave the
+  * delete→rename swap — un-serialized, the loser's rename can land its
+  * staged dir INSIDE the winner's just-renamed table (HDFS rename into
+  * an existing directory nests the source under it), corrupting the
+  * store. With the lock, concurrent healthy writers degrade to
+  * last-writer-wins over byte-equivalent content (the enrichment is
+  * deterministic); see [[withSwapLock]] for the stale-crashed-writer
+  * takeover.
   *
   * The memo assumes the data under `dir` is IMMUTABLE for the session's
   * lifetime (true for the warehouse layout this models: day partitions
@@ -74,29 +79,66 @@ object ProcessedStore {
         p.toString
     }
 
-  private def materialize(spark: SparkSession, dir: String): String = {
-    val out = newStoreDir(dir)
-    val enriched = Enrichment.enrich(
-      RawTransactions.fromEvents(spark, dir), Enrichment.DefaultRate)
-    val writer = Enrichment.project(enriched)
-      .write.mode("overwrite")
-      .partitionBy("Year", "Month", "Day")
-    if (sys.env.contains("SPARK_GRAFT_PROCESSED_DIR")) {
-      // Stage + rename: a reader never observes a HALF-WRITTEN table
-      // (the rename itself is atomic on HDFS/posix). Re-materializing
-      // over an existing store still has a delete→rename gap in which
-      // the path is briefly absent — eliminating that too needs a
-      // pointer/manifest layer (or Iceberg-style commits), out of scope
-      // for this single-writer store; readers of a store being replaced
-      // can see FileNotFound and should retry. Rename failure is an
-      // error, never a silently-cached broken path.
-      val staged = s"$out.tmp-${ProcessHandle.current().pid()}"
-      writer.parquet(staged)
-      val hc = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hc)
+  /** Advisory exclusive lock serializing the delete→rename swap across
+    * JVMs: `createNewFile` on `<out>.lock` is atomic on HDFS/posix, so
+    * two healthy writers cannot interleave delete/rename. A writer that
+    * died holding the lock leaves a stale file: waiters break locks
+    * older than `graft.processed.lockStaleMs` (default 30 min — orders
+    * of magnitude beyond a healthy swap, which is metadata-only). The
+    * break is best-effort (two waiters breaking the same corpse can
+    * both enter; that re-opens only the benign last-writer-wins overlap
+    * between healthy writers holding COMPLETE swaps, never the nesting
+    * corruption, because each still runs delete+rename under its own
+    * acquired-or-broken claim window). Waiting is bounded by
+    * `graft.processed.lockWaitMs` (default 10 min); the timeout names
+    * the lock path so an operator can inspect or remove it. */
+  private[tx] def withSwapLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                                  out: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(out + ".lock")
+    val waitMs = sys.props.get("graft.processed.lockWaitMs")
+      .map(_.toLong).getOrElse(10L * 60 * 1000)
+    val staleMs = sys.props.get("graft.processed.lockStaleMs")
+      .map(_.toLong).getOrElse(30L * 60 * 1000)
+    val deadline = System.currentTimeMillis + waitMs
+    fs.mkdirs(lock.getParent)
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try fs.createNewFile(lock)
+        catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        // FileNotFound ⇒ holder just released: retry the create at once
+        val age =
+          try System.currentTimeMillis -
+            fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.IOException => -1L }
+        if (age > staleMs) {
+          try { fs.delete(lock, false); () }
+          catch { case _: java.io.IOException => () }
+        } else if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException(
+            s"timed out after $waitMs ms waiting for processed-store " +
+              s"lock $lock (age $age ms; stale takeover at $staleMs ms " +
+              "- did a writer die holding it?)")
+        else Thread.sleep(200)
+      }
+    }
+    try body
+    finally { try { fs.delete(lock, false); () }
+      catch { case _: java.io.IOException => () } }
+  }
+
+  /** The locked swap itself: replace `out` with `staged` atomically
+    * enough for this layer (see caveats on the object doc). Package
+    * private so the spec can drive it against planted lock files
+    * without the env-dependent materialize path. */
+  private[tx] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+                           staged: String, out: String): Unit =
+    withSwapLock(fs, out) {
       fs.delete(new org.apache.hadoop.fs.Path(out), true)
       val renamed =
-        try fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(out))
+        try fs.rename(new org.apache.hadoop.fs.Path(staged),
+          new org.apache.hadoop.fs.Path(out))
         catch { case e: java.io.IOException => throw new IllegalStateException(
           s"processed-store rename $staged -> $out failed", e) }
       if (!renamed) {
@@ -105,6 +147,30 @@ object ProcessedStore {
           s"processed-store rename $staged -> $out returned false " +
             "(concurrent writer or filesystem without atomic rename?)")
       }
+    }
+
+  private def materialize(spark: SparkSession, dir: String): String = {
+    val out = newStoreDir(dir)
+    val enriched = Enrichment.enrich(
+      RawTransactions.fromEvents(spark, dir), Enrichment.DefaultRate)
+    val writer = Enrichment.project(enriched)
+      .write.mode("overwrite")
+      .partitionBy("Year", "Month", "Day")
+    if (sys.env.contains("SPARK_GRAFT_PROCESSED_DIR")) {
+      // Stage + locked swap: a reader never observes a HALF-WRITTEN
+      // table (the rename itself is atomic on HDFS/posix).
+      // Re-materializing over an existing store still has a
+      // delete→rename gap in which the path is briefly absent —
+      // eliminating that too needs a pointer/manifest layer (or
+      // Iceberg-style commits), out of scope for this store; readers
+      // of a store being replaced can see FileNotFound and should
+      // retry. Rename failure is an error, never a silently-cached
+      // broken path.
+      val staged = s"$out.tmp-${ProcessHandle.current().pid()}"
+      writer.parquet(staged)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hc)
+      swapInto(fs, staged, out)
     } else writer.parquet(out)
     out
   }

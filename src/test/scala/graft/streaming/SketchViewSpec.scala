@@ -63,6 +63,19 @@ class SketchViewSpec extends SparkSpec {
     val after = normal(spark.read.parquet(store)).collect().toSet
     assert(after === before)
 
+    // kill-between-write-and-marker: deleting a committed batch's
+    // marker reproduces the exact on-disk state of a crash AFTER the
+    // store write but BEFORE the marker write. The replay must
+    // reconcile off the per-day last_batch stamps — merge nothing,
+    // re-create the marker (reporting that it committed), and leave
+    // every measure untouched
+    assert(new java.io.File(s"$store/_committed/1").delete(),
+      "batch 1's marker must exist to simulate the crash")
+    assert(SketchView.mergeBatch(half1, 1L, store)) // completes the commit
+    val recovered = normal(spark.read.parquet(store)).collect().toSet
+    assert(recovered === before, "crash replay must not double-merge")
+    assert(!SketchView.mergeBatch(half1, 1L, store)) // marker restored
+
     // sanity: the guard is what protected it — an unguarded re-merge of
     // the same rows WOULD have changed the table
     assert(SketchView.mergeBatch(half0, 999L, store))

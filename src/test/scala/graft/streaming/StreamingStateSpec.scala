@@ -43,9 +43,61 @@ class StreamingStateSpec extends SparkSpec {
   }
 
   private def enrichedStream(maxFilesPerTrigger: Option[Int]): DataFrame =
+    enrichedStreamAt(inputDir, maxFilesPerTrigger)
+
+  private def enrichedStreamAt(dir: String,
+                               maxFilesPerTrigger: Option[Int]): DataFrame =
     Enrichment.enrich(
-      Pipeline.jsonFileSource(spark, inputDir, maxFilesPerTrigger),
+      Pipeline.jsonFileSource(spark, dir, maxFilesPerTrigger),
       Enrichment.DefaultRate, pinnedClock)
+
+  private val FlushCard = "4532999999999999"
+
+  /** One parseable far-future row: its only job is to advance the
+    * watermark past every real row + state gap, firing the
+    * timeout/timer flush that releases watermark-buffered state. */
+  private def stateFlushRow(raw: DataFrame, ts: String): DataFrame =
+    TransactionParser.toJsonValue(
+      raw.limit(1)
+        .withColumn("timestamp", lit(ts))
+        .withColumn("Card", lit(FlushCard))
+        .withColumn("Amount", lit("$10.00"))
+        .withColumn("Is Fraud?", lit("No"))
+        .withColumn("Year", lit(2031))
+        .withColumn("Month", lit(1))
+        .withColumn("Day", lit(1)))
+      .select("value")
+
+  /** The raw corpus split at its event-time median, written as two
+    * files in the given order (mod-time ≥1.2 s apart ⇒ two
+    * micro-batches under maxFilesPerTrigger=1), then two flush files.
+    * `firstEarlier = false` REVERSES delivery: the later half arrives
+    * in batch 1 and the earlier half in batch 2 — the out-of-order
+    * arrival the watermark buffer must absorb. Two flush batches
+    * because a batch only APPLIES the watermark the previous one
+    * computed. */
+  private def stateInput(firstEarlier: Boolean): String = {
+    val dir = Files.createTempDirectory("graft-state-in").toString + "/input"
+    val raw = RawTransactions.fromEvents(spark, sf).cache()
+    try {
+      val ts = raw.select("timestamp").orderBy("timestamp")
+        .collect().map(_.getString(0))
+      val cut = ts(ts.length / 2)
+      val earlier = TransactionParser.toJsonValue(
+        raw.filter(col("timestamp") < cut)).select("value")
+      val later = TransactionParser.toJsonValue(
+        raw.filter(col("timestamp") >= cut)).select("value")
+      val parts =
+        (if (firstEarlier) Seq(earlier, later) else Seq(later, earlier)) ++
+          Seq(stateFlushRow(raw, "2031-01-01T00:00:00"),
+            stateFlushRow(raw, "2031-01-02T00:00:00"))
+      parts.zipWithIndex.foreach { case (p, i) =>
+        if (i > 0) Thread.sleep(1200)
+        p.coalesce(1).write.mode("append").text(dir)
+      }
+    } finally raw.unpersist()
+    dir
+  }
 
   private lazy val enrichedBatch: DataFrame =
     Enrichment.enrich(
@@ -79,15 +131,41 @@ class StreamingStateSpec extends SparkSpec {
   }
 
   test("velocity alerts across TWO micro-batches equal the batch cumulative-window oracle") {
-    // stateGapMs far beyond the corpus span: no state may expire between
-    // batches, so every card's cumulative total must survive the trigger
-    // boundary intact — the cross-batch-state property under test
+    // stateGapMs (365 d) beyond the corpus span so no card's timeout can
+    // fire between the two real batches — every cumulative total must
+    // survive the trigger boundary intact, the cross-batch-state
+    // property under test — yet below the 2031 flush watermark, so the
+    // flush batches fire every timeout and release the buffered tail.
     val live = drain(
       StreamingAnalytics.velocityAlerts(
-        enrichedStream(maxFilesPerTrigger = Some(1)),
+        enrichedStreamAt(stateInput(firstEarlier = true),
+          maxFilesPerTrigger = Some(1)),
         thresholdUsd = ThresholdUsd,
         stateGapMs = 365L * 24 * 3600 * 1000).toDF(),
-      "velocity_live").cache()
+      "velocity_live").filter(col("card") =!= FlushCard).cache()
+    val expected = expectedAlerts.cache()
+    assert(expected.count() > 0, "corpus must produce alerts to test against")
+    assert(live.count() === expected.count())
+    assert(live.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(live).count() === 0)
+  }
+
+  test("velocity alerts under OUT-OF-ORDER delivery still equal the event-time oracle") {
+    // the later half of the corpus arrives in batch 1, the earlier half
+    // in batch 2 — with a watermark delay wider than the corpus span,
+    // batch-2 rows are late-but-within-watermark. The state buffer must
+    // hold every row until the flush batches finalize them, then fold
+    // in event-time order: n_tx/at on every boundary alert must match
+    // the fully-ordered batch oracle exactly (the pre-buffer
+    // implementation fails this test — it folded batch 1 first).
+    val live = drain(
+      StreamingAnalytics.velocityAlerts(
+        enrichedStreamAt(stateInput(firstEarlier = false),
+          maxFilesPerTrigger = Some(1)),
+        thresholdUsd = ThresholdUsd,
+        watermarkDelay = "400 days",
+        stateGapMs = 365L * 24 * 3600 * 1000).toDF(),
+      "velocity_ooo").filter(col("card") =!= FlushCard).cache()
     val expected = expectedAlerts.cache()
     assert(expected.count() > 0, "corpus must produce alerts to test against")
     assert(live.count() === expected.count())
@@ -139,36 +217,68 @@ class StreamingStateSpec extends SparkSpec {
     } finally { ev.unpersist(); () }
   }
 
-  test("transformWithState milestones across TWO micro-batches equal the batch row_number oracle") {
-    // transformWithState requires the RocksDB state-store provider
+  /** Batch oracle for the milestone monitor: every 5th row per card in
+    * (ts, cents) event-time order. */
+  private def expectedMilestones: DataFrame = {
+    val w = Window.partitionBy(col("card")).orderBy(col("ts"), col("cents"))
+    enrichedBatch
+      .select(col("Card").as("card"), col("transaction_date").as("ts"),
+        (col("Amount_USD").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .where(col("card").isNotNull && col("ts").isNotNull &&
+        col("cents").isNotNull)
+      .withColumn("n_tx", row_number().over(w).cast("long"))
+      .filter(col("n_tx") % 5 === 0)
+      .select(col("card"), col("n_tx"), col("ts").as("at"))
+  }
+
+  /** transformWithState requires the RocksDB state-store provider. */
+  private def withRocksDb[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState milestones across TWO micro-batches equal the batch row_number oracle") {
+    withRocksDb {
       val live = drain(
         StreamingAnalytics.milestoneAlerts(
-          enrichedStream(maxFilesPerTrigger = Some(1)), k = 5L).toDF(),
-        "milestone_live").cache()
-      // batch oracle: every 5th row per card in (ts, cents) order
-      val w = Window.partitionBy(col("card")).orderBy(col("ts"), col("cents"))
-      val expected = enrichedBatch
-        .select(col("Card").as("card"), col("transaction_date").as("ts"),
-          (col("Amount_USD").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-        .where(col("card").isNotNull && col("ts").isNotNull &&
-          col("cents").isNotNull)
-        .withColumn("n_tx", row_number().over(w).cast("long"))
-        .filter(col("n_tx") % 5 === 0)
-        .select(col("card"), col("n_tx"), col("ts").as("at")).cache()
+          enrichedStreamAt(stateInput(firstEarlier = true),
+            maxFilesPerTrigger = Some(1)),
+          k = 5L, stateGapMs = 365L * 24 * 3600 * 1000).toDF(),
+        "milestone_live").filter(col("card") =!= FlushCard).cache()
+      val expected = expectedMilestones.cache()
       assert(expected.count() > 0, "corpus must produce milestones")
       assert(live.count() === expected.count())
       assert(live.exceptAll(expected).count() === 0)
       assert(expected.exceptAll(live).count() === 0)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    }
+  }
+
+  test("transformWithState milestones under OUT-OF-ORDER delivery equal the event-time oracle") {
+    // reversed halves + a corpus-spanning watermark delay: the
+    // ListState buffer must hold both batches and the flush-fired timer
+    // must fold them in event-time order — milestone rows (which bind a
+    // specific count to a specific timestamp) diverge under the
+    // pre-buffer fold-on-arrival semantics
+    withRocksDb {
+      val live = drain(
+        StreamingAnalytics.milestoneAlerts(
+          enrichedStreamAt(stateInput(firstEarlier = false),
+            maxFilesPerTrigger = Some(1)),
+          k = 5L, watermarkDelay = "400 days",
+          stateGapMs = 365L * 24 * 3600 * 1000).toDF(),
+        "milestone_ooo").filter(col("card") =!= FlushCard).cache()
+      val expected = expectedMilestones.cache()
+      assert(expected.count() > 0, "corpus must produce milestones")
+      assert(live.count() === expected.count())
+      assert(live.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(live).count() === 0)
     }
   }
 

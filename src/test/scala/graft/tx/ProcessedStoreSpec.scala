@@ -40,4 +40,52 @@ class ProcessedStoreSpec extends SparkSpec {
     val p2 = TxQueries.processedTable(spark, sf).inputFiles.toSet
     assert(p1 === p2 && p1.nonEmpty)
   }
+
+  private def localFs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("swap takes and releases the advisory lock; staged content lands at out") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lock").toString
+    val (staged, out) = (s"$root/staged", s"$root/out")
+    spark.range(3).write.parquet(staged)
+    ProcessedStore.swapInto(localFs, staged, out)
+    assert(spark.read.parquet(out).count() === 3)
+    assert(!new java.io.File(s"$out.lock").exists(), "lock must be released")
+    assert(!new java.io.File(staged).exists(), "staged dir must be renamed away")
+  }
+
+  test("a stale lock (crashed writer) is broken and the swap proceeds") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lock").toString
+    val (staged, out) = (s"$root/staged", s"$root/out")
+    spark.range(4).write.parquet(staged)
+    val fs = localFs
+    val lock = new org.apache.hadoop.fs.Path(s"$out.lock")
+    fs.createNewFile(lock)
+    // age the corpse beyond the stale threshold
+    fs.setTimes(lock, System.currentTimeMillis - 60L * 60 * 1000, -1)
+    ProcessedStore.swapInto(fs, staged, out)
+    assert(spark.read.parquet(out).count() === 4)
+    assert(!new java.io.File(s"$out.lock").exists())
+  }
+
+  test("a fresh held lock blocks the swap until the wait deadline, then fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lock").toString
+    val (staged, out) = (s"$root/staged", s"$root/out")
+    spark.range(2).write.parquet(staged)
+    val fs = localFs
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$out.lock"))
+    val prop = "graft.processed.lockWaitMs"
+    val prev = sys.props.get(prop)
+    sys.props(prop) = "600"
+    try {
+      val e = intercept[IllegalStateException] {
+        ProcessedStore.swapInto(fs, staged, out)
+      }
+      assert(e.getMessage.contains("lock"))
+      assert(!new java.io.File(out).exists(), "blocked swap must not touch out")
+    } finally prev match {
+      case Some(v) => sys.props(prop) = v
+      case None => sys.props -= prop; ()
+    }
+  }
 }
