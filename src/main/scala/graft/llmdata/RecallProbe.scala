@@ -1,0 +1,55 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: measures each approximate ANN path's recall@k
+  * against [[Similarity.bruteForceTopK]] on a corpus dir, across a
+  * small grid of the knob that governs that path's cost/recall trade
+  * (IVF probes, PQ rerank pool, PCA dims × shortlist). Used to SET the
+  * SimilaritySpec recall floors from measurements instead of hope —
+  * run it whenever the index structure or the corpus generator
+  * changes:
+  *
+  * {{{
+  * sbt -batch "runMain graft.llmdata.RecallProbe /root/testdata/sf0.001"
+  * }}}
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val (nQ, k) = (args.lift(1).map(_.toInt).getOrElse(5),
+      args.lift(2).map(_.toInt).getOrElse(10))
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(spark, dir, nQ, k))
+    def recall(df: DataFrame): Double =
+      (exact & pairs(df)).size.toDouble / exact.size
+
+    println(f"corpus=$dir nQ=$nQ k=$k exact_pairs=${exact.size}")
+    for (p <- Seq(2, 4, 6, 8))
+      println(f"ivf   probes=$p%-2d                recall=${
+        recall(Similarity.ivfTopK(spark, dir, nQ, k, probes = p))}%.3f")
+    for (rf <- Seq(4, 8, 12, 16))
+      println(f"pq    rerankFactor=$rf%-2d          recall=${
+        recall(Similarity.pqTopK(spark, dir, nQ, k, rerankFactor = rf))}%.3f")
+    for ((d, c) <- Seq((8, 50), (16, 50), (16, 100), (24, 100), (32, 100)))
+      println(f"pca   dims=$d%-2d cands=$c%-3d        recall=${
+        recall(Similarity.pcaTopK(spark, dir, nQ, k, pcaDims = d, nCandidates = c))}%.3f")
+    for (mp <- Seq(false, true))
+      println(f"lsh   multiProbe=$mp%-5s          recall=${
+        recall(Similarity.lshTopK(spark, dir, nQ, k, multiProbe = mp))}%.3f")
+    spark.stop()
+  }
+}

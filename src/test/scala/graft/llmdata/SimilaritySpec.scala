@@ -50,10 +50,11 @@ class SimilaritySpec extends SparkSpec {
     val ivfSet = resultSet(ivf)
     val recall = (exactSet & ivfSet).size.toDouble / exactSet.size
     // Lloyd-refined centroids (8 deterministic rounds) on this
-    // weak-structure corpus with 4/16 probes: assert the measured floor
-    // so an assignment/refinement regression is caught (clustered
-    // corpora sit far higher); candidate work stays ~probes/cells of N
-    assert(recall >= 0.6, s"IVF recall $recall")
+    // weak-structure corpus with 8/16 probes: measured 0.86 (sf0.001) /
+    // 0.88 (sf0.01) by RecallProbe — floor 0.8 catches an assignment or
+    // refinement regression while absorbing corpus noise. The toy
+    // probes/cells ratio is not the scale story (see NumProbes doc).
+    assert(recall >= 0.8, s"IVF recall $recall")
     val joined = exact.join(
       ivf.withColumnRenamed("sim", "sim_ivf").drop("rnk"),
       Seq("query_id", "neighbor_id"))
@@ -64,15 +65,15 @@ class SimilaritySpec extends SparkSpec {
   test("PQ+rerank top-k: recall floor, exact sims, and full result shape") {
     val pq = Similarity.pqTopK(spark, sf, nQ, k).cache()
     try {
-      // every query returns a full k (rerank pool R=8k ≫ k)
+      // every query returns a full k (rerank pool R=16k ≫ k)
       val perQ = pq.groupBy("query_id").agg(count(lit(1)).as("n"))
       assert(perQ.filter(col("n") =!= k).count() === 0)
       val pqSet = resultSet(pq)
       val recall = (exactSet & pqSet).size.toDouble / exactSet.size
-      // 4-bit codes on this weak-structure corpus with an 8k rerank
-      // pool: assert the measured floor so a codebook/ADC regression
-      // is caught (clustered corpora sit far higher)
-      assert(recall >= 0.6, s"PQ recall $recall")
+      // 4-bit codes in the OPQ/PCA-rotated basis with a 16k rerank
+      // pool: measured 0.92 at both sf0.001 and sf0.01 (RecallProbe) —
+      // floor 0.9 catches a rotation/codebook/ADC regression
+      assert(recall >= 0.9, s"PQ recall $recall")
       // survivors are reranked with the exact cosine ⇒ sims must be
       // bit-identical to brute force on every overlapping pair
       val joined = exact.join(
@@ -91,9 +92,10 @@ class SimilaritySpec extends SparkSpec {
       val perQ = pca.groupBy("query_id").agg(count(lit(1)).as("n"))
       assert(perQ.filter(col("n") =!= k).count() === 0)
       val recall = (exactSet & resultSet(pca)).size.toDouble / exactSet.size
-      // 16 of 64 spectral dims with a 5k-candidate shortlist on this
-      // weak-structure corpus — assert the measured floor
-      assert(recall >= 0.6, s"PCA recall $recall")
+      // 24 of 64 spectral dims with a 10k-candidate shortlist:
+      // measured 0.96 (sf0.001) / 0.94 (sf0.01) by RecallProbe —
+      // floor 0.9 catches a projection/shortlist regression
+      assert(recall >= 0.9, s"PCA recall $recall")
       // shortlist survivors rerank with the exact cosine ⇒ sims are
       // bit-identical to brute force on every overlapping pair
       val joined = exact.join(
