@@ -38,12 +38,20 @@ object Tables {
     // fails on TIMESTAMP(NANOS) columns. Runtime-settable SQL conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    // With nanosAsLong the column is LongType nanos — convert (truncate)
-    // to microsecond TimestampType; if a future Spark reads it natively
-    // as a timestamp, keep it as-is.
+    // Normalize whatever physical type the generator wrote to session-TZ
+    // TimestampType, which the whole engine (unix_micros, watermarks,
+    // window()) is written against:
+    //  - INT64 TIMESTAMP(NANOS) + nanosAsLong → LongType nanos, truncated
+    //    to microseconds;
+    //  - TIMESTAMP(MICROS) with isAdjustedToUTC=false → TimestampNTZType
+    //    under Spark's NTZ inference; cast reinterprets the wall-clock
+    //    value in the session time zone (pinned to UTC by every entry
+    //    point), i.e. the same instant DuckDB's naive timestamp denotes.
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(floorDiv1000(col("ts"))))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
