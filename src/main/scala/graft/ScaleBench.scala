@@ -2,13 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scaling-curve bench (VERDICT r5 #5): times the dedup + ANN families
-  * at THREE scale points — sf0.01, sf0.1, and a deterministic ~10×
-  * synthetic corpus generated on the fly ([[graft.tools.SynthCorpus]],
-  * 50k documents / 20k embeddings vs sf0.1's 5k/2k) — so the "holds at
-  * 10×" claim is a measured curve, not an extrapolation from two
-  * points. Prints a markdown table plus one JSON line; the recorded
-  * run lives in SURVEY §2.13.
+/** Scaling-curve bench (VERDICT r5 #5, widened per r6 #1/#2): times the
+  * dedup + ANN + text/retrieval families at FOUR scale points — the
+  * real sf0.01 and sf0.1 driver corpora, plus a deterministic synthetic
+  * pair generated on the fly ([[graft.tools.SynthCorpus]]): `synth1x`
+  * at sf0.1's size (5k docs / 2k embeddings) and `synth10x` at 10× that
+  * (50k / 20k) — so the "holds at 10×" claim is a measured curve whose
+  * 10× step compares the SAME generator at both ends, and the planted
+  * low-df shingle groups keep the df-capped Jaccard family's output
+  * non-empty at every synthetic point (on the real sf0.1 corpus the cap
+  * legitimately excludes every 31-word-vocab shingle — that entry
+  * measures scan+cap cost, which is why the ratio is taken on the
+  * synthetic pair). Prints a markdown table plus one JSON line; the
+  * recorded run lives in SURVEY §2.13.
   *
   * Methodology matches [[Bench]]: noop-format writes materialize the
   * full plan, min of 2 passes per (query, scale), per-corpus memoized
@@ -29,7 +35,12 @@ object ScaleBench {
     "dd_simhash_pairs", "dd_clusters", "dd_embed_neardup",
     "dd_embed_clusters", "txt_chunk_dedup",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "ann_pca_topk", "ann_hybrid_rrf")
+    "ann_pca_topk", "ann_hybrid_rrf",
+    // text/retrieval family (VERDICT r6 #2): the posting-list pair
+    // explode (contamination), the multi-filter curation rollup, BM25
+    // top-k, the capstone composition, and the span-marking semi join
+    "txt_contamination", "txt_curation_report", "txt_bm25_topk",
+    "txt_final_corpus", "txt_span_removal")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -45,6 +56,10 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
 
+    val synth1xDir = java.nio.file.Files
+      .createTempDirectory("graft-synth1x").toString
+    tools.SynthCorpus.writeCorpus(spark, synth1xDir,
+      nDocs = 5000L, nVecs = 2000L)
     val synthDir = java.nio.file.Files
       .createTempDirectory("graft-synth10x").toString
     tools.SynthCorpus.writeCorpus(spark, synthDir,
@@ -52,6 +67,7 @@ object ScaleBench {
     val scales = Seq(
       ("sf0.01", "/root/testdata/sf0.01", 500L, 500L),
       ("sf0.1", "/root/testdata/sf0.1", 5000L, 2000L),
+      ("synth1x", synth1xDir, 5000L, 2000L),
       ("synth10x", synthDir, 50000L, 20000L))
 
     val queries = SparkEntry.queries
@@ -84,19 +100,21 @@ object ScaleBench {
     llmdata.Dedup.releaseCaches()
 
     // markdown table: times, output rows, and the 10x-step ratios
-    // (synth / sf0.1) — docs and embeddings both grow 10x on that
-    // step, so t-ratio ≤ max(10, rows-ratio) means at-most-linear
-    // scaling in input + output work
-    println("| query | sf0.01 s/rows | sf0.1 s/rows | synth10x s/rows | t(10x)/t(1x) | out(10x)/out(1x) |")
-    println("|---|---|---|---|---|---|")
+    // (synth10x / synth1x — the SAME generator at both ends, so the
+    // step is a pure 10x input-volume change) — docs and embeddings
+    // both grow 10x on that step, so t-ratio ≤ max(10, rows-ratio)
+    // means at-most-linear scaling in input + output work
+    println("| query | sf0.01 s/rows | sf0.1 s/rows | synth1x s/rows | synth10x s/rows | t(10x)/t(1x) | out(10x)/out(1x) |")
+    println("|---|---|---|---|---|---|---|")
     rows.foreach { case (name, ts) =>
       val m = ts.map { case (l, t, n) => l -> ((t, n)) }.toMap
       val tRatio =
-        if (m("sf0.1")._1 > 0) m("synth10x")._1 / m("sf0.1")._1 else Double.NaN
+        if (m("synth1x")._1 > 0) m("synth10x")._1 / m("synth1x")._1 else Double.NaN
       val nRatio =
-        if (m("sf0.1")._2 > 0) m("synth10x")._2.toDouble / m("sf0.1")._2 else Double.NaN
+        if (m("synth1x")._2 > 0) m("synth10x")._2.toDouble / m("synth1x")._2 else Double.NaN
       println(f"| $name | ${m("sf0.01")._1}%.2f/${m("sf0.01")._2} " +
         f"| ${m("sf0.1")._1}%.2f/${m("sf0.1")._2} " +
+        f"| ${m("synth1x")._1}%.2f/${m("synth1x")._2} " +
         f"| ${m("synth10x")._1}%.2f/${m("synth10x")._2} " +
         f"| ${tRatio}%.1f | ${nRatio}%.1f |")
     }

@@ -34,10 +34,42 @@ object SynthCorpus {
     "spark", "stream", "table", "the", "value", "vector", "window")
   private val Langs = IndexedSeq("en", "en", "en", "zh", "es", "de", "fr")
 
+  // ------------------------------------- planted LOW-DF shingle groups
+  // (VERDICT r6 #1): with a 31-word global vocabulary, every global
+  // 3-gram's doc frequency outgrows the registered df≤6 Jaccard cap as
+  // the corpus grows — exactly the "common boilerplate is excluded"
+  // behavior the cap exists for, but it left dd_jaccard_pairs and
+  // dd_clusters with EMPTY output above sf0.01. Real corpora also carry
+  // RARE distinctive runs (a license header, a template, a lifted
+  // paragraph) shared by a handful of documents — df under any sane cap
+  // at any corpus size. We plant those: every `PlantStride`-th block of
+  // 8 consecutive ids hosts a group of 2–6 documents whose words come
+  // from a GROUP-UNIQUE token set (`g<gid>w<k>`), member texts differing
+  // by an every-11th-word rewrite (Jaccard ≈ 0.5–0.9, never exact). No
+  // other document can emit a shingle containing a group token, so every
+  // planted shingle has df ≤ group size ≤ 6 — under the cap at ANY
+  // scale, by construction.
+  private val PlantStride = 125L // 1 planted block per 1000 ids
+  private def groupHash(seed: Long, gid: Long): Long =
+    mix2(seed ^ 0x51edb15fL, gid)
+  private def groupSize(gh: Long): Int = 2 + ((gh >>> 5) % 5).toInt
+
+  /** The planted low-df groups for a corpus of `n` docs: member doc ids
+    * per group, mirroring [[documents]]' generation rule exactly —
+    * DedupSpec asserts every intra-group pair is recovered by the
+    * CAPPED registered Jaccard path and resolved into one cluster. */
+  def plantedJaccardGroups(n: Long, seed: Long = 42L): Seq[Seq[Long]] =
+    (0L until (n + 7) / 8 by PlantStride).map { gid =>
+      val size = groupSize(groupHash(seed, gid))
+      (gid * 8 until math.min(gid * 8 + size, n)).toSeq
+    }.filter(_.length >= 2)
+
   /** `n` documents (doc_id, text, lang, source, n_chars). ~2% of docs
     * are EXACT duplicates of an earlier doc and ~4% are near-duplicates
     * (the earlier doc's words with every 11th word rewritten), so the
-    * dedup family has planted structure at every scale; the rest draw
+    * dedup family has planted structure at every scale; ~0.4% sit in
+    * planted LOW-DF rare-shingle groups (above) so the df-capped
+    * Jaccard family is non-vacuous at every scale; the rest draw
     * 30–110 words independently — with a 31-word vocabulary, organic
     * shingle overlap mirrors the real corpus' near-dup density. */
   def documents(spark: SparkSession, n: Long, seed: Long = 42L,
@@ -46,19 +78,36 @@ object SynthCorpus {
     spark.range(n).map { boxed =>
       val id: Long = boxed
       val h = mix2(seed, id)
-      val kind = (h & 0xffffL) % 50 // 0 exact-dup, 1..2 near-dup, else fresh
-      val baseId =
-        if (id >= 50 && kind <= 2) id - 1 - ((h >>> 16) & 0x1f) // an earlier doc
-        else id
-      val bh = mix2(seed, baseId)
-      val nWords = 30 + ((bh >>> 20) % 81).toInt
-      val words = Array.tabulate(nWords) { w =>
-        Vocab(((mix2(bh, w) >>> 7) & 0x7fffffff).toInt % Vocab.length)
-      }
-      if (id != baseId && kind > 0) // near-dup: rewrite every 11th word
-        for (w <- words.indices by 11)
-          words(w) = Vocab((mix2(h, w) & 0x7fffffff).toInt % Vocab.length)
-      val text = words.mkString(" ")
+      val gid = id / 8
+      val gh = groupHash(seed, gid)
+      val text =
+        if (gid % PlantStride == 0 && (id % 8) < groupSize(gh)) {
+          // planted rare-shingle group member: every token group-unique
+          val member = (id % 8).toInt
+          val nWords = 30 + ((gh >>> 20) % 81).toInt
+          val words = Array.tabulate(nWords) { w =>
+            s"g${gid}w${((mix2(gh, w) >>> 7) & 0x7fffffff).toInt % 31}"
+          }
+          if (member > 0) // members differ, but stay near-dups
+            for (w <- words.indices by 11)
+              words(w) =
+                s"g${gid}w${(mix2(mix2(gh, 1000L + member), w) & 0x7fffffff).toInt % 31}"
+          words.mkString(" ")
+        } else {
+          val kind = (h & 0xffffL) % 50 // 0 exact-dup, 1..2 near-dup, else fresh
+          val baseId =
+            if (id >= 50 && kind <= 2) id - 1 - ((h >>> 16) & 0x1f) // an earlier doc
+            else id
+          val bh = mix2(seed, baseId)
+          val nWords = 30 + ((bh >>> 20) % 81).toInt
+          val words = Array.tabulate(nWords) { w =>
+            Vocab(((mix2(bh, w) >>> 7) & 0x7fffffff).toInt % Vocab.length)
+          }
+          if (id != baseId && kind > 0) // near-dup: rewrite every 11th word
+            for (w <- words.indices by 11)
+              words(w) = Vocab((mix2(h, w) & 0x7fffffff).toInt % Vocab.length)
+          words.mkString(" ")
+        }
       (id, text, Langs(((h >>> 33) % Langs.length).toInt),
         s"src${((h >>> 40) % sources).toInt}", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
