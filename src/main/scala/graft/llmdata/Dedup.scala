@@ -277,12 +277,25 @@ object Dedup {
 
   // ------------------------------------------- embedding-cosine near-dup
   /** Exact embedding-cosine near-dup pairs: every (id_a < id_b) pair
-    * with cosine ≥ threshold. All-pairs O(N²) — the oracle-checkable
-    * baseline, NOT the scale path (that's [[embeddingNearDup]]). */
+    * with cosine ≥ threshold. All-pairs O(N²) over its input — the
+    * oracle-checkable baseline, NOT the scale path (that's
+    * [[embeddingNearDup]]).
+    *
+    * `sampleMod` bounds the input to the deterministic id slice
+    * `vec_id % sampleMod == 0` — the same held-out-sample device
+    * [[simCalibration]] uses, and how the REGISTERED `dd_embed_pairs`
+    * runs (VERDICT r6 #3): the registered surface then carries NO
+    * unbounded all-pairs plan (the pair count is (N/mod)², and mod is
+    * the knob you grow with the corpus), while the oracle stays exact
+    * on the sampled set. The UNSAMPLED form remains the spec-layer
+    * recall reference for the LSH scale path (DedupSpec). */
   def embeddingNearDupExact(spark: SparkSession, dir: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            sampleMod: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+    val sampled = sampleMod.fold(base)(m => base.filter(col("vec_id") % m === 0))
+    val e = sampled
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     // Tile kernel instead of a nested-loop JOIN: the join form
     // materializes all N²/2 candidate rows (two 64-float arrays each)

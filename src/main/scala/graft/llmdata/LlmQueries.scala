@@ -814,11 +814,19 @@ object LlmQueries {
       |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / n_chars AS punct_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The registered form runs on the deterministic 10% id sample
+    * (VERDICT r6 #3) — same device as `dd_sim_calibration`, so the
+    * registry carries no unbounded all-pairs plan; threshold 0.3 keeps
+    * the sampled output non-vacuous at both verified scales (11 rows
+    * at sf0.01, 148 at sf0.1, measured). Oracle stays exact on the
+    * identical sampled set. */
+  val EmbedPairsSampleMod: Int = 10
   val ddEmbedPairsSql: String =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |WHERE a.vec_id % $EmbedPairsSampleMod = 0 AND b.vec_id % $EmbedPairsSampleMod = 0
+      |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
       |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
 
   val txtSplitAssignSql: String =
@@ -1067,7 +1075,8 @@ object LlmQueries {
       Dedup.pageRank(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_sim_calibration" -> ((s, d) => Dedup.simCalibration(s, d)),
     "dd_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d, 6)),
-    "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.4)),
+    "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.3,
+      sampleMod = Some(EmbedPairsSampleMod))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
     "dd_embed_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, 0.4)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
