@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   *    plan (projections, sorts, all columns) executes — a bare `count()`
   *    would let Catalyst prune columns and skip sort work;
   *  - a failing query is recorded in `"failed"` and the process exits
-  *    non-zero, so a broken query can never bench as a fast success.
+  *    non-zero, so a broken query can never bench as a fast success;
+  *  - every query's EXECUTED plan is linted through the shared
+  *    registry policy ([[graft.plans.RegistryAudit]], VERDICT r6 #6):
+  *    PlanAuditSpec gates the compiled plan at test scale, but AQE may
+  *    choose DIFFERENT physical plans at bench scale — this lints the
+  *    final adaptive plan the benched run actually executed. Findings
+  *    land in `"lint"`, `"lint_clean"` goes false, and the process
+  *    exits non-zero: a scale-killer can never bench as a success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,11 +45,15 @@ object Bench {
     // (the failed list + non-zero exit are authoritative; a sentinel 0
     // can never be mistaken for a measured success alongside them), and a
     // first-pass failure is not re-run.
+    var lint = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var lastRun: Option[org.apache.spark.sql.DataFrame] = None
       def onePass(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          lastRun = Some(df)
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -51,15 +62,25 @@ object Bench {
       }
       val t = onePass().flatMap(t1 => onePass().map(math.min(t1, _)))
       if (t.isEmpty) failed ::= name
+      // lint the FINAL adaptive plan the run above executed — the
+      // registry policy at the benched scale, not the test scale
+      lastRun.foreach { df =>
+        graft.plans.RegistryAudit.unexempt(name, df).foreach { f =>
+          System.err.println(s"[bench] $name LINT: $f")
+          lint ::= s"$name: $f"
+        }
+      }
       name -> t.getOrElse(0.0)
     }
     graft.llmdata.Dedup.releaseCaches()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ls = lint.sorted.map("\"" + _.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"sf":"$sfDir"}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }
 }

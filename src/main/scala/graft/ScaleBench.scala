@@ -23,17 +23,18 @@ import org.apache.spark.sql.SparkSession
   * build is real work the curve must include; min-of-2 then reports
   * the warm-index query cost, the same steady-state Bench reports.
   *
-  * `dd_embed_pairs` (the labeled all-pairs baseline) is EXCLUDED by
-  * design: it is quadratic on purpose and registered only as a
-  * small-corpus oracle anchor; every operator here is one the 100 TB
-  * story actually ships.
+  * `dd_embed_pairs` joined the curve in round 7: its registered form
+  * is now the sample-bounded exact baseline (vec_id % 10 slice), so
+  * every registered operator — this one included — is a shape the
+  * 100 TB story actually ships (the sample mod is the knob you grow
+  * with the corpus).
   */
 object ScaleBench {
 
   private val Families = Seq(
     "dd_exact", "dd_jaccard_pairs", "dd_minhash_neardup",
-    "dd_simhash_pairs", "dd_clusters", "dd_embed_neardup",
-    "dd_embed_clusters", "txt_chunk_dedup",
+    "dd_simhash_pairs", "dd_clusters", "dd_embed_pairs",
+    "dd_embed_neardup", "dd_embed_clusters", "txt_chunk_dedup",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "ann_pca_topk", "ann_hybrid_rrf",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
