@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * One normalization is applied at load: `events.ts` is written by the
-  * generator as parquet INT64 TIMESTAMP(NANOS) which Spark cannot map to
-  * its microsecond TimestampType directly; we read it via the
-  * `nanosAsLong` escape hatch and convert to a proper TimestampType
-  * column (truncating to microseconds, which matches what every
-  * downstream second-granularity computation needs).
+  * One normalization is applied at load: `events.ts` arrives in either
+  * of two physical encodings depending on the generator version —
+  * parquet INT64 TIMESTAMP(NANOS), which Spark cannot map to its
+  * microsecond TimestampType directly (read via the `nanosAsLong`
+  * escape hatch and truncated to microseconds), or TIMESTAMP(MICROS)
+  * with isAdjustedToUTC=false (NTZ, surfaced by Spark as
+  * TimestampNTZType and re-anchored in the session time zone) — and
+  * `events()` normalizes both to a proper session-TZ TimestampType
+  * column, which matches what every downstream second-granularity
+  * computation needs.
   *
   * All loaders are plain `spark.read.parquet` — Catalyst handles column
   * pruning / predicate pushdown into the scan, so callers should filter
@@ -32,7 +36,8 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events.ts arrives as nanosecond INT64; expose it as TimestampType. */
+  /** events.ts arrives as INT64 TIMESTAMP(NANOS) or NTZ
+    * TIMESTAMP(MICROS); expose either as session-TZ TimestampType. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Spark has no nanosecond timestamp type; without this conf the scan
     // fails on TIMESTAMP(NANOS) columns. Runtime-settable SQL conf.

@@ -88,4 +88,43 @@ class ProcessedStoreSpec extends SparkSpec {
       case None => sys.props -= prop; ()
     }
   }
+
+  test("two stale-breakers racing the same corpse: exactly one holds the lock at a time") {
+    // VERDICT r6 #8: under the old create-if-absent protocol two
+    // waiters could both delete the same corpse and both createNewFile
+    // in turn, each believing it held the lock. The owner-nonce rename
+    // claim makes the claim itself atomic (a rename whose destination
+    // exists returns false) and the post-claim nonce re-read rejects a
+    // claim that raced a breaker's delete — so the critical sections
+    // may interleave in any order but never overlap.
+    val root = java.nio.file.Files.createTempDirectory("graft-lock").toString
+    val out = s"$root/out"
+    val fs = localFs
+    val lock = new org.apache.hadoop.fs.Path(s"$out.lock")
+    fs.mkdirs(lock.getParent)
+    fs.createNewFile(lock)
+    // age the corpse beyond the stale threshold for BOTH breakers
+    fs.setTimes(lock, System.currentTimeMillis - 60L * 60 * 1000, -1)
+    val inSection = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try ProcessedStore.withSwapLock(fs, out) {
+          entered.incrementAndGet()
+          val now = inSection.incrementAndGet()
+          maxSeen.updateAndGet(m => math.max(m, now))
+          Thread.sleep(250) // widen any would-be overlap window
+          inSection.decrementAndGet(); ()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(errs.isEmpty, s"breaker failed: ${errs.peek()}")
+    assert(entered.get() === 2, "both breakers must eventually acquire")
+    assert(maxSeen.get() === 1,
+      "critical sections overlapped: two breakers held the lock at once")
+    assert(!new java.io.File(s"$out.lock").exists(), "lock must be released")
+  }
 }
