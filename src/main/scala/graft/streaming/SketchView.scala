@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sync.{PartitionedStore, SketchTable}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,26 +15,45 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * month" live at 100 TB/day ingest: per-batch work is O(batch) + a
   * rewrite of only the touched day partitions.
   *
-  * Differences from [[MaterializedView]] (absolute-total upsert):
-  * here stored rows are PARTIALS that must combine with the delta, so
-  * replaying a completed batch would double the additive measures
-  * (sketch union alone is idempotent; sums are not). `foreachBatch`
-  * re-delivers the last batch after a restart even when it committed —
-  * the `_committed/<batchId>` marker (an underscore path, invisible to
-  * parquet listings) makes that replay a no-op. A crash BETWEEN the
-  * store write and the marker write is reconciled per-day: every
-  * merged row is stamped with the committing batch id (`last_batch`),
-  * so the replay skips days the interrupted commit already rewrote —
-  * including the partial-commit case where only SOME day partitions
-  * had swapped in — and merges only the rest. The one remaining
-  * window is inside the file-commit protocol itself (a day directory
-  * deleted but its replacement not yet renamed in); closing that
-  * needs a transactional table format (Iceberg/Delta commit) and is
-  * documented, not hidden.
+  * COMMIT PROTOCOL (VERDICT r6 #4 — manifest commits over plain
+  * parquet): stored rows are PARTIALS that must combine with each
+  * delta, so replaying a completed batch would double the additive
+  * measures (sketch union alone is idempotent; sums are not), and the
+  * previous delete-then-rename partition overwrite left a residual
+  * crash window INSIDE the file-commit protocol (a day directory
+  * deleted but its replacement not yet renamed in). Both close at once
+  * when the data files stop being the source of truth:
   *
-  * Scale shape: the store partitions by day; a batch rewrites only the
-  * day partitions it touched (dynamic partition overwrite over a
-  * lineage-severed merge, the [[MaterializedView.upsert]] pattern). */
+  *  - each commit writes its merged day rows under its OWN immutable
+  *    directory `data/b<batchId>/day=…/` — no shared path is ever
+  *    deleted or renamed;
+  *  - the commit point is ONE file, `_manifest/<batchId>`, written
+  *    LAST (staged sibling + atomic rename) and listing, per touched
+  *    day, exactly the files that now constitute that day;
+  *  - the read path ([[readStore]]) and the replay reconciliation
+  *    trust ONLY manifest-listed files: for every day, the listing in
+  *    the HIGHEST-numbered manifest that mentions it wins.
+  *
+  * A crash at ANY point before the manifest rename leaves orphan data
+  * files no reader can see; the replayed batch re-merges from the
+  * manifest-visible state — by construction the exact pre-crash store
+  * — rewrites its own `data/b<batchId>` directory, and lands the
+  * manifest, reaching the byte-equivalent of the uncrashed build
+  * (SketchViewSpec kills between data and manifest and proves it).
+  * A crash after the rename is a completed commit; the replay sees
+  * the manifest and is a no-op. The old per-day `last_batch`
+  * reconciliation stamp is gone — the manifest subsumes it.
+  *
+  * Superseded batch directories (days fully re-merged by later
+  * commits) stay on disk unreferenced — time-travel debris a vacuum
+  * task can delete by listing days referenced by no current manifest
+  * entry; they cost storage, never correctness.
+  *
+  * Scale shape: the store is ONE partial row per day — the read path
+  * unions a handful of per-batch directory reads (bounded by batches
+  * whose days were never re-touched; any range rollup then scans
+  * O(#days) rows), and a batch rewrites only the day rows it touched.
+  */
 object SketchView {
 
   /** Maintain the per-day sketch table from a streaming events frame
@@ -52,85 +71,217 @@ object SketchView {
       }
       .start()
 
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** All committed manifests under `storeDir`, ascending by batch id:
+    * (batchId, day → files-of-that-day). Non-numeric names (rename
+    * temps that leaked) are ignored. */
+  private def manifests(spark: SparkSession,
+                        storeDir: String): Seq[(Long, Map[String, Seq[String]])] = {
+    val (f, dir) = fs(spark, s"$storeDir/_manifest")
+    if (!f.exists(dir)) return Seq.empty
+    val ids = f.listStatus(dir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted
+    ids.map { id =>
+      val in = f.open(new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$id"))
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val dayFiles = text.linesIterator.filter(_.nonEmpty).toSeq
+        .map { line =>
+          val Array(day, rel) = line.split("\t", 2)
+          day -> rel
+        }
+        .groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
+      (id, dayFiles)
+    }
+  }
+
+  /** day → (owning batchId, absolute file paths) after replaying every
+    * manifest in order — the CURRENT store composition. */
+  private def currentFiles(spark: SparkSession,
+                           storeDir: String): Map[String, (Long, Seq[String])] =
+    manifests(spark, storeDir).foldLeft(Map.empty[String, (Long, Seq[String])]) {
+      case (acc, (id, dayFiles)) =>
+        acc ++ dayFiles.map { case (d, rels) =>
+          d -> ((id, rels.map(r => s"$storeDir/$r")))
+        }
+    }
+
+  /** Marker check: `batchId` is committed iff its manifest exists. */
+  def committed(spark: SparkSession, storeDir: String, batchId: Long): Boolean =
+    PartitionedStore.exists(spark, s"$storeDir/_manifest/$batchId")
+
+  /** The store as of the last committed manifest — the ONLY sanctioned
+    * read path: orphan files from a crashed commit are invisible here
+    * by construction. Empty (schema-correct) frame when nothing has
+    * committed yet. Files are grouped per owning batch directory and
+    * read with that directory as `basePath`, so the `day=…` partition
+    * value survives into the frame. */
+  def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val current = currentFiles(spark, storeDir)
+    val byBatch = current.toSeq.flatMap { case (_, (id, files)) =>
+      files.map(fp => (id, fp))
+    }.groupBy(_._1)
+    byBatch.toSeq.sortBy(_._1).map { case (id, files) =>
+      spark.read
+        .option("basePath", s"$storeDir/data/b$id")
+        .parquet(files.map(_._2): _*)
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(SketchTable.buildDaily(
+        spark.range(0).select(
+          lit(null).cast("timestamp").as("ts"),
+          lit(null).cast("long").as("user_id"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("value"))))
+  }
+
   /** Idempotent merge of one micro-batch into the stored sketch table.
     * Public so a batch backfill can use the identical path — pick a
     * batchId disjoint from the streaming query's (its ids start at 0
-    * and increment; negative ids are a safe backfill convention).
+    * and increment; negative ids are NOT safe here because manifest
+    * precedence is numeric order — use ids above the stream's range
+    * for backfills that must win, and check the return value).
     *
     * Single WRITER per store assumed (same contract as
-    * [[graft.tx.ProcessedStore]]): the marker check and the merge are
+    * [[graft.tx.ProcessedStore]]): the manifest check and the merge are
     * not one atomic step, so two processes racing the SAME batchId can
-    * both merge before either writes the marker — the loser's atomic
-    * marker-create reports false, but its merge may already be in the
-    * additive sums. True multi-writer safety needs a transactional
-    * table format; this ledger targets the single-writer restart
-    * re-delivery case.
+    * both merge before either renames its manifest — the loser's
+    * rename lands second and its files silently shadow the winner's
+    * for those days (both computed from the same pre-commit state, so
+    * content is equivalent for honest replays; true multi-writer
+    * safety needs a transactional table format). This ledger targets
+    * the single-writer restart re-delivery case.
     *
     * @return true if this call committed the batch (including
-    *         completing a crash-interrupted commit whose data was
-    *         already in place — the per-day `last_batch` stamp makes
-    *         that replay merge nothing and just write the marker);
-    *         false if `batchId` was already committed (restart
-    *         re-delivery, a backfill id colliding with the ledger, or
-    *         a lost same-id race) — callers doing backfills MUST check
-    *         this, a dropped shard is otherwise invisible. */
+    *         completing a crash-interrupted commit: orphan data files
+    *         from the crashed attempt are invisible to [[readStore]],
+    *         so the re-merge runs from the exact pre-crash state and
+    *         overwrites them); false if `batchId` was already
+    *         committed (restart re-delivery, or a backfill id
+    *         colliding with the ledger) — callers doing backfills MUST
+    *         check this, a dropped shard is otherwise invisible. */
   def mergeBatch(batch: DataFrame, batchId: Long, storeDir: String): Boolean = {
     val spark = batch.sparkSession
-    // all paths through the Hadoop FS API: the store lives on
-    // HDFS/object storage in any real deployment, where java.io.File
-    // answers are meaningless (PartitionedStore)
-    val marker = s"$storeDir/_committed/$batchId"
-    if (PartitionedStore.markerExists(spark, marker))
+    if (committed(spark, storeDir, batchId))
       return false // replayed completed batch: no-op
     // `day` is the store key: a null-ts row has no day to merge into —
-    // excluded here (a null group would clobber, not merge, the
-    // default partition: isin(days) can never match null). A pipeline
-    // that cares about null-ts rows quarantines them upstream.
+    // excluded here. A pipeline that cares about null-ts rows
+    // quarantines them upstream.
     val delta = SketchTable.buildDaily(batch.filter(col("ts").isNotNull))
       .persist() // one build serves isEmpty + days + merge (3 actions)
     try {
       if (!delta.isEmpty) {
         val days = delta.select(col("day")).distinct().collect()
           .map(_.getDate(0)).toSeq
-        val existingRaw =
-          if (PartitionedStore.exists(spark, storeDir))
-            spark.read.parquet(storeDir).where(col("day").isin(days: _*))
-          else delta.limit(0)
-        // per-day commit stamp (legacy pre-stamp stores null-fill it):
-        // a day already carrying THIS batch id absorbed the delta
-        // before a crash that never reached the marker — re-merging it
-        // would double the additive sums, so it is skipped
-        val existing =
-          if (existingRaw.columns.contains("last_batch")) existingRaw
-          else existingRaw.withColumn("last_batch", lit(null).cast("long"))
-        val doneDays = existing.filter(col("last_batch") === batchId)
-          .select(col("day")).distinct().collect().map(_.getDate(0)).toSet
-        val mergeDays = days.filterNot(doneDays.contains)
-        if (mergeDays.nonEmpty) {
-          // store rows are partials: combining = the same union/re-sum
-          // aggregation that built them (sketch merge is associative).
-          // allowMissingColumns: a store written before a sketch column
-          // existed (schema evolution) null-fills it — the merge then
-          // skips those nulls, so pre-upgrade rows contribute nothing to
-          // the NEW sketch until backfilled (degraded, never wedged)
-          val merged = existing.drop("last_batch")
-            .where(col("day").isin(mergeDays: _*))
-            .unionByName(delta.where(col("day").isin(mergeDays: _*)),
-              allowMissingColumns = true)
-            .groupBy(col("day"))
-            .agg(
-              hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
-              call_function("qsample_merge", col("value_sketch"))
-                .as("value_sketch"),
-              sum(col("n")).as("n"),
-              sum(col("value_total")).as("value_total"))
-            .withColumn("last_batch", lit(batchId))
-          PartitionedStore.overwritePartitions(merged, storeDir, Seq("day"))
-        }
+        // manifest-visible rows ONLY: a crashed prior attempt's files
+        // are not here, so this re-merge starts from the exact
+        // pre-crash store
+        val existing = readStore(spark, storeDir)
+          .where(col("day").isin(days: _*))
+        // store rows are partials: combining = the same union/re-sum
+        // aggregation that built them (sketch merge is associative).
+        // allowMissingColumns: a store written before a sketch column
+        // existed (schema evolution) null-fills it — the merge then
+        // skips those nulls, so pre-upgrade rows contribute nothing to
+        // the NEW sketch until backfilled (degraded, never wedged)
+        val merged = existing
+          .unionByName(delta, allowMissingColumns = true)
+          .groupBy(col("day"))
+          .agg(
+            hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
+            call_function("qsample_merge", col("value_sketch"))
+              .as("value_sketch"),
+            sum(col("n")).as("n"),
+            sum(col("value_total")).as("value_total"))
+        // this commit's OWN immutable directory: overwrite clears any
+        // orphan files a crashed attempt of the same batch left
+        val dataDir = s"$storeDir/data/b$batchId"
+        merged.localCheckpoint(true) // sever lineage: merged reads the store
+          .write.mode("overwrite").partitionBy("day").parquet(dataDir)
+        spark.catalog.refreshByPath(storeDir)
+        writeManifest(spark, storeDir, batchId, dataDir)
+      } else {
+        // empty delta: commit an empty manifest so the ledger still
+        // records the batch (replay stays a no-op)
+        writeManifestLines(spark, storeDir, batchId, Seq.empty)
       }
     } finally { delta.unpersist(); () }
-    // the atomic create is the commit point: a lost same-id race
-    // surfaces as false instead of a silent double-report
-    PartitionedStore.createMarker(spark, marker)
+    true
+  }
+
+  /** List `dataDir`'s day partitions and land the manifest. */
+  private def writeManifest(spark: SparkSession, storeDir: String,
+                            batchId: Long, dataDir: String): Unit = {
+    val (f, dd) = fs(spark, dataDir)
+    val lines = f.listStatus(dd).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .flatMap { dayDir =>
+        val day = dayDir.getPath.getName.stripPrefix("day=")
+        f.listStatus(dayDir.getPath).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .map(st =>
+            s"$day\tdata/b$batchId/${dayDir.getPath.getName}/${st.getPath.getName}")
+      }
+    writeManifestLines(spark, storeDir, batchId, lines)
+  }
+
+  /** Stage + atomic rename: the rename IS the commit point. Package
+    * private so the spec can drive the kill-between-data-and-manifest
+    * simulation (write data, skip this). */
+  private[streaming] def writeManifestLines(spark: SparkSession,
+                                            storeDir: String, batchId: Long,
+                                            lines: Seq[String]): Unit = {
+    val (f, _) = fs(spark, storeDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
+    f.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$storeDir/_manifest/.tmp-$batchId-${java.util.UUID.randomUUID()}")
+    val os = f.create(tmp, false)
+    try os.write(lines.mkString("\n").getBytes("UTF-8")) finally os.close()
+    val target = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$batchId")
+    val renamed =
+      try f.rename(tmp, target)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"sketch-view manifest rename $tmp -> $target failed", e) }
+    if (!renamed)
+      throw new IllegalStateException(
+        s"sketch-view manifest rename $tmp -> $target returned false " +
+          "(concurrent writer on the same batchId?)")
+  }
+
+  /** Test hook: run the data-write half of [[mergeBatch]] and CRASH
+    * before the manifest lands — the on-disk state of a kill between
+    * the two. Returns the days the doomed commit wrote. */
+  private[streaming] def mergeBatchCrashBeforeManifest(
+      batch: DataFrame, batchId: Long, storeDir: String): Seq[java.sql.Date] = {
+    val spark = batch.sparkSession
+    require(!committed(spark, storeDir, batchId), "batch already committed")
+    val delta = SketchTable.buildDaily(batch.filter(col("ts").isNotNull))
+      .persist()
+    try {
+      val days = delta.select(col("day")).distinct().collect()
+        .map(_.getDate(0)).toSeq
+      val existing = readStore(spark, storeDir)
+        .where(col("day").isin(days: _*))
+      val merged = existing
+        .unionByName(delta, allowMissingColumns = true)
+        .groupBy(col("day"))
+        .agg(
+          hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
+          call_function("qsample_merge", col("value_sketch")).as("value_sketch"),
+          sum(col("n")).as("n"),
+          sum(col("value_total")).as("value_total"))
+      merged.localCheckpoint(true)
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$storeDir/data/b$batchId")
+      spark.catalog.refreshByPath(storeDir)
+      days // …and "crash": no manifest
+    } finally { delta.unpersist(); () }
   }
 }

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** The streaming sketch view must equal the batch-built sketch table
-  * over everything ingested so far after EVERY incremental run, and a
+  * over everything ingested so far after EVERY incremental run, a
   * replayed completed batch must be a no-op (the additive measures
-  * would otherwise double). */
+  * would otherwise double), and — the manifest-commit property
+  * (VERDICT r6 #4) — a crash at ANY point before the manifest rename
+  * must leave the READ PATH on the exact pre-crash store, with the
+  * replay reaching the same state as a run that never crashed. */
 class SketchViewSpec extends SparkSpec {
 
   /** (day, estimates, n, value_total) normal form — HLL binaries
@@ -24,21 +27,25 @@ class SketchViewSpec extends SparkSpec {
       col("n"), col("value_total").cast("double").as("v"))
 
   private def assertSame(store: String, sourceSoFar: DataFrame): Unit = {
-    val got = normal(spark.read.parquet(store))
+    val got = normal(SketchView.readStore(spark, store))
     val want = normal(SketchTable.buildDaily(sourceSoFar))
     assert(got.exceptAll(want).count() === 0)
     assert(want.exceptAll(got).count() === 0)
   }
 
-  test("view equals the batch-built sketch table across incremental runs; replay is a no-op") {
-    val root = Files.createTempDirectory("graft-skv").toString
-    val (inDir, store, ckpt) = (s"$root/in", s"$root/store", s"$root/ckpt")
+  private lazy val halves: (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, sf)
       .select(col("ts"), col("user_id"), col("event_id"), col("value"))
       .withColumn("h", pmod(xxhash64(col("user_id")), lit(2)))
       .cache()
-    val half0 = ev.filter(col("h") === 0).drop("h").cache()
-    val half1 = ev.filter(col("h") === 1).drop("h")
+    (ev.filter(col("h") === 0).drop("h").cache(),
+      ev.filter(col("h") === 1).drop("h").cache())
+  }
+
+  test("view equals the batch-built sketch table across incremental runs; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-skv").toString
+    val (inDir, store, ckpt) = (s"$root/in", s"$root/store", s"$root/ckpt")
+    val (half0, half1) = halves
     half0.coalesce(1).write.mode("append").parquet(inDir)
 
     def run(): Unit = {
@@ -58,30 +65,50 @@ class SketchViewSpec extends SparkSpec {
 
     // replaying an already-committed batch (restart re-delivery) must
     // not double the additive measures
-    val before = normal(spark.read.parquet(store)).collect().toSet
+    val before = normal(SketchView.readStore(spark, store)).collect().toSet
     assert(!SketchView.mergeBatch(half0, 0L, store)) // reports the no-op
-    val after = normal(spark.read.parquet(store)).collect().toSet
+    val after = normal(SketchView.readStore(spark, store)).collect().toSet
     assert(after === before)
 
-    // kill-between-write-and-marker: deleting a committed batch's
-    // marker reproduces the exact on-disk state of a crash AFTER the
-    // store write but BEFORE the marker write. The replay must
-    // reconcile off the per-day last_batch stamps — merge nothing,
-    // re-create the marker (reporting that it committed), and leave
-    // every measure untouched
-    assert(new java.io.File(s"$store/_committed/1").delete(),
-      "batch 1's marker must exist to simulate the crash")
-    assert(SketchView.mergeBatch(half1, 1L, store)) // completes the commit
-    val recovered = normal(spark.read.parquet(store)).collect().toSet
-    assert(recovered === before, "crash replay must not double-merge")
-    assert(!SketchView.mergeBatch(half1, 1L, store)) // marker restored
-
-    // sanity: the guard is what protected it — an unguarded re-merge of
-    // the same rows WOULD have changed the table
+    // sanity: the manifest ledger is what protected it — an unguarded
+    // re-merge of the same rows WOULD have changed the table
     assert(SketchView.mergeBatch(half0, 999L, store))
-    val doubled = normal(spark.read.parquet(store)).collect().toSet
+    val doubled = normal(SketchView.readStore(spark, store)).collect().toSet
     assert(doubled !== before)
-    ev.unpersist(); half0.unpersist()
-    ()
+  }
+
+  test("kill between data write and manifest rename: readers never see the orphans, replay equals the uncrashed build") {
+    val (half0, half1) = halves
+    // reference: the build that never crashes
+    val refStore = Files.createTempDirectory("graft-skv-ref").toString + "/store"
+    assert(SketchView.mergeBatch(half0, 0L, refStore))
+    assert(SketchView.mergeBatch(half1, 1L, refStore))
+    val wanted = normal(SketchView.readStore(spark, refStore)).collect().toSet
+
+    // crashed build: batch 1's data files land, its manifest never does
+    val store = Files.createTempDirectory("graft-skv-crash").toString + "/store"
+    assert(SketchView.mergeBatch(half0, 0L, store))
+    val preCrash = normal(SketchView.readStore(spark, store)).collect().toSet
+    val days = SketchView.mergeBatchCrashBeforeManifest(half1, 1L, store)
+    assert(days.nonEmpty, "the doomed commit must have written day files")
+    assert(new java.io.File(s"$store/data/b1").exists(),
+      "orphan data files must exist on disk for the simulation to mean anything")
+    assert(!SketchView.committed(spark, store, 1L))
+    // the READ PATH trusts only manifest-listed files: the orphans are
+    // invisible and the store still answers with the pre-crash state
+    val seen = normal(SketchView.readStore(spark, store)).collect().toSet
+    assert(seen === preCrash,
+      "a crashed commit's partial files leaked into the read path")
+
+    // restart re-delivers batch 1: the re-merge starts from the
+    // manifest-visible (= pre-crash) state, overwrites the orphans,
+    // and lands the manifest — byte-equivalent of the uncrashed build
+    assert(SketchView.mergeBatch(half1, 1L, store))
+    assert(SketchView.committed(spark, store, 1L))
+    val recovered = normal(SketchView.readStore(spark, store)).collect().toSet
+    assert(recovered === wanted, "crash replay must equal the uncrashed build")
+    assertSame(store, half0.unionByName(half1))
+    // and the completed commit replays as a no-op
+    assert(!SketchView.mergeBatch(half1, 1L, store))
   }
 }
