@@ -35,4 +35,21 @@ object StateInspect {
                        operatorId: Int = 0): DataFrame =
     state(spark, checkpoint, operatorId)
       .selectExpr("key.*", "value.*", "partition_id")
+
+  /** A `transformWithState` query's NAMED state variable — the modern
+    * API registers each ValueState/ListState under its own name and
+    * schema, and the state source addresses them by `stateVarName`
+    * (ListState rows come back flattened, one row per element). This
+    * is the mid-stream forensics surface for the milestone monitor:
+    * `twsState(spark, ckpt, "buf")` is the live watermark buffer,
+    * `twsState(spark, ckpt, "count")` the lifetime counters —
+    * StreamingStateSpec reads both between restarts. */
+  def twsState(spark: SparkSession, checkpoint: String, stateVarName: String,
+               operatorId: Int = 0, batchId: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("statestore")
+      .option("operatorId", operatorId.toString)
+      .option("stateVarName", stateVarName)
+    batchId.foreach(b => r.option("batchId", b.toString))
+    r.load(checkpoint)
+  }
 }
