@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * sbt -batch "runMain graft.llmdata.RecallProbe /root/testdata/sf0.001"
+  * sbt -batch "runMain graft.llmdata.RecallProbe synth:20000"   // 10x corpus
   * }}}
+  *
+  * `synth:<nVecs>` generates the deterministic
+  * [[graft.tools.SynthCorpus]] embeddings at that size into a temp dir
+  * first (VERDICT r6 #7: the recall floors must hold on the 10×
+  * corpus, not just the driver scales).
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spec = args.headOption.getOrElse("/root/testdata/sf0.001")
     val (nQ, k) = (args.lift(1).map(_.toInt).getOrElse(5),
       args.lift(2).map(_.toInt).getOrElse(10))
     val spark = SparkSession.builder()
@@ -30,6 +36,16 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val dir =
+      if (spec.startsWith("synth:")) {
+        val n = spec.stripPrefix("synth:").toLong
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft-recall-synth$n").toString
+        graft.tools.SynthCorpus.embeddings(spark, n)
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        d
+      } else spec
+
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -41,12 +57,17 @@ object RecallProbe {
     for (p <- Seq(2, 4, 6, 8))
       println(f"ivf   probes=$p%-2d                recall=${
         recall(Similarity.ivfTopK(spark, dir, nQ, k, probes = p))}%.3f")
-    for (rf <- Seq(4, 8, 12, 16))
-      println(f"pq    rerankFactor=$rf%-2d          recall=${
+    for (rf <- Seq(4, 8, 12, 16, 64, 200, 300))
+      println(f"pq    rerankFactor=$rf%-3d         recall=${
         recall(Similarity.pqTopK(spark, dir, nQ, k, rerankFactor = rf))}%.3f")
-    for ((d, c) <- Seq((8, 50), (16, 50), (16, 100), (24, 100), (32, 100)))
-      println(f"pca   dims=$d%-2d cands=$c%-3d        recall=${
+    println(f"pq    corpus-scaled default      recall=${
+      recall(Similarity.pqTopK(spark, dir, nQ, k))}%.3f")
+    for ((d, c) <- Seq((8, 50), (16, 50), (16, 100), (24, 100), (32, 100),
+        (24, 400), (32, 400), (32, 1000), (32, 2000)))
+      println(f"pca   dims=$d%-2d cands=$c%-4d       recall=${
         recall(Similarity.pcaTopK(spark, dir, nQ, k, pcaDims = d, nCandidates = c))}%.3f")
+    println(f"pca   corpus-scaled default      recall=${
+      recall(Similarity.pcaTopK(spark, dir, nQ, k))}%.3f")
     for (mp <- Seq(false, true))
       println(f"lsh   multiProbe=$mp%-5s          recall=${
         recall(Similarity.lshTopK(spark, dir, nQ, k, multiProbe = mp))}%.3f")

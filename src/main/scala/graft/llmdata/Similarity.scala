@@ -402,6 +402,18 @@ object Similarity {
     * from 256 B of floats to 8 code bytes + one stored norm. */
   val PqM = 8
   val PqK = 16
+
+  /** Corpus fraction the PQ default rerank pool covers (and its PCA
+    * shortlist sibling below): measured on the structure-free
+    * synthetic corpus — the worst case, where approximate scores
+    * order weakly and recall tracks the examined fraction almost
+    * alone — as the smallest fractions holding the 0.9 recall floors
+    * at 10× the driver scale (RecallProbe: 15% → 0.92 PQ,
+    * 5% → 0.92 PCA at 20k vectors). A corpus with real cluster
+    * structure needs far less; these are the safe defaults, not the
+    * tuned ones. */
+  val PqRerankFrac: Double = 0.15
+  val PcaShortlistFrac: Double = 0.05
   val PqIters = 8
   /** Codebooks are trained on a bounded deterministic sample (every
     * (N/cap)-th vector by id) — exactly how production PQ trains
@@ -544,6 +556,18 @@ object Similarity {
     * by R like any PQ+refine deployment. Deterministic end to end:
     * fixed-order double sums, ties broken on neighbor id.
     *
+    * CORPUS-SCALED default pool (VERDICT r6 #7): a fixed R is a
+    * shrinking corpus FRACTION as N grows — at 10× the driver scale,
+    * R=160 fell to 0.38 recall on the structure-free synthetic corpus
+    * (random unit vectors: 4-bit-per-subspace ADC scores order weakly,
+    * so recall tracks the reranked fraction — the worst case for a
+    * compressed index). The pool is now `max(16·k, ⌈PqRerankFrac·N⌉)`
+    * — measured 0.92 at both the driver scales (unchanged: the
+    * fraction is below 16·k there) and the 10× corpus. An EXPLICIT
+    * `rerankFactor` is honored exactly (that is how RecallProbe
+    * measures specific pools, and how a structured corpus opts into a
+    * smaller pool); pass 0 (the default) for the corpus-scaled pool.
+    *
     * Vectors are rotated into the [[pqRotationFor]] OPQ basis before
     * encoding and LUT construction (at scale the index stores rotated
     * codes, so the scan pays nothing extra; here the rotation rides
@@ -551,7 +575,7 @@ object Similarity {
     * score still approximates the ORIGINAL cosine, and the rerank
     * stays on raw vectors — bit-exactness is untouched. */
   def pqTopK(spark: SparkSession, dir: String,
-             nQueries: Int, k: Int, rerankFactor: Int = 16): DataFrame = {
+             nQueries: Int, k: Int, rerankFactor: Int = 0): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val books = pqCodebooksFor(spark, dir)
@@ -576,7 +600,9 @@ object Similarity {
     val bcBooks = spark.sparkContext.broadcast(books)
     val bcRot = spark.sparkContext.broadcast(rot)
     val bcLuts = spark.sparkContext.broadcast(luts)
-    val R = k * rerankFactor
+    val R =
+      if (rerankFactor > 0) k * rerankFactor
+      else math.max(16 * k, math.ceil(PqRerankFrac * e.count()).toInt)
     val cores = spark.sparkContext.defaultParallelism
     // one pass over the corpus: encode (the stored index at scale),
     // ADC-score against every query, keep a per-partition top-R
@@ -963,9 +989,21 @@ object Similarity {
     * reported sim bit-identical to [[bruteForceTopK]]'s — the PQ
     * playbook with a spectral, data-adaptive compressor. Candidate
     * volume is Q × nCandidates; the rerank fetches only short-listed
-    * full vectors by key. */
+    * full vectors by key.
+    *
+    * CORPUS-SCALED default shortlist (VERDICT r6 #7): a fixed
+    * candidate count is a shrinking corpus FRACTION as N grows — at
+    * 10× the driver scale, 100 candidates fell to 0.58 recall on the
+    * structure-free synthetic corpus (random unit vectors carry no
+    * cluster structure, the worst case for a spectral shortlist, so
+    * recall is governed by the sampled fraction alone). The default is
+    * now `max(100, ⌈PcaShortlistFrac·N⌉)` — measured ≥0.92 at every
+    * probed scale (sf0.001/sf0.01/10×). An EXPLICIT `nCandidates` is
+    * honored exactly (RecallProbe's measurement contract; a structured
+    * corpus opts into a smaller shortlist); pass 0 (the default) for
+    * the corpus-scaled shortlist. */
   def pcaTopK(spark: SparkSession, dir: String, nQueries: Int, k: Int,
-              pcaDims: Int = 24, nCandidates: Int = 100): DataFrame = {
+              pcaDims: Int = 32, nCandidates: Int = 0): DataFrame = {
     import spark.implicits._
     val model = pcaModelFor(spark, dir)
     val kk = math.min(pcaDims, model.comps.length)
@@ -985,6 +1023,9 @@ object Similarity {
       // the projection feeds BOTH join sides; materialize it once or
       // the per-row d×k map runs twice per action (cf. sq8Report)
       .localCheckpoint()
+    val cands =
+      if (nCandidates > 0) nCandidates
+      else math.max(100, math.ceil(PcaShortlistFrac * proj.count()).toInt)
     val q = proj.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("p").as("qp"))
     val wc = Window.partitionBy(col("query_id"))
@@ -994,7 +1035,7 @@ object Similarity {
         col("neighbor_id") =!= col("query_id"))
       .withColumn("coarse", cosine(col("qp"), col("np")))
       .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= nCandidates)
+      .filter(col("crnk") <= cands)
       .select(col("query_id"), col("neighbor_id"))
     val e = Tables.embeddings(spark, dir)
     val w = Window.partitionBy(col("query_id"))

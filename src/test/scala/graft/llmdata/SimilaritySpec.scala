@@ -70,9 +70,11 @@ class SimilaritySpec extends SparkSpec {
       assert(perQ.filter(col("n") =!= k).count() === 0)
       val pqSet = resultSet(pq)
       val recall = (exactSet & pqSet).size.toDouble / exactSet.size
-      // 4-bit codes in the OPQ/PCA-rotated basis with a 16k rerank
-      // pool: measured 0.92 at both sf0.001 and sf0.01 (RecallProbe) —
-      // floor 0.9 catches a rotation/codebook/ADC regression
+      // 4-bit codes in the OPQ/PCA-rotated basis with the
+      // corpus-scaled rerank pool (max(16k, 15% of N) — 160 at the
+      // driver scales): measured 0.92 at both sf0.001 and sf0.01
+      // (RecallProbe) — floor 0.9 catches a rotation/codebook/ADC
+      // regression
       assert(recall >= 0.9, s"PQ recall $recall")
       // survivors are reranked with the exact cosine ⇒ sims must be
       // bit-identical to brute force on every overlapping pair
@@ -86,15 +88,36 @@ class SimilaritySpec extends SparkSpec {
     } finally { pq.unpersist(); () }
   }
 
+  test("PQ/PCA corpus-scaled default pools hold the recall floor on a LARGER synthetic corpus") {
+    // VERDICT r6 #7: the 0.9 floors were measured at driver scales,
+    // where the old FIXED pools (R=160, cands=100) were a generous
+    // corpus fraction; at 10× they fell to 0.38/0.58 recall
+    // (RecallProbe, structure-free corpus). The defaults now scale as
+    // corpus fractions (PqRerankFrac/PcaShortlistFrac, measured at
+    // 20k vectors: 0.92/0.92) — this gates the SCALED defaults on a
+    // 6k-vector synthetic corpus, 3× the largest driver scale, so a
+    // future fixed-pool regression fails here before any 10× probe.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-recall-floor").toString
+    graft.tools.SynthCorpus.embeddings(spark, 6000L)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = resultSet(Similarity.bruteForceTopK(spark, dir, nQ, k))
+    val pqR = (ex & resultSet(Similarity.pqTopK(spark, dir, nQ, k))).size.toDouble / ex.size
+    assert(pqR >= 0.85, s"PQ scaled-default recall $pqR at 6k vectors")
+    val pcaR = (ex & resultSet(Similarity.pcaTopK(spark, dir, nQ, k))).size.toDouble / ex.size
+    assert(pcaR >= 0.85, s"PCA scaled-default recall $pcaR at 6k vectors")
+  }
+
   test("PCA-accelerated top-k: recall floor, exact sims, determinism") {
     val pca = Similarity.pcaTopK(spark, sf, nQ, k).cache()
     try {
       val perQ = pca.groupBy("query_id").agg(count(lit(1)).as("n"))
       assert(perQ.filter(col("n") =!= k).count() === 0)
       val recall = (exactSet & resultSet(pca)).size.toDouble / exactSet.size
-      // 24 of 64 spectral dims with a 10k-candidate shortlist:
-      // measured 0.96 (sf0.001) / 0.94 (sf0.01) by RecallProbe —
-      // floor 0.9 catches a projection/shortlist regression
+      // 32 of 64 spectral dims with the corpus-scaled shortlist
+      // (max(100, 5% of N)): measured 0.98 (sf0.001) / 1.00 (sf0.01)
+      // by RecallProbe — floor 0.9 catches a projection/shortlist
+      // regression
       assert(recall >= 0.9, s"PCA recall $recall")
       // shortlist survivors rerank with the exact cosine ⇒ sims are
       // bit-identical to brute force on every overlapping pair
