@@ -45,14 +45,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * reconciliation stamp is gone — the manifest subsumes it.
   *
   * Superseded batch directories (days fully re-merged by later
-  * commits) stay on disk unreferenced — time-travel debris a vacuum
-  * task can delete by listing days referenced by no current manifest
-  * entry; they cost storage, never correctness.
+  * commits) stay on disk unreferenced — they cost storage, never
+  * correctness — until [[vacuum]] deletes every file the current
+  * manifest composition does not reference (skipping ids above the
+  * highest committed manifest: an in-flight replay owns those).
   *
   * Scale shape: the store is ONE partial row per day — the read path
   * unions a handful of per-batch directory reads (bounded by batches
   * whose days were never re-touched; any range rollup then scans
   * O(#days) rows), and a batch rewrites only the day rows it touched.
+  *
+  * Manifest history grows one small file per batch and each
+  * read/merge replays it in full — at minute-grain batches over
+  * months this listing becomes the dominant metadata cost. Folding it
+  * needs a snapshot manifest, and the id-is-precedence scheme makes
+  * that an operational step (a snapshot must outrank every committed
+  * manifest while staying below the stream's NEXT batch id, so it can
+  * only be written from the quiesced writer); documented as the
+  * store's known operational task rather than hidden — the same
+  * niche Iceberg/Delta metadata checkpoints fill.
   */
 object SketchView {
 
@@ -253,6 +264,62 @@ object SketchView {
       throw new IllegalStateException(
         s"sketch-view manifest rename $tmp -> $target returned false " +
           "(concurrent writer on the same batchId?)")
+  }
+
+  /** VACUUM: delete data files no current manifest references — the
+    * debris a manifest-commit store accrues (day files superseded by
+    * later merges; orphans of crashed-then-replayed commits). Safety
+    * rules, in order:
+    *
+    *  - batch directories with an id ABOVE the highest committed
+    *    manifest are SKIPPED entirely: that id is an in-flight or
+    *    about-to-replay commit whose files the replay will overwrite —
+    *    deleting under a live writer is the one unsafe case, so run
+    *    vacuum from the writer itself between batches, or quiesced;
+    *  - within committed-range directories, only files absent from the
+    *    CURRENT manifest composition are deleted (the store read is
+    *    untouched byte-for-byte — the spec proves it);
+    *  - a directory left with no referenced files is removed;
+    *    manifests themselves are never deleted (they are the ledger
+    *    that keeps every historical `batchId` replay a no-op).
+    *
+    * Returns (files deleted, batch directories removed). O(store
+    * listing) — at one partial row per day this is metadata work, not
+    * a data scan. */
+  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) = {
+    val (f, dataRoot) = fs(spark, s"$storeDir/data")
+    if (!f.exists(dataRoot)) return (0, 0)
+    val ms = manifests(spark, storeDir)
+    val maxCommitted = ms.lastOption.map(_._1).getOrElse(-1L)
+    // relative paths, exactly as manifests record them
+    val referenced: Set[String] =
+      currentFiles(spark, storeDir).values
+        .flatMap(_._2).map(_.stripPrefix(s"$storeDir/")).toSet
+    var files = 0; var dirs = 0
+    f.listStatus(dataRoot).filter(_.isDirectory).foreach { bdir =>
+      scala.util.Try(bdir.getPath.getName.stripPrefix("b").toLong).toOption
+        .filter(_ <= maxCommitted).foreach { bid =>
+          var keptAny = false
+          f.listStatus(bdir.getPath).foreach { entry =>
+            val children =
+              if (entry.isDirectory) f.listStatus(entry.getPath).toSeq
+              else Seq(entry)
+            var keptHere = false
+            children.foreach { st =>
+              val rel =
+                if (entry.isDirectory)
+                  s"data/b$bid/${entry.getPath.getName}/${st.getPath.getName}"
+                else s"data/b$bid/${st.getPath.getName}"
+              if (referenced(rel)) { keptHere = true; keptAny = true }
+              else if (st.isFile) { f.delete(st.getPath, false); files += 1 }
+            }
+            if (entry.isDirectory && !keptHere) { f.delete(entry.getPath, true); () }
+          }
+          if (!keptAny) { f.delete(bdir.getPath, true); dirs += 1 }
+        }
+    }
+    spark.catalog.refreshByPath(storeDir)
+    (files, dirs)
   }
 
   /** Test hook: run the data-write half of [[mergeBatch]] and CRASH

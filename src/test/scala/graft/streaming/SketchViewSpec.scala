@@ -111,4 +111,33 @@ class SketchViewSpec extends SparkSpec {
     // and the completed commit replays as a no-op
     assert(!SketchView.mergeBatch(half1, 1L, store))
   }
+
+  test("vacuum deletes only superseded/unreferenced files; reads unchanged, in-flight ids untouched") {
+    val (half0, half1) = halves
+    val store = Files.createTempDirectory("graft-skv-vac").toString + "/store"
+    // batches 0 and 1 cover all days; batch 2 re-merges half0's days
+    // (= all days), superseding every b0/b1 file
+    assert(SketchView.mergeBatch(half0, 0L, store))
+    assert(SketchView.mergeBatch(half1, 1L, store))
+    assert(SketchView.mergeBatch(half0, 2L, store))
+    // plus an in-flight orphan ABOVE the committed range: a crashed
+    // batch 3 the writer will replay — vacuum must not touch it
+    SketchView.mergeBatchCrashBeforeManifest(half1, 3L, store)
+    val before = normal(SketchView.readStore(spark, store)).collect().toSet
+    val (files, dirs) = SketchView.vacuum(spark, store)
+    assert(files > 0, "superseded b0/b1 files must be deleted")
+    assert(dirs === 2, "b0 and b1 must be fully removed (all days re-owned by b2)")
+    assert(!new java.io.File(s"$store/data/b0").exists())
+    assert(!new java.io.File(s"$store/data/b1").exists())
+    assert(new java.io.File(s"$store/data/b3").exists(),
+      "an id above the committed range is an in-flight replay's — untouchable")
+    // the read is byte-for-byte untouched, and a second vacuum is a no-op
+    val after = normal(SketchView.readStore(spark, store)).collect().toSet
+    assert(after === before, "vacuum changed the store read")
+    assert(SketchView.vacuum(spark, store) === ((0, 0)))
+    // the skipped orphan replays fine afterwards
+    assert(SketchView.mergeBatch(half1, 3L, store))
+    assertSame(store, half0.unionByName(half1).unionByName(half0)
+      .unionByName(half1))
+  }
 }
