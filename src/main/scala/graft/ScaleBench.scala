@@ -32,16 +32,17 @@ import org.apache.spark.sql.SparkSession
 object ScaleBench {
 
   private val Families = Seq(
-    "dd_exact", "dd_jaccard_pairs", "dd_minhash_neardup",
-    "dd_simhash_pairs", "dd_clusters", "dd_embed_pairs",
-    "dd_embed_neardup", "dd_embed_clusters", "txt_chunk_dedup",
+    "dd_exact", "dd_jaccard_pairs", "dd_containment",
+    "dd_minhash_neardup", "dd_simhash_pairs", "dd_clusters",
+    "dd_embed_pairs", "dd_embed_neardup", "dd_embed_clusters",
+    "txt_chunk_dedup",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "ann_pca_topk", "ann_hybrid_rrf",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
     // top-k, the capstone composition, and the span-marking semi join
     "txt_contamination", "txt_curation_report", "txt_bm25_topk",
-    "txt_final_corpus", "txt_span_removal")
+    "txt_final_corpus", "txt_span_removal", "txt_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -158,6 +158,48 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
   }
 
+  /** ASYMMETRIC CONTAINMENT near-dup pairs — the inclusion detector
+    * symmetric Jaccard structurally misses: when a short document is
+    * quoted whole inside a much longer one, |∩|/|∪| is diluted by the
+    * long side's size and the pair never crosses a Jaccard threshold,
+    * but containment(A in B) = |S(A)∩S(B)| / |S(A)| is ~1 regardless
+    * of the container's length (the Broder containment coefficient —
+    * the quote/boilerplate-inclusion case a real dedup must catch at
+    * pair grain, complementing [[TextAnalysis.spanRemoval]]'s span
+    * grain). Same inverted-index plan as [[jaccardPairs]] — postings,
+    * df cap, local pair explode, map-side partial counts — emitting
+    * both directions' coefficients per (id_a < id_b) pair; per-doc set
+    * sizes are computed BEFORE the cap, so capping only shrinks |∩|
+    * and the coefficient is conservative, never inflated. The
+    * double-division of two exact longs is a single IEEE op, identical
+    * in DuckDB ⇒ oracle hash-checkable. */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = shinglePostings(spark, dir)
+    val sizes = all.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val posting = maxDocFreq match {
+      case Some(cap) =>
+        val df = all.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        all.join(df.select("g"), "g")
+      case None => all
+    }
+    val inter = posting.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairExplode("ids")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "nsh_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsh", "nsh_b"), "id_b")
+      .withColumn("cont_a", col("inter").cast("double") / col("nsh_a"))
+      .withColumn("cont_b", col("inter").cast("double") / col("nsh_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
+      .orderBy(greatest(col("cont_a"), col("cont_b")).desc,
+        col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------- MinHash-LSH
   /** Number of MinHash functions / LSH bands (16 bands × 2 rows): for
     * J=0.5 the miss probability is (1-0.25)^16 ≈ 1%, and planted dups

@@ -69,6 +69,26 @@ object LlmQueries {
       |WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2
       |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
 
+  /** Mirror of [[Dedup.containmentPairs]]: identical postings/cap CTEs
+    * as [[ddJaccardSql]], coefficients = |∩|/|S(side)| with UNCAPPED
+    * per-doc sizes (conservative under the cap, like the Jaccard
+    * denominator). */
+  val ddContainmentSql: String =
+    s"""WITH $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  inter::DOUBLE / x.nsh AS cont_a,
+      |  inter::DOUBLE / y.nsh AS cont_b
+      |FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |WHERE greatest(inter::DOUBLE / x.nsh, inter::DOUBLE / y.nsh) >= 0.6
+      |ORDER BY greatest(cont_a, cont_b) DESC, id_a, id_b""".stripMargin
+
   /** Connected components over the same capped-Jaccard pair graph as
     * [[ddJaccardSql]], as a recursive reachability fixpoint: seed every
     * node with itself, propagate labels along (symmetrized) edges until
@@ -347,6 +367,23 @@ object LlmQueries {
       |      FROM tok JOIN freq USING (term) CROSS JOIN tot)
       |SELECT doc_id, COUNT(*) AS n_tokens,
       |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[TextAnalysis.dsirWeights]]: identical md5 bucket hash,
+    * add-one smoothing, and per-ln micro-quantization. */
+  val txtDsirWeightsSql: String =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tokb AS (SELECT doc_id, lang, substr(md5(term), 1, 2) AS b FROM tok),
+      |corpus AS (SELECT b, COUNT(*) AS cnt_c FROM tokb GROUP BY b),
+      |target AS (SELECT b, COUNT(*) AS cnt_t FROM tokb WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT COUNT(*) AS tot_c,
+      |               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tot_t FROM tokb),
+      |m AS (SELECT doc_id,
+      |        CAST(floor(ln((COALESCE(cnt_t, 0) + 1)::DOUBLE / (tot_t + 256)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+      |      - CAST(floor(ln((cnt_c + 1)::DOUBLE / (tot_c + 256)::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micro
+      |      FROM tokb JOIN corpus USING (b) LEFT JOIN target USING (b) CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS dsir_weight
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** End-to-end corpus-materialization mirror of
@@ -1060,6 +1097,8 @@ object LlmQueries {
     "dd_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dd_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
+    "dd_containment" -> ((s, d) =>
+      Dedup.containmentPairs(s, d, 0.6, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(s, d, 0.5)),
     "dd_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
@@ -1094,6 +1133,7 @@ object LlmQueries {
     "txt_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
     "txt_dynamic_threshold" -> ((s, d) => TextAnalysis.dynamicThreshold(s, d)),
+    "txt_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "txt_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "txt_mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
@@ -1166,6 +1206,7 @@ object LlmQueries {
     "emb_hof_stats" -> embHofStatsSql,
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_clusters" -> ddClustersSql,
     "dd_corpus_dedup" -> ddCorpusDedupSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,
@@ -1183,6 +1224,7 @@ object LlmQueries {
     "txt_tfidf_topterms" -> txtTfidfSql,
     "txt_curation_report" -> txtCurationReportSql,
     "txt_dynamic_threshold" -> txtDynamicThresholdSql,
+    "txt_dsir_weights" -> txtDsirWeightsSql,
     "txt_mixture_weights" -> txtMixtureWeightsSql,
     "emb_diversity" -> embDiversitySql,
     "txt_shard_assign" -> txtShardAssignSql,

@@ -1096,6 +1096,64 @@ object TextAnalysis {
     * contributions are pure functions of exact-long count ratios
     * (identical doubles in both engines), micro-quantized then summed
     * as exact longs — the [[unigramLogprob]] recipe. */
+  /** DSIR-style IMPORTANCE WEIGHTS (hashed-feature log-likelihood
+    * ratios, after Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every document by how
+    * much more likely its tokens are under a TARGET distribution than
+    * under the whole-corpus distribution — the standard recipe for
+    * tilting a pretraining mixture toward a target domain without a
+    * trained classifier. Features are hashed unigram buckets
+    * (`substr(md5(term), 1, 2)` → 256 buckets, engine-identical in
+    * DuckDB — the hashed n-gram device of the paper, which makes the
+    * estimator O(buckets), not O(vocabulary)); both distributions are
+    * add-one smoothed over the bucket space; each token position
+    * contributes `ln p_target(b) − ln p_corpus(b)`, and the per-doc
+    * weight is the mean contribution. Feed the weights to
+    * [[weightedSample]] (`exp(weight)` or rank-based) to realize the
+    * resampling step.
+    *
+    * Target here = documents labeled `targetLang` — any deterministic
+    * doc predicate drops into the same slot (a quality verdict, a
+    * source allow-list, a hand-curated id set).
+    *
+    * Scale shape: one exploded-token pass serves both bucket tables
+    * (256-row aggregates, broadcast back over the token stream); the
+    * per-doc rollup is a hash-partitioned group-by on doc_id. Nothing
+    * touches O(vocabulary²).
+    *
+    * Determinism: each ln is micro-quantized separately
+    * (`floor(ln(p)·1e6 + 0.5)`, the [[unigramLogprob]] precedent) and
+    * the difference is EXACT-LONG arithmetic — partition-order-free
+    * and bit-reproducible against the DuckDB mirror. */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en"): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+      .withColumn("b", substring(md5(col("term")), 1, 2))
+    val corpus = tok.groupBy(col("b")).agg(count(lit(1)).as("cnt_c"))
+    val target = tok.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+    val totals = tok.agg(
+      count(lit(1)).as("tot_c"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tot_t"))
+    tok
+      .join(broadcast(corpus), "b")
+      .join(broadcast(target), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (floor(log((coalesce(col("cnt_t"), lit(0L)) + 1).cast("double") /
+            (col("tot_t") + 256).cast("double")) * lit(1000000.0) + lit(0.5)) -
+          floor(log((col("cnt_c") + 1).cast("double") /
+            (col("tot_c") + 256).cast("double")) * lit(1000000.0) + lit(0.5)))
+          .as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("micro")).as("micro_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("micro_sum").cast("double") / lit(1000000.0) / col("n_tokens"))
+          .as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
     val st = Tables.documents(spark, dir)
       .select(col("source"), explode(toks(col("text"))).as("term"))

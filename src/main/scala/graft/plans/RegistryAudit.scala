@@ -37,6 +37,7 @@ object RegistryAudit {
     "txt_final_corpus" -> "inherits the curation verdicts' 1-row token-total cross join (unigram signal)",
     "ann_mmr_rerank" -> "candidate gen is the brute-force broadcast query side (nQueries=5)",
     "txt_dynamic_threshold" -> "cross join against a 1-row token-total side (unigram signal)",
+    "txt_dsir_weights" -> "cross join against the 1-row corpus/target totals side",
     "txt_mixture_weights" -> "cross joins against 1-row token-total and normalizer sides",
     "ea18_funnel" -> "report row = cross join of three 1-row stage aggregates",
     "q24_lapsed_customers" -> "cross join against the 1-row global balance threshold",

@@ -395,6 +395,29 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  test("containment catches whole-inclusion pairs symmetric Jaccard dilutes away") {
+    import spark.implicits._
+    // a short doc quoted VERBATIM inside a much longer one: every
+    // shingle of doc 1 appears in doc 2, so containment(1 in 2) = 1.0,
+    // but Jaccard = 3/(3 + 62 - 3) ≈ 0.05 — below any useful threshold.
+    // This asymmetry is the operator's reason to exist.
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    Seq((1L, "q1 q2 q3 q4 q5"), (2L, s"q1 q2 q3 q4 q5 $filler"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cont = Dedup.containmentPairs(spark, tmp, 0.9).collect()
+    assert(cont.length === 1)
+    val r = cont(0)
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(2) === 1.0, "short side must be fully contained")
+    assert(r.getDouble(3) < 0.1, "long side's coefficient stays small")
+    assert(Dedup.jaccardPairs(spark, tmp, 0.2).count() === 0,
+      "symmetric Jaccard must miss the inclusion pair (the asymmetry under test)")
+  }
+
   test("planted low-df shingle groups are recovered by the CAPPED Jaccard path at two corpus sizes") {
     // VERDICT r6 #1: the registered df<=6 cap excludes every shingle of
     // the 31-word global vocabulary above sf0.01, so without planted

@@ -60,6 +60,37 @@ class TextAnalysisSpec extends SparkSpec {
     tmp
   }
 
+  test("DSIR weights: scoring follows the TEXT, not the label, and target vocabulary outranks") {
+    import spark.implicits._
+    // target (en) docs speak a T-vocabulary, off-target docs a
+    // U-vocabulary; two probe docs cross text and label. DSIR scores
+    // tokens by bucket log-ratios, so a target-vocab text must outrank
+    // an off-target-vocab text REGARDLESS of its own lang label (the
+    // label only defines the estimation split).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    Seq(
+      (1L, "tea tree taupe tint tan tea tree", "en"),
+      (2L, "tea tint taupe tan tree tint tea", "en"),
+      (3L, "urn umber ultra under uphill urn", "de"),
+      (4L, "umber urn under ultra uphill urn", "de"),
+      (10L, "tea tree tint taupe", "de"), // target-like text, off-target label
+      (11L, "urn umber ultra under", "en")) // off-target text, target label
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val w = TextAnalysis.dsirWeights(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size === 6)
+    // ORDERING is the contract (resampling uses relative weights);
+    // absolute signs are not asserted — with a toy corpus the add-one
+    // smoothing mass (256 buckets ≫ tokens) shifts every weight down
+    assert(w(10L) > w(11L), s"target-vocab text must outrank: $w")
+    assert(w(1L) > w(3L), s"target docs must outrank off-target docs: $w")
+    assert(w(1L) > w(11L) && w(2L) > w(4L),
+      s"every target-vocab doc must outrank every off-target-vocab doc: $w")
+  }
+
   test("bm25: tf monotone, non-matching docs absent, rarer term outranks") {
     val tmp = tmpCorpus(Seq(
       (1L, "spark spark spark pad pad"),   // tf(spark)=3
