@@ -80,11 +80,15 @@ object ProcessedStore {
     }
 
   /** Advisory exclusive lock serializing the delete→rename swap across
-    * JVMs, with an OWNER-NONCE lease (VERDICT r6 #8): the claim itself
-    * stays `createNewFile` on `<out>.lock` — atomic create-if-absent
-    * on HDFS and posix alike (a rename-onto-lock claim would NOT be
-    * portable: Hadoop's local filesystem rename clobbers an existing
-    * destination per POSIX) — but the claimant then writes its UUID
+    * JVMs, with an OWNER-NONCE lease (VERDICT r6 #8): the claim is
+    * create-if-absent on `<out>.lock`, through the primitive that is
+    * actually atomic on each filesystem — Hadoop's `createNewFile` on
+    * HDFS (one namenode CREATE rpc), Java's O_EXCL
+    * `File.createNewFile` on the local filesystem (Hadoop's local
+    * implementation is an exists-then-create TOCTOU two racers can
+    * both win, which the dual-breaker spec caught; a rename-onto-lock
+    * claim would not be portable either, since POSIX rename clobbers
+    * an existing destination) — and the claimant then writes its UUID
     * nonce into the lock and RE-READS it: the claim stands only if the
     * lock still carries the claimant's own nonce, so when a breaker
     * storm hands the same instant to two waiters, at most one passes
@@ -125,10 +129,23 @@ object ProcessedStore {
         } finally in.close()
       } catch { case _: java.io.IOException => None }
 
-    def tryClaim(): Boolean = {
-      val created =
+    // Hadoop's FileSystem.createNewFile is exists-check-then-create —
+    // atomic on HDFS (one namenode CREATE rpc) but a TOCTOU on the
+    // local filesystem, where two racers can both report success (the
+    // dual-breaker spec caught exactly that). Local paths therefore
+    // claim through java.io.File.createNewFile, which is O_EXCL-atomic.
+    def atomicCreate(): Boolean = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try new java.io.File(lock.toUri.getPath).createNewFile()
+        catch { case _: java.io.IOException => false }
+      case _ =>
         try fs.createNewFile(lock)
         catch { case _: java.io.IOException => false }
+    }
+
+    def tryClaim(): Boolean = {
+      val created = atomicCreate()
       created && {
         // stamp ownership, then verify it stuck: if a breaker deleted
         // this fresh claim and another waiter re-claimed, the lock
