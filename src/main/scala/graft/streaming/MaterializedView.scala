@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.sync.ManifestStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -14,13 +15,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Scale shape: the store partitions by a hash bucket of the group
   * key, and a batch's upsert rewrites ONLY the buckets its changed
-  * keys live in (partition-pruned read + dynamic partition overwrite —
-  * the [[graft.sync.Compaction.purgeKeys]] pattern): untouched buckets
-  * are never read or written. Lineage is severed before the overwrite
-  * for the usual read-what-you-replace reason. Exactly-once comes from
-  * the streaming checkpoint (a replayed batch re-upserts the same
-  * cumulative values — idempotent by construction, since update-mode
-  * rows carry absolute totals, not deltas).
+  * keys live in: untouched buckets are never read or written.
+  *
+  * COMMIT PROTOCOL (r7): the upsert commits through the shared
+  * [[graft.sync.ManifestStore]] — per-batch immutable data
+  * directories and a `_manifest/<batchId>` renamed in LAST —
+  * replacing the dynamic-partition-overwrite path, whose
+  * delete-then-rename could lose a bucket's previous files to a
+  * mid-commit crash. For THIS store that was the worst case of the
+  * window: rows are absolute per-merchant totals, so a lost merchant
+  * re-appears only when it next transacts — possibly never — i.e.
+  * silent data loss, not staleness. Under manifests a crash before
+  * the rename leaves invisible orphans and the replayed batch
+  * recomputes from the exact pre-crash store (the spec kills between
+  * data and manifest and proves it). Row-level idempotence (update
+  * mode emits absolute totals) additionally makes even a DOUBLE
+  * commit of the same delta harmless — but the manifest ledger makes
+  * the replay a provable no-op instead of a rewrite.
   */
 object MaterializedView {
 
@@ -39,28 +50,45 @@ object MaterializedView {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (delta: DataFrame, _: Long) =>
-        upsert(delta, storeDir)
+      .foreachBatch { (delta: DataFrame, batchId: Long) =>
+        upsert(delta, batchId, storeDir)
         ()
       }
       .start()
 
+  /** The view as of the last committed manifest (empty frame with the
+    * view schema before the first commit). */
+  def readStore(spark: SparkSession, storeDir: String): DataFrame =
+    ManifestStore.readStore(spark, storeDir)
+      .getOrElse(spark.range(0).select(
+        lit(null).cast("string").as("merchant"),
+        lit(0L).as("n_tx"), lit(0.0).as("usd_total"),
+        lit(0).as("bucket")))
+
+  /** Delete data files no current manifest references — see
+    * [[graft.sync.ManifestStore.vacuum]] for the safety rules. */
+  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) =
+    ManifestStore.vacuum(spark, storeDir)
+
   /** Replace-by-key upsert of the changed groups into the bucketed
-    * store. Public so a batch backfill can use the identical path.
-    * Store mechanics (Hadoop-FS existence, dynamic-overwrite scaffold)
-    * are the shared [[graft.sync.PartitionedStore]]. */
-  def upsert(delta: DataFrame, storeDir: String): Unit = {
+    * store. Public so a batch backfill can use the identical path
+    * (batchId rules as in [[SketchView.mergeBatch]]: manifest
+    * precedence is numeric order).
+    * @return false when `batchId` was already committed (replay). */
+  def upsert(delta: DataFrame, batchId: Long, storeDir: String): Boolean = {
     val spark = delta.sparkSession
-    if (delta.isEmpty) return
+    if (ManifestStore.committed(spark, storeDir, batchId))
+      return false
+    if (delta.isEmpty) {
+      ManifestStore.sealEmpty(spark, storeDir, batchId)
+      return true
+    }
     val keyed = delta.withColumn("bucket",
       pmod(hash(col("merchant")), lit(NumBuckets)))
     val buckets = keyed.select(col("bucket")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val existing =
-      if (graft.sync.PartitionedStore.exists(spark, storeDir))
-        spark.read.parquet(storeDir)
-          .where(col("bucket").isin(buckets: _*))
-      else keyed.limit(0)
+    val existing = readStore(spark, storeDir)
+      .where(col("bucket").isin(buckets: _*))
     // null-SAFE anti join: a null merchant is a legitimate aggregation
     // group, and a plain key anti-join never matches null = null — the
     // old null row would survive next to every batch's new one,
@@ -69,6 +97,26 @@ object MaterializedView {
     val merged = existing
       .join(newKeys, existing("merchant") <=> col("m_new"), "left_anti")
       .unionByName(keyed)
-    graft.sync.PartitionedStore.overwritePartitions(merged, storeDir, Seq("bucket"))
+    ManifestStore.commit(merged, storeDir, batchId, "bucket")
+    true
+  }
+
+  /** Test hook: the data-write half of [[upsert]] with a "crash"
+    * before the manifest lands. */
+  private[streaming] def upsertCrashBeforeManifest(
+      delta: DataFrame, batchId: Long, storeDir: String): Unit = {
+    val spark = delta.sparkSession
+    require(!ManifestStore.committed(spark, storeDir, batchId))
+    val keyed = delta.withColumn("bucket",
+      pmod(hash(col("merchant")), lit(NumBuckets)))
+    val buckets = keyed.select(col("bucket")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val existing = readStore(spark, storeDir)
+      .where(col("bucket").isin(buckets: _*))
+    val newKeys = keyed.select(col("merchant").as("m_new")).distinct()
+    val merged = existing
+      .join(newKeys, existing("merchant") <=> col("m_new"), "left_anti")
+      .unionByName(keyed)
+    ManifestStore.writeBatchData(merged, storeDir, batchId, "bucket")
   }
 }

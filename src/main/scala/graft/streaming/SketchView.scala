@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.sync.{PartitionedStore, SketchTable}
+import graft.sync.{ManifestStore, SketchTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -21,28 +21,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * measures (sketch union alone is idempotent; sums are not), and the
   * previous delete-then-rename partition overwrite left a residual
   * crash window INSIDE the file-commit protocol (a day directory
-  * deleted but its replacement not yet renamed in). Both close at once
-  * when the data files stop being the source of truth:
-  *
-  *  - each commit writes its merged day rows under its OWN immutable
-  *    directory `data/b<batchId>/day=…/` — no shared path is ever
-  *    deleted or renamed;
-  *  - the commit point is ONE file, `_manifest/<batchId>`, written
-  *    LAST (staged sibling + atomic rename) and listing, per touched
-  *    day, exactly the files that now constitute that day;
-  *  - the read path ([[readStore]]) and the replay reconciliation
-  *    trust ONLY manifest-listed files: for every day, the listing in
-  *    the HIGHEST-numbered manifest that mentions it wins.
-  *
-  * A crash at ANY point before the manifest rename leaves orphan data
-  * files no reader can see; the replayed batch re-merges from the
+  * deleted but its replacement not yet renamed in). Both close at
+  * once under the shared [[graft.sync.ManifestStore]] protocol:
+  * per-batch immutable data directories, a `_manifest/<batchId>` file
+  * renamed in LAST as the single commit point, and a read path that
+  * trusts only manifest-listed files (highest manifest wins per day).
+  * A crash at ANY point before the manifest rename leaves orphans no
+  * reader can see; the replayed batch re-merges from the
   * manifest-visible state — by construction the exact pre-crash store
-  * — rewrites its own `data/b<batchId>` directory, and lands the
-  * manifest, reaching the byte-equivalent of the uncrashed build
+  * — and reaches the byte-equivalent of the uncrashed build
   * (SketchViewSpec kills between data and manifest and proves it).
-  * A crash after the rename is a completed commit; the replay sees
-  * the manifest and is a no-op. The old per-day `last_batch`
-  * reconciliation stamp is gone — the manifest subsumes it.
   *
   * Superseded batch directories (days fully re-merged by later
   * commits) stay on disk unreferenced — they cost storage, never
@@ -82,74 +70,27 @@ object SketchView {
       }
       .start()
 
-  private def fs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  /** All committed manifests under `storeDir`, ascending by batch id:
-    * (batchId, day → files-of-that-day). Non-numeric names (rename
-    * temps that leaked) are ignored. */
-  private def manifests(spark: SparkSession,
-                        storeDir: String): Seq[(Long, Map[String, Seq[String]])] = {
-    val (f, dir) = fs(spark, s"$storeDir/_manifest")
-    if (!f.exists(dir)) return Seq.empty
-    val ids = f.listStatus(dir).toSeq
-      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-      .sorted
-    ids.map { id =>
-      val in = f.open(new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$id"))
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val dayFiles = text.linesIterator.filter(_.nonEmpty).toSeq
-        .map { line =>
-          val Array(day, rel) = line.split("\t", 2)
-          day -> rel
-        }
-        .groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
-      (id, dayFiles)
-    }
-  }
-
-  /** day → (owning batchId, absolute file paths) after replaying every
-    * manifest in order — the CURRENT store composition. */
-  private def currentFiles(spark: SparkSession,
-                           storeDir: String): Map[String, (Long, Seq[String])] =
-    manifests(spark, storeDir).foldLeft(Map.empty[String, (Long, Seq[String])]) {
-      case (acc, (id, dayFiles)) =>
-        acc ++ dayFiles.map { case (d, rels) =>
-          d -> ((id, rels.map(r => s"$storeDir/$r")))
-        }
-    }
-
   /** Marker check: `batchId` is committed iff its manifest exists. */
   def committed(spark: SparkSession, storeDir: String, batchId: Long): Boolean =
-    PartitionedStore.exists(spark, s"$storeDir/_manifest/$batchId")
+    ManifestStore.committed(spark, storeDir, batchId)
 
   /** The store as of the last committed manifest — the ONLY sanctioned
     * read path: orphan files from a crashed commit are invisible here
     * by construction. Empty (schema-correct) frame when nothing has
-    * committed yet. Files are grouped per owning batch directory and
-    * read with that directory as `basePath`, so the `day=…` partition
-    * value survives into the frame. */
-  def readStore(spark: SparkSession, storeDir: String): DataFrame = {
-    val current = currentFiles(spark, storeDir)
-    val byBatch = current.toSeq.flatMap { case (_, (id, files)) =>
-      files.map(fp => (id, fp))
-    }.groupBy(_._1)
-    byBatch.toSeq.sortBy(_._1).map { case (id, files) =>
-      spark.read
-        .option("basePath", s"$storeDir/data/b$id")
-        .parquet(files.map(_._2): _*)
-    }.reduceOption(_.unionByName(_))
+    * committed yet. */
+  def readStore(spark: SparkSession, storeDir: String): DataFrame =
+    ManifestStore.readStore(spark, storeDir)
       .getOrElse(SketchTable.buildDaily(
         spark.range(0).select(
           lit(null).cast("timestamp").as("ts"),
           lit(null).cast("long").as("user_id"),
           lit(null).cast("long").as("event_id"),
           lit(null).cast("double").as("value"))))
-  }
+
+  /** Delete data files no current manifest references — see
+    * [[graft.sync.ManifestStore.vacuum]] for the safety rules. */
+  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) =
+    ManifestStore.vacuum(spark, storeDir)
 
   /** Idempotent merge of one micro-batch into the stored sketch table.
     * Public so a batch backfill can use the identical path — pick a
@@ -180,18 +121,32 @@ object SketchView {
     val spark = batch.sparkSession
     if (committed(spark, storeDir, batchId))
       return false // replayed completed batch: no-op
-    // `day` is the store key: a null-ts row has no day to merge into —
-    // excluded here. A pipeline that cares about null-ts rows
-    // quarantines them upstream.
+    mergedDelta(batch, storeDir) match {
+      case Some(merged) =>
+        ManifestStore.commit(merged, storeDir, batchId, "day")
+      case None =>
+        // empty delta: commit an empty manifest so the ledger still
+        // records the batch (replay stays a no-op)
+        ManifestStore.sealEmpty(spark, storeDir, batchId)
+    }
+    true
+  }
+
+  /** The store∪delta re-aggregation for one batch (None when the
+    * batch contributes no day rows). `day` is the store key: a
+    * null-ts row has no day to merge into — excluded (a pipeline that
+    * cares about null-ts rows quarantines them upstream). Existing
+    * rows come from the MANIFEST-visible store only, so a crashed
+    * prior attempt's files never feed the re-merge. */
+  private def mergedDelta(batch: DataFrame, storeDir: String): Option[DataFrame] = {
+    val spark = batch.sparkSession
     val delta = SketchTable.buildDaily(batch.filter(col("ts").isNotNull))
       .persist() // one build serves isEmpty + days + merge (3 actions)
     try {
-      if (!delta.isEmpty) {
+      if (delta.isEmpty) None
+      else {
         val days = delta.select(col("day")).distinct().collect()
           .map(_.getDate(0)).toSeq
-        // manifest-visible rows ONLY: a crashed prior attempt's files
-        // are not here, so this re-merge starts from the exact
-        // pre-crash store
         val existing = readStore(spark, storeDir)
           .where(col("day").isin(days: _*))
         // store rows are partials: combining = the same union/re-sum
@@ -200,7 +155,7 @@ object SketchView {
         // existed (schema evolution) null-fills it — the merge then
         // skips those nulls, so pre-upgrade rows contribute nothing to
         // the NEW sketch until backfilled (degraded, never wedged)
-        val merged = existing
+        Some(existing
           .unionByName(delta, allowMissingColumns = true)
           .groupBy(col("day"))
           .agg(
@@ -209,117 +164,11 @@ object SketchView {
               .as("value_sketch"),
             sum(col("n")).as("n"),
             sum(col("value_total")).as("value_total"))
-        // this commit's OWN immutable directory: overwrite clears any
-        // orphan files a crashed attempt of the same batch left
-        val dataDir = s"$storeDir/data/b$batchId"
-        merged.localCheckpoint(true) // sever lineage: merged reads the store
-          .write.mode("overwrite").partitionBy("day").parquet(dataDir)
-        spark.catalog.refreshByPath(storeDir)
-        writeManifest(spark, storeDir, batchId, dataDir)
-      } else {
-        // empty delta: commit an empty manifest so the ledger still
-        // records the batch (replay stays a no-op)
-        writeManifestLines(spark, storeDir, batchId, Seq.empty)
+          // the persist above only covers this plan's construction —
+          // materialize through localCheckpoint inside the commit
+          .localCheckpoint(true))
       }
     } finally { delta.unpersist(); () }
-    true
-  }
-
-  /** List `dataDir`'s day partitions and land the manifest. */
-  private def writeManifest(spark: SparkSession, storeDir: String,
-                            batchId: Long, dataDir: String): Unit = {
-    val (f, dd) = fs(spark, dataDir)
-    val lines = f.listStatus(dd).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
-      .flatMap { dayDir =>
-        val day = dayDir.getPath.getName.stripPrefix("day=")
-        f.listStatus(dayDir.getPath).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-          .map(st =>
-            s"$day\tdata/b$batchId/${dayDir.getPath.getName}/${st.getPath.getName}")
-      }
-    writeManifestLines(spark, storeDir, batchId, lines)
-  }
-
-  /** Stage + atomic rename: the rename IS the commit point. Package
-    * private so the spec can drive the kill-between-data-and-manifest
-    * simulation (write data, skip this). */
-  private[streaming] def writeManifestLines(spark: SparkSession,
-                                            storeDir: String, batchId: Long,
-                                            lines: Seq[String]): Unit = {
-    val (f, _) = fs(spark, storeDir)
-    val dir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
-    f.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$storeDir/_manifest/.tmp-$batchId-${java.util.UUID.randomUUID()}")
-    val os = f.create(tmp, false)
-    try os.write(lines.mkString("\n").getBytes("UTF-8")) finally os.close()
-    val target = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$batchId")
-    val renamed =
-      try f.rename(tmp, target)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"sketch-view manifest rename $tmp -> $target failed", e) }
-    if (!renamed)
-      throw new IllegalStateException(
-        s"sketch-view manifest rename $tmp -> $target returned false " +
-          "(concurrent writer on the same batchId?)")
-  }
-
-  /** VACUUM: delete data files no current manifest references — the
-    * debris a manifest-commit store accrues (day files superseded by
-    * later merges; orphans of crashed-then-replayed commits). Safety
-    * rules, in order:
-    *
-    *  - batch directories with an id ABOVE the highest committed
-    *    manifest are SKIPPED entirely: that id is an in-flight or
-    *    about-to-replay commit whose files the replay will overwrite —
-    *    deleting under a live writer is the one unsafe case, so run
-    *    vacuum from the writer itself between batches, or quiesced;
-    *  - within committed-range directories, only files absent from the
-    *    CURRENT manifest composition are deleted (the store read is
-    *    untouched byte-for-byte — the spec proves it);
-    *  - a directory left with no referenced files is removed;
-    *    manifests themselves are never deleted (they are the ledger
-    *    that keeps every historical `batchId` replay a no-op).
-    *
-    * Returns (files deleted, batch directories removed). O(store
-    * listing) — at one partial row per day this is metadata work, not
-    * a data scan. */
-  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) = {
-    val (f, dataRoot) = fs(spark, s"$storeDir/data")
-    if (!f.exists(dataRoot)) return (0, 0)
-    val ms = manifests(spark, storeDir)
-    val maxCommitted = ms.lastOption.map(_._1).getOrElse(-1L)
-    // relative paths, exactly as manifests record them
-    val referenced: Set[String] =
-      currentFiles(spark, storeDir).values
-        .flatMap(_._2).map(_.stripPrefix(s"$storeDir/")).toSet
-    var files = 0; var dirs = 0
-    f.listStatus(dataRoot).filter(_.isDirectory).foreach { bdir =>
-      scala.util.Try(bdir.getPath.getName.stripPrefix("b").toLong).toOption
-        .filter(_ <= maxCommitted).foreach { bid =>
-          var keptAny = false
-          f.listStatus(bdir.getPath).foreach { entry =>
-            val children =
-              if (entry.isDirectory) f.listStatus(entry.getPath).toSeq
-              else Seq(entry)
-            var keptHere = false
-            children.foreach { st =>
-              val rel =
-                if (entry.isDirectory)
-                  s"data/b$bid/${entry.getPath.getName}/${st.getPath.getName}"
-                else s"data/b$bid/${st.getPath.getName}"
-              if (referenced(rel)) { keptHere = true; keptAny = true }
-              else if (st.isFile) { f.delete(st.getPath, false); files += 1 }
-            }
-            if (entry.isDirectory && !keptHere) { f.delete(entry.getPath, true); () }
-          }
-          if (!keptAny) { f.delete(bdir.getPath, true); dirs += 1 }
-        }
-    }
-    spark.catalog.refreshByPath(storeDir)
-    (files, dirs)
   }
 
   /** Test hook: run the data-write half of [[mergeBatch]] and CRASH
@@ -329,26 +178,13 @@ object SketchView {
       batch: DataFrame, batchId: Long, storeDir: String): Seq[java.sql.Date] = {
     val spark = batch.sparkSession
     require(!committed(spark, storeDir, batchId), "batch already committed")
-    val delta = SketchTable.buildDaily(batch.filter(col("ts").isNotNull))
-      .persist()
-    try {
-      val days = delta.select(col("day")).distinct().collect()
-        .map(_.getDate(0)).toSeq
-      val existing = readStore(spark, storeDir)
-        .where(col("day").isin(days: _*))
-      val merged = existing
-        .unionByName(delta, allowMissingColumns = true)
-        .groupBy(col("day"))
-        .agg(
-          hll_union_agg(col("users_sketch"), lit(false)).as("users_sketch"),
-          call_function("qsample_merge", col("value_sketch")).as("value_sketch"),
-          sum(col("n")).as("n"),
-          sum(col("value_total")).as("value_total"))
-      merged.localCheckpoint(true)
-        .write.mode("overwrite").partitionBy("day")
-        .parquet(s"$storeDir/data/b$batchId")
-      spark.catalog.refreshByPath(storeDir)
-      days // …and "crash": no manifest
-    } finally { delta.unpersist(); () }
+    mergedDelta(batch, storeDir) match {
+      case Some(merged) =>
+        val days = merged.select(col("day")).distinct().collect()
+          .map(_.getDate(0)).toSeq
+        ManifestStore.writeBatchData(merged, storeDir, batchId, "day")
+        days // …and "crash": no manifest
+      case None => Seq.empty
+    }
   }
 }

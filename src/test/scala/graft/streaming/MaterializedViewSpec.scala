@@ -41,7 +41,7 @@ class MaterializedViewSpec extends SparkSpec {
     }
     // run 1: half the corpus
     run()
-    val view1 = spark.read.parquet(store).drop("bucket")
+    val view1 = MaterializedView.readStore(spark, store).drop("bucket")
     val expect1 = batchAggregate(inDir)
     // materialize NOW: view1's plan points at files run 2 will replace
     val view1Rows = view1.count()
@@ -55,7 +55,7 @@ class MaterializedViewSpec extends SparkSpec {
     ts.filter(col("h") === 1).select("value")
       .coalesce(1).write.mode("append").text(inDir)
     run()
-    val view2 = spark.read.parquet(store).drop("bucket")
+    val view2 = MaterializedView.readStore(spark, store).drop("bucket")
     val expect2 = batchAggregate(inDir)
     assert(view2.count() >= view1Rows)
     assert(view2.exceptAll(expect2).count() === 0)
@@ -71,10 +71,39 @@ class MaterializedViewSpec extends SparkSpec {
       .toDF("merchant", "n_tx", "usd_total")
     val d2 = Seq((Option.empty[String], 3L, 30.0))
       .toDF("merchant", "n_tx", "usd_total")
-    MaterializedView.upsert(d1, store)
-    MaterializedView.upsert(d2, store) // absolute totals replace the null row
-    val rows = spark.read.parquet(store).drop("bucket")
+    MaterializedView.upsert(d1, 0L, store)
+    MaterializedView.upsert(d2, 1L, store) // absolute totals replace the null row
+    val rows = MaterializedView.readStore(spark, store).drop("bucket")
       .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
     assert(rows === Set((None, 3L), (Some("m1"), 2L)))
+  }
+
+  test("kill between data write and manifest rename: the view never loses a bucket") {
+    // r7: under dynamic partition overwrite a mid-commit crash could
+    // lose a bucket's PREVIOUS files — silent data loss for absolute
+    // per-merchant totals. Under the shared manifest protocol the
+    // crashed commit's files are invisible, the pre-crash view stays
+    // intact, and the replay reaches the uncrashed result.
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-mv-crash").toString + "/store"
+    val d0 = Seq((Some("m1"), 1L, 10.0), (Some("m2"), 1L, 20.0))
+      .toDF("merchant", "n_tx", "usd_total")
+    val d1 = Seq((Some("m1"), 2L, 15.0), (Some("m3"), 1L, 7.0))
+      .toDF("merchant", "n_tx", "usd_total")
+    assert(MaterializedView.upsert(d0, 0L, store))
+    val preCrash = MaterializedView.readStore(spark, store).drop("bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    MaterializedView.upsertCrashBeforeManifest(d1, 1L, store)
+    val seen = MaterializedView.readStore(spark, store).drop("bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(seen === preCrash, "a crashed commit's files leaked into the view")
+    // restart re-delivers batch 1; the replay must land the full merge
+    assert(MaterializedView.upsert(d1, 1L, store))
+    val recovered = MaterializedView.readStore(spark, store).drop("bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(recovered ===
+      Set(("m1", 2L, 15.0), ("m2", 1L, 20.0), ("m3", 1L, 7.0)))
+    // and the completed commit replays as a no-op
+    assert(!MaterializedView.upsert(d1, 1L, store))
   }
 }
