@@ -5,9 +5,15 @@ import org.apache.spark.sql.SparkSession
   * factor and prints ONE JSON line.
   *
   * Measurement contract (VERDICT r01 fixes):
-  *  - results are materialized via a `noop`-format write, so the full
-  *    plan (projections, sorts, all columns) executes — a bare `count()`
-  *    would let Catalyst prune columns and skip sort work;
+  *  - results are materialized by executing the query's OWN
+  *    `QueryExecution` to exhaustion (`toRdd.foreach`) — the same
+  *    full-plan materialization as the earlier noop-format write (every
+  *    row of every partition is produced; a bare `count()` would let
+  *    Catalyst prune columns and skip sort work), chosen because a
+  *    `df.write` runs a SEPARATE QueryExecution: the lint below would
+  *    otherwise walk an adaptive plan that never executed and still
+  *    shows the INITIAL physical plan (the PlanSpec AQE tests document
+  *    the same drive-this-queryExecution gotcha);
   *  - a failing query is recorded in `"failed"` and the process exits
   *    non-zero, so a broken query can never bench as a fast success;
   *  - every query's EXECUTED plan is linted through the shared
@@ -52,7 +58,9 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
+          // drives df's OWN QueryExecution: full materialization AND
+          // the finalized adaptive plan for the lint below
+          df.queryExecution.toRdd.foreach(_ => ())
           lastRun = Some(df)
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>

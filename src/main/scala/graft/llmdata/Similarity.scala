@@ -159,6 +159,19 @@ object Similarity {
   private final class CentroidHolder(thunk: () => Array[(Int, Seq[Float])]) {
     lazy val value: Array[(Int, Seq[Float])] = thunk()
   }
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+  /** Memoized corpus cardinality per (session, corpus dir): the
+    * corpus-scaled PQ/PCA pool defaults need N at plan-CONSTRUCTION
+    * time, and Bench/ScaleBench/PlanAuditSpec construct each query
+    * several times — a parquet metadata count is cheap but not free.
+    * Same immutable-input contract as the model memos below. */
+  private[llmdata] def corpusCount(spark: SparkSession, dir: String): Long =
+    countMemo.computeIfAbsent((spark, dir),
+      k => java.lang.Long.valueOf(
+        Tables.embeddings(k._1, k._2).count())).longValue()
+
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CentroidHolder]
 
@@ -602,7 +615,8 @@ object Similarity {
     val bcLuts = spark.sparkContext.broadcast(luts)
     val R =
       if (rerankFactor > 0) k * rerankFactor
-      else math.max(16 * k, math.ceil(PqRerankFrac * e.count()).toInt)
+      else math.max(16 * k,
+        math.ceil(PqRerankFrac * corpusCount(spark, dir)).toInt)
     val cores = spark.sparkContext.defaultParallelism
     // one pass over the corpus: encode (the stored index at scale),
     // ADC-score against every query, keep a per-partition top-R
@@ -1025,7 +1039,8 @@ object Similarity {
       .localCheckpoint()
     val cands =
       if (nCandidates > 0) nCandidates
-      else math.max(100, math.ceil(PcaShortlistFrac * proj.count()).toInt)
+      else math.max(100,
+        math.ceil(PcaShortlistFrac * corpusCount(spark, dir)).toInt)
     val q = proj.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("p").as("qp"))
     val wc = Window.partitionBy(col("query_id"))

@@ -50,9 +50,21 @@ object MaterializedView {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (delta: DataFrame, batchId: Long) =>
-        upsert(delta, batchId, storeDir)
-        ()
+      .foreachBatch {
+        // an already-committed id is expected only as the restart
+        // re-delivery (once per start); later ones are backfill-id
+        // collisions and must fail, not silently drop the batch —
+        // same contract as SketchView.startDailySketchView
+        val firstDelivery = new java.util.concurrent.atomic.AtomicBoolean(true)
+        (delta: DataFrame, batchId: Long) => {
+          val committedNow = upsert(delta, batchId, storeDir)
+          val wasFirst = firstDelivery.getAndSet(false)
+          if (!committedNow && !wasFirst)
+            throw new IllegalStateException(
+              s"materialized-view batch $batchId is already committed " +
+                "mid-stream: a backfill id collided with the streaming ledger")
+          ()
+        }
       }
       .start()
 
@@ -79,44 +91,40 @@ object MaterializedView {
     val spark = delta.sparkSession
     if (ManifestStore.committed(spark, storeDir, batchId))
       return false
-    if (delta.isEmpty) {
-      ManifestStore.sealEmpty(spark, storeDir, batchId)
-      return true
+    mergedUpsert(delta, storeDir) match {
+      case Some(merged) => ManifestStore.commit(merged, storeDir, batchId, "bucket")
+      case None => ManifestStore.sealEmpty(spark, storeDir, batchId)
     }
+    true
+  }
+
+  /** The replace-by-key merge for one delta (None when empty) — ONE
+    * implementation serving both [[upsert]] and the crash hook, so the
+    * crash test can never drift onto a different code path. */
+  private def mergedUpsert(delta: DataFrame, storeDir: String): Option[DataFrame] = {
+    if (delta.isEmpty) return None
     val keyed = delta.withColumn("bucket",
       pmod(hash(col("merchant")), lit(NumBuckets)))
     val buckets = keyed.select(col("bucket")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val existing = readStore(spark, storeDir)
+    val existing = readStore(delta.sparkSession, storeDir)
       .where(col("bucket").isin(buckets: _*))
     // null-SAFE anti join: a null merchant is a legitimate aggregation
     // group, and a plain key anti-join never matches null = null — the
     // old null row would survive next to every batch's new one,
     // accumulating duplicates
     val newKeys = keyed.select(col("merchant").as("m_new")).distinct()
-    val merged = existing
+    Some(existing
       .join(newKeys, existing("merchant") <=> col("m_new"), "left_anti")
-      .unionByName(keyed)
-    ManifestStore.commit(merged, storeDir, batchId, "bucket")
-    true
+      .unionByName(keyed))
   }
 
   /** Test hook: the data-write half of [[upsert]] with a "crash"
     * before the manifest lands. */
   private[streaming] def upsertCrashBeforeManifest(
       delta: DataFrame, batchId: Long, storeDir: String): Unit = {
-    val spark = delta.sparkSession
-    require(!ManifestStore.committed(spark, storeDir, batchId))
-    val keyed = delta.withColumn("bucket",
-      pmod(hash(col("merchant")), lit(NumBuckets)))
-    val buckets = keyed.select(col("bucket")).distinct().collect()
-      .map(_.getInt(0)).toSeq
-    val existing = readStore(spark, storeDir)
-      .where(col("bucket").isin(buckets: _*))
-    val newKeys = keyed.select(col("merchant").as("m_new")).distinct()
-    val merged = existing
-      .join(newKeys, existing("merchant") <=> col("m_new"), "left_anti")
-      .unionByName(keyed)
-    ManifestStore.writeBatchData(merged, storeDir, batchId, "bucket")
+    require(!ManifestStore.committed(delta.sparkSession, storeDir, batchId))
+    mergedUpsert(delta, storeDir).foreach(
+      ManifestStore.writeBatchData(_, storeDir, batchId, "bucket"))
   }
 }

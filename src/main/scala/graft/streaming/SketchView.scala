@@ -56,19 +56,35 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object SketchView {
 
   /** Maintain the per-day sketch table from a streaming events frame
-    * (`ts`, `user_id`, `event_id`, `value`). */
+    * (`ts`, `user_id`, `event_id`, `value`).
+    *
+    * An already-committed batch id is EXPECTED exactly once per query
+    * start (foreachBatch re-delivers the last batch after a restart
+    * even when it committed) — any LATER one means a backfill id
+    * collided with the streaming ledger, and silently skipping it
+    * would drop the micro-batch's events while the checkpoint still
+    * advances. That case fails the query loudly instead. */
   def startDailySketchView(events: DataFrame, storeDir: String,
                            checkpoint: String,
-                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val firstDelivery = new java.util.concurrent.atomic.AtomicBoolean(true)
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(batch, batchId, storeDir)
+        val committedNow = mergeBatch(batch, batchId, storeDir)
+        val wasFirst = firstDelivery.getAndSet(false)
+        if (!committedNow && !wasFirst)
+          throw new IllegalStateException(
+            s"sketch-view batch $batchId is already committed mid-stream: " +
+              "a backfill id collided with the streaming ledger (see " +
+              "mergeBatch's batchId rules) - this micro-batch would " +
+              "otherwise be silently dropped")
         ()
       }
       .start()
+  }
 
   /** Marker check: `batchId` is committed iff its manifest exists. */
   def committed(spark: SparkSession, storeDir: String, batchId: Long): Boolean =
@@ -93,11 +109,17 @@ object SketchView {
     ManifestStore.vacuum(spark, storeDir)
 
   /** Idempotent merge of one micro-batch into the stored sketch table.
-    * Public so a batch backfill can use the identical path — pick a
-    * batchId disjoint from the streaming query's (its ids start at 0
-    * and increment; negative ids are NOT safe here because manifest
-    * precedence is numeric order — use ids above the stream's range
-    * for backfills that must win, and check the return value).
+    * Public so a batch backfill can use the identical path. Backfill
+    * batchId rules (manifest precedence is NUMERIC order, and the
+    * stream's own ids grow without bound): NEGATIVE ids are safe for
+    * backfilling days the store has never seen (no competing manifest
+    * exists, so precedence never binds) and can never collide with a
+    * future stream batch; a backfill that must RE-MERGE days the
+    * stream owns needs an id above every committed one, which is only
+    * safe with the stream quiesced — done live, the stream eventually
+    * reaches that id, and the sink then fails loudly (see
+    * [[startDailySketchView]]) rather than silently dropping the
+    * colliding micro-batch. Always check the return value.
     *
     * Single WRITER per store assumed (same contract as
     * [[graft.tx.ProcessedStore]]): the manifest check and the merge are
@@ -164,8 +186,10 @@ object SketchView {
               .as("value_sketch"),
             sum(col("n")).as("n"),
             sum(col("value_total")).as("value_total"))
-          // the persist above only covers this plan's construction —
-          // materialize through localCheckpoint inside the commit
+          // eager checkpoint: the delta persist is released in the
+          // finally below, and the merged frame is consumed by BOTH
+          // the commit write and (in the crash hook) a days collect —
+          // one materialization here instead of re-aggregating per use
           .localCheckpoint(true))
       }
     } finally { delta.unpersist(); () }

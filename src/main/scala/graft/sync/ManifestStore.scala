@@ -97,19 +97,27 @@ object ManifestStore {
       spark.read
         .option("basePath", s"$storeDir/data/b$id")
         .parquet(files.map(_._2): _*)
-    }.reduceOption(_.unionByName(_))
+    }
+      // allowMissingColumns: batch dirs written before a schema change
+      // null-fill the new columns — the store stays readable across an
+      // upgrade (degraded until backfilled, never wedged), matching the
+      // callers' merge-side evolution contract
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The data-write half of a commit: `merged`'s rows land under this
     * batch's own directory, partitioned by `partitionCol`; overwrite
-    * clears any orphans a crashed attempt of the same batch left.
-    * Lineage is severed first — `merged` may read from the store.
-    * NOT a commit until [[seal]] lands the manifest. */
+    * clears any orphans a crashed attempt of the same batch left. NO
+    * lineage severing is needed here — unlike dynamic partition
+    * overwrite, a manifest commit never writes into a directory that
+    * could feed `merged`'s plan (its inputs are OTHER batches'
+    * immutable dirs; a crashed attempt's orphans under THIS dir are
+    * manifest-invisible and thus never inputs either). NOT a commit
+    * until [[seal]] lands the manifest. */
   def writeBatchData(merged: DataFrame, storeDir: String, batchId: Long,
                      partitionCol: String): Unit = {
     val spark = merged.sparkSession
-    merged.localCheckpoint(true)
-      .write.mode("overwrite").partitionBy(partitionCol)
+    merged.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(s"$storeDir/data/b$batchId")
     spark.catalog.refreshByPath(storeDir)
   }

@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   * source dir PLUS a hash of the raw string, so distinct dirs that
   * sanitize identically (`/a/b` vs `/a_b`) cannot collide, and the
   * table is staged to a `.tmp-<pid>` sibling then swapped into place
-  * under an advisory `<out>.lock` (owner-nonce rename claim, atomic on
-  * HDFS/posix) so a concurrent reader never sees a half-written table
+  * under an advisory `<out>.lock` (owner-nonce lease over an atomic
+  * create-if-absent claim — see [[withSwapLock]] for the per-filesystem
+  * primitive) so a concurrent reader never sees a half-written table
   * AND two JVMs materializing the same source cannot interleave the
   * delete→rename swap — un-serialized, the loser's rename can land its
   * staged dir INSIDE the winner's just-renamed table (HDFS rename into

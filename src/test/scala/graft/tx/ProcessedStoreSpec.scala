@@ -90,13 +90,15 @@ class ProcessedStoreSpec extends SparkSpec {
   }
 
   test("two stale-breakers racing the same corpse: exactly one holds the lock at a time") {
-    // VERDICT r6 #8: under the old create-if-absent protocol two
-    // waiters could both delete the same corpse and both createNewFile
-    // in turn, each believing it held the lock. The owner-nonce rename
-    // claim makes the claim itself atomic (a rename whose destination
-    // exists returns false) and the post-claim nonce re-read rejects a
-    // claim that raced a breaker's delete — so the critical sections
-    // may interleave in any order but never overlap.
+    // VERDICT r6 #8: under the old protocol two waiters could both
+    // delete the same corpse and both claim in turn, each believing it
+    // held the lock. The claim is now the per-filesystem ATOMIC
+    // create-if-absent (O_EXCL File.createNewFile locally — Hadoop's
+    // local createNewFile is an exists-then-create TOCTOU this very
+    // test caught; the namenode CREATE rpc on HDFS), the post-claim
+    // nonce re-read rejects a claim that raced a breaker's delete, and
+    // breaks re-stat the corpse immediately before deleting — so the
+    // critical sections may interleave in any order but never overlap.
     val root = java.nio.file.Files.createTempDirectory("graft-lock").toString
     val out = s"$root/out"
     val fs = localFs
