@@ -83,6 +83,39 @@ class PlanLintSpec extends SparkSpec {
       PlanLint.lint(q).mkString(", "))
   }
 
+  test("RegistryAudit policy: exemptions bind to the NAMED query and kind, cartesians never exempt") {
+    // the shared policy object is what both PlanAuditSpec and Bench
+    // enforce — its filtering logic needs direct gates of its own:
+    //  - a BNLJ under an allow-listed name passes; the SAME plan under
+    //    a non-listed name is a finding;
+    //  - a cartesian is a finding even under a BNLJ-allow-listed name
+    //    (no kind leakage between exemption maps);
+    //  - localResult names skip the lint entirely.
+    val other = docs.select(col("doc_id").as("id2"))
+    val bnl = docs.crossJoin(broadcast(other.limit(1)))
+    assert(graft.plans.PlanLint.lint(bnl).exists(_.kind == "bnl-join"),
+      "fixture must actually plan a BNLJ")
+    assert(RegistryAudit.unexempt("ea18_funnel", bnl).isEmpty,
+      "allow-listed name must exempt its BNLJ")
+    assert(RegistryAudit.unexempt("not_a_registered_name", bnl)
+      .exists(_.kind == "bnl-join"),
+      "non-listed name must surface the BNLJ")
+    val cart = docs.hint("shuffle_replicate_nl").crossJoin(other)
+    assert(RegistryAudit.unexempt("ea18_funnel", cart)
+      .exists(_.kind == "cartesian"),
+      "a cartesian must never be exempt, whatever the name's other exemptions")
+    assert(RegistryAudit.unexempt("txt_bpe_merges", cart).isEmpty,
+      "localResult names skip the audit (their plan is a LocalRelation in registry use)")
+    // every exemption key must point at a REAL registered query — a
+    // renamed query must not leave a stale exemption silently exempting
+    // nothing (or worse, a future query inheriting the old name's pass)
+    val registered = graft.SparkEntry.queries.keySet
+    val stale = (RegistryAudit.bnlAllowed.keySet ++
+      RegistryAudit.singlePartitionAllowed.keySet ++
+      RegistryAudit.localResult) -- registered
+    assert(stale.isEmpty, s"exemptions for unregistered queries: $stale")
+  }
+
   test("registered healthy queries lint clean") {
     assert(PlanLint.lint(
       graft.queries.Relational.q2RegionRevenue(spark, sf)).isEmpty)
