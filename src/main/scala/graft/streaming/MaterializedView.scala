@@ -63,6 +63,11 @@ object MaterializedView {
             throw new IllegalStateException(
               s"materialized-view batch $batchId is already committed " +
                 "mid-stream: a backfill id collided with the streaming ledger")
+          // bound the manifest ledger: fold every K commits (between
+          // commits on the single writer — never races a seal)
+          if (committedNow)
+            ManifestStore.maybeSnapshot(delta.sparkSession, storeDir,
+              SketchView.SnapshotEvery)
           ()
         }
       }

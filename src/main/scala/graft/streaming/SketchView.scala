@@ -43,17 +43,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * whose days were never re-touched; any range rollup then scans
   * O(#days) rows), and a batch rewrites only the day rows it touched.
   *
-  * Manifest history grows one small file per batch and each
-  * read/merge replays it in full — at minute-grain batches over
-  * months this listing becomes the dominant metadata cost. Folding it
-  * needs a snapshot manifest, and the id-is-precedence scheme makes
-  * that an operational step (a snapshot must outrank every committed
-  * manifest while staying below the stream's NEXT batch id, so it can
-  * only be written from the quiesced writer); documented as the
-  * store's known operational task rather than hidden — the same
+  * Manifest history is BOUNDED (r8): the streaming writer folds the
+  * ledger into a snapshot manifest every [[SnapshotEvery]] commits
+  * ([[graft.sync.ManifestStore.maybeSnapshot]] — side-channel
+  * `<id>.snap` files, so a snapshot never competes with batch ids),
+  * readers replay only manifests above the newest fold, and
+  * [[vacuum]] drops the folded history — per-read ledger cost stays
+  * O(SnapshotEvery) on an arbitrarily long-running stream, the same
   * niche Iceberg/Delta metadata checkpoints fill.
   */
 object SketchView {
+
+  /** Fold cadence for the streaming writer: every K commits the
+    * ledger collapses to one snapshot, so reads parse ≤ K manifests
+    * on top of it. Small enough to bound metadata, large enough that
+    * fold cost (rewrite of one small composition file) stays
+    * negligible against K data commits. */
+  val SnapshotEvery = 16
 
   /** Maintain the per-day sketch table from a streaming events frame
     * (`ts`, `user_id`, `event_id`, `value`).
@@ -81,6 +87,11 @@ object SketchView {
               "a backfill id collided with the streaming ledger (see " +
               "mergeBatch's batchId rules) - this micro-batch would " +
               "otherwise be silently dropped")
+        // fold the manifest ledger every K commits — runs between
+        // commits on the single writer, so it never races a seal
+        if (committedNow)
+          ManifestStore.maybeSnapshot(batch.sparkSession, storeDir,
+            SnapshotEvery)
         ()
       }
       .start()
@@ -145,7 +156,9 @@ object SketchView {
       return false // replayed completed batch: no-op
     mergedDelta(batch, storeDir) match {
       case Some(merged) =>
-        ManifestStore.commit(merged, storeDir, batchId, "day")
+        try ManifestStore.commit(merged, storeDir, batchId, "day")
+        finally { merged.unpersist(); () } // released per batch — a
+        // long-running stream must not accumulate cached merge frames
       case None =>
         // empty delta: commit an empty manifest so the ledger still
         // records the batch (replay stays a no-op)
@@ -177,7 +190,7 @@ object SketchView {
         // existed (schema evolution) null-fills it — the merge then
         // skips those nulls, so pre-upgrade rows contribute nothing to
         // the NEW sketch until backfilled (degraded, never wedged)
-        Some(existing
+        val merged = existing
           .unionByName(delta, allowMissingColumns = true)
           .groupBy(col("day"))
           .agg(
@@ -186,11 +199,16 @@ object SketchView {
               .as("value_sketch"),
             sum(col("n")).as("n"),
             sum(col("value_total")).as("value_total"))
-          // eager checkpoint: the delta persist is released in the
-          // finally below, and the merged frame is consumed by BOTH
-          // the commit write and (in the crash hook) a days collect —
-          // one materialization here instead of re-aggregating per use
-          .localCheckpoint(true))
+          // eager persist (NOT localCheckpoint): the delta cache is
+          // released in the finally below, the merged frame feeds
+          // BOTH the commit write and (in the crash hook) a days
+          // collect — one materialization per use-set, UNPERSISTED by
+          // the caller once the commit lands (a checkpoint here would
+          // pin blocks until driver GC and lose the batch outright on
+          // executor loss; a persist recomputes from lineage instead)
+          .persist()
+        merged.count() // materialize while delta is still cached
+        Some(merged)
       }
     } finally { delta.unpersist(); () }
   }
@@ -204,10 +222,12 @@ object SketchView {
     require(!committed(spark, storeDir, batchId), "batch already committed")
     mergedDelta(batch, storeDir) match {
       case Some(merged) =>
-        val days = merged.select(col("day")).distinct().collect()
-          .map(_.getDate(0)).toSeq
-        ManifestStore.writeBatchData(merged, storeDir, batchId, "day")
-        days // …and "crash": no manifest
+        try {
+          val days = merged.select(col("day")).distinct().collect()
+            .map(_.getDate(0)).toSeq
+          ManifestStore.writeBatchData(merged, storeDir, batchId, "day")
+          days // …and "crash": no manifest
+        } finally { merged.unpersist(); () }
       case None => Seq.empty
     }
   }

@@ -112,6 +112,33 @@ class SketchViewSpec extends SparkSpec {
     assert(!SketchView.mergeBatch(half1, 1L, store))
   }
 
+  test("snapshot fold + vacuum: store reads unchanged, folded batch ids still replay as no-ops") {
+    import graft.sync.ManifestStore
+    val (half0, half1) = halves
+    val store = Files.createTempDirectory("graft-skv-snap").toString + "/store"
+    assert(SketchView.mergeBatch(half0, 0L, store))
+    assert(SketchView.mergeBatch(half1, 1L, store))
+    assert(SketchView.mergeBatch(half0, 2L, store))
+    val before = normal(SketchView.readStore(spark, store)).collect().toSet
+
+    assert(ManifestStore.snapshot(spark, store) === Some(2L))
+    SketchView.vacuum(spark, store) // drops the folded 0/1/2 manifests
+    val (snapId, replayed) = ManifestStore.readFootprint(spark, store)
+    assert(snapId === Some(2L) && replayed === 0)
+    assert(normal(SketchView.readStore(spark, store)).collect().toSet === before,
+      "fold + vacuum changed the sketch store read")
+
+    // the folded batches' manifests are GONE, yet a restart re-delivery
+    // of batch 2 must still be a no-op — otherwise the additive
+    // measures double exactly like the pre-manifest bug
+    assert(!SketchView.mergeBatch(half0, 2L, store))
+    assert(normal(SketchView.readStore(spark, store)).collect().toSet === before)
+    // and the stream continues on top of the fold
+    assert(SketchView.mergeBatch(half1, 3L, store))
+    assertSame(store, half0.unionByName(half1).unionByName(half0)
+      .unionByName(half1))
+  }
+
   test("vacuum deletes only superseded/unreferenced files; reads unchanged, in-flight ids untouched") {
     val (half0, half1) = halves
     val store = Files.createTempDirectory("graft-skv-vac").toString + "/store"
