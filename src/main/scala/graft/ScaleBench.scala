@@ -37,6 +37,7 @@ object ScaleBench {
     "dd_embed_pairs", "dd_embed_neardup", "dd_embed_clusters",
     "txt_chunk_dedup",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_pca_topk", "ann_hybrid_rrf",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25

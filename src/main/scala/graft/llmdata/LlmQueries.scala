@@ -1124,6 +1124,7 @@ object LlmQueries {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
+    "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, 5, 10)),
     "ann_pca_topk" -> ((s, d) => Similarity.pcaTopK(s, d, 5, 10)),
     "emb_kmeans" -> ((s, d) => Similarity.kmeansReport(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
@@ -1178,7 +1179,8 @@ object LlmQueries {
   )
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
-    * ann_lsh_topk / ann_ivf_topk / ann_pq_topk intentionally absent
+    * ann_lsh_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk
+    * intentionally absent
     * (rows-only): hash functions / trained quantizers aren't
     * reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact

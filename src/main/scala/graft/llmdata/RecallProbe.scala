@@ -62,6 +62,14 @@ object RecallProbe {
         recall(Similarity.pqTopK(spark, dir, nQ, k, rerankFactor = rf))}%.3f")
     println(f"pq    corpus-scaled default      recall=${
       recall(Similarity.pqTopK(spark, dir, nQ, k))}%.3f")
+    for (rp <- Seq(64, 160, 256, 512))
+      println(f"ivfpq rerankPool=$rp%-4d          recall=${
+        recall(Similarity.ivfPqTopK(spark, dir, nQ, k, rerankPool = rp))}%.3f")
+    for (p <- Seq(8, 10, 12))
+      println(f"ivfpq probes=$p%-2d pool=256        recall=${
+        recall(Similarity.ivfPqTopK(spark, dir, nQ, k, probes = p, rerankPool = 256))}%.3f")
+    println(f"ivfpq fixed default              recall=${
+      recall(Similarity.ivfPqTopK(spark, dir, nQ, k))}%.3f")
     for ((d, c) <- Seq((8, 50), (16, 50), (16, 100), (24, 100), (32, 100),
         (24, 400), (32, 400), (32, 1000), (32, 2000)))
       println(f"pca   dims=$d%-2d cands=$c%-4d       recall=${
