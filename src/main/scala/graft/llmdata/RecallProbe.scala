@@ -79,6 +79,8 @@ object RecallProbe {
     for (mp <- Seq(false, true))
       println(f"lsh   multiProbe=$mp%-5s          recall=${
         recall(Similarity.lshTopK(spark, dir, nQ, k, multiProbe = mp))}%.3f")
+    println(f"lsh   fixed radius=1 (at-scale)  recall=${
+      recall(Similarity.lshTopK(spark, dir, nQ, k, probeRadius = 1))}%.3f")
     spark.stop()
   }
 }
