@@ -81,6 +81,7 @@ object Bench {
       name -> t.getOrElse(0.0)
     }
     graft.llmdata.Dedup.releaseCaches()
+    graft.llmdata.TextAnalysis.releaseCaches()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -16,8 +16,13 @@ import org.apache.spark.sql.SparkSession
   * synthetic pair). Prints a markdown table plus one JSON line; the
   * recorded run lives in SURVEY §2.13.
   *
-  * Methodology matches [[Bench]]: noop-format writes materialize the
-  * full plan, min of 2 passes per (query, scale), per-corpus memoized
+  * Methodology: noop-format writes materialize the full plan (timing
+  * only — unlike [[Bench]], which since r7 drives each query's own
+  * `QueryExecution.toRdd` so it can lint the truly-executed adaptive
+  * plan; the curve needs comparable timings across scales, not a
+  * second lint of the same registered plans, so the cheaper
+  * materialization is kept here), min of 2 passes per (query, scale),
+  * per-corpus memoized
   * index builds (IVF centroids, PQ books, PCA model, postings) are
   * PART of the first pass by design — at a new scale point the index
   * build is real work the curve must include; min-of-2 then reports
@@ -101,6 +106,7 @@ object ScaleBench {
       name -> times
     }
     llmdata.Dedup.releaseCaches()
+    llmdata.TextAnalysis.releaseCaches()
 
     // markdown table: times, output rows, and the 10x-step ratios
     // (synth10x / synth1x — the SAME generator at both ends, so the

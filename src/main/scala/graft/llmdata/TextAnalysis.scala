@@ -464,29 +464,58 @@ object TextAnalysis {
         sum(col("n_tok").cast("long")).as("tokens"))
       .orderBy(col("source"), col("verdict"))
 
+  /** Doc-grain curation SIGNALS — (doc_id, source, n_tok, ttr,
+    * dup_ratio, avg_logprob), the threshold-free measurements every
+    * curation consumer thresholds its own way. Cached ONCE per
+    * (session, corpus): `txt_curation_report`, `txt_dynamic_threshold`
+    * and `txt_final_corpus` all sit on this frame, and without the memo
+    * each re-ran the multi-signal corpus scan (length/TTR inline,
+    * bigram repetition stats, unigram log-probs) per call — the
+    * re-derivation VERDICT r7 flagged as dominating `txt_final_corpus`.
+    * Thresholds stay OUT of the memo key on purpose: signals are pure
+    * corpus functions, so any (minTokens, …) parameterization reuses
+    * the same cache. Same immutable-input contract as
+    * [[Dedup.shinglePostings]]; released by [[releaseCaches]]. */
+  private[llmdata] def curationSignals(spark: SparkSession, dir: String): DataFrame =
+    signalsMemo.synchronized {
+      signalsMemo.getOrElseUpdate((spark, dir), {
+        val t = toks(col("text"))
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), size(t).as("n_tok"),
+            (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+        val rep = repetitionRaw(spark, dir, 0.2, 0.18)
+          .select(col("doc_id"), col("dup_ratio"))
+        val lp = unigramRaw(spark, dir)
+          .select(col("doc_id"), col("avg_logprob"))
+        base.join(rep, "doc_id").join(lp, "doc_id").cache()
+      })
+    }
+
+  private val signalsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist the memoized curation-signal caches (idempotent). Bench
+    * calls this after the query sweep, mirroring [[Dedup.releaseCaches]]. */
+  def releaseCaches(): Unit = signalsMemo.synchronized {
+    signalsMemo.valuesIterator.foreach(_.unpersist())
+    signalsMemo.clear()
+  }
+
   /** Per-document first-failing-filter verdicts — [[curationReport]]'s
-    * doc-grain intermediate, exposed for composition ([[finalCorpus]]). */
+    * doc-grain intermediate, exposed for composition ([[finalCorpus]]).
+    * Pure thresholding over the memoized [[curationSignals]] frame. */
   private[llmdata] def curationVerdicts(spark: SparkSession, dir: String,
                                         minTokens: Int = 20,
                                         maxDupRatio: Double = 0.08,
                                         minTypeTokenRatio: Double = 0.30,
-                                        minAvgLogprob: Double = -3.43): DataFrame = {
-    val t = toks(col("text"))
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), size(t).as("n_tok"),
-        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
-    val rep = repetitionRaw(spark, dir, 0.2, 0.18)
-      .select(col("doc_id"), col("dup_ratio"))
-    val lp = unigramRaw(spark, dir)
-      .select(col("doc_id"), col("avg_logprob"))
-    base.join(rep, "doc_id").join(lp, "doc_id")
+                                        minAvgLogprob: Double = -3.43): DataFrame =
+    curationSignals(spark, dir)
       .select(col("doc_id"), col("source"), col("n_tok"),
         when(col("n_tok") < minTokens, "too_short")
           .when(col("dup_ratio") > maxDupRatio, "repetitive")
           .when(col("ttr") < minTypeTokenRatio, "low_diversity")
           .when(col("avg_logprob") < minAvgLogprob, "rare_tokens")
           .otherwise("kept").as("verdict"))
-  }
 
   /** END-TO-END corpus materialization — the single report a training
     * run acts on: every document attributed to its final fate across
@@ -829,8 +858,10 @@ object TextAnalysis {
     * report: doc count, docs below the source's own P(q) cutoff, and
     * the cutoff itself.
     *
-    * Scale shape: scores are one corpus pass ([[unigramLogprob]]'s
-    * plan); the exact per-source percentile buffers each source's
+    * Scale shape: scores come from the memoized [[curationSignals]]
+    * frame (shared with the curation report and final-corpus queries —
+    * one signal scan per session per corpus); the exact per-source
+    * percentile buffers each source's
     * scores on a reducer (same caveat + `approx_percentile` escape
     * hatch as the ea15 distribution query — t-digest is the 100 TB
     * path, asserted equivalent-within-tolerance in SketchSpec for that
@@ -843,10 +874,8 @@ object TextAnalysis {
     * is a pure comparison of those reproducible doubles. */
   def dynamicThreshold(spark: SparkSession, dir: String,
                        q: Double = 0.10): DataFrame = {
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .join(unigramRaw(spark, dir).select(col("doc_id"), col("avg_logprob")),
-        "doc_id")
+    val scored = curationSignals(spark, dir)
+      .select(col("doc_id"), col("source"), col("avg_logprob"))
     val cut = scored.groupBy(col("source"))
       .agg(round(expr(s"percentile(avg_logprob, $q)"), 6).as("cutoff"))
     scored.join(broadcast(cut), "source")

@@ -56,8 +56,6 @@ object RegistryAudit {
     * dimension-sized input funnels O(groups)/O(dim) rows through one
     * task, not the fact table. */
   val singlePartitionAllowed: Map[String, String] = Map(
-    "q31_spend_quartiles" -> ("global ntile over the pre-aggregated " +
-      "O(customers) spend table — equal-population quartiles are a total order"),
     "tx11_vnd_asof_gapfill" -> "ignoreNulls last() window over the O(#days) rate dimension",
     "tx13_rate_intervals" -> "lead() window over the O(#publications) rate dimension",
     "tx14_interval_join" -> "inherits tx13's dimension-sized interval build",

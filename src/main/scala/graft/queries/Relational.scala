@@ -939,21 +939,53 @@ object Relational {
       |ORDER BY cohort, yr""".stripMargin
 
   // --------------------------------------------------------------- q31
-  /** q31: customer spend QUARTILES via `ntile` — the equal-population
-    * segmentation window (marketing tiers, ABC analysis) that
-    * [[q20RunningRevenue]]'s percent_rank does not give: ntile assigns
-    * exact bucket MEMBERSHIP with the remainder spread to the first
-    * buckets. The window input is the customer-grain aggregate (never
-    * fact-sized), totally ordered by (spend desc, custkey) so bucket
-    * assignment is deterministic; the single unpartitioned window is
-    * the price of exact global quantile ranks — the approx_percentile
-    * cut-point form is the 100 TB swap-in when exactness can soften. */
+  /** q31: customer spend QUARTILES — `ntile(4)` semantics (equal
+    * population, remainder spread to the first buckets) computed
+    * WITHOUT a single-partition window, per VERDICT r7 #7: the
+    * customer-grain aggregate is itself fact-sized at 100×, so the
+    * old global-`ntile` exemption argued boundedness that does not
+    * hold at scale. This is the exact two-pass distributed rank:
+    * pass 1 range-partitions the spend table on the total order
+    * (spend desc, custkey — range exchange, every partition window
+    * PARTITIONED by its range id, fully parallel) and collects ONE
+    * ROW PER SHUFFLE PARTITION of counts (the same bounded-collect
+    * class as the distinct-day lists); pass 2 broadcast-joins the
+    * driver-computed prefix offsets back on partition id, so
+    * global rank = offset + local row_number, and the ntile bucket is
+    * closed-form arithmetic on (rank, N). Range-partition ids are
+    * monotone along the requested SortOrder, and the order is total
+    * (custkey tiebreak), so ranks — and therefore bucket membership —
+    * are unique, sample-bound-independent, and engine-identical: the
+    * DuckDB `ntile` oracle hash-matches exactly. */
   def q31SpendQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"))).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend.withColumn("quartile", ntile(4).over(w))
+    val ranked = spend
+      .repartitionByRange(col("spend").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("spend").desc, col("o_custkey"))))
+      .localCheckpoint() // two consumers: the pid-count pass and the final rollup
+    val cnts = ranked.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    var acc = 0L
+    val offsets = cnts.toSeq.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    import spark.implicits._
+    val offDf = offsets.toDF("pid", "off")
+    // ntile(4): q full buckets of size qz+1 for the first r, size qz after
+    val qz = n / 4
+    val r = n % 4
+    val rank = col("off") + col("rn")
+    val bucket = when(rank <= lit(r * (qz + 1)),
+        floor((rank - 1) / lit((qz + 1).toDouble)) + 1)
+      .otherwise(lit(r) + floor((rank - lit(r * (qz + 1)) - 1) /
+        lit(math.max(qz, 1L).toDouble)) + 1)
+    ranked.join(broadcast(offDf), "pid")
+      .withColumn("quartile", bucket.cast("int"))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_customers"),
         min(col("spend")).cast("double").as("min_spend"),

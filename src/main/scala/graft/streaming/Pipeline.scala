@@ -124,6 +124,86 @@ object Pipeline {
       .start()
   }
 
+  /** Bucket layout of a MANIFEST-COMMITTED pipeline run: each bucket is
+    * a [[graft.sync.ManifestStore]] root rather than a bare directory. */
+  /** Ledger fold cadence of [[startFanOutCommitted]] (manifests
+    * replayed per read stay under this). */
+  val SnapshotEvery = 16
+
+  case class StoreLayout(root: String) {
+    val valid = s"$root/valid"
+    val fraud = s"$root/fraud"
+    val errors = s"$root/errors"
+    val invalidLog = s"$root/invalid_log"
+    val checkpoint = s"$root/_checkpoints/committed-fanout"
+    def all: Seq[String] = Seq(valid, fraud, errors, invalidLog)
+  }
+
+  /** Manifest-committed fan-out — [[startFanOut]]'s durability upgrade
+    * and the engine [[StreamMain]] ships: every micro batch commits
+    * each bucket into its [[graft.sync.ManifestStore]] under the
+    * batch's OWN immutable directory, manifest renamed in last. Plain
+    * `.write.mode("append")` inside `foreachBatch` is exactly-once only
+    * while sink writes and the offset commit never tear: a crash
+    * between the last bucket write and the checkpoint commit replays
+    * the batch into sinks that already absorbed it — duplicates. Here a
+    * replayed batch finds its id in each store's ledger and skips the
+    * stores it already reached (a partially-committed batch re-runs
+    * only its missing buckets), so crash-at-any-point ≡ the uncrashed
+    * run — the SketchView/MaterializedView commit contract, now on the
+    * raw pipeline itself. valid/fraud/errors keep the reference's
+    * date partitioning as a single `ymd` partition column
+    * (Year·10⁴+Month·10²+Day; readers drop it); the 5-column
+    * validation log is date-free and lands under one constant
+    * partition. `onFreshBatch` fires once per batch that found work —
+    * the [[StreamMain]] status counter. */
+  def startFanOutCommitted(source: DataFrame, layout: StoreLayout,
+                           rateFor: java.time.LocalDate => Double,
+                           trigger: Trigger = Sinks.DefaultTrigger,
+                           clock: Column = current_timestamp(),
+                           onFreshBatch: Long => Unit = _ => (),
+                           today: () => java.time.LocalDate =
+                             () => java.time.LocalDate.now()): StreamingQuery = {
+    import graft.sync.ManifestStore
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", layout.checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val spark = rawBatch.sparkSession
+        val pending = layout.all
+          .filterNot(ManifestStore.committed(spark, _, batchId))
+        if (pending.nonEmpty) {
+          onFreshBatch(batchId)
+          val ymd = coalesce(
+            col("Year").cast("long") * 10000L +
+              col("Month").cast("long") * 100L + col("Day").cast("long"),
+            lit(0L))
+          val batch = Enrichment.enrich(rawBatch, rateFor(today()), clock)
+          batch.persist()
+          try {
+            def put(store: String, df: DataFrame): Unit =
+              if (pending.contains(store))
+                ManifestStore.commit(df, store, batchId, "ymd", append = true)
+            put(layout.valid, Splitter.valid(batch).withColumn("ymd", ymd))
+            put(layout.fraud, Splitter.fraud(batch).withColumn("ymd", ymd))
+            put(layout.errors,
+              Enrichment.project(Splitter.errors(batch)).withColumn("ymd", ymd))
+            put(layout.invalidLog, Splitter.invalid(batch)
+              .select(Sinks.validationLogColumns.map(col): _*)
+              .withColumn("ymd", lit(0L)))
+            // fold each ledger every K commits (the SketchView cadence;
+            // single writer, between seals, never racing one) so a
+            // long-running stream's per-read ledger cost stays O(K)
+            layout.all.foreach(
+              ManifestStore.maybeSnapshot(spark, _, SnapshotEvery))
+          } finally batch.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Reference-faithful multi-query mode: independent streaming queries
     * per sink, each with its own checkpoint, all re-deriving from the
     * shared enriched plan (spark_streaming_consumer.py:442–505).

@@ -217,9 +217,29 @@ object ManifestStore {
   }
 
   /** The commit point: list the batch directory's partition files and
-    * atomically rename the manifest in. */
-  def seal(spark: SparkSession, storeDir: String, batchId: Long): Unit = {
+    * atomically rename the manifest in.
+    *
+    * Ledger semantics are chosen by the KEY the seal writes, because
+    * [[foldLedger]] replays manifests as a map override on that key:
+    *  - `append = false` (default): key = partition-dir name, so a
+    *    later batch touching a partition REPLACES its file set — the
+    *    upsert contract [[graft.streaming.MaterializedView]] and
+    *    [[graft.streaming.SketchView]] commit absolute totals under.
+    *  - `append = true`: key = `b<batchId>/<partition-dir>`, unique
+    *    per batch, so the fold never collides and every committed
+    *    batch's files ACCUMULATE — the append-sink contract the
+    *    streaming pipeline's bucket stores
+    *    ([[graft.streaming.Pipeline.startFanOutCommitted]]) need.
+    * Keys are opaque to every reader (reads, snapshots, and vacuum
+    * group by the file paths, not the keys), so the two modes share
+    * the whole crash-safety/snapshot/vacuum machinery; a store must
+    * simply be written in ONE mode for its lifetime. In append mode
+    * nothing is ever superseded, so vacuum reclaims only folded
+    * manifests, never data files. */
+  def seal(spark: SparkSession, storeDir: String, batchId: Long,
+           append: Boolean = false): Unit = {
     val (f, dd) = fs(spark, s"$storeDir/data/b$batchId")
+    val keyPrefix = if (append) s"b$batchId/" else ""
     val lines = f.listStatus(dd).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .flatMap { partDir =>
@@ -227,7 +247,7 @@ object ManifestStore {
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
           .map(st =>
-            s"${partDir.getPath.getName}\tdata/b$batchId/${partDir.getPath.getName}/${st.getPath.getName}")
+            s"$keyPrefix${partDir.getPath.getName}\tdata/b$batchId/${partDir.getPath.getName}/${st.getPath.getName}")
       }
     sealLines(spark, storeDir, batchId.toString, lines)
   }
@@ -237,11 +257,11 @@ object ManifestStore {
   def sealEmpty(spark: SparkSession, storeDir: String, batchId: Long): Unit =
     sealLines(spark, storeDir, batchId.toString, Seq.empty)
 
-  /** Full commit = data + manifest. */
+  /** Full commit = data + manifest ([[seal]] documents `append`). */
   def commit(merged: DataFrame, storeDir: String, batchId: Long,
-             partitionCol: String): Unit = {
+             partitionCol: String, append: Boolean = false): Unit = {
     writeBatchData(merged, storeDir, batchId, partitionCol)
-    seal(merged.sparkSession, storeDir, batchId)
+    seal(merged.sparkSession, storeDir, batchId, append)
   }
 
   private def sealLines(spark: SparkSession, storeDir: String,

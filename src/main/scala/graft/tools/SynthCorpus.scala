@@ -96,8 +96,15 @@ object SynthCorpus {
         } else {
           val kind = (h & 0xffffL) % 50 // 0 exact-dup, 1..2 near-dup, else fresh
           val baseId =
-            if (id >= 50 && kind <= 2) id - 1 - ((h >>> 16) & 0x1f) // an earlier doc
-            else id
+            if (id >= 50 && kind <= 2) {
+              // an earlier doc — but never a planted-block member: its
+              // text is group-unique, so a Vocab-built "dup" of it would
+              // duplicate nothing and dilute the planted dup densities
+              var b = id - 1 - ((h >>> 16) & 0x1f)
+              while ((b / 8) % PlantStride == 0 &&
+                (b % 8) < groupSize(groupHash(seed, b / 8))) b -= 1
+              b
+            } else id
           val bh = mix2(seed, baseId)
           val nWords = 30 + ((bh >>> 20) % 81).toInt
           val words = Array.tabulate(nWords) { w =>

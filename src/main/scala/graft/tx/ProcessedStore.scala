@@ -91,9 +91,12 @@ object ProcessedStore {
     * claim would not be portable either, since POSIX rename clobbers
     * an existing destination) — and the claimant then writes its UUID
     * nonce into the lock and RE-READS it: the claim stands only if the
-    * lock still carries the claimant's own nonce, so when a breaker
-    * storm hands the same instant to two waiters, at most one passes
-    * verification. A writer that died holding the lock leaves a stale
+    * lock still carries the claimant's own nonce — when a breaker
+    * storm hands the same instant to two waiters, the re-read sharply
+    * reduces (within the residual window documented below; the stamp
+    * is an unconditional overwrite, so a stamp/stamp/verify/verify
+    * interleaving can still let both pass) the chance both claimants
+    * proceed. A writer that died holding the lock leaves a stale
     * file: waiters break locks older than
     * `graft.processed.lockStaleMs` (default 30 min — orders of
     * magnitude beyond a healthy swap, which is metadata-only), and the
@@ -145,17 +148,34 @@ object ProcessedStore {
         catch { case _: java.io.IOException => false }
     }
 
+    def stamp(): Unit =
+      try {
+        val os = fs.create(lock, true)
+        try os.write(nonce.getBytes("UTF-8")) finally os.close()
+      } catch { case _: java.io.IOException => () }
+
     def tryClaim(): Boolean = {
       val created = atomicCreate()
       created && {
         // stamp ownership, then verify it stuck: if a breaker deleted
         // this fresh claim and another waiter re-claimed, the lock
-        // carries the other nonce and exactly one claimant proceeds
-        try {
-          val os = fs.create(lock, true)
-          try os.write(nonce.getBytes("UTF-8")) finally os.close()
-        } catch { case _: java.io.IOException => () }
-        lockNonce().contains(nonce)
+        // carries the other nonce and this claimant stands down
+        stamp()
+        var verified = lockNonce().contains(nonce)
+        if (!verified) {
+          // transient stamp/read IO failure, not a takeover? retry the
+          // stamp once before giving up on a file this process created
+          if (!lockNonce().exists(_.nonEmpty)) { stamp(); verified = lockNonce().contains(nonce) }
+          // still ownerless (empty/unreadable) ⇒ this claimant's own
+          // orphan: remove it so waiters don't spin to the stale-break
+          // timeout on a lock nobody holds. If another waiter's nonce
+          // is present, the takeover was legitimate — leave it.
+          if (!verified && !lockNonce().exists(_.nonEmpty)) {
+            try { fs.delete(lock, false); () }
+            catch { case _: java.io.IOException => () }
+          }
+        }
+        verified
       }
     }
 

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tx.{Enrichment, RawTransactions, Splitter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.reflect.io.Directory
+
+/** VERDICT r7 #5: the streaming pipeline packaged as a job entry —
+  * [[StreamMain.run]] driven end-to-end on a bounded file source with
+  * two restarts, asserting the JSON status contract, store equality
+  * with the batch pipeline, and the manifest-commit replay guarantee
+  * (a wiped checkpoint — the worst replay — does not duplicate). */
+class StreamMainSpec extends SparkSpec {
+
+  private val pinnedClock = to_timestamp(lit("2024-06-01 00:00:00"))
+  private val rate = Enrichment.DefaultRate
+  private val rateFor = (_: java.time.LocalDate) => rate
+
+  private lazy val root = Files.createTempDirectory("graft-streammain").toString
+  private lazy val inputDir = s"$root/input"
+  private lazy val outRoot = s"$root/out"
+
+  private lazy val raw = RawTransactions.fromEvents(spark, sf)
+  // deterministic disjoint split (limit() is not stable across plans)
+  private def side(r: DataFrame) =
+    pmod(xxhash64(concat_ws("|", r.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)), lit(5))
+  private lazy val firstHalf = { val r = raw; r.filter(side(r) < 3).cache() }
+  private lazy val secondHalf = { val r = raw; r.filter(side(r) >= 3).cache() }
+
+  private def appendInput(rows: DataFrame): Unit =
+    TransactionParser.toJsonValue(rows).select("value")
+      .coalesce(1).write.mode("append").text(inputDir)
+
+  private def drain(): StreamMain.Status =
+    StreamMain.run(spark, inputDir, outRoot,
+      rateFor = rateFor, clock = pinnedClock)
+
+  private def expectedOver(rows: DataFrame): DataFrame =
+    Enrichment.enrich(rows, rate, pinnedClock)
+
+  private def storeCount(store: String): Long =
+    graft.sync.ManifestStore.withStore(spark, store)(
+      _.map(_.count()).getOrElse(0L))
+
+  // run 1: first half only; lazily forced by the first test
+  private lazy val firstStatus = { appendInput(firstHalf); drain() }
+
+  test("drain 1 fills the four bucket stores to the batch pipeline's counts") {
+    val exp = expectedOver(firstHalf)
+    assert(firstStatus.newBatches >= 1L)
+    assert(firstStatus.valid === Splitter.valid(exp).count())
+    assert(firstStatus.fraud === Splitter.fraud(exp).count())
+    assert(firstStatus.errors === Splitter.errors(exp).count())
+    assert(firstStatus.invalid === Splitter.invalid(exp).count())
+  }
+
+  test("JSON status line carries the SyncMain-convention contract") {
+    val j = firstStatus.json
+    assert(j.startsWith("""{"job":"stream_pipeline","new_batches":"""))
+    for (k <- Seq("valid", "fraud", "errors", "invalid"))
+      assert(j.contains(s""""$k":"""), s"missing $k in $j")
+    assert(firstStatus.total === firstStatus.valid + firstStatus.fraud +
+      firstStatus.errors + firstStatus.invalid)
+  }
+
+  test("restart with no new input is a no-op: zero new batches, counts stable") {
+    firstStatus
+    val again = drain()
+    assert(again.newBatches === 0L)
+    assert(again.valid === firstStatus.valid)
+    assert(again.invalid === firstStatus.invalid)
+  }
+
+  test("restart over appended input reaches the full-corpus batch counts and values") {
+    firstStatus
+    appendInput(secondHalf)
+    val st = drain()
+    val exp = expectedOver(firstHalf.unionAll(secondHalf))
+    assert(st.newBatches >= 1L)
+    assert(st.valid === Splitter.valid(exp).count())
+    assert(st.fraud === Splitter.fraud(exp).count())
+    assert(st.errors === Splitter.errors(exp).count())
+    assert(st.invalid === Splitter.invalid(exp).count())
+    // value-level equality on the valid store, not just counts
+    val layout = Pipeline.StoreLayout(outRoot)
+    val got = graft.sync.ManifestStore.readStore(spark, layout.valid).get
+      .agg(sum(col("Amount_USD").cast("decimal(18,2)")).as("usd"),
+        countDistinct(col("Card")).as("cards")).collect()(0)
+    val want = Splitter.valid(exp)
+      .agg(sum(col("Amount_USD").cast("decimal(18,2)")).as("usd"),
+        countDistinct(col("Card")).as("cards")).collect()(0)
+    assert(got === want)
+    // the store keeps the reference's date partitioning (ymd column)
+    val ymds = graft.sync.ManifestStore.readStore(spark, layout.valid).get
+      .select(col("ymd").cast("long")).distinct().collect().map(_.getLong(0))
+    assert(ymds.nonEmpty && ymds.forall(_ > 19000000L))
+  }
+
+  test("wiped checkpoint replay does not duplicate: manifest ledger skips seen ids") {
+    // a fresh root processed in ONE batch, so the replayed batch id 0
+    // re-derives identical content — the crash-replay worst case
+    val root2 = Files.createTempDirectory("graft-streammain2").toString
+    val in2 = s"$root2/input"
+    val out2 = s"$root2/out"
+    TransactionParser.toJsonValue(firstHalf).select("value")
+      .coalesce(1).write.mode("overwrite").text(in2)
+    val st1 = StreamMain.run(spark, in2, out2,
+      rateFor = rateFor, clock = pinnedClock)
+    assert(st1.newBatches === 1L)
+    // lose the checkpoint (simulated driver wipe): the restarted query
+    // re-reads everything as batch 0 again
+    new Directory(Paths.get(Pipeline.StoreLayout(out2).checkpoint).toFile)
+      .deleteRecursively()
+    val st2 = StreamMain.run(spark, in2, out2,
+      rateFor = rateFor, clock = pinnedClock)
+    // foreachBatch fires, finds every store already holds batch 0, and
+    // commits nothing: counts identical, no duplicate rows
+    assert(st2.newBatches === 0L)
+    assert(st2.valid === st1.valid)
+    assert(st2.fraud === st1.fraud)
+    assert(st2.errors === st1.errors)
+    assert(st2.invalid === st1.invalid)
+    assert(storeCount(Pipeline.StoreLayout(out2).valid) === st1.valid)
+  }
+}

@@ -103,6 +103,42 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.snapshot(spark, store) === None)
   }
 
+  test("append mode: batches hitting the same partition accumulate; snapshot+vacuum never reclaim data files") {
+    val root = Files.createTempDirectory("graft-ms-append").toString
+    val store = s"$root/store"
+    // 6 commits, ALL touching partition d0 (plus a rotating sibling):
+    // in replace mode only the last would survive; append keeps all
+    (0 until 6).foreach(i =>
+      ManifestStore.commit(frame(("d0", i), (s"d${1 + i % 2}", 100 + i)),
+        store, i.toLong, "day", append = true))
+    val want = (0 until 6).map(i => ("d0", i)).toSet ++
+      (0 until 6).map(i => (s"d${1 + i % 2}", 100 + i)).toSet
+    assert(readSet(store) === want, "append fold lost rows")
+
+    // replayed id = no-op (the streaming bucket-store contract)
+    assert(ManifestStore.committed(spark, store, 3L))
+
+    // snapshot + vacuum: ledger folds, every DATA file survives
+    // (nothing is ever superseded in append mode — only unreferenced
+    // non-data files like the per-batch _SUCCESS markers may go)
+    def parquetCount(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$store/data"))
+    }
+    val dataBefore = parquetCount()
+    assert(ManifestStore.snapshot(spark, store) === Some(5L))
+    val (_, dirs) = ManifestStore.vacuum(spark, store)
+    assert(dirs === 0,
+      s"append-mode vacuum must remove no batch dirs (removed $dirs)")
+    assert(parquetCount() === dataBefore,
+      "append-mode vacuum must reclaim no data files")
+    assert(readSet(store) === want, "vacuum changed the append store read")
+    assert(ledgerFiles(store).count(_.endsWith(".snap")) === 1)
+    assert(ManifestStore.readFootprint(spark, store) === ((Some(5L), 0)))
+  }
+
   test("reader racing a vacuum: stale composition dies, withStore retries once onto the fresh one") {
     val root = Files.createTempDirectory("graft-ms-race").toString
     val store = s"$root/store"
