@@ -101,6 +101,7 @@ object Dedup {
     labelsMemo.clear()
     pairsMemo.clear()
     embedPairsMemo.clear()
+    embedLabelsMemo.clear()
   }
 
   // ------------------------------------------------------- exact dedup
@@ -862,6 +863,21 @@ object Dedup {
       k => new LabelHolder(() => connectedComponents(
         jaccardPairsFor(k._1, k._2, k._3, k._4)))).value
 
+  // CC labels over the embedding pair graph, memoized like the capped-
+  // Jaccard labels above: the label table is already materialized
+  // (per-round localCheckpoint) when built, and re-running the
+  // iterative rounds per call is pure job-latency waste (VERDICT r7
+  // #6). Released by [[releaseCaches]].
+  private val embedLabelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), LabelHolder]
+
+  private[llmdata] def embedLabelsFor(spark: SparkSession, dir: String,
+                                      threshold: Double): DataFrame =
+    embedLabelsMemo.computeIfAbsent((spark, dir, threshold),
+      k => new LabelHolder(() => connectedComponents(
+        embedPairsFor(k._1, k._2, k._3)
+          .select(col("id_a"), col("id_b"))))).value
+
   /** Near-dup clusters over the exact capped-Jaccard pair graph
     * ([[jaccardPairs]] edges): one row per clustered document with its
     * cluster id (= min doc_id in the component), the cluster size, and
@@ -916,8 +932,7 @@ object Dedup {
     * equal a union-find over the same pair set. */
   def embeddingClusters(spark: SparkSession, dir: String,
                         threshold: Double): DataFrame = {
-    val labels = connectedComponents(
-      embedPairsFor(spark, dir, threshold).select(col("id_a"), col("id_b")))
+    val labels = embedLabelsFor(spark, dir, threshold)
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

@@ -494,11 +494,15 @@ object TextAnalysis {
   private val signalsMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  /** Unpersist the memoized curation-signal caches (idempotent). Bench
-    * calls this after the query sweep, mirroring [[Dedup.releaseCaches]]. */
-  def releaseCaches(): Unit = signalsMemo.synchronized {
-    signalsMemo.valuesIterator.foreach(_.unpersist())
-    signalsMemo.clear()
+  /** Unpersist the memoized curation-signal caches and drop the
+    * contamination-pair memo (idempotent). Bench calls this after the
+    * query sweep, mirroring [[Dedup.releaseCaches]]. */
+  def releaseCaches(): Unit = {
+    signalsMemo.synchronized {
+      signalsMemo.valuesIterator.foreach(_.unpersist())
+      signalsMemo.clear()
+    }
+    contamMemo.clear()
   }
 
   /** Per-document first-failing-filter verdicts — [[curationReport]]'s
@@ -549,7 +553,7 @@ object TextAnalysis {
     val ndDrop = Dedup.jaccardLabelsFor(spark, dir, threshold, maxDocFreq)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"), lit(true).as("nd"))
-    val contam = contaminationPairs(spark, dir, minShared)
+    val contam = contaminationRaw(spark, dir, minShared)
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("ct", lit(true))
     cur
@@ -611,7 +615,31 @@ object TextAnalysis {
     * oracle's HAVING. */
   def contaminationPairs(spark: SparkSession, dir: String,
                          minShared: Int = 2,
-                         maxDocFreq: Long = 16L): DataFrame = {
+                         maxDocFreq: Long = 16L): DataFrame =
+    contaminationRaw(spark, dir, minShared, maxDocFreq)
+      .orderBy(col("shared_windows").desc, col("train_id"), col("test_id"))
+
+  // the pair set is memoized per (session, corpus, knobs):
+  // txt_contamination and the final-corpus accounting share it, and the
+  // materialized frame is the bounded (train, test) pair table, not the
+  // window index (the [[Dedup.jaccardPairsFor]] pattern; released by
+  // [[releaseCaches]], same immutable-input contract)
+  private val contamMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Long), ContamHolder]
+  private final class ContamHolder(thunk: () => DataFrame) {
+    lazy val value: DataFrame = thunk()
+  }
+
+  private[llmdata] def contaminationRaw(spark: SparkSession, dir: String,
+                                        minShared: Int = 2,
+                                        maxDocFreq: Long = 16L): DataFrame =
+    contamMemo.computeIfAbsent((spark, dir, minShared, maxDocFreq),
+      k => new ContamHolder(() =>
+        contaminationBuild(k._1, k._2, k._3, k._4).localCheckpoint())).value
+
+  private def contaminationBuild(spark: SparkSession, dir: String,
+                                 minShared: Int,
+                                 maxDocFreq: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val wins = Tables.documents(spark, dir)
@@ -655,7 +683,6 @@ object TextAnalysis {
       .groupBy(col("train_id"), col("test_id"))
       .agg(count(lit(1)).as("shared_windows"))
       .filter(col("shared_windows") >= minShared)
-      .orderBy(col("shared_windows").desc, col("train_id"), col("test_id"))
   }
 
   /** Per-document TF-IDF top terms — the classic document
