@@ -82,6 +82,7 @@ object Bench {
     }
     graft.llmdata.Dedup.releaseCaches()
     graft.llmdata.TextAnalysis.releaseCaches()
+    graft.llmdata.Similarity.releaseCaches()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

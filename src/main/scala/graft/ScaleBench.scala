@@ -107,6 +107,7 @@ object ScaleBench {
     }
     llmdata.Dedup.releaseCaches()
     llmdata.TextAnalysis.releaseCaches()
+    llmdata.Similarity.releaseCaches()
 
     // markdown table: times, output rows, and the 10x-step ratios
     // (synth10x / synth1x — the SAME generator at both ends, so the

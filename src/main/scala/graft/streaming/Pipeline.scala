@@ -194,9 +194,13 @@ object Pipeline {
               .withColumn("ymd", lit(0L)))
             // fold each ledger every K commits (the SketchView cadence;
             // single writer, between seals, never racing one) so a
-            // long-running stream's per-read ledger cost stays O(K)
-            layout.all.foreach(
-              ManifestStore.maybeSnapshot(spark, _, SnapshotEvery))
+            // long-running stream's per-read ledger cost stays O(K);
+            // after a fold, vacuum reclaims the folded manifests (in
+            // append mode nothing supersedes, so data files never go)
+            layout.all.foreach { store =>
+              if (ManifestStore.maybeSnapshot(spark, store, SnapshotEvery).nonEmpty)
+                ManifestStore.vacuum(spark, store)
+            }
           } finally batch.unpersist()
         }
         ()
