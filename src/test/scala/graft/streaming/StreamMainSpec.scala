@@ -98,6 +98,30 @@ class StreamMainSpec extends SparkSpec {
     assert(ymds.nonEmpty && ymds.forall(_ > 19000000L))
   }
 
+  test("partially-committed batch re-commits only its missing buckets on replay") {
+    // simulate a crash AFTER one bucket's seal but before the rest: the
+    // fraud store already holds batch 0 (sealed empty here, standing in
+    // for the pre-crash commit); the drain must treat it as done and
+    // fill only the other three stores
+    val root3 = Files.createTempDirectory("graft-streammain3").toString
+    val in3 = s"$root3/input"
+    val out3 = s"$root3/out"
+    TransactionParser.toJsonValue(firstHalf).select("value")
+      .coalesce(1).write.mode("overwrite").text(in3)
+    val layout = Pipeline.StoreLayout(out3)
+    graft.sync.ManifestStore.sealEmpty(spark, layout.fraud, 0L)
+    val st = StreamMain.run(spark, in3, out3,
+      rateFor = rateFor, clock = pinnedClock)
+    val exp = expectedOver(firstHalf)
+    assert(st.newBatches === 1L, "the batch still has pending buckets")
+    assert(st.valid === Splitter.valid(exp).count())
+    assert(st.errors === Splitter.errors(exp).count())
+    assert(st.invalid === Splitter.invalid(exp).count())
+    // the pre-crash fraud commit STANDS — not re-written, not doubled
+    assert(st.fraud === 0L)
+    assert(graft.sync.ManifestStore.committed(spark, layout.fraud, 0L))
+  }
+
   test("wiped checkpoint replay does not duplicate: manifest ledger skips seen ids") {
     // a fresh root processed in ONE batch, so the replayed batch id 0
     // re-derives identical content — the crash-replay worst case
