@@ -165,6 +165,7 @@ object Pipeline {
                            today: () => java.time.LocalDate =
                              () => java.time.LocalDate.now()): StreamingQuery = {
     import graft.sync.ManifestStore
+    val firstDelivery = new java.util.concurrent.atomic.AtomicBoolean(true)
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", layout.checkpoint)
@@ -173,6 +174,22 @@ object Pipeline {
         val spark = rawBatch.sparkSession
         val pending = layout.all
           .filterNot(ManifestStore.committed(spark, _, batchId))
+        val wasFirst = firstDelivery.getAndSet(false)
+        // an id fully committed MID-stream is a ledger collision (a
+        // backfill used a streaming id): dropping the batch silently
+        // would lose its rows — fail loudly, the SketchView contract.
+        // Only the FIRST delivery after (re)start may legitimately be
+        // a fully-committed replay (crash after seals, before the
+        // checkpoint commit). Caveat, documented: a WIPED checkpoint
+        // replays everything as batch 0 — identical content is a safe
+        // no-op (spec-pinned), but files that never committed under
+        // the old ledger need a backfill id, not a wipe.
+        if (pending.isEmpty && !wasFirst)
+          throw new IllegalStateException(
+            s"fan-out batch $batchId is already committed in every " +
+              "bucket store mid-stream: a backfill id collided with " +
+              "the streaming ledger - this micro batch would " +
+              "otherwise be silently dropped")
         if (pending.nonEmpty) {
           onFreshBatch(batchId)
           val ymd = coalesce(

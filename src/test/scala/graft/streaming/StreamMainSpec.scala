@@ -122,6 +122,28 @@ class StreamMainSpec extends SparkSpec {
     assert(graft.sync.ManifestStore.committed(spark, layout.fraud, 0L))
   }
 
+  test("a mid-stream id collision (backfill took a streaming id) fails loudly, not silently") {
+    // batch 0 is fresh; batch 1's id is already committed in EVERY
+    // store (the backfill-collision shape) — the query must throw
+    // rather than silently drop batch 1's rows
+    val root4 = Files.createTempDirectory("graft-streammain4").toString
+    val in4 = s"$root4/input"
+    val out4 = s"$root4/out"
+    val layout = Pipeline.StoreLayout(out4)
+    TransactionParser.toJsonValue(firstHalf).select("value")
+      .coalesce(1).write.mode("overwrite").text(in4)
+    TransactionParser.toJsonValue(secondHalf).select("value")
+      .coalesce(1).write.mode("append").text(in4)
+    layout.all.foreach(graft.sync.ManifestStore.sealEmpty(spark, _, 1L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamMain.run(spark, in4, out4, maxFilesPerTrigger = Some(1),
+        rateFor = rateFor, clock = pinnedClock)
+    }
+    assert(Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => t.getMessage != null &&
+        t.getMessage.contains("already committed in every bucket store mid-stream")))
+  }
+
   test("wiped checkpoint replay does not duplicate: manifest ledger skips seen ids") {
     // a fresh root processed in ONE batch, so the replayed batch id 0
     // re-derives identical content — the crash-replay worst case
