@@ -843,6 +843,10 @@ object Similarity {
           }
         }
         .toDF("vec_id", "cell", "code", "norm")
+        // cell id IS the partition key of the stored index: a probe
+        // touches probes/C of the partitions, and the query-time
+        // cell filter ([[ivfPqTopK]]) prunes whole partitions
+        .repartition(col("cell"))
         .localCheckpoint()
     })).value
 
@@ -944,8 +948,15 @@ object Similarity {
     // the scan reads the STORED codes table ([[ivfPqCodesFor]]) — the
     // encode pass ran once per (session, corpus) at index-build time,
     // so per-query-batch work per candidate is M LUT adds, never a
-    // re-encode (the doc'd "scan reads codes, not floats" is literal)
+    // re-encode (the doc'd "scan reads codes, not floats" is literal).
+    // The batch's probed-cell union is pushed as a codegen'd filter
+    // AHEAD of the lambda: the codes table is cell-partitioned, so
+    // unprobed cells drop in whole partitions before any heap work.
+    val probedCells = qInfos
+      .flatMap(_._2.zipWithIndex.collect { case (d, c) if !d.isNaN => c })
+      .distinct.sorted
     val cand = ivfPqCodesFor(spark, dir)
+      .filter(col("cell").isin(probedCells: _*))
       .as[(Long, Int, Array[Byte], Double)]
       .mapPartitions { it =>
         val ls = bcQs.value
