@@ -43,6 +43,11 @@ object StreamMain {
         s""""valid":$valid,"fraud":$fraud,"errors":$errors,"invalid":$invalid}"""
   }
 
+  // ONE service for the process, not one per batch: the per-date cache
+  // is the point of the per-batch rate resolution (repeat same-day
+  // batches must be cache hits, SURVEY §4.1)
+  private lazy val rates = new graft.rates.RateService()
+
   /** Job body, factored out of [[main]] for direct spec coverage
     * (the SyncMain/CurateMain pattern). Blocks until the query
     * terminates — forever under a ProcessingTime trigger, after one
@@ -51,7 +56,7 @@ object StreamMain {
           triggerSec: Option[Int] = None,
           maxFilesPerTrigger: Option[Int] = None,
           rateFor: java.time.LocalDate => Double =
-            d => new graft.rates.RateService().rateFor(d.toString),
+            d => rates.rateFor(d.toString),
           clock: Column = current_timestamp()): Status = {
     val layout = Pipeline.StoreLayout(outRoot)
     val fresh = new java.util.concurrent.atomic.AtomicLong(0L)
