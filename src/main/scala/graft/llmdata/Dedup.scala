@@ -102,6 +102,7 @@ object Dedup {
     pairsMemo.clear()
     embedPairsMemo.clear()
     embedLabelsMemo.clear()
+    semLabelsMemo.clear()
   }
 
   // ------------------------------------------------------- exact dedup
@@ -512,7 +513,6 @@ object Dedup {
                                     maxBucketWidth: Int = EmbedMaxBucketWidth,
                                     maxChunks: Int = EmbedMaxChunks,
                                     bitsPerBand: Option[Int] = None): DataFrame = {
-    import spark.implicits._
     require(maxBucketWidth >= 2, s"maxBucketWidth $maxBucketWidth: need ≥ 2")
     def ceilLog2(x: Long): Int =
       if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
@@ -525,7 +525,27 @@ object Dedup {
       math.max(2, math.min(8, ceilLog2(2L * n / maxBucketWidth))))
     val keys = Similarity.lshKeys(vecs, "vec_id", "embedding",
       numBands = 8, bitsPerBand = bits)
-    // lshKeys carries the embedding, so each tile's group holds
+    boundedPairsKeyed(spark, keys, threshold, maxBucketWidth, maxChunks,
+      what = s"embedding-LSH ($bits bits/band)")
+  }
+
+  /** The bounded tile-pair kernel over an arbitrary candidate KEYING
+    * (`band`, `bucket`, `vec_id`, `embedding` columns): every same-key
+    * pair is exact-cosine verified in exactly one bounded-width tile
+    * task (see [[embedPairsOf]] for the tiling argument — the pair set
+    * is recall-lossless by construction, task memory is ≤ 2 chunks,
+    * and a key wider than `maxChunks · maxBucketWidth` fails loudly).
+    * Shared by the LSH banding above and [[semDedup]]'s
+    * k-means-cluster keying: ANY partitioner that whitelists candidate
+    * pairs plugs in as a (band, bucket) column pair. */
+  private[llmdata] def boundedPairsKeyed(spark: SparkSession, keys: DataFrame,
+                                         threshold: Double,
+                                         maxBucketWidth: Int,
+                                         maxChunks: Int,
+                                         what: String): DataFrame = {
+    import spark.implicits._
+    require(maxBucketWidth >= 2, s"maxBucketWidth $maxBucketWidth: need ≥ 2")
+    // the keying carries the embedding, so each tile's group holds
     // everything its pair verification needs: compute the exact cosine
     // INSIDE the tile's task and shuffle only pairs that pass the
     // threshold (the join alternative shuffled ≈all-pairs ×2).
@@ -537,8 +557,8 @@ object Dedup {
     }.toMap
     val hottest = if (chunksBy.isEmpty) 0 else chunksBy.values.max
     require(hottest <= maxChunks,
-      s"embedding-LSH hot bucket: widest (band, bucket) needs $hottest chunks of " +
-        s"$maxBucketWidth (> $maxChunks) even at $bits bits/band — a near-identical " +
+      s"$what hot bucket: widest (band, bucket) needs $hottest chunks of " +
+        s"$maxBucketWidth (> $maxChunks) — a near-identical " +
         "mass this dense should be removed by exact dedup (dd_exact / chunk hash) " +
         "before pairwise verification; raise maxChunks only if you accept the flops")
     val chunkOf = spark.sparkContext.broadcast(chunksBy)
@@ -878,6 +898,24 @@ object Dedup {
         embedPairsFor(k._1, k._2, k._3)
           .select(col("id_a"), col("id_b"))))).value
 
+  // CC labels over the cluster-scoped SemDeDup pair graph — same
+  // memoized immutable-input contract as embedLabelsFor (the iterative
+  // rounds and the pair kernel are index-build work, not per-query).
+  private val semLabelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), LabelHolder]
+
+  private[llmdata] def semLabelsFor(spark: SparkSession, dir: String,
+                                    eps: Double): DataFrame =
+    semLabelsMemo.computeIfAbsent((spark, dir, eps),
+      k => new LabelHolder(() => connectedComponents(
+        boundedPairsKeyed(k._1,
+          Similarity.semClusterAssign(k._1, k._2)
+            .select(lit(0).as("band"), col("cluster").as("bucket"),
+              col("vec_id"), col("embedding")),
+          k._3, EmbedMaxBucketWidth, EmbedMaxChunks,
+          what = "semdedup k-means cluster")
+          .select(col("id_a"), col("id_b"))))).value
+
   /** Near-dup clusters over the exact capped-Jaccard pair graph
     * ([[jaccardPairs]] edges): one row per clustered document with its
     * cluster id (= min doc_id in the component), the cluster size, and
@@ -939,6 +977,58 @@ object Dedup {
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"),
         (col("id") === col("cluster_id")).as("keep"))
       .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  /** SEMDEDUP — semantic dedup scoped to k-means clusters, the
+    * published at-scale recipe (Abbas et al. 2023, arXiv:2303.09540):
+    * candidate pairs are generated ONLY within a vector's cluster
+    * (the semantic clustering IS the candidate partitioner — no
+    * hyperplanes), exact-cosine verified at `eps`, resolved into
+    * duplicate groups by connected components, and each group keeps
+    * the member FARTHEST from its cluster centroid (the paper's
+    * keeper rule: lowest centroid similarity = the least prototypical
+    * copy; ties break on min vec_id). Differs from
+    * [[embeddingClusters]] (global LSH banding, min-id canonical) in
+    * both the candidate structure and the keeper policy.
+    *
+    * Scale shape: assignment is a zero-shuffle broadcast map; pair
+    * cost is Σ cᵢ² over CLUSTER sizes — kept LINEAR in N because the
+    * cluster count is corpus-scaled (k = max(16, ⌈N/width⌉),
+    * [[Similarity.SemClusterWidth]]: a fixed k would make this
+    * O(N²/k), the corpus-fraction defect class the ANN pools retired
+    * in r7/r8) — with [[boundedPairsKeyed]]'s tiling capping task
+    * width under residual skew; group resolution and keeper selection
+    * are node-keyed shuffles. Output is vector-grain: cluster, exact centroid sim,
+    * duplicate group (min member id), group size, keep verdict.
+    * Rows-only in CORRECTNESS (Lloyd centroids aren't
+    * SQL-reproducible); DedupSpec proves the pair graph equals
+    * brute-force within-cluster cosine pairs, the keeper rule, and
+    * determinism. */
+  def semDedup(spark: SparkSession, dir: String, eps: Double): DataFrame = {
+    val assign = Similarity.semClusterAssign(spark, dir)
+      .select(col("vec_id"), col("cluster"), col("centroid_sim_micro"))
+      // feeds both the group join and the keeper aggregate below —
+      // materialize once (cf. pcaTopK's two-consumer projection)
+      .localCheckpoint()
+    val labels = semLabelsFor(spark, dir, eps)
+    val grouped = assign
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("centroid_sim_micro"),
+        // singletons (no within-cluster pair) form their own group —
+        // a group id never collides across the two arms because a
+        // component's min id is itself a paired member
+        coalesce(col("cluster_id"), col("vec_id")).as("grp"))
+    val keepers = grouped.groupBy(col("grp"))
+      .agg(min(struct(col("centroid_sim_micro").as("s"),
+        col("vec_id").as("id"))).as("kp"),
+        count(lit(1)).as("grp_size"))
+    grouped.join(keepers, Seq("grp"))
+      .select(col("vec_id"), col("cluster"),
+        (col("centroid_sim_micro").cast("double") / lit(1000000.0))
+          .as("centroid_sim"),
+        col("grp"), col("grp_size"),
+        (col("vec_id") === col("kp").getField("id")).as("keep"))
+      .orderBy(col("vec_id"))
   }
 
   /** End-to-end corpus dedup accounting — the materialization step that
@@ -1022,6 +1112,49 @@ object Dedup {
           .otherwise("new").as("status"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** BLOOM-PREFILTERED delta dedup — the membership-sketch sibling of
+    * [[dedupDelta]] and the shape an incremental 100 TB ingest runs:
+    * build ONE Bloom filter over the existing corpus's content hashes
+    * (a [[graft.plans.BloomSketchAgg]] aggregate — a fixed-size bitset
+    * that partial-aggregates by bitwise OR map-side, a few hundred KiB
+    * regardless of corpus size), broadcast the 1-row sketch, and test
+    * every incoming document's membership LOCALLY with O(k) probes.
+    * Definite misses — the overwhelming bulk of a fresh crawl — skip
+    * the dedup join entirely; only Bloom HITS reach the exact-confirm
+    * equi-join against the existing min-id table, so that shuffle is
+    * sized by the duplicate + false-positive rate, not the ingest
+    * rate. The verdicts stay EXACT (a Bloom filter has no false
+    * negatives, and false positives are resolved by the confirm join),
+    * which is why the DuckDB oracle is the plain content-hash left
+    * join — the sketch changes the plan, never the answer. BloomSpec
+    * gates the sketch itself (no false negatives, FP rate, merge =
+    * bitwise OR, malformed-binary rejection). */
+  def bloomDelta(spark: SparkSession, dir: String,
+                 shardMod: Int = 5, shardRem: Int = 4): DataFrame = {
+    require(spark.catalog.functionExists("bloom_sketch"),
+      "bloomDelta needs GraftExtensions (spark.sql.extensions=graft.plans.GraftExtensions)")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val isIncoming = (c: Column) => c % shardMod === shardRem
+    val corpus = docs.filter(!isIncoming(col("doc_id")))
+    val sketch = corpus.agg(call_function("bloom_sketch", col("h")).as("bf"))
+    val probed = docs.filter(isIncoming(col("doc_id")))
+      .crossJoin(broadcast(sketch))
+      .withColumn("might", call_function("bloom_contains", col("bf"), col("h")))
+    val existingMin = corpus.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("match_id"))
+    val confirmed = probed.filter(col("might"))
+      .join(existingMin, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "exact_dup").otherwise("new")
+          .as("status"),
+        col("match_id"))
+    val misses = probed.filter(!col("might"))
+      .select(col("doc_id"), lit("new").as("status"),
+        lit(null).cast("long").as("match_id"))
+    confirmed.union(misses).orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------ PageRank

@@ -224,6 +224,20 @@ object LlmQueries {
       |WHERE d.doc_id % 5 = 4
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Bloom-prefiltered delta mirror: the Bloom filter changes the
+    * PLAN, never the answer (no false negatives + exact confirm join),
+    * so the oracle is the plain content-hash left join. */
+  val ddBloomDeltaSql: String =
+    """WITH exm AS (SELECT md5(text) AS h, MIN(doc_id) AS match_id
+      |             FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN exm.match_id IS NOT NULL THEN 'exact_dup' ELSE 'new' END AS status,
+      |  exm.match_id
+      |FROM documents d
+      |LEFT JOIN exm ON md5(d.text) = exm.h
+      |WHERE d.doc_id % 5 = 4
+      |ORDER BY d.doc_id""".stripMargin
+
   /** PageRank mirror of [[Dedup.pageRank]] — the micro-exact power
     * iteration UNROLLED as one CTE per round over the same
     * capped-Jaccard pair graph. Rank state is BIGINT micro-units; the
@@ -710,6 +724,25 @@ object LlmQueries {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM s GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin
 
+  /** Context-window packing mirror of [[TextAnalysis.packAssign]] —
+    * the same per-source token prefix sum, window indices as
+    * floor-divisions of exact BIGINTs (both engines: double division
+    * then floor, identical for these magnitudes). */
+  val txtPackAssignSql: String =
+    """WITH d AS (SELECT source, doc_id,
+      |             len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |        CAST(COALESCE(SUM(n_tok) OVER (
+      |            PARTITION BY source ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |          AS cb
+      |      FROM d)
+      |SELECT source, doc_id, n_tok,
+      |  CAST(floor(cb / 256) AS BIGINT) AS pack_first,
+      |  CAST(floor((cb + n_tok - 1) / 256) AS BIGINT) AS pack_last,
+      |  CAST(floor((cb + n_tok - 1) / 256) - floor(cb / 256) + 1 AS BIGINT) AS spans
+      |FROM c ORDER BY source, doc_id""".stripMargin
+
   val txtTermTopkSql: String =
     """SELECT t AS term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
@@ -1141,6 +1174,9 @@ object LlmQueries {
     "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
     "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
+    "txt_pack_assign" -> ((s, d) => TextAnalysis.packAssign(s, d)),
+    "dd_bloom_delta" -> ((s, d) => Dedup.bloomDelta(s, d)),
+    "dd_semdedup" -> ((s, d) => Dedup.semDedup(s, d, 0.4)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
@@ -1215,6 +1251,8 @@ object LlmQueries {
     "txt_repetition" -> txtRepetitionSql,
     "txt_contamination" -> txtContaminationSql,
     "dd_delta" -> ddDeltaSql,
+    "dd_bloom_delta" -> ddBloomDeltaSql,
+    "txt_pack_assign" -> txtPackAssignSql,
     "dd_pagerank" -> ddPagerankSql,
     "dd_sim_calibration" -> ddSimCalibrationSql,
     "dd_embed_pairs" -> ddEmbedPairsSql,

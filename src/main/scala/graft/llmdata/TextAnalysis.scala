@@ -438,6 +438,35 @@ object TextAnalysis {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  /** CONTEXT-WINDOW PACKING assignment — the concat-and-chunk layout a
+    * pretraining loader applies to a tokenized stream: documents
+    * concatenate in id order within their source and split into fixed
+    * `packTokens` windows. Per document: the window its first token
+    * lands in (`pack_first`), the window its last token lands in
+    * (`pack_last`), and how many windows it SPANS — `spans > 1` is the
+    * boundary-fragmentation signal (a doc cut by window boundaries
+    * loses cross-boundary attention), the statistic that motivates
+    * boundary-aware packing. Pure prefix-sum arithmetic, the same
+    * shape as [[shardAssign]]: one cumulative window per source
+    * (parallel across sources — the partition-key note there applies),
+    * exact integer token counts end to end, so the DuckDB oracle
+    * hash-matches. */
+  def packAssign(spark: SparkSession, dir: String,
+                 packTokens: Long = 256L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cb", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        floor(col("cb") / packTokens).as("pack_first"),
+        floor((col("cb") + col("n_tok") - 1) / packTokens).as("pack_last"))
+      .withColumn("spans", col("pack_last") - col("pack_first") + lit(1L))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** End-to-end curation report — the C4/Gopher-style multi-filter
     * pipeline as ONE materialization pass: every document is assigned a
     * verdict by the FIRST failing filter (too_short → repetitive →

@@ -121,5 +121,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "kmv_intersect takes exactly 2 arguments")
         KmvIntersect(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_sketch"),
+      new ExpressionInfo(classOf[BloomSketchAgg].getName, "bloom_sketch"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => BloomSketchAgg(child).toAggregateExpression()
+        case Seq(child, bits, k) =>
+          BloomSketchAgg(child, intLit(bits, "bloom_sketch", "numBits"),
+            intLit(k, "bloom_sketch", "numHashes")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "bloom_sketch takes 1 or 3 arguments: bloom_sketch(col[, numBits, numHashes])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_contains takes exactly 2 arguments")
+        BloomContains(args.head, args(1))
+      }))
   }
 }

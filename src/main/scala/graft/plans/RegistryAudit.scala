@@ -29,6 +29,7 @@ object RegistryAudit {
     "dd_embed_pairs" -> "sample-bounded exact baseline (vec_id % 10 slice by construction; scale path is dd_embed_neardup)",
     "ea17_kmv_overlap" -> "non-equi pair join over two 5-row sketch aggregates",
     "txt_cms_terms" -> "cross join against a 1-row global CMS sketch",
+    "dd_bloom_delta" -> "cross join against the 1-row corpus Bloom-filter sketch",
     "txt_bm25_topk" -> "cross join against a 1-row corpus-stats side",
     "txt_unigram_logprob" -> "cross join against a 1-row token-total side",
     "txt_bigram_logprob" -> "cross join against a 1-row token-total side",

@@ -458,4 +458,47 @@ class DedupSpec extends SparkSpec {
       Dedup.releaseCaches()
     }
   }
+
+  test("semdedup pair graph equals brute-force within-cluster cosine pairs") {
+    val eps = 0.4
+    val assign = Similarity.semClusterAssign(spark, sf)
+      .select(col("vec_id"), col("cluster"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val brute = (for {
+      a <- assign; b <- assign
+      if a._1 < b._1 && a._2 == b._2
+      if Similarity.cosine6(a._3, b._3) >= eps
+    } yield (a._1, b._1)).toSet
+    val keys = Similarity.semClusterAssign(spark, sf)
+      .select(lit(0).as("band"), col("cluster").as("bucket"),
+        col("vec_id"), col("embedding"))
+    val kernel = pairKey(Dedup.boundedPairsKeyed(spark, keys, eps,
+      Dedup.EmbedMaxBucketWidth, Dedup.EmbedMaxChunks, "spec"))
+    assert(brute.nonEmpty, "vacuous corpus: no within-cluster pair at eps")
+    assert(kernel === brute)
+    // the same pair set must survive forced tiling of the cluster keying
+    val tiled = pairKey(Dedup.boundedPairsKeyed(spark, keys, eps,
+      maxBucketWidth = 8, maxChunks = 256, "spec-tiled"))
+    assert(tiled === brute)
+  }
+
+  test("semdedup keeps exactly one member per group: the farthest from its centroid") {
+    val out = Dedup.semDedup(spark, sf, 0.4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getDouble(2)))
+    // columns: vec_id, cluster, centroid_sim, grp, grp_size, keep
+    assert(out.length.toLong === Tables.embeddings(spark, sf).count())
+    val byGrp = out.groupBy(_._3)
+    byGrp.foreach { case (grp, ms) =>
+      assert(ms.map(_._2).distinct.length === 1,
+        s"group $grp spans clusters — pairs must be cluster-scoped")
+      assert(ms.count(_._5) === 1, s"group $grp keeps ${ms.count(_._5)} members")
+      assert(ms.forall(_._4.toInt === ms.length), s"group $grp size mismatch")
+      val keeper = ms.minBy(m => (m._6, m._1))
+      assert(keeper._5, s"group $grp keeper must be argmin (centroid_sim, vec_id)")
+      assert(grp === ms.map(_._1).min, s"group id must be the min member id")
+    }
+    // non-vacuous: at least one multi-member group exists at this eps
+    assert(byGrp.exists(_._2.length > 1))
+  }
 }

@@ -534,4 +534,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) === 0L)
     assert(r(2L) === 0L)
   }
+
+  test("pack assignment: windows tile each source token stream exactly") {
+    val rows = TextAnalysis.packAssign(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      var cb = 0L
+      ds.sortBy(_._2).foreach { case (_, id, nTok, first, last, spans) =>
+        assert(first === cb / 256L, s"$src/$id pack_first")
+        assert(last === (cb + nTok - 1) / 256L, s"$src/$id pack_last")
+        assert(spans === last - first + 1 && spans >= 1L, s"$src/$id spans")
+        cb += nTok
+      }
+    }
+    // fragmentation is the point of the report: some doc must straddle
+    assert(rows.exists(_._6 > 1L))
+  }
 }

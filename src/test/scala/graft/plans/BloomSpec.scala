@@ -1,0 +1,90 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import graft.llmdata.Dedup
+import org.apache.spark.sql.functions._
+
+/** Correctness gates for the Bloom membership sketch (the registered
+  * `dd_bloom_delta` stays oracle-exact because the filter only prunes
+  * the plan — these gates pin the sketch itself): the no-false-negative
+  * guarantee, the sized false-positive bound, canonical bitwise-OR
+  * merging, and loud rejection of malformed inputs. */
+class BloomSpec extends SparkSpec {
+
+  private def sketchOf(n: Long) =
+    spark.range(n).toDF("id")
+      .agg(call_function("bloom_sketch", col("id")).as("bf"))
+
+  test("no false negatives: every inserted member tests true") {
+    val misses = spark.range(5000).toDF("id")
+      .crossJoin(sketchOf(5000))
+      .filter(!call_function("bloom_contains", col("bf"), col("id")))
+      .count()
+    assert(misses === 0L)
+  }
+
+  test("false-positive rate is bounded at default sizing (5k keys, 2^18 bits)") {
+    // expected FP ≈ (1 − e^(−kn/m))^k ≈ 6e-6 here; 50/10k = 0.5% is a
+    // regression guard two orders above it, deterministic hashes ⇒ fixed
+    val fps = spark.range(1000000L, 1010000L).toDF("id")
+      .crossJoin(sketchOf(5000))
+      .filter(call_function("bloom_contains", col("bf"), col("id")))
+      .count()
+    assert(fps <= 50L, s"$fps false positives in 10k non-member probes")
+  }
+
+  test("sketch bytes are identical regardless of partitioning (merge = bitwise OR)") {
+    def bytes(parts: Int): Seq[Byte] =
+      spark.range(50000).toDF("id").repartition(parts)
+        .agg(call_function("bloom_sketch", col("id")).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0).toSeq
+    assert(bytes(1) === bytes(32))
+  }
+
+  test("string keys: every corpus content hash round-trips through the sketch") {
+    val docs = Tables.documents(spark, sf)
+      .select(md5(col("text").cast("binary")).as("h"))
+    val sk = docs.agg(call_function("bloom_sketch", col("h")).as("bf"))
+    assert(docs.crossJoin(sk)
+      .filter(!call_function("bloom_contains", col("bf"), col("h")))
+      .count() === 0L)
+  }
+
+  test("bloom delta verdicts equal the plain exact left join (the filter never changes the answer)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exm = docs.filter(col("doc_id") % 5 =!= 4)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("m"))
+    val ref = docs.filter(col("doc_id") % 5 === 4)
+      .join(exm, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("m").isNotNull, "exact_dup").otherwise("new").as("status"),
+        col("m").as("match_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val out = Dedup.bloomDelta(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out === ref)
+    assert(out.nonEmpty)
+  }
+
+  test("malformed inputs fail cleanly: bad sizing at analysis, junk binary at runtime") {
+    val tooSmall = intercept[Exception] {
+      spark.range(10).toDF("id")
+        .agg(call_function("bloom_sketch", col("id"), lit(8), lit(5)))
+        .collect()
+    }
+    assert(tooSmall.getMessage.contains("numBits"))
+    val junk = intercept[Exception] {
+      spark.range(1)
+        .select(call_function("bloom_contains",
+          lit(Array[Byte](1, 2, 3)), lit(5L)))
+        .collect()
+    }
+    def chain(e: Throwable): Iterator[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+    assert(chain(junk).exists(t =>
+      t.getMessage != null && t.getMessage.contains("not a bloom sketch")))
+  }
+}
