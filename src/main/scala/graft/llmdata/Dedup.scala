@@ -682,30 +682,40 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * from 4×16-bit band equality (any pair within distance 3 must agree
     * on ≥1 band; wider distances trade recall like LSH). */
-  def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    val sigs = simhashes(Tables.documents(spark, dir))
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+  def simhashNearDup(spark: SparkSession, dir: String, maxDist: Int): DataFrame =
+    hammingPairs(
+      simhashes(Tables.documents(spark, dir))
+        .select(col("doc_id").as("id"), col("simhash").as("sig64")),
+      maxDist)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+
+  /** Banded Hamming near-dup join over ANY (id, sig64) frame — the
+    * pigeonhole kernel [[simhashNearDup]] and
+    * [[Multimodal.imageNearDup]]'s perceptual dHash share: a pair
+    * within Hamming distance d < 4·4 must agree on ≥1 of the 4 16-bit
+    * bands, so candidates are band equi-join buckets, never all
+    * pairs. Bucket members carry their signature into the pair
+    * explode, so the distance is computed without joining back. */
+  private[llmdata] def hammingPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val bands = sigs.select(col("id"), col("sig64"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // Bucket members carry their signature into the pair explode, so
-    // Hamming distance is computed without joining back to sigs.
+          shiftright(col("sig64"), b * 16).bitwiseAND(0xFFFFL).as("sig"))): _*)).as("bs"))
+      .select(col("id"), col("sig64"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     bands.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig64")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
           |  transform(slice(ms, i + 2, size(ms)), y ->
-          |    struct(x.doc_id AS id_a, y.doc_id AS id_b,
-          |           x.simhash AS sh_a, y.simhash AS sh_b))))""".stripMargin)).as("p"))
+          |    struct(x.id AS id_a, y.id AS id_b,
+          |           x.sig64 AS sh_a, y.sig64 AS sh_b))))""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("hamming"), col("id_a"), col("id_b"))
   }
 
   // -------------------------------------- near-dup cluster resolution

@@ -1211,7 +1211,8 @@ object LlmQueries {
     "txt_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
     "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
-    "mm_format_sniff" -> ((s, d) => Multimodal.formatSniff(s, d))
+    "mm_format_sniff" -> ((s, d) => Multimodal.formatSniff(s, d)),
+    "mm_phash_dedup" -> ((s, d) => Multimodal.imageNearDup(s, d))
   )
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /

@@ -27,6 +27,143 @@ object Multimodal {
   case class MediaFeature(media_id: Long, n_bytes: Int, checksum: Long,
                           width: Int, height: Int, decoded: Boolean)
 
+  case class MediaHash(media_id: Long, dhash: Long, decoded: Boolean)
+
+  /** Deterministic RENDERED image table derived from `documents` — the
+    * DECODABLE stand-in corpus for the perceptual-dedup path (the raw
+    * [[mediaFrame]] payloads are text bytes no codec accepts): every
+    * doc renders a 32×32 PNG whose pixel pattern is keyed by
+    * `doc_id % max(8, N/5)` — ≈5 docs per pattern at ANY scale, the
+    * planted near-dup classes — plus a per-copy single-pixel ±3
+    * perturbation small enough that downsampled gradient signs
+    * survive: the controlled analogue of re-encoded/perturbed copies
+    * of one image in a crawl. mapPartitions + ImageIO render, no
+    * shuffle; everything is a pure function of (doc_id, N). */
+  def imageFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.documents(spark, dir).count()
+    val mod = math.max(8L, n / 5L)
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val key = id % mod
+          val img = new java.awt.image.BufferedImage(
+            32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              // SplitMix64 of (key, x, y): stable per-pattern pixels
+              var z = key * 1000003L + y * 37L + x + 0x9E3779B97F4A7C15L
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              z ^= z >>> 31
+              img.setRGB(x, y, (z & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val px = (id / mod % 32).toInt
+          val py = (id * 7 % 32).toInt
+          val old = img.getRGB(px, py)
+          val r = math.min(255, ((old >> 16) & 0xFF) + (id % 4).toInt)
+          img.setRGB(px, py, (r << 16) | (old & 0xFFFF))
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  private def lum(px: Int): Long = {
+    val r = (px >> 16) & 0xFF
+    val g = (px >> 8) & 0xFF
+    val b = px & 0xFF
+    2126L * r + 7152L * g + 722L * b
+  }
+
+  /** 64-bit PERCEPTUAL dHash per payload. Real decode path: bilinear
+    * downsample to a 9×8 luminance grid, bit (y·8 + x) set iff
+    * l(x+1, y) > l(x, y) — gradient SIGNS survive re-encoding, mild
+    * noise, and resizing, which no byte hash does, so near-identical
+    * IMAGES land within small Hamming distance of each other. Payloads
+    * no codec accepts fall to a deterministic FNV-1a-64 byte hash
+    * (flagged `decoded = false`): exact byte copies still collide at
+    * Hamming 0, unrelated payloads land ~32 bits apart — the plumbing
+    * stays exercised on any corpus. Same batched mapPartitions shape
+    * as [[decodeFeatures]]. */
+  def dHashes(media: DataFrame, batchSize: Int = 64): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img != null) {
+              val scaled = new java.awt.image.BufferedImage(
+                9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = scaled.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, 9, 8, null)
+              } finally g.dispose()
+              val row = new Array[Int](9)
+              var h = 0L
+              var y = 0
+              while (y < 8) {
+                scaled.getRGB(0, y, 9, 1, row, 0, 9)
+                var prev = lum(row(0))
+                var x = 0
+                while (x < 8) {
+                  val next = lum(row(x + 1))
+                  if (next > prev) h |= 1L << (y * 8 + x)
+                  prev = next
+                  x += 1
+                }
+                y += 1
+              }
+              MediaHash(id, h, decoded = true)
+            } else {
+              var h = 0xCBF29CE484222325L
+              var i = 0
+              while (i < bytes.length) {
+                h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+                i += 1
+              }
+              MediaHash(id, h, decoded = false)
+            }
+          }
+        }
+      }
+  }
+
+  /** PERCEPTUAL image near-dup over the rendered [[imageFrame]]: the
+    * registered path runs the REAL pipeline end to end — PNG decode,
+    * bilinear 9×8 downsample, gradient-sign dHash, then the shared
+    * banded Hamming kernel ([[Dedup.hammingPairs]] — the SimHash
+    * pigeonhole join, reused on image signatures). At 100 TB the
+    * pairs are bucket-joins on 16-bit band keys, never all-pairs;
+    * decode cost is one mapPartitions pass over the payload column.
+    * Rows-only gate (DuckDB has no codecs); MultimodalSpec proves
+    * noise-robustness (perturbed copy ⇒ small distance, distinct
+    * patterns ⇒ far), stub determinism, and pattern-class recovery. */
+  def imageNearDup(spark: SparkSession, dir: String,
+                   maxDist: Int = 6): DataFrame =
+    Dedup.hammingPairs(
+      dHashes(imageFrame(spark, dir)).toDF()
+        .select(col("media_id").as("id"), col("dhash").as("sig64")),
+      maxDist)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+
   /** Media frame derived from `documents`: payload = the text bytes
     * standing in for encoded media; metadata = typed struct with the
     * fields a real ingest would carry. */

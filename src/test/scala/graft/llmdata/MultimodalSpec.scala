@@ -296,4 +296,65 @@ class MultimodalSpec extends SparkSpec {
     assert(got.filter(col("media_id") === 6L && col("sniffed") === "gzip")
       .count() === 1)
   }
+
+  private def noisePng(seed: Long, perturb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      var z = seed * 1000003L + y * 37L + x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      img.setRGB(x, y, (z & 0xFFFFFF).toInt)
+    }
+    if (perturb > 0) for (i <- 0 until perturb) {
+      val px = (i * 7) % 32; val py = (i * 11) % 32
+      val old = img.getRGB(px, py)
+      val r = math.min(255, ((old >> 16) & 0xFF) + 3)
+      img.setRGB(px, py, (r << 16) | (old & 0xFFFF))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("dhash: perturbed copies stay near, distinct patterns land far") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, noisePng(42L, 0)), (2L, noisePng(42L, 4)),
+      (3L, noisePng(99L, 0)))
+      .toDF("media_id", "payload")
+    val hs = Multimodal.dHashes(rows).collect()
+      .map(h => h.media_id -> h).toMap
+    assert(hs.values.forall(_.decoded), "generated PNGs must decode")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L).dhash, hs(2L).dhash) <= 6,
+      "a few +3-channel pixel edits must not move the gradient-sign hash far")
+    assert(ham(hs(1L).dhash, hs(3L).dhash) >= 16,
+      "independent patterns must land ~32 bits apart")
+  }
+
+  test("dhash stub path: deterministic byte hash, exact copies collide") {
+    val hs = Multimodal.dHashes(media).collect()
+    assert(hs.forall(!_.decoded), "text payloads must take the stub path")
+    val again = Multimodal.dHashes(media).collect()
+    assert(hs.sortBy(_.media_id).map(_.dhash).toSeq ===
+      again.sortBy(_.media_id).map(_.dhash).toSeq)
+  }
+
+  test("perceptual near-dup recovers exactly the planted pattern classes") {
+    val n = Tables.documents(spark, sf).count()
+    val mod = math.max(8L, n / 5L)
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && a % mod == b % mod
+    } yield (a, b)).toSet
+    val got = Multimodal.imageNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    assert(got === expected,
+      "same-pattern perturbed copies within maxDist, nothing across patterns")
+  }
 }
