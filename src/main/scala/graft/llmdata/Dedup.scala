@@ -281,6 +281,35 @@ object Dedup {
       .join(broadcast(corpusIndex), Seq("band", "sig"))
       .select(col("doc_id"), col("corpus_id"), col("band"))
 
+  /** The corpus content-hash Bloom filter as driver-held bytes — built
+    * once per (re)start from the historical corpus, the static side of
+    * [[streamingBloomGate]]. One aggregate job; the result is a
+    * fixed-size binary regardless of corpus size. */
+  def corpusBloom(spark: SparkSession, dir: String): Array[Byte] = {
+    require(spark.catalog.functionExists("bloom_sketch"),
+      "corpusBloom needs GraftExtensions (spark.sql.extensions=graft.plans.GraftExtensions)")
+    Tables.documents(spark, dir)
+      .select(md5(col("text").cast("binary")).as("h"))
+      .agg(call_function("bloom_sketch", col("h")).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** STREAMING EXACT-DUP GATE — [[corpusBloom]]'s bytes ride the plan
+    * as a LITERAL, so the gate is a stateless per-row filter (zero
+    * join, zero state, append-safe with no watermark): each incoming
+    * (doc_id, text) row is flagged `might_dup` by an O(k)-probe
+    * membership test against the historical corpus. `false` is
+    * definitive (no false negatives) — the overwhelming fresh bulk of
+    * a crawl passes the gate untouched; flagged rows go to the
+    * out-of-band exact confirm (the [[bloomDelta]] split, live).
+    * Works identically on a batch frame (DedupSpec proves stream-shape
+    * ≡ the exact semi-join up to the measured FP margin). */
+  def streamingBloomGate(incoming: DataFrame,
+                         bloomBytes: Array[Byte]): DataFrame =
+    incoming.select(col("doc_id"),
+      call_function("bloom_contains", lit(bloomBytes),
+        md5(col("text").cast("binary"))).as("might_dup"))
+
   /** MinHash-LSH near-dup pairs, exact-verified: banded candidates →
     * distinct pairs → exact Jaccard filter. Output matches
     * [[jaccardPairs]] up to LSH recall (deterministic hashes ⇒

@@ -1173,7 +1173,7 @@ object LlmQueries {
     "txt_mixture_weights" -> ((s, d) => TextAnalysis.mixtureWeights(s, d)),
     "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
     "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
-    "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssign(s, d)),
+    "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssignBlocked(s, d)),
     "txt_pack_assign" -> ((s, d) => TextAnalysis.packAssign(s, d)),
     "dd_bloom_delta" -> ((s, d) => Dedup.bloomDelta(s, d)),
     "dd_semdedup" -> ((s, d) => Dedup.semDedup(s, d, 0.4)),

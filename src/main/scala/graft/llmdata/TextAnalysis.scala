@@ -415,11 +415,11 @@ object TextAnalysis {
     * tokenizer jobs, reproducible data orders). The prefix sum is a
     * window partitioned BY SOURCE — each source packs in parallel;
     * no global single-partition window (the unpartitioned form is the
-    * classic scale trap). If ONE source dominated the corpus its window
-    * partition would still serialize: the escape hatch is two-level
-    * packing (prefix-sum fixed id-range blocks per source, then offset
-    * by a per-block running total — same arithmetic, one extra tiny
-    * rollup), worth it only when a single source outgrows an executor.
+    * classic scale trap). The REGISTERED form goes one further: it is
+    * the TWO-LEVEL blocked prefix sum ([[shardAssignBlocked]]), so
+    * even a source that dominates the whole corpus packs in parallel —
+    * this single-level window form is kept as the reference
+    * implementation the blocked plan is spec-proven equal to.
     * Rolled up per (source, shard): doc count,
     * token total, id range. Exact integer arithmetic end to end. */
   def shardAssign(spark: SparkSession, dir: String,
@@ -432,6 +432,50 @@ object TextAnalysis {
         size(toks(col("text"))).cast("long").as("n_tok"))
       .withColumn("shard_id",
         floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / shardTokens))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  /** TWO-LEVEL blocked shard packing — [[shardAssign]]'s exact
+    * arithmetic with the per-source serialization removed (the
+    * documented escape hatch, now the registered plan): documents
+    * split into fixed id-range BLOCKS of `blockDocs` per source;
+    * stage 1 computes each block's token total (one hash group-by);
+    * stage 2 turns those into per-block EXCLUSIVE prefix offsets with
+    * a window over the O(#blocks) rollup — a dimension-sized frame
+    * (N/blockDocs rows), and even ITS per-source window can be
+    * re-blocked the same way if a source ever owns billions of blocks;
+    * stage 3 joins the offsets back (broadcast) and finishes with a
+    * window partitioned by (source, block) — a single dominant source
+    * now packs across N/blockDocs parallel tasks instead of one.
+    * exclusive-prefix(doc) = block_offset + within-block exclusive
+    * prefix (associativity of + over the id-ordered stream) — the
+    * same number, so shard boundaries are IDENTICAL, the DuckDB
+    * oracle is unchanged, and TextAnalysisSpec proves blocked ≡
+    * single-level at two block sizes. */
+  def shardAssignBlocked(spark: SparkSession, dir: String,
+                         shardTokens: Long = 2000L,
+                         blockDocs: Long = 64L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("block", floor(col("doc_id") / blockDocs))
+    val blockTotals = docs.groupBy(col("source"), col("block"))
+      .agg(sum(col("n_tok")).as("block_tok"))
+    val wb = W.partitionBy(col("source")).orderBy(col("block"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = blockTotals
+      .withColumn("block_off", coalesce(sum(col("block_tok")).over(wb), lit(0L)))
+      .select(col("source"), col("block"), col("block_off"))
+    val ww = W.partitionBy(col("source"), col("block")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), Seq("source", "block"))
+      .withColumn("shard_id",
+        floor((col("block_off") +
+          coalesce(sum(col("n_tok")).over(ww), lit(0L))) / shardTokens))
       .groupBy(col("source"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

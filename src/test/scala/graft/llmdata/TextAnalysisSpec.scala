@@ -552,4 +552,15 @@ class TextAnalysisSpec extends SparkSpec {
     // fragmentation is the point of the report: some doc must straddle
     assert(rows.exists(_._6 > 1L))
   }
+
+  test("blocked two-level shard packing equals the single-level reference exactly") {
+    val ref = TextAnalysis.shardAssign(spark, sf).collect().toSeq
+    // 64 = the registered default; 7 = ragged blocks (id ranges that
+    // straddle source boundaries and end mid-block)
+    for (bd <- Seq(64L, 7L)) {
+      val blocked = TextAnalysis.shardAssignBlocked(spark, sf, blockDocs = bd)
+        .collect().toSeq
+      assert(blocked === ref, s"blockDocs=$bd")
+    }
+  }
 }

@@ -87,4 +87,19 @@ class BloomSpec extends SparkSpec {
     assert(chain(junk).exists(t =>
       t.getMessage != null && t.getMessage.contains("not a bloom sketch")))
   }
+
+  test("batch-shape bloom gate: every corpus member flags, novel docs pass") {
+    val incoming = Tables.documents(spark, sf).select("doc_id", "text")
+    val bloom = Dedup.corpusBloom(spark, sf)
+    val gated = Dedup.streamingBloomGate(incoming, bloom)
+    assert(gated.filter(!col("might_dup")).count() === 0L,
+      "a document IN the corpus can never test negative")
+    import incoming.sparkSession.implicits._
+    val novel = (0 until 500).map(i =>
+      (900000L + i, s"novel text $i " + ("x" * (i % 7))))
+      .toDF("doc_id", "text")
+    val fps = Dedup.streamingBloomGate(novel, bloom)
+      .filter(col("might_dup")).count()
+    assert(fps <= 5L, s"$fps false positives in 500 novel docs")
+  }
 }

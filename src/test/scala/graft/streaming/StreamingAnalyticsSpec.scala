@@ -148,6 +148,29 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally { index.unpersist(); () }
   }
 
+  test("streaming bloom gate: literal-sketch filter, stream = batch, no false negatives") {
+    import spark.implicits._
+    import graft.llmdata.Dedup
+    val srcText = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).collect()(0).getAs[String]("text")
+    val shard = Seq((300000L, srcText),
+      (300001L, (0 until 60).map(i => s"bv$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-bloomgate").toString + "/in"
+    shard.coalesce(1).write.parquet(dir)
+    val bloom = Dedup.corpusBloom(spark, sf)
+    val stream = spark.readStream.schema(shard.schema).parquet(dir)
+    val live = drain(Dedup.streamingBloomGate(stream, bloom),
+      "append", "bloomgate_live")
+    val batch = Dedup.streamingBloomGate(shard, bloom)
+    assert(live.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(live).count() === 0)
+    // the corpus copy MUST flag (no false negatives); the novel doc
+    // must pass (deterministic hashes: measured non-FP, guards drift)
+    assert(live.filter(col("doc_id") === 300000L && col("might_dup")).count() === 1)
+    assert(live.filter(col("doc_id") === 300001L && !col("might_dup")).count() === 1)
+  }
+
   test("streaming user sessions (append mode) emit exactly the watermark-closed batch sessions") {
     val live = drain(StreamingAnalytics.userSessions(enrichedStream),
       "append", "sessions_live").cache()
