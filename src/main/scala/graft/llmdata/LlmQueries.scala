@@ -1174,7 +1174,7 @@ object LlmQueries {
     "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
     "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssignBlocked(s, d)),
-    "txt_pack_assign" -> ((s, d) => TextAnalysis.packAssign(s, d)),
+    "txt_pack_assign" -> ((s, d) => TextAnalysis.packAssignBlocked(s, d)),
     "dd_bloom_delta" -> ((s, d) => Dedup.bloomDelta(s, d)),
     "dd_semdedup" -> ((s, d) => Dedup.semDedup(s, d, 0.4)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),

@@ -457,7 +457,21 @@ object TextAnalysis {
     * single-level at two block sizes. */
   def shardAssignBlocked(spark: SparkSession, dir: String,
                          shardTokens: Long = 2000L,
-                         blockDocs: Long = 64L): DataFrame = {
+                         blockDocs: Long = 64L): DataFrame =
+    blockedPrefix(spark, dir, blockDocs)
+      .withColumn("shard_id", floor(col("cb") / shardTokens))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+
+  /** The blocked two-level machinery itself: (source, doc_id, n_tok,
+    * cb) where `cb` is the per-source id-ordered EXCLUSIVE token
+    * prefix sum, computed as block_offset + within-block prefix —
+    * [[shardAssignBlocked]] and [[packAssignBlocked]] are one
+    * expression away from this frame. */
+  private def blockedPrefix(spark: SparkSession, dir: String,
+                            blockDocs: Long): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
@@ -473,14 +487,24 @@ object TextAnalysis {
     val ww = W.partitionBy(col("source"), col("block")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     docs.join(broadcast(offsets), Seq("source", "block"))
-      .withColumn("shard_id",
-        floor((col("block_off") +
-          coalesce(sum(col("n_tok")).over(ww), lit(0L))) / shardTokens))
-      .groupBy(col("source"), col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
-        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("shard_id"))
+      .withColumn("cb",
+        col("block_off") + coalesce(sum(col("n_tok")).over(ww), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cb"))
   }
+
+  /** [[packAssign]]'s window indices off the blocked prefix — the
+    * registered form, for the same reason as [[shardAssignBlocked]]:
+    * a dominant source packs in parallel, the arithmetic (and thus
+    * the oracle) is identical to the single-level reference. */
+  def packAssignBlocked(spark: SparkSession, dir: String,
+                        packTokens: Long = 256L,
+                        blockDocs: Long = 64L): DataFrame =
+    blockedPrefix(spark, dir, blockDocs)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        floor(col("cb") / packTokens).as("pack_first"),
+        floor((col("cb") + col("n_tok") - 1) / packTokens).as("pack_last"))
+      .withColumn("spans", col("pack_last") - col("pack_first") + lit(1L))
+      .orderBy(col("source"), col("doc_id"))
 
   /** CONTEXT-WINDOW PACKING assignment — the concat-and-chunk layout a
     * pretraining loader applies to a tokenized stream: documents

@@ -553,14 +553,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_._6 > 1L))
   }
 
-  test("blocked two-level shard packing equals the single-level reference exactly") {
-    val ref = TextAnalysis.shardAssign(spark, sf).collect().toSeq
+  test("blocked two-level shard and pack assignment equal the single-level references exactly") {
+    val shardRef = TextAnalysis.shardAssign(spark, sf).collect().toSeq
+    val packRef = TextAnalysis.packAssign(spark, sf).collect().toSeq
     // 64 = the registered default; 7 = ragged blocks (id ranges that
     // straddle source boundaries and end mid-block)
     for (bd <- Seq(64L, 7L)) {
-      val blocked = TextAnalysis.shardAssignBlocked(spark, sf, blockDocs = bd)
-        .collect().toSeq
-      assert(blocked === ref, s"blockDocs=$bd")
+      assert(TextAnalysis.shardAssignBlocked(spark, sf, blockDocs = bd)
+        .collect().toSeq === shardRef, s"shard blockDocs=$bd")
+      assert(TextAnalysis.packAssignBlocked(spark, sf, blockDocs = bd)
+        .collect().toSeq === packRef, s"pack blockDocs=$bd")
     }
   }
 }
