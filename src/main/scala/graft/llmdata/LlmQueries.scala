@@ -1212,7 +1212,8 @@ object LlmQueries {
     "mm_meta_stats" -> ((s, d) => Multimodal.metaStats(s, d)),
     "mm_decode_stats" -> ((s, d) => Multimodal.decodeStats(s, d)),
     "mm_format_sniff" -> ((s, d) => Multimodal.formatSniff(s, d)),
-    "mm_phash_dedup" -> ((s, d) => Multimodal.imageNearDup(s, d))
+    "mm_phash_dedup" -> ((s, d) => Multimodal.imageNearDup(s, d)),
+    "mm_audio_dedup" -> ((s, d) => Multimodal.audioNearDup(s, d))
   )
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /

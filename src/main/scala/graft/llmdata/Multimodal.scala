@@ -164,6 +164,150 @@ object Multimodal {
       maxDist)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
 
+  /** Deterministic RENDERED audio table — [[imageFrame]]'s WAV twin:
+    * every doc renders a 16-bit mono 8 kHz WAV whose 65-step amplitude
+    * ENVELOPE over a noise carrier is keyed by the same
+    * `doc_id % max(8, N/5)` pattern classes, and each copy applies a
+    * per-doc GAIN (×1.0–1.3) — the perceptual-audio analogue of the
+    * same recording at different volumes, which the energy-gradient
+    * fingerprint must (and does) cancel. Pure function of (doc_id, N),
+    * mapPartitions render, no shuffle. */
+  def audioFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.documents(spark, dir).count()
+    val mod = math.max(8L, n / 5L)
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val key = id % mod
+          def mix(a: Long, b: Long): Long = {
+            var z = a * 1000003L + b + 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          val gain = 1.0 + (id % 4) * 0.1
+          val windows = 65
+          val perWindow = 24
+          val pcm = new Array[Byte](windows * perWindow * 2)
+          var w = 0
+          while (w < windows) {
+            // envelope level in [0.1, 1.0) from the class key alone
+            val amp = 0.1 + 0.9 * ((mix(key, w.toLong) >>> 11).toDouble /
+              (1L << 53).toDouble)
+            var t = 0
+            while (t < perWindow) {
+              val i = w * perWindow + t
+              // noise carrier, also class-keyed: copies share waveform
+              val noise = (mix(key, 100000L + i).toDouble /
+                (1L << 62).toDouble / 2.0) // in (-1, 1)
+              val s = math.max(-32767, math.min(32767,
+                math.round(amp * noise * gain * 20000.0).toInt))
+              pcm(2 * i) = (s & 0xFF).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+              t += 1
+            }
+            w += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt,
+            (windows * perWindow).toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** 64-bit audio ENERGY-GRADIENT fingerprint — the WAV analogue of
+    * [[dHashes]]: decode PCM, split into 65 windows, bit i set iff
+    * RMS-energy(window i+1) > RMS-energy(window i). Gradient signs are
+    * GAIN-INVARIANT by construction (a volume change scales every
+    * window's energy by the same factor), the property a byte or
+    * sample hash cannot have. Payloads the JDK cannot decode fall to
+    * the same deterministic FNV-1a-64 byte-hash stub as the image
+    * path. */
+  def audioHashes(media: DataFrame, batchSize: Int = 64): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val samples: Array[Double] =
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
+                else {
+                  val raw = ais.readAllBytes()
+                  val out = new Array[Double](raw.length / 2)
+                  var i = 0
+                  while (i < out.length) {
+                    val lo = raw(2 * i) & 0xFF
+                    val hi = raw(2 * i + 1).toInt
+                    out(i) = ((hi << 8) | lo).toShort.toDouble
+                    i += 1
+                  }
+                  out
+                }
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (samples != null && samples.length >= 65) {
+              val windows = 65
+              val perWindow = samples.length / windows
+              val energy = new Array[Double](windows)
+              var w = 0
+              while (w < windows) {
+                var acc = 0.0
+                var t = 0
+                while (t < perWindow) {
+                  val s = samples(w * perWindow + t)
+                  acc += s * s
+                  t += 1
+                }
+                energy(w) = acc
+                w += 1
+              }
+              var h = 0L
+              var i = 0
+              while (i < 64) {
+                if (energy(i + 1) > energy(i)) h |= 1L << i
+                i += 1
+              }
+              MediaHash(id, h, decoded = true)
+            } else {
+              var h = 0xCBF29CE484222325L
+              var i = 0
+              while (i < bytes.length) {
+                h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L
+                i += 1
+              }
+              MediaHash(id, h, decoded = false)
+            }
+          }
+        }
+      }
+  }
+
+  /** Audio near-dup over the rendered [[audioFrame]] — same registered
+    * shape as [[imageNearDup]]: real WAV decode, energy-gradient
+    * fingerprint, shared banded Hamming kernel. Volume-scaled copies
+    * of one recording collide at Hamming 0 (gain invariance);
+    * unrelated envelopes land ~32 bits apart. Rows-only gate;
+    * MultimodalSpec proves gain invariance, class recovery, and stub
+    * determinism. */
+  def audioNearDup(spark: SparkSession, dir: String,
+                   maxDist: Int = 6): DataFrame =
+    Dedup.hammingPairs(
+      audioHashes(audioFrame(spark, dir)).toDF()
+        .select(col("media_id").as("id"), col("dhash").as("sig64")),
+      maxDist)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+
   /** Media frame derived from `documents`: payload = the text bytes
     * standing in for encoded media; metadata = typed struct with the
     * fields a real ingest would carry. */

@@ -357,4 +357,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got === expected,
       "same-pattern perturbed copies within maxDist, nothing across patterns")
   }
+
+  test("audio fingerprint: gain-invariant, class-exact, stub-deterministic") {
+    // volume-scaled copies of one rendered recording must collide at 0
+    val n = Tables.documents(spark, sf).count()
+    val mod = math.max(8L, n / 5L)
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && a % mod == b % mod
+    } yield (a, b)).toSet
+    val pairs = Multimodal.audioNearDup(spark, sf).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === expected,
+      "same-envelope gain-varied copies in, nothing across classes")
+    // gain invariance is exact: every same-class pair is Hamming 0
+    assert(pairs.forall(_.getInt(2) == 0),
+      "energy-gradient signs must cancel a pure volume change")
+    val hs = Multimodal.audioHashes(Multimodal.audioFrame(spark, sf)).collect()
+    assert(hs.forall(_.decoded), "rendered WAVs must decode")
+    // stub path: text payloads, deterministic
+    val stub = Multimodal.audioHashes(media).collect()
+    assert(stub.forall(!_.decoded))
+    val again = Multimodal.audioHashes(media).collect()
+    assert(stub.sortBy(_.media_id).map(_.dhash).toSeq ===
+      again.sortBy(_.media_id).map(_.dhash).toSeq)
+  }
 }
