@@ -532,8 +532,9 @@ object Dedup {
     *     flops are the problem, not the memory, and the right tool is
     *     upstream exact dedup.
     *
-    * The bucket census behind 2–3 is a driver-side collect of at most
-    * 8 bands × 2^bits ≤ 2048 count rows — O(#buckets), not O(N).
+    * The bucket census behind 2–3 is DISTRIBUTED (late r8): widths
+    * join back co-partitioned on (band, bucket); the only driver-side
+    * value is the 1-row hottest-bucket guard aggregate.
     * Per-pair arithmetic is [[Similarity.cosine6]] (bit-identical to
     * the Column form); a pair sharing k bands is computed k ≤ 8 times
     * and deduped by the post-filter distinct. */
@@ -578,38 +579,46 @@ object Dedup {
     // everything its pair verification needs: compute the exact cosine
     // INSIDE the tile's task and shuffle only pairs that pass the
     // threshold (the join alternative shuffled ≈all-pairs ×2).
+    //
+    // DISTRIBUTED width census (late r8; the original driver collect
+    // was O(#buckets) — bounded for the LSH keying (≤ 8·2^8 buckets by
+    // construction) but O(N/width) for the cluster keying, an
+    // unbounded driver-side structure at scale): per-bucket widths
+    // join back onto the key rows CO-PARTITIONED on (band, bucket) —
+    // the same exchange the groupBy already made, which AQE reuses —
+    // and the inner join doubles as the width-1 drop (no pairs
+    // possible there, so those rows never shuffle). The loud-failure
+    // guard is a 1-row max aggregate, the only driver-side scalar.
     val widths = keys.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("w")).filter(col("w") > 1)
-      .as[(Int, Int, Long)].collect()
-    val chunksBy: Map[(Int, Int), Int] = widths.map { case (b, bk, w) =>
-      ((b, bk), ((w + maxBucketWidth - 1) / maxBucketWidth).toInt)
-    }.toMap
-    val hottest = if (chunksBy.isEmpty) 0 else chunksBy.values.max
+      .withColumn("c",
+        floor((col("w") + lit(maxBucketWidth - 1)) / lit(maxBucketWidth))
+          .cast("int"))
+    val hottest = widths.agg(coalesce(max(col("c")), lit(0))).head.getInt(0)
     require(hottest <= maxChunks,
       s"$what hot bucket: widest (band, bucket) needs $hottest chunks of " +
         s"$maxBucketWidth (> $maxChunks) — a near-identical " +
         "mass this dense should be removed by exact dedup (dd_exact / chunk hash) " +
         "before pairwise verification; raise maxChunks only if you accept the flops")
-    val chunkOf = spark.sparkContext.broadcast(chunksBy)
     keys.select(col("band"), col("bucket"), col("vec_id"), col("embedding"))
-      .as[(Int, Int, Long, Array[Float])]
-      .flatMap { case (band, bucket, id, v) =>
-        chunkOf.value.get((band, bucket)) match {
-          case None => Iterator.empty // width-1 bucket: no pairs possible
-          case Some(c) =>
-            // SplitMix64 finalizer → chunk: id-deterministic, and safe
-            // against clustered id ranges (floorMod(id, c) is not)
-            var z = id + 0x9E3779B97F4A7C15L
-            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-            val mc = Math.floorMod(z ^ (z >>> 31), c.toLong).toInt
-            // one row per tile this member participates in; a pair
-            // (chunk x, chunk y) meets in exactly tile (min, max)
-            (0 until c).iterator.map { o =>
-              if (o == mc) (band, bucket, mc, mc, 0, id, v)
-              else if (mc < o) (band, bucket, mc, o, 0, id, v)
-              else (band, bucket, o, mc, 1, id, v)
-            }
+      .join(widths.select(col("band"), col("bucket"), col("c")),
+        Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("c"), col("vec_id"),
+        col("embedding"))
+      .as[(Int, Int, Int, Long, Array[Float])]
+      .flatMap { case (band, bucket, c, id, v) =>
+        // SplitMix64 finalizer → chunk: id-deterministic, and safe
+        // against clustered id ranges (floorMod(id, c) is not)
+        var z = id + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val mc = Math.floorMod(z ^ (z >>> 31), c.toLong).toInt
+        // one row per tile this member participates in; a pair
+        // (chunk x, chunk y) meets in exactly tile (min, max)
+        (0 until c).iterator.map { o =>
+          if (o == mc) (band, bucket, mc, mc, 0, id, v)
+          else if (mc < o) (band, bucket, mc, o, 0, id, v)
+          else (band, bucket, o, mc, 1, id, v)
         }
       }
       .toDF("band", "bucket", "ti", "tj", "side", "vec_id", "embedding")
