@@ -383,4 +383,24 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.sortBy(_.media_id).map(_.dhash).toSeq ===
       again.sortBy(_.media_id).map(_.dhash).toSeq)
   }
+
+  test("wav fast path decodes byte-for-byte what AudioSystem decodes") {
+    val payloads = Multimodal.audioFrame(spark, sf).limit(20)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (id, bytes) =>
+      val fast = Multimodal.parseWavPcm16Mono(bytes)
+      assert(fast != null, s"media $id: rendered WAV must hit the fast path")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes()
+      val ref = Array.tabulate(raw.length / 2) { i =>
+        (((raw(2 * i + 1).toInt) << 8) | (raw(2 * i) & 0xFF)).toShort.toDouble
+      }
+      assert(fast.toSeq === ref.toSeq, s"media $id: sample mismatch")
+    }
+    // non-WAV bytes must fall through to null, never throw
+    assert(Multimodal.parseWavPcm16Mono("not audio at all".getBytes) == null)
+    assert(Multimodal.parseWavPcm16Mono(Array.empty[Byte]) == null)
+  }
 }
