@@ -236,27 +236,39 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
             // fast path: direct RIFF/WAVE chunk walk for 16-bit mono
-            // PCM — `AudioSystem.getAudioInputStream` does a provider-
+            // or stereo PCM (stereo DOWNMIXES to channel-mean — VERDICT
+            // r8 #7: a stereo re-encode of the same recording must
+            // fingerprint like its mono twin, not fall to the byte-hash
+            // stub) — `AudioSystem.getAudioInputStream` does a provider-
             // registry scan PER CALL, which serialized the per-row
             // decode (measured 13.6 s → the dominant cost at the 10×
             // curve point); the registry stays the fallback for every
-            // other container (AIFF, multi-channel, compressed)
+            // other container (AIFF, >2 channels, compressed)
             val samples: Array[Double] = {
-              val fast = parseWavPcm16Mono(bytes)
+              val fast = parseWavPcm16(bytes)
               if (fast != null) fast
               else try {
                 val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                   new java.io.ByteArrayInputStream(bytes))
                 val fmt = ais.getFormat
-                if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
+                val ch = fmt.getChannels
+                if (fmt.getSampleSizeInBits != 16 || ch < 1 || ch > 2) null
                 else {
                   val raw = ais.readAllBytes()
-                  val out = new Array[Double](raw.length / 2)
+                  val frames = raw.length / (2 * ch)
+                  val out = new Array[Double](frames)
                   var i = 0
-                  while (i < out.length) {
-                    val lo = raw(2 * i) & 0xFF
-                    val hi = raw(2 * i + 1).toInt
-                    out(i) = ((hi << 8) | lo).toShort.toDouble
+                  while (i < frames) {
+                    var acc = 0.0
+                    var c = 0
+                    while (c < ch) {
+                      val o = 2 * (i * ch + c)
+                      val lo = raw(o) & 0xFF
+                      val hi = raw(o + 1).toInt
+                      acc += ((hi << 8) | lo).toShort.toDouble
+                      c += 1
+                    }
+                    out(i) = acc / ch
                     i += 1
                   }
                   out
@@ -301,30 +313,39 @@ object Multimodal {
   }
 
   /** Canonical RIFF/WAVE container around raw little-endian 16-bit
-    * mono PCM — the registry-free encode twin of
-    * [[parseWavPcm16Mono]]. */
-  private[llmdata] def wavPcm16Mono(pcm: Array[Byte], rate: Int): Array[Byte] = {
+    * PCM (`channels` interleaved) — the registry-free encode twin of
+    * [[parseWavPcm16]]. */
+  private[llmdata] def wavPcm16(pcm: Array[Byte], rate: Int,
+                                channels: Int): Array[Byte] = {
+    require(channels >= 1 && channels <= 2, s"channels $channels: need 1 or 2")
     val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1) // PCM, mono
-      .putInt(rate).putInt(rate * 2) // byte rate = rate × blockAlign
-      .putShort(2).putShort(16) // blockAlign, bits
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(rate).putInt(rate * 2 * channels) // byte rate = rate × blockAlign
+      .putShort((2 * channels).toShort).putShort(16) // blockAlign, bits
       .put("data".getBytes("US-ASCII")).putInt(pcm.length)
       .put(pcm)
     bb.array()
   }
 
-  /** Little-endian 16-bit mono PCM samples from a canonical RIFF/WAVE
-    * container, or null if `bytes` is anything else — the registry-free
-    * decode [[audioHashes]] runs per row. Walks the chunk list ("fmt "
-    * must declare PCM format 1, 1 channel, 16 bits; "data" carries the
-    * samples); any malformed length fails to null, never throws.
+  private[llmdata] def wavPcm16Mono(pcm: Array[Byte], rate: Int): Array[Byte] =
+    wavPcm16(pcm, rate, 1)
+
+  /** Little-endian 16-bit PCM samples from a canonical RIFF/WAVE
+    * container — mono as-is, STEREO DOWNMIXED to the per-frame channel
+    * mean (VERDICT r8 #7: the fingerprint must be layout-invariant, so
+    * a stereo re-encode of a recording collides with its mono twin) —
+    * or null if `bytes` is anything else; that null falls to the
+    * registry decode in [[audioHashes]]. Walks the chunk list ("fmt "
+    * must declare PCM format 1, 1–2 channels, 16 bits; "data" carries
+    * the samples); any malformed length fails to null, never throws.
     * MultimodalSpec pins byte-for-byte agreement with the
-    * `AudioSystem` decode on rendered WAVs. */
-  private[llmdata] def parseWavPcm16Mono(bytes: Array[Byte]): Array[Double] = {
+    * `AudioSystem` decode on rendered WAVs, and mono ≡ stereo-downmix
+    * at Hamming 0. */
+  private[llmdata] def parseWavPcm16(bytes: Array[Byte]): Array[Double] = {
     def u32(o: Int): Long =
       (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
         ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
@@ -333,26 +354,35 @@ object Multimodal {
       o + 4 <= bytes.length && (0 until 4).forall(i => bytes(o + i) == t.charAt(i).toByte)
     if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
     var off = 12
-    var fmtOk = false
+    var channels = 0
     var dataOff = -1
     var dataLen = 0L
-    while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+    while (off + 8 <= bytes.length && (dataOff < 0 || channels == 0)) {
       val len = u32(off + 4)
-      if (tag(off, "fmt ") && off + 8 + 16 <= bytes.length)
-        fmtOk = u16(off + 8) == 1 && u16(off + 10) == 1 && u16(off + 22) == 16
-      else if (tag(off, "data")) { dataOff = off + 8; dataLen = len }
+      if (tag(off, "fmt ") && off + 8 + 16 <= bytes.length) {
+        val ch = u16(off + 10)
+        if (u16(off + 8) == 1 && (ch == 1 || ch == 2) && u16(off + 22) == 16)
+          channels = ch
+      } else if (tag(off, "data")) { dataOff = off + 8; dataLen = len }
       // chunks are word-aligned: odd lengths carry a pad byte
       off += 8 + len.toInt + (len.toInt & 1)
       if (len < 0 || len > bytes.length) return null
     }
-    if (!fmtOk || dataOff < 0 || dataOff + dataLen > bytes.length) return null
-    val n = (dataLen / 2).toInt
-    val out = new Array[Double](n)
+    if (channels == 0 || dataOff < 0 || dataOff + dataLen > bytes.length) return null
+    val frames = (dataLen / (2 * channels)).toInt
+    val out = new Array[Double](frames)
     var i = 0
-    while (i < n) {
-      val lo = bytes(dataOff + 2 * i) & 0xFF
-      val hi = bytes(dataOff + 2 * i + 1).toInt
-      out(i) = ((hi << 8) | lo).toShort.toDouble
+    while (i < frames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + 2 * (i * channels + c)
+        val lo = bytes(o) & 0xFF
+        val hi = bytes(o + 1).toInt
+        acc += ((hi << 8) | lo).toShort.toDouble
+        c += 1
+      }
+      out(i) = acc / channels
       i += 1
     }
     out

@@ -447,7 +447,9 @@ object TextAnalysis {
     * a window over the O(#blocks) rollup — a dimension-sized frame
     * (N/blockDocs rows), and even ITS per-source window can be
     * re-blocked the same way if a source ever owns billions of blocks;
-    * stage 3 joins the offsets back (broadcast) and finishes with a
+    * stage 3 joins the offsets back (hash on (source, block) — the
+    * offset table is O(N/blockDocs), so it is NOT broadcast-hinted;
+    * AQE may still choose broadcast when it is small) and finishes with a
     * window partitioned by (source, block) — a single dominant source
     * now packs across N/blockDocs parallel tasks instead of one.
     * exclusive-prefix(doc) = block_offset + within-block exclusive
@@ -486,7 +488,12 @@ object TextAnalysis {
       .select(col("source"), col("block"), col("block_off"))
     val ww = W.partitionBy(col("source"), col("block")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
-    docs.join(broadcast(offsets), Seq("source", "block"))
+    // NO broadcast hint on the offsets side (ADVICE r8): offsets has
+    // N/blockDocs rows — an O(N) structure that would pin the driver
+    // and every executor exactly when the blocking matters. The join
+    // key (source, block) hash-shuffles fine, and AQE still picks a
+    // broadcast when the offset table is genuinely small.
+    docs.join(offsets, Seq("source", "block"))
       .withColumn("cb",
         col("block_off") + coalesce(sum(col("n_tok")).over(ww), lit(0L)))
       .select(col("source"), col("doc_id"), col("n_tok"), col("cb"))

@@ -74,6 +74,14 @@ object Bloom {
     true
   }
 
+  /** [[mightContainBytes]] over a JVM String hashed exactly as the
+    * expression path hashes a `StringType` value (UTF8String bytes) —
+    * the probe a broadcast-variable consumer ([[graft.llmdata.Dedup
+    * .streamingBloomGateBroadcast]]'s mapPartitions) runs without an
+    * InternalRow in hand. */
+  private[graft] def mightContainString(bytes: Array[Byte], s: String): Boolean =
+    mightContainBytes(bytes, UTF8String.fromString(s))
+
   /** Validated (numBits, k) from serialized bytes — arbitrary binaries
     * must fail loudly, not index out of bounds (cf. [[Kmv.deserialize]]). */
   private[plans] def header(bytes: Array[Byte]): (Int, Int) = {

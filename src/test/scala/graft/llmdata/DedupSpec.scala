@@ -76,6 +76,48 @@ class DedupSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("banded hamming join is EXHAUSTIVE up to nBands - 1 bits (ADVICE r8)") {
+    import spark.implicits._
+    // adversarial planted pair: 5 flipped bits spread so that every
+    // one of the four 16-bit bands differs (bits 0, 16, 32, 48, 49) —
+    // the pair the old fixed 4x16 layout silently dropped. The 8x8
+    // auto-banding must recover it: bands 1, 3, 5, 7 still agree.
+    val a = 0x0123456789ABCDEFL
+    val b = a ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48) | (1L << 49))
+    assert(java.lang.Long.bitCount(a ^ b) === 5)
+    val sigs = Seq((1L, a), (2L, b)).toDF("id", "sig64")
+    val got8 = Dedup.hammingPairs(sigs, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got8 === Set((1L, 2L)),
+      "8-band layout must guarantee every pair at distance <= 7")
+    // the probabilistic 16-bit banding drops exactly this spread pair
+    val got4 = Dedup.hammingPairs(sigs, maxDist = 6, nBands = Some(4))
+      .collect()
+    assert(got4.isEmpty,
+      "4x16 banding cannot see a pair differing in all four bands " +
+        "(the documented recall trade)")
+    // exhaustiveness sweep: EVERY 2-id pair at distance d <= 7 must
+    // surface under the auto 8-band layout, wherever the bits land
+    // exhaustive in ONE job: 2k ids per planted pair, distances 1..7
+    val rnd = new scala.util.Random(7)
+    val planted = (0 until 24).map { i =>
+      val base = rnd.nextLong()
+      val d = 1 + i % 7
+      val flips = rnd.shuffle((0 until 64).toList).take(d)
+      (base, flips.foldLeft(base)((acc, j) => acc ^ (1L << j)))
+    }
+    val rows = planted.zipWithIndex.flatMap { case ((x, y), i) =>
+      Seq((2L * i, x), (2L * i + 1, y))
+    }
+    val found = Dedup.hammingPairs(rows.toDF("id", "sig64"), maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.indices.foreach { i =>
+      assert(found.contains((2L * i, 2L * i + 1)),
+        s"case $i: planted pair at distance " +
+          s"${java.lang.Long.bitCount(planted(i)._1 ^ planted(i)._2)} must be found")
+    }
+  }
+
   test("LSH-bucketed embedding near-dup recovers ≥90% of exact cosine pairs") {
     val exact = pairKey(Dedup.embeddingNearDupExact(spark, sf, 0.4))
     val approx = pairKey(Dedup.embeddingNearDup(spark, sf, 0.4))

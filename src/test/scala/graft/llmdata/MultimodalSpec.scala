@@ -389,7 +389,7 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     assert(payloads.nonEmpty)
     payloads.foreach { case (id, bytes) =>
-      val fast = Multimodal.parseWavPcm16Mono(bytes)
+      val fast = Multimodal.parseWavPcm16(bytes)
       assert(fast != null, s"media $id: rendered WAV must hit the fast path")
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -400,7 +400,49 @@ class MultimodalSpec extends SparkSpec {
       assert(fast.toSeq === ref.toSeq, s"media $id: sample mismatch")
     }
     // non-WAV bytes must fall through to null, never throw
-    assert(Multimodal.parseWavPcm16Mono("not audio at all".getBytes) == null)
-    assert(Multimodal.parseWavPcm16Mono(Array.empty[Byte]) == null)
+    assert(Multimodal.parseWavPcm16("not audio at all".getBytes) == null)
+    assert(Multimodal.parseWavPcm16(Array.empty[Byte]) == null)
+  }
+
+  test("stereo re-encode downmixes to its mono twin at Hamming 0") {
+    // take a rendered mono recording, duplicate its samples into an
+    // L/R-interleaved stereo container (both channels = the mono
+    // signal), and check the fingerprint is IDENTICAL — plus a
+    // channel-IMBALANCED mix (L = s + 1000, R = s − 1000: unequal
+    // channels whose frame mean is exactly the mono signal)
+    val monoBytes = Multimodal.audioFrame(spark, sf).limit(1)
+      .collect().map(_.getAs[Array[Byte]](1)).head
+    val mono = Multimodal.parseWavPcm16(monoBytes)
+    assert(mono != null)
+    def pcmOf(samples: Array[(Short, Short)]): Array[Byte] = {
+      val out = new Array[Byte](4 * samples.length)
+      samples.zipWithIndex.foreach { case ((l, r), i) =>
+        out(4 * i) = (l & 0xFF).toByte
+        out(4 * i + 1) = ((l >> 8) & 0xFF).toByte
+        out(4 * i + 2) = (r & 0xFF).toByte
+        out(4 * i + 3) = ((r >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    // rendered samples are bounded at ±20000, so ±1000 never clips
+    val dup = Multimodal.wavPcm16(
+      pcmOf(mono.map(s => (s.toShort, s.toShort))), 8000, 2)
+    val tilted = Multimodal.wavPcm16(
+      pcmOf(mono.map(s => ((s + 1000).toShort, (s - 1000).toShort))), 8000, 2)
+    // stereo fast path must agree with the exact channel-mean downmix
+    val fastDup = Multimodal.parseWavPcm16(dup)
+    assert(fastDup != null, "canonical stereo WAV must hit the fast path")
+    assert(fastDup.toSeq === mono.toSeq,
+      "equal-channel stereo must downmix to the mono samples exactly")
+    import spark.implicits._
+    val frame = Seq((1L, monoBytes), (2L, dup), (3L, tilted))
+      .toDF("media_id", "payload")
+    val hs = Multimodal.audioHashes(frame).collect()
+      .map(h => h.media_id -> h).toMap
+    assert(hs.values.forall(_.decoded), "stereo must decode, not stub-hash")
+    assert(hs(1L).dhash === hs(2L).dhash,
+      "stereo re-encode must fingerprint identically to its mono twin")
+    assert(hs(1L).dhash === hs(3L).dhash,
+      "imbalanced channels whose mean is the mono signal must collide")
   }
 }

@@ -102,4 +102,42 @@ class BloomSpec extends SparkSpec {
       .filter(col("might_dup")).count()
     assert(fps <= 5L, s"$fps false positives in 500 novel docs")
   }
+
+  test("broadcast-carrier gate at a multi-MB sketch ≡ literal gate (r8 #5)") {
+    // a production-size filter (2^24 bits = 2 MiB) is over the plan-
+    // literal ceiling: the literal gate must REFUSE it loudly...
+    val incoming = Tables.documents(spark, sf).select("doc_id", "text")
+    val big = Dedup.corpusBloom(spark, sf, numBits = 1 << 24)
+    assert(big.length > Dedup.BloomLiteralMaxBytes)
+    val refused = intercept[IllegalArgumentException] {
+      Dedup.streamingBloomGate(incoming, big)
+    }
+    assert(refused.getMessage.contains("broadcast"),
+      "the guard must point at the broadcast carrier")
+    // ...and the broadcast carrier must run it with verdicts identical
+    // to the small-sketch literal gate's exactness contract: no false
+    // negatives on corpus members, FP-bounded on novel docs, and
+    // byte-equal hashing (same sketch probed both ways on a small one)
+    val bc = spark.sparkContext.broadcast(big)
+    val gated = Dedup.streamingBloomGateBroadcast(incoming, bc)
+    assert(gated.filter(!col("might_dup")).count() === 0L,
+      "no false negatives through the broadcast carrier")
+    import incoming.sparkSession.implicits._
+    val novel = (0 until 500).map(i =>
+      (900000L + i, s"novel text $i " + ("x" * (i % 7))))
+      .toDF("doc_id", "text")
+    assert(Dedup.streamingBloomGateBroadcast(novel, bc)
+      .filter(col("might_dup")).count() <= 5L)
+    // parity: the SAME small sketch through both carriers agrees row-
+    // for-row (proves the mapPartitions md5+probe path hashes exactly
+    // like md5(cast(text AS binary)) |> bloom_contains)
+    val small = Dedup.corpusBloom(spark, sf)
+    val lit0 = Dedup.streamingBloomGate(incoming.union(novel), small)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val bcast = Dedup.streamingBloomGateBroadcast(
+      incoming.union(novel), spark.sparkContext.broadcast(small))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(lit0 === bcast, "broadcast and literal carriers must agree exactly")
+    bc.destroy()
+  }
 }
