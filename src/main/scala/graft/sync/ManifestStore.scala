@@ -55,7 +55,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * must check [[graft.streaming.SketchView.mergeBatch]]'s return
   * value, which surfaces the refusal loudly.
   *
-  * Single writer per store assumed (the callers' contract); manifest
+  * Single writer per store assumed (the callers' contract) — and
+  * ENFORCED since r9 by an owner-nonce writer lease on every mutating
+  * entry point (see [[withWriterLease]]): a split-brain second writer
+  * fails loudly at its first commit/fold/vacuum instead of silently
+  * interleaving ledger history. Manifest
   * precedence is numeric batch order, so backfill ids must respect
   * the stream's ordering. [[snapshot]]/[[maybeSnapshot]] run from the
   * writer BETWEEN commits (same single-writer serialization), never
@@ -72,6 +76,137 @@ object ManifestStore {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
+
+  // ------------------------------------------------------ writer lease
+  /** WRITER LEASE (VERDICT r8 #6): the single-writer contract above
+    * was previously enforced only by the rename-false path (and only
+    * for two writers racing the SAME batchId) — a split-brain second
+    * writer on different ids could interleave commits/folds/vacuums
+    * silently. Every mutating entry point ([[commit]], [[seal]],
+    * [[sealEmpty]], [[snapshot]], [[maybeSnapshot]], [[vacuum]]) now
+    * claims `_manifest/.writer.lock` through the same owner-nonce
+    * discipline as [[graft.tx.ProcessedStore.withSwapLock]] (atomic
+    * O_EXCL create on local filesystems, one namenode CREATE rpc on
+    * HDFS; stamp the claimant's UUID; re-read to verify the stamp
+    * stuck; release only if the lock still carries the claimant's
+    * nonce), with one deliberate difference: a contended claim FAILS
+    * LOUDLY instead of waiting — a second live writer is a deployment
+    * bug to surface, not a queue to join. A corpse from a crashed
+    * writer (older than `graft.manifest.lockStaleMs`, default 30 min
+    * — orders of magnitude beyond any healthy mutation, which is
+    * metadata-only) is broken conditionally (re-stat, skip if a fresh
+    * claim moved the mtime) and the claim retried once. Same-thread
+    * nesting (commit → seal) re-enters via a thread-local held set. */
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty[String]
+  }
+
+  private def withWriterLease[T](spark: SparkSession, storeDir: String)
+                                (body: => T): T = {
+    if (heldLeases.get.contains(storeDir)) return body
+    val (f, _) = fs(spark, storeDir)
+    val lock = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/.writer.lock")
+    val nonce = java.util.UUID.randomUUID().toString
+    val staleMs = sys.props.get("graft.manifest.lockStaleMs")
+      .map(_.toLong).getOrElse(30L * 60 * 1000)
+    f.mkdirs(lock.getParent)
+
+    def lockNonce(): Option[String] =
+      try {
+        val in = f.open(lock)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+
+    // Hadoop's createNewFile is exists-then-create — atomic on HDFS but
+    // a TOCTOU on local filesystems (the ProcessedStore dual-breaker
+    // spec caught it); local paths claim through O_EXCL
+    def atomicCreate(): Boolean = f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try new java.io.File(lock.toUri.getPath).createNewFile()
+        catch { case _: java.io.IOException => false }
+      case _ =>
+        try f.createNewFile(lock)
+        catch { case _: java.io.IOException => false }
+    }
+
+    def tryClaim(): Boolean = atomicCreate() && {
+      try {
+        val os = f.create(lock, true)
+        try os.write(nonce.getBytes("UTF-8")) finally os.close()
+      } catch { case _: java.io.IOException => () }
+      lockNonce().contains(nonce)
+    }
+
+    def failHeld(age: Long): Nothing =
+      throw new IllegalStateException(
+        s"manifest writer lease $lock is held by another writer " +
+          s"(age $age ms; stale break at $staleMs ms) - the store's " +
+          "single-writer contract is violated: stop the other writer, " +
+          "or remove the lock if its owner is known dead")
+
+    var acquired = tryClaim()
+    if (!acquired) {
+      val st =
+        try Some(f.getFileStatus(lock))
+        catch { case _: java.io.IOException => None }
+      val age = st.map(System.currentTimeMillis - _.getModificationTime)
+        .getOrElse(-1L)
+      if (st.isEmpty) acquired = tryClaim() // holder released between probes
+      else if (age > staleMs) {
+        // break ONLY the measured corpse (re-stat; a moved mtime means
+        // a fresh claim landed and this writer must fail instead)
+        val cur =
+          try Some(f.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.IOException => None }
+        if (cur == st.map(_.getModificationTime)) {
+          try { f.delete(lock, false); () }
+          catch { case _: java.io.IOException => () }
+          acquired = tryClaim()
+        }
+      }
+      if (!acquired) failHeld(age)
+    }
+    heldLeases.get += storeDir
+    try body
+    finally {
+      heldLeases.get -= storeDir
+      if (lockNonce().contains(nonce)) {
+        try { f.delete(lock, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Test seam: hold the writer lease while running `body` — lets the
+    * dual-writer spec park one "writer" inside the lease and prove a
+    * concurrent mutation fails loudly. */
+  private[graft] def withLeaseForTest[T](spark: SparkSession,
+                                         storeDir: String)(body: => T): T =
+    withWriterLease(spark, storeDir)(body)
+
+  // -------------------------------------- snapshot-cadence bookkeeping
+  /** Manifests committed since the newest fold, per (session, store) —
+    * the O(1) cadence probe (VERDICT r8 #8): [[maybeSnapshot]]
+    * previously re-listed and re-parsed the ledger on EVERY batch
+    * (O(K) file reads per commit on top of the commit's own work).
+    * The writer already knows the count — each numeric seal
+    * increments it, each fold zeroes it — so between folds the probe
+    * is one map read. `-1`/absent = unknown (fresh JVM on an existing
+    * store): the next probe pays ONE ledger read to sync, then stays
+    * O(1). Per-JVM state is sound under the single-writer contract
+    * the lease above enforces. */
+  private val sinceFold =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Integer]
+
+  /** Ledger read counter (test observability for the O(1) probe —
+    * the "listStatus-count assertion" r8 #8 asked for). */
+  private[graft] val ledgerReads = new java.util.concurrent.atomic.AtomicLong
 
   /** `batchId` is committed iff its manifest exists, or its history
     * has been folded into a snapshot (manifests at or below a
@@ -115,6 +250,7 @@ object ManifestStore {
     * snapshot that replaced it is committed before the fold deletes
     * anything, so the second pass always sees a complete ledger). */
   private def readLedger(spark: SparkSession, storeDir: String): Ledger = {
+    ledgerReads.incrementAndGet()
     def once(): Ledger = {
       val (f, dir) = fs(spark, s"$storeDir/_manifest")
       if (!f.exists(dir)) return Ledger(None, Seq.empty)
@@ -257,15 +393,26 @@ object ManifestStore {
   def sealEmpty(spark: SparkSession, storeDir: String, batchId: Long): Unit =
     sealLines(spark, storeDir, batchId.toString, Seq.empty)
 
-  /** Full commit = data + manifest ([[seal]] documents `append`). */
+  /** Full commit = data + manifest ([[seal]] documents `append`).
+    * Holds the writer lease across BOTH halves: a split-brain writer
+    * racing the same batch would otherwise interleave its data files
+    * into this batch's directory between this write and the seal's
+    * listing. */
   def commit(merged: DataFrame, storeDir: String, batchId: Long,
-             partitionCol: String, append: Boolean = false): Unit = {
-    writeBatchData(merged, storeDir, batchId, partitionCol)
-    seal(merged.sparkSession, storeDir, batchId, append)
-  }
+             partitionCol: String, append: Boolean = false): Unit =
+    withWriterLease(merged.sparkSession, storeDir) {
+      writeBatchData(merged, storeDir, batchId, partitionCol)
+      seal(merged.sparkSession, storeDir, batchId, append)
+    }
 
   private def sealLines(spark: SparkSession, storeDir: String,
-                        targetName: String, lines: Seq[String]): Unit = {
+                        targetName: String, lines: Seq[String]): Unit =
+    withWriterLease(spark, storeDir) {
+      sealLinesLocked(spark, storeDir, targetName, lines)
+    }
+
+  private def sealLinesLocked(spark: SparkSession, storeDir: String,
+                              targetName: String, lines: Seq[String]): Unit = {
     val (f, _) = fs(spark, storeDir)
     val dir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
     f.mkdirs(dir)
@@ -276,6 +423,16 @@ object ManifestStore {
       catch { case e: java.io.IOException =>
         throw new IllegalStateException(
           s"manifest rename $tmp -> $target failed", e) }
+    // cadence bookkeeping (r8 #8): a numeric manifest advances the
+    // since-fold count IF the JVM knows it; a snapshot zeroes it (the
+    // fold covers every manifest the ledger held when it was read)
+    if (renamed) {
+      val key = (spark, storeDir)
+      if (targetName.endsWith(SnapSuffix))
+        sinceFold.put(key, Int.box(0))
+      else if (scala.util.Try(targetName.toLong).isSuccess)
+        sinceFold.computeIfPresent(key, (_, v) => Int.box(v.intValue + 1))
+    }
     if (!renamed)
       throw new IllegalStateException(
         s"manifest rename $tmp -> $target returned false " +
@@ -304,25 +461,38 @@ object ManifestStore {
     * before the rename leaves an unparsed `.tmp-` orphan and the
     * ledger is untouched. Returns the snapshot id, or None when
     * nothing new has committed since the last fold (no-op). */
-  def snapshot(spark: SparkSession, storeDir: String): Option[Long] = {
-    val ledger = readLedger(spark, storeDir)
-    if (ledger.manifests.isEmpty) return None
-    val id = ledger.manifests.last._1
-    sealLines(spark, storeDir, s"$id$SnapSuffix", snapLinesOf(ledger))
-    Some(id)
-  }
+  def snapshot(spark: SparkSession, storeDir: String): Option[Long] =
+    withWriterLease(spark, storeDir) {
+      val ledger = readLedger(spark, storeDir)
+      if (ledger.manifests.isEmpty) None
+      else {
+        val id = ledger.manifests.last._1
+        sealLines(spark, storeDir, s"$id$SnapSuffix", snapLinesOf(ledger))
+        Some(id)
+      }
+    }
 
   /** [[snapshot]] when at least `every` manifests have committed
-    * since the newest fold — the writer's per-batch hook. */
+    * since the newest fold — the writer's per-batch hook. O(1)
+    * between folds (VERDICT r8 #8): the [[sinceFold]] counter the
+    * writer's own seals maintain answers "not yet" without touching
+    * the ledger; only an unknown counter (fresh JVM over an existing
+    * store) or a due fold pays the ledger read. */
   def maybeSnapshot(spark: SparkSession, storeDir: String,
                     every: Int): Option[Long] = {
     require(every > 0, s"snapshot cadence must be positive, got $every")
-    val ledger = readLedger(spark, storeDir)
-    if (ledger.manifests.size < every) None
-    else {
-      val id = ledger.manifests.last._1
-      sealLines(spark, storeDir, s"$id$SnapSuffix", snapLinesOf(ledger))
-      Some(id)
+    val key = (spark, storeDir)
+    Option(sinceFold.get(key)).map(_.intValue) match {
+      case Some(c) if c < every => None
+      case _ =>
+        val ledger = readLedger(spark, storeDir)
+        sinceFold.put(key, Int.box(ledger.manifests.size))
+        if (ledger.manifests.size < every) None
+        else {
+          val id = ledger.manifests.last._1
+          sealLines(spark, storeDir, s"$id$SnapSuffix", snapLinesOf(ledger))
+          Some(id)
+        }
     }
   }
 
@@ -361,7 +531,7 @@ object ManifestStore {
     * composition are deleted, so the store read is untouched; the
     * newest snapshot and every manifest above it are never deleted.
     * Returns (files deleted, batch dirs removed). */
-  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) = {
+  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) = withWriterLease(spark, storeDir) {
     val ledger = readLedger(spark, storeDir)
     val (f, dataRoot) = fs(spark, s"$storeDir/data")
     // fold the ledger history first: manifests the newest snapshot
@@ -376,34 +546,36 @@ object ManifestStore {
         if (folded) { mf.delete(st.getPath, false); () }
       }
     }
-    if (!f.exists(dataRoot)) return (0, 0)
-    val maxCommitted = (ledger.snap.map(_._1).toSeq ++
-      ledger.manifests.map(_._1)).maxOption.getOrElse(-1L)
-    val referenced: Set[String] = foldLedger(ledger).values.flatten.toSet
-    var files = 0; var dirs = 0
-    f.listStatus(dataRoot).filter(_.isDirectory).foreach { bdir =>
-      scala.util.Try(bdir.getPath.getName.stripPrefix("b").toLong).toOption
-        .filter(_ <= maxCommitted).foreach { bid =>
-          var keptAny = false
-          f.listStatus(bdir.getPath).foreach { entry =>
-            val children =
-              if (entry.isDirectory) f.listStatus(entry.getPath).toSeq
-              else Seq(entry)
-            var keptHere = false
-            children.foreach { st =>
-              val rel =
-                if (entry.isDirectory)
-                  s"data/b$bid/${entry.getPath.getName}/${st.getPath.getName}"
-                else s"data/b$bid/${st.getPath.getName}"
-              if (referenced(rel)) { keptHere = true; keptAny = true }
-              else if (st.isFile) { f.delete(st.getPath, false); files += 1 }
+    if (!f.exists(dataRoot)) (0, 0)
+    else {
+      val maxCommitted = (ledger.snap.map(_._1).toSeq ++
+        ledger.manifests.map(_._1)).maxOption.getOrElse(-1L)
+      val referenced: Set[String] = foldLedger(ledger).values.flatten.toSet
+      var files = 0; var dirs = 0
+      f.listStatus(dataRoot).filter(_.isDirectory).foreach { bdir =>
+        scala.util.Try(bdir.getPath.getName.stripPrefix("b").toLong).toOption
+          .filter(_ <= maxCommitted).foreach { bid =>
+            var keptAny = false
+            f.listStatus(bdir.getPath).foreach { entry =>
+              val children =
+                if (entry.isDirectory) f.listStatus(entry.getPath).toSeq
+                else Seq(entry)
+              var keptHere = false
+              children.foreach { st =>
+                val rel =
+                  if (entry.isDirectory)
+                    s"data/b$bid/${entry.getPath.getName}/${st.getPath.getName}"
+                  else s"data/b$bid/${st.getPath.getName}"
+                if (referenced(rel)) { keptHere = true; keptAny = true }
+                else if (st.isFile) { f.delete(st.getPath, false); files += 1 }
+              }
+              if (entry.isDirectory && !keptHere) { f.delete(entry.getPath, true); () }
             }
-            if (entry.isDirectory && !keptHere) { f.delete(entry.getPath, true); () }
+            if (!keptAny) { f.delete(bdir.getPath, true); dirs += 1 }
           }
-          if (!keptAny) { f.delete(bdir.getPath, true); dirs += 1 }
-        }
+      }
+      spark.catalog.refreshByPath(storeDir)
+      (files, dirs)
     }
-    spark.catalog.refreshByPath(storeDir)
-    (files, dirs)
   }
 }

@@ -170,4 +170,75 @@ class ManifestStoreSpec extends SparkSpec {
     intercept[Exception] { stale.collect() }
     ()
   }
+
+  test("dual writer: while one holds the lease, a second commit/fold/vacuum fails loudly; ledger uncorrupted (r8 #6)") {
+    val store = s"${Files.createTempDirectory("graft-ms").toString}/leased"
+    ManifestStore.commit(frame(("d0", 1)), store, 0L, "day")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      ManifestStore.withLeaseForTest(spark, store) {
+        entered.countDown()
+        release.await()
+      })
+    holder.start()
+    assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      // writer B: every mutating entry point must refuse, loudly and
+      // with an actionable message, while writer A holds the lease
+      Seq[() => Any](
+        () => ManifestStore.commit(frame(("d1", 2)), store, 1L, "day"),
+        () => ManifestStore.snapshot(spark, store),
+        () => ManifestStore.vacuum(spark, store)
+      ).foreach { op =>
+        val e = intercept[IllegalStateException] { op() }
+        assert(e.getMessage.contains("single-writer contract"),
+          s"unexpected message: ${e.getMessage}")
+      }
+    } finally {
+      release.countDown()
+      holder.join(10000)
+    }
+    // writer A released: the same mutations now succeed and the ledger
+    // composed exactly the committed history (nothing half-applied)
+    ManifestStore.commit(frame(("d1", 2)), store, 1L, "day")
+    assert(readSet(store) === Set(("d0", 1), ("d1", 2)))
+    assert(ManifestStore.committed(spark, store, 0L))
+    assert(ManifestStore.committed(spark, store, 1L))
+
+    // a corpse from a DEAD writer (stale mtime) is broken and the
+    // claim retried - a crash must not wedge the store forever
+    val lock = new java.io.File(s"$store/_manifest/.writer.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis - 31L * 60 * 1000))
+    ManifestStore.commit(frame(("d2", 3)), store, 2L, "day")
+    assert(readSet(store) === Set(("d0", 1), ("d1", 2), ("d2", 3)))
+    assert(!lock.exists(), "the successful writer must release the broken lease")
+  }
+
+  test("maybeSnapshot between folds is O(1): zero ledger reads off the seal-maintained counter (r8 #8)") {
+    val store = s"${Files.createTempDirectory("graft-ms").toString}/probe"
+    ManifestStore.commit(frame(("d0", 0)), store, 0L, "day")
+    // first probe on a fresh JVM view: pays ONE sync read, then primes
+    assert(ManifestStore.maybeSnapshot(spark, store, 5).isEmpty)
+    val before = ManifestStore.ledgerReads.get()
+    (1 until 4).foreach { i =>
+      ManifestStore.commit(frame((s"d$i", i)), store, i.toLong, "day")
+      assert(ManifestStore.maybeSnapshot(spark, store, 5).isEmpty)
+    }
+    assert(ManifestStore.ledgerReads.get() === before,
+      "below-cadence probes must not re-list or re-parse the ledger")
+    // the 5th commit reaches the cadence: exactly one ledger read
+    // (the fold's own) and the snapshot lands
+    ManifestStore.commit(frame(("d4", 4)), store, 4L, "day")
+    assert(ManifestStore.maybeSnapshot(spark, store, 5) === Some(4L))
+    // post-fold probes are O(1) again off the zeroed counter
+    val after = ManifestStore.ledgerReads.get()
+    ManifestStore.commit(frame(("d5", 5)), store, 5L, "day")
+    assert(ManifestStore.maybeSnapshot(spark, store, 5).isEmpty)
+    assert(ManifestStore.ledgerReads.get() === after)
+    // and the folded store still reads its full composition
+    assert(readSet(store) ===
+      (0 to 5).map(i => (s"d$i", i)).toSet)
+  }
 }
