@@ -1050,20 +1050,29 @@ object Dedup {
   // CC labels over the cluster-scoped SemDeDup pair graph — same
   // memoized immutable-input contract as embedLabelsFor (the iterative
   // rounds and the pair kernel are index-build work, not per-query).
+  // Keyed by the MODEL MODE too: the forced two-level path
+  // (dd_semdedup_2l) and the size-dispatched default must never share
+  // a label table trained under the other's clustering.
   private val semLabelsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double), LabelHolder]
+    (SparkSession, String, Double, Boolean), LabelHolder]
 
   private[llmdata] def semLabelsFor(spark: SparkSession, dir: String,
-                                    eps: Double): DataFrame =
-    semLabelsMemo.computeIfAbsent((spark, dir, eps),
+                                    eps: Double,
+                                    twoLevel: Boolean = false): DataFrame =
+    semLabelsMemo.computeIfAbsent((spark, dir, eps, twoLevel),
       k => new LabelHolder(() => connectedComponents(
         boundedPairsKeyed(k._1,
-          Similarity.semClusterAssign(k._1, k._2)
+          semAssignOf(k._1, k._2, k._4)
             .select(lit(0).as("band"), col("cluster").as("bucket"),
               col("vec_id"), col("embedding")),
           k._3, EmbedMaxBucketWidth, EmbedMaxChunks,
           what = "semdedup k-means cluster")
           .select(col("id_a"), col("id_b"))))).value
+
+  private def semAssignOf(spark: SparkSession, dir: String,
+                          twoLevel: Boolean): DataFrame =
+    if (twoLevel) Similarity.semAssignTwoLevelFor(spark, dir)
+    else Similarity.semClusterAssign(spark, dir)
 
   /** Near-dup clusters over the exact capped-Jaccard pair graph
     * ([[jaccardPairs]] edges): one row per clustered document with its
@@ -1140,26 +1149,31 @@ object Dedup {
     * [[embeddingClusters]] (global LSH banding, min-id canonical) in
     * both the candidate structure and the keeper policy.
     *
-    * Scale shape: assignment is a zero-shuffle broadcast map; pair
-    * cost is Σ cᵢ² over CLUSTER sizes — kept LINEAR in N because the
-    * cluster count is corpus-scaled (k = max(16, ⌈N/width⌉),
-    * [[Similarity.SemClusterWidth]]: a fixed k would make this
-    * O(N²/k), the corpus-fraction defect class the ANN pools retired
-    * in r7/r8) — with [[boundedPairsKeyed]]'s tiling capping task
-    * width under residual skew; group resolution and keeper selection
-    * are node-keyed shuffles. Output is vector-grain: cluster, exact centroid sim,
-    * duplicate group (min member id), group size, keep verdict.
-    * Rows-only in CORRECTNESS (Lloyd centroids aren't
-    * SQL-reproducible); DedupSpec proves the pair graph equals
-    * brute-force within-cluster cosine pairs, the keeper rule, and
-    * determinism. */
-  def semDedup(spark: SparkSession, dir: String, eps: Double): DataFrame = {
-    val assign = Similarity.semClusterAssign(spark, dir)
+    * Scale shape: pair cost is Σ cᵢ² over CLUSTER sizes — kept LINEAR
+    * in N because the cluster count is corpus-scaled (k = max(16,
+    * ⌈N/width⌉), [[Similarity.SemClusterWidth]]: a fixed k would make
+    * this O(N²/k), the corpus-fraction defect class the ANN pools
+    * retired in r7/r8) — with [[boundedPairsKeyed]]'s tiling capping
+    * task width under residual skew; group resolution and keeper
+    * selection are node-keyed shuffles. The MODEL itself is
+    * scale-safe since r9: assignment is a bounded-literal broadcast
+    * map while k ≤ [[Similarity.SemFlatMaxK]], and the TWO-LEVEL
+    * centroid-TABLE join beyond it (`twoLevel = true` forces the
+    * table path at any size — the `dd_semdedup_2l` registration, so
+    * the 100 TB mechanism is itself spec-gated and benched). Output
+    * is vector-grain: cluster, exact centroid sim, duplicate group
+    * (min member id), group size, keep verdict. Rows-only in
+    * CORRECTNESS (Lloyd centroids aren't SQL-reproducible); DedupSpec
+    * proves the pair graph equals brute-force within-cluster cosine
+    * pairs, the keeper rule, and determinism — for BOTH model paths. */
+  def semDedup(spark: SparkSession, dir: String, eps: Double,
+               twoLevel: Boolean = false): DataFrame = {
+    val assign = semAssignOf(spark, dir, twoLevel)
       .select(col("vec_id"), col("cluster"), col("centroid_sim_micro"))
       // feeds both the group join and the keeper aggregate below —
       // materialize once (cf. pcaTopK's two-consumer projection)
       .localCheckpoint()
-    val labels = semLabelsFor(spark, dir, eps)
+    val labels = semLabelsFor(spark, dir, eps, twoLevel)
     val grouped = assign
       .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("centroid_sim_micro"),

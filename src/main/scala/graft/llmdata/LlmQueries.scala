@@ -1177,6 +1177,10 @@ object LlmQueries {
     "txt_pack_assign" -> ((s, d) => TextAnalysis.packAssignBlocked(s, d)),
     "dd_bloom_delta" -> ((s, d) => Dedup.bloomDelta(s, d)),
     "dd_semdedup" -> ((s, d) => Dedup.semDedup(s, d, 0.4)),
+    // the forced centroid-TABLE model — the 100 TB mechanism benched
+    // and curve-measured at every scale (the size dispatcher only
+    // takes it past SemFlatMaxK, which no test corpus reaches)
+    "dd_semdedup_2l" -> ((s, d) => Dedup.semDedup(s, d, 0.4, twoLevel = true)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),

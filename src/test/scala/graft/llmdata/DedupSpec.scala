@@ -501,46 +501,104 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("semdedup pair graph equals brute-force within-cluster cosine pairs") {
+  test("semdedup pair graph equals brute-force within-cluster cosine pairs (both models)") {
     val eps = 0.4
-    val assign = Similarity.semClusterAssign(spark, sf)
-      .select(col("vec_id"), col("cluster"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val brute = (for {
-      a <- assign; b <- assign
-      if a._1 < b._1 && a._2 == b._2
-      if Similarity.cosine6(a._3, b._3) >= eps
-    } yield (a._1, b._1)).toSet
-    val keys = Similarity.semClusterAssign(spark, sf)
-      .select(lit(0).as("band"), col("cluster").as("bucket"),
-        col("vec_id"), col("embedding"))
-    val kernel = pairKey(Dedup.boundedPairsKeyed(spark, keys, eps,
-      Dedup.EmbedMaxBucketWidth, Dedup.EmbedMaxChunks, "spec"))
-    assert(brute.nonEmpty, "vacuous corpus: no within-cluster pair at eps")
-    assert(kernel === brute)
-    // the same pair set must survive forced tiling of the cluster keying
-    val tiled = pairKey(Dedup.boundedPairsKeyed(spark, keys, eps,
-      maxBucketWidth = 8, maxChunks = 256, "spec-tiled"))
-    assert(tiled === brute)
+    Seq(false, true).foreach { twoLevel =>
+      def assignDf = if (twoLevel) Similarity.semAssignTwoLevelFor(spark, sf)
+        else Similarity.semClusterAssign(spark, sf)
+      val assign = assignDf
+        .select(col("vec_id"), col("cluster"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      val brute = (for {
+        a <- assign; b <- assign
+        if a._1 < b._1 && a._2 == b._2
+        if Similarity.cosine6(a._3, b._3) >= eps
+      } yield (a._1, b._1)).toSet
+      val keys = assignDf
+        .select(lit(0).as("band"), col("cluster").as("bucket"),
+          col("vec_id"), col("embedding"))
+      val kernel = pairKey(Dedup.boundedPairsKeyed(spark, keys, eps,
+        Dedup.EmbedMaxBucketWidth, Dedup.EmbedMaxChunks, "spec"))
+      assert(brute.nonEmpty,
+        s"twoLevel=$twoLevel: vacuous corpus, no within-cluster pair at eps")
+      assert(kernel === brute, s"twoLevel=$twoLevel")
+      // the same pair set must survive forced tiling of the cluster keying
+      val tiled = pairKey(Dedup.boundedPairsKeyed(spark, keys, eps,
+        maxBucketWidth = 8, maxChunks = 256, "spec-tiled"))
+      assert(tiled === brute, s"twoLevel=$twoLevel")
+    }
   }
 
-  test("semdedup keeps exactly one member per group: the farthest from its centroid") {
-    val out = Dedup.semDedup(spark, sf, 0.4).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3),
-        r.getLong(4), r.getBoolean(5), r.getDouble(2)))
-    // columns: vec_id, cluster, centroid_sim, grp, grp_size, keep
-    assert(out.length.toLong === Tables.embeddings(spark, sf).count())
-    val byGrp = out.groupBy(_._3)
-    byGrp.foreach { case (grp, ms) =>
-      assert(ms.map(_._2).distinct.length === 1,
-        s"group $grp spans clusters — pairs must be cluster-scoped")
-      assert(ms.count(_._5) === 1, s"group $grp keeps ${ms.count(_._5)} members")
-      assert(ms.forall(_._4.toInt === ms.length), s"group $grp size mismatch")
-      val keeper = ms.minBy(m => (m._6, m._1))
-      assert(keeper._5, s"group $grp keeper must be argmin (centroid_sim, vec_id)")
-      assert(grp === ms.map(_._1).min, s"group id must be the min member id")
+  test("semdedup keeps exactly one member per group: the farthest from its centroid (both models)") {
+    Seq(false, true).foreach { twoLevel =>
+      val out = Dedup.semDedup(spark, sf, 0.4, twoLevel).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getDouble(2)))
+      // columns: vec_id, cluster, centroid_sim, grp, grp_size, keep
+      assert(out.length.toLong === Tables.embeddings(spark, sf).count())
+      val byGrp = out.groupBy(_._3)
+      byGrp.foreach { case (grp, ms) =>
+        assert(ms.map(_._2).distinct.length === 1,
+          s"twoLevel=$twoLevel: group $grp spans clusters — pairs must be cluster-scoped")
+        assert(ms.count(_._5) === 1,
+          s"twoLevel=$twoLevel: group $grp keeps ${ms.count(_._5)} members")
+        assert(ms.forall(_._4.toInt === ms.length),
+          s"twoLevel=$twoLevel: group $grp size mismatch")
+        val keeper = ms.minBy(m => (m._6, m._1))
+        assert(keeper._5,
+          s"twoLevel=$twoLevel: group $grp keeper must be argmin (centroid_sim, vec_id)")
+        assert(grp === ms.map(_._1).min,
+          s"twoLevel=$twoLevel: group id must be the min member id")
+      }
+      // non-vacuous: at least one multi-member group exists at this eps
+      assert(byGrp.exists(_._2.length > 1), s"twoLevel=$twoLevel")
     }
-    // non-vacuous: at least one multi-member group exists at this eps
-    assert(byGrp.exists(_._2.length > 1))
+  }
+
+  test("two-level trainer with ONE coarse cell equals the flat trainer exactly (r8 #1)") {
+    import spark.implicits._
+    // dense-id corpus with planted cluster structure: 5 Gaussian-ish
+    // centers, deterministic perturbations
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = (0L until 200L).map { i =>
+      val c = centers((i % 5).toInt)
+      (i, c.zipWithIndex.map { case (v, j) =>
+        v + 0.1f * ((i * 31 + j) % 7 - 3) }.toSeq)
+    }.toDF("vec_id", "embedding")
+    // flat: k = ceil(200 / 8) = 25; the two-level program with ONE
+    // coarse cell and the same width must reproduce it exactly —
+    // seeds, Lloyd updates, and tie-breaks are the same math run
+    // through the table mechanism instead of plan literals
+    val flat = Similarity.ivfCentroids(spark, corpus, 25)
+    val coarse1 = Array(0 -> Seq.fill(64)(1.0f))
+    val cents = Similarity.twoLevelCentroids(spark, corpus, coarse1, 8L)
+    val table = cents.collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2))).sortBy(_._1)
+    assert(table.length === flat.length)
+    flat.foreach { case (cid, c) =>
+      assert(table(cid)._1 === cid)
+      assert(table(cid)._2 === c, s"centroid $cid diverged between mechanisms")
+    }
+    // and the assignment mechanisms agree row-for-row: same cluster id
+    // (sub * 1 + 0 = flat cid) and same exact micro-quantized cosine
+    val aFlat = Similarity.assignWithLiterals(spark, corpus, flat)
+      .collect().map(r => (r.getLong(0), (r.getInt(2), r.getLong(3)))).toMap
+    val aTable = Similarity.assignWithTable(spark, corpus, coarse1, cents)
+      .collect().map(r => (r.getLong(0), (r.getInt(2), r.getLong(3)))).toMap
+    assert(aFlat === aTable)
+  }
+
+  test("two-level semdedup is deterministic across a full cache release and retrain") {
+    def run(): Seq[(Long, Int, Long, Long, Boolean)] =
+      Dedup.semDedup(spark, sf, 0.4, twoLevel = true).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSeq.sortBy(_._1)
+    val first = run()
+    Dedup.releaseCaches()
+    Similarity.releaseCaches()
+    val second = run()
+    assert(first === second,
+      "retraining the two-level model from scratch must reproduce every verdict")
   }
 }
