@@ -16,17 +16,23 @@ import org.apache.spark.sql.SparkSession
   * synthetic pair). Prints a markdown table plus one JSON line; the
   * recorded run lives in SURVEY §2.13.
   *
-  * Methodology: noop-format writes materialize the full plan (timing
-  * only — unlike [[Bench]], which since r7 drives each query's own
-  * `QueryExecution.toRdd` so it can lint the truly-executed adaptive
-  * plan; the curve needs comparable timings across scales, not a
-  * second lint of the same registered plans, so the cheaper
-  * materialization is kept here), min of 2 passes per (query, scale),
-  * per-corpus memoized
+  * Methodology: each pass drives the query's OWN
+  * `QueryExecution.toRdd` to exhaustion — the same full-plan
+  * materialization as [[Bench]], and since r9 ALSO the same
+  * executed-plan LINT (VERDICT r8 #2: the synth10x plans, where AQE
+  * diverges most from test scale, were audit-blind behind noop
+  * writes that ran a separate QueryExecution). Every (query, scale)
+  * cell's finalized adaptive plan runs through
+  * [[graft.plans.RegistryAudit.unexempt]]; findings land in the JSON
+  * per scale point, flip `lint_clean` false, and fail the run — a
+  * scale-killer can never ride the curve as a fast success. Min of 2
+  * passes per (query, scale); per-corpus memoized
   * index builds (IVF centroids, PQ books, PCA model, postings) are
   * PART of the first pass by design — at a new scale point the index
   * build is real work the curve must include; min-of-2 then reports
   * the warm-index query cost, the same steady-state Bench reports.
+  * The IVF scanned-fraction table records what the corpus-scaled
+  * cell/probe defaults resolve to at every scale point (r8 #4).
   *
   * `dd_embed_pairs` joined the curve in round 7: its registered form
   * is now the sample-bounded exact baseline (vec_id % 10 slice), so
@@ -45,7 +51,7 @@ object ScaleBench {
     "txt_chunk_dedup", "txt_pack_assign",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "ann_ivfpq_topk",
-    "ann_pca_topk", "ann_hybrid_rrf",
+    "ann_pca_topk", "ann_hybrid_rrf", "ann_hybrid_rrf_ivfpq",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
     // top-k, the capstone composition, and the span-marking semi join
@@ -82,13 +88,18 @@ object ScaleBench {
 
     val queries = SparkEntry.queries
     var failed = List.empty[String]
+    var lint = List.empty[String]
     val rows = Families.map { name =>
       val times = scales.map { case (label, dir, _, _) =>
+        var lastRun: Option[org.apache.spark.sql.DataFrame] = None
         def onePass(): Option[Double] = {
           val t0 = System.nanoTime()
           try {
-            queries(name)(spark, dir)
-              .write.format("noop").mode("overwrite").save()
+            val df = queries(name)(spark, dir)
+            // drives df's OWN QueryExecution: full materialization AND
+            // the finalized adaptive plan for the per-scale lint
+            df.queryExecution.toRdd.foreach(_ => ())
+            lastRun = Some(df)
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(s"[scalebench] $name@$label FAILED: ${e.getMessage}")
@@ -97,6 +108,12 @@ object ScaleBench {
         }
         val t = onePass().flatMap(t1 => onePass().map(math.min(t1, _)))
         if (t.isEmpty) failed ::= s"$name@$label"
+        lastRun.foreach { df =>
+          plans.RegistryAudit.unexempt(name, df).foreach { f =>
+            System.err.println(s"[scalebench] $name@$label LINT: $f")
+            lint ::= s"$name@$label: $f"
+          }
+        }
         // output size contextualizes the time ratio: a pair-family
         // whose RESULT densifies with the corpus should cost more —
         // the claim under test is time ∝ work, not time ∝ constant
@@ -130,14 +147,32 @@ object ScaleBench {
         f"| ${m("synth10x")._1}%.2f/${m("synth10x")._2} " +
         f"| ${tRatio}%.1f | ${nRatio}%.1f |")
     }
+    // scanned-fraction observability (r8 #4): what the corpus-scaled
+    // IVF defaults resolve to at each scale point — the fraction must
+    // FALL as the corpus grows past the probe floors
+    val scan = scales.map { case (label, dir, _, _) =>
+      val (c, p, pq) = llmdata.Similarity.ivfIndexStats(spark, dir)
+      (label, c, p, pq)
+    }
+    println("| scale | ivf cells | ivf probes (scan frac) | ivfpq probes (scan frac) |")
+    println("|---|---|---|---|")
+    scan.foreach { case (label, c, p, pq) =>
+      println(f"| $label | $c | $p (${p.toDouble / c}%.2f) | $pq (${pq.toDouble / c}%.2f) |")
+    }
     val qs = rows.map { case (n, ts) =>
       "\"" + n + "\":{" + ts.map { case (l, t, c) =>
         "\"" + l + "\":{\"sec\":" + t + ",\"rows\":" + c + "}"
       }.mkString(",") + "}"
     }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs}""")
+    val ls = lint.sorted.map("\"" + _.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    val sc = scan.map { case (label, c, p, pq) =>
+      "\"" + label + "\":{\"cells\":" + c + ",\"ivf_probes\":" + p +
+        ",\"ivfpq_probes\":" + pq + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"ivf_scan":$sc}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }
 }

@@ -1162,6 +1162,11 @@ object LlmQueries {
     "emb_kmeans" -> ((s, d) => Similarity.kmeansReport(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfTopK(s, d, 5, 10)),
+    // the scale sibling: dense arm = IVF∘PQ (probe-bounded + constant
+    // exact rerank) instead of the per-query corpus scan; rows-only
+    // (trained cells aren't SQL-reproducible — the brute sibling
+    // keeps the oracle)
+    "ann_hybrid_rrf_ivfpq" -> ((s, d) => Similarity.hybridRrfIvfPqTopK(s, d, 5, 10)),
     "ann_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 5, 20, 10)),
     "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "txt_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),

@@ -53,10 +53,15 @@ object RecallProbe {
     def recall(df: DataFrame): Double =
       (exact & pairs(df)).size.toDouble / exact.size
 
-    println(f"corpus=$dir nQ=$nQ k=$k exact_pairs=${exact.size}")
+    val cells = Similarity.ivfCentroidsFor(spark, dir).length
+    println(f"corpus=$dir nQ=$nQ k=$k exact_pairs=${exact.size} " +
+      f"cells=$cells ivf_probes=${Similarity.ivfDefaultProbes(cells)} " +
+      f"ivfpq_probes=${Similarity.ivfPqDefaultProbes(cells)}")
     for (p <- Seq(2, 4, 6, 8))
       println(f"ivf   probes=$p%-2d                recall=${
         recall(Similarity.ivfTopK(spark, dir, nQ, k, probes = p))}%.3f")
+    println(f"ivf   corpus-scaled default      recall=${
+      recall(Similarity.ivfTopK(spark, dir, nQ, k))}%.3f")
     for (rf <- Seq(4, 8, 12, 16, 64, 200, 300))
       println(f"pq    rerankFactor=$rf%-3d         recall=${
         recall(Similarity.pqTopK(spark, dir, nQ, k, rerankFactor = rf))}%.3f")

@@ -70,12 +70,15 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(spark, sf, nQ, k).cache()
     val ivfSet = resultSet(ivf)
     val recall = (exactSet & ivfSet).size.toDouble / exactSet.size
-    // Lloyd-refined centroids (8 deterministic rounds) on this
-    // weak-structure corpus with 8/16 probes: measured 0.86 (sf0.001) /
-    // 0.88 (sf0.01) by RecallProbe — floor 0.8 catches an assignment or
-    // refinement regression while absorbing corpus noise. The toy
-    // probes/cells ratio is not the scale story (see NumProbes doc).
-    assert(recall >= 0.8, s"IVF recall $recall")
+    // Lloyd-refined centroids (8 deterministic rounds) with the
+    // CORPUS-SCALED cell count (r8 #4: 23 cells at the 500-vector
+    // driver scales, probes floored at 8 → 35% scanned): measured
+    // 0.78 (sf0.001) / 0.70 (sf0.01) by RecallProbe — on this
+    // weak-structure corpus recall tracks the scanned fraction, so
+    // the floor gates an assignment/refinement REGRESSION at this
+    // fraction, not absolute quality (the fixed 16-cell model's old
+    // 0.86 was bought by scanning 50% of the corpus).
+    assert(recall >= 0.65, s"IVF recall $recall")
     val joined = exact.join(
       ivf.withColumnRenamed("sim", "sim_ivf").drop("rnk"),
       Seq("query_id", "neighbor_id"))
@@ -115,11 +118,16 @@ class SimilaritySpec extends SparkSpec {
       val perQ = ivfpq.groupBy("query_id").agg(count(lit(1)).as("n"))
       assert(perQ.filter(col("n") =!= k).count() === 0)
       val recall = (exactSet & resultSet(ivfpq)).size.toDouble / exactSet.size
-      // residual 8-bit ADC behind 12/16 probes with the FIXED 256 pool:
-      // measured 0.96 (sf0.001) / 0.96 (sf0.01) / 0.98 (20k synth) by
-      // RecallProbe — the pool never scales with N (VERDICT r7 #2);
-      // floor 0.9 catches a residual/codebook/probe regression
-      assert(recall >= 0.9, s"IVF∘PQ recall $recall")
+      // residual 8-bit ADC with corpus-scaled cells/probes (r8 #4:
+      // 23 cells / 12 probes at the 500-vector driver scales) and the
+      // FIXED 256 pool: measured 0.86 (sf0.001/sf0.01) and 0.94 at
+      // the 20k synth point (142 cells / 54 probes — the scanned
+      // fraction FALLS from 52% to 38% while recall rises, the shape
+      // a scaled coarse quantizer should have) by RecallProbe; the
+      // pool never scales with N (VERDICT r7 #2); floor 0.8 catches a
+      // residual/codebook/probe regression at the driver scales, the
+      // 20k test below keeps the 0.9 floor at scale
+      assert(recall >= 0.8, s"IVF∘PQ recall $recall")
       val joined = exact.join(
         ivfpq.withColumnRenamed("sim", "sim_ivfpq").drop("rnk"),
         Seq("query_id", "neighbor_id"))
@@ -222,6 +230,40 @@ class SimilaritySpec extends SparkSpec {
         case Array(a, b) => a >= b; case _ => true
       })
     }
+  }
+
+  test("hybrid RRF with the IVF∘PQ dense arm: fusion parity on agreeing pairs, shape complete (r8 #3)") {
+    val brute = Similarity.hybridRrfTopK(spark, sf, nQ, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Int]),
+          Option(r.get(5)).map(_.asInstanceOf[Int])))).toMap
+    val swapped = Similarity.hybridRrfIvfPqTopK(spark, sf, nQ, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Int]),
+          Option(r.get(5)).map(_.asInstanceOf[Int])))).toMap
+    // shape: full k per query
+    assert(swapped.keys.groupBy(_._1).forall(_._2.size === k))
+    // fusion parity: the lex arm is literally shared and the fusion
+    // math is a pure function of the two integer ranks — wherever the
+    // IVF∘PQ arm agreed with the brute arm on a pair's dense rank
+    // (or both arms missed it), the fused score must be IDENTICAL
+    val common = brute.keySet & swapped.keys.toSet
+    assert(common.nonEmpty)
+    var agreeing = 0
+    common.foreach { key =>
+      val (bScore, bDense, bLex) = brute(key)
+      val (sScore, sDense, sLex) = swapped(key)
+      assert(bLex === sLex, s"lex arm must be identical at $key")
+      if (bDense == sDense) {
+        agreeing += 1
+        assert(bScore === sScore, s"fused score diverged at $key with equal arms")
+      }
+    }
+    assert(agreeing > 0, "no agreeing pair — dense recall collapsed")
+    // at the measured dense recall (0.86 at the driver scales) the
+    // fused top-k survives the swap almost entirely
+    val overlap = common.size.toDouble / brute.size
+    assert(overlap >= 0.8, s"fused top-k overlap $overlap after the arm swap")
   }
 
   test("MMR rerank equals a driver-side greedy reference and is shape-complete") {
