@@ -830,10 +830,33 @@ object Dedup {
     * 16-bit banding (`nBands = Some(4)`) and accept LSH-style recall.
     * Bucket members carry their signature into the pair explode, so
     * the distance is computed without joining back. */
+  /** Per-task width bound for the Hamming tile kernel below: a
+    * (band, bucket) group wider than this is TILED into chunk pairs
+    * ([[boundedPairsKeyed]]'s decomposition), never pair-exploded in
+    * one task — 8-bit bands on a near-dup-heavy corpus concentrate
+    * thousands of signatures into one bucket, and the r8-era
+    * whole-bucket `flatten(transform(...))` explode built the full
+    * O(w²) pair array on ONE task's heap (measured: an executor OOM
+    * at the 50k-doc synth10x curve point the moment the 8-band layout
+    * landed). 4096 members × 16 B per (id, sig64) ≈ 64 KiB resident
+    * per chunk side. */
+  val HammingMaxBucketWidth = 4096
+
+  /** Loud-failure chunk bound, same argument as [[EmbedMaxChunks]]:
+    * past `maxChunks · maxBucketWidth` identical-signature members
+    * the quadratic verify flops are the problem — exact-dedup such a
+    * mass upstream instead of pairwise-verifying it. */
+  val HammingMaxChunks = 256
+
   private[llmdata] def hammingPairs(sigs: DataFrame, maxDist: Int,
-                                    nBands: Option[Int] = None): DataFrame = {
+                                    nBands: Option[Int] = None,
+                                    maxBucketWidth: Int = HammingMaxBucketWidth,
+                                    maxChunks: Int = HammingMaxChunks): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
     val nb = nBands.getOrElse(if (maxDist <= 3) 4 else 8)
     require(64 % nb == 0, s"band count $nb must divide 64")
+    require(maxBucketWidth >= 2, s"maxBucketWidth $maxBucketWidth: need ≥ 2")
     val width = 64 / nb
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val bands = sigs.select(col("id"), col("sig64"),
@@ -841,20 +864,73 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("sig64"), b * width).bitwiseAND(mask).as("sig"))): _*)).as("bs"))
       .select(col("id"), col("sig64"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bands.groupBy(col("band"), col("sig"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig64")))).as("ms"))
+    // distributed width census + chunk-pair tiling, the
+    // [[boundedPairsKeyed]] shape specialized to 16-byte signature
+    // members: widths join back co-partitioned on (band, sig), the
+    // inner join doubles as the width-1 drop, and each tile's task
+    // holds ≤ 2 chunks and verifies its pairs LOCALLY — only pairs
+    // within maxDist are ever emitted to the distinct shuffle (the
+    // old kernel shuffled every bucket pair and filtered after)
+    val widths = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("w")).filter(col("w") > 1)
+      .withColumn("c",
+        floor((col("w") + lit(maxBucketWidth - 1)) / lit(maxBucketWidth))
+          .cast("int"))
+    val hottest = widths.agg(coalesce(max(col("c")), lit(0))).head.getInt(0)
+    require(hottest <= maxChunks,
+      s"hamming band hot bucket: widest (band, sig) needs $hottest chunks of " +
+        s"$maxBucketWidth (> $maxChunks) — a signature mass this dense should " +
+        "be removed by exact dedup before pairwise verification")
+    bands.join(widths.select(col("band"), col("sig"), col("c")),
+        Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("c"), col("id"), col("sig64"))
+      .as[(Int, Long, Int, Long, Long)]
+      .flatMap { case (band, sig, c, id, s64) =>
+        var z = id + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val mc = Math.floorMod(z ^ (z >>> 31), c.toLong).toInt
+        (0 until c).iterator.map { o =>
+          if (o == mc) (band, sig, mc, mc, 0, id, s64)
+          else if (mc < o) (band, sig, mc, o, 0, id, s64)
+          else (band, sig, o, mc, 1, id, s64)
+        }
+      }
+      .toDF("band", "sig", "ti", "tj", "side", "id", "sig64")
+      .groupBy(col("band"), col("sig"), col("ti"), col("tj"))
+      .agg(collect_list(struct(col("side").as("_1"), col("id").as("_2"),
+        col("sig64").as("_3"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms)), y ->
-          |    struct(x.id AS id_a, y.id AS id_b,
-          |           x.sig64 AS sh_a, y.sig64 AS sh_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .select((col("ti") === col("tj")).as("diag"), col("ms"))
+      .as[(Boolean, Seq[(Int, Long, Long)])]
+      .flatMap { case (diag, ms) =>
+        val out = Seq.newBuilder[(Long, Long, Int)]
+        def emit(ida: Long, sa: Long, idb: Long, sb: Long): Unit = {
+          val d = java.lang.Long.bitCount(sa ^ sb)
+          if (d <= maxDist) {
+            if (ida < idb) out += ((ida, idb, d)) else out += ((idb, ida, d))
+          }
+        }
+        if (diag) {
+          val m = ms.toArray
+          var i = 0
+          while (i < m.length) {
+            var j = i + 1
+            while (j < m.length) {
+              emit(m(i)._2, m(i)._3, m(j)._2, m(j)._3)
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          val a = ms.filter(_._1 == 0).toArray
+          val b = ms.filter(_._1 == 1).toArray
+          a.foreach(x => b.foreach(y => emit(x._2, x._3, y._2, y._3)))
+        }
+        out.result()
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   // -------------------------------------- near-dup cluster resolution

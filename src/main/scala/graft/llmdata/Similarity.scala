@@ -457,6 +457,39 @@ object Similarity {
     hybridRrfWith(spark, dir, nQueries, k, perArm, rrfK,
       ivfPqTopK(spark, dir, nQueries, perArm))
 
+  /** Memoized lexical postings index per (session, corpus): the
+    * (doc_id, term, tf, dl) frame plus the two corpus scalars (doc
+    * count, mean doc length) — the standing INVERTED INDEX a hybrid
+    * search deployment keeps next to its ANN index, built once per
+    * corpus instead of re-exploding the token stream per query call
+    * (both hybrid registrations share it). The scalars are collected
+    * ONCE from the identical aggregate the inline form computed, so
+    * every BM25 term is bit-identical and the DuckDB oracle hash is
+    * unchanged. Same immutable-corpus contract as [[ivfCentroidsFor]];
+    * released by [[releaseCaches]]. */
+  private final case class LexIndex(post: DataFrame, n: Double, avgdl: Double)
+  private final class LexHolder(thunk: () => LexIndex) {
+    lazy val value: LexIndex = thunk()
+  }
+  private val lexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LexHolder]
+
+  private def lexIndexFor(spark: SparkSession, dir: String): LexIndex =
+    lexMemo.computeIfAbsent((spark, dir), key => new LexHolder(() => {
+      val toks = split(col("text"), " ")
+      val docs = Tables.documents(key._1, key._2)
+      val dl = docs.select(col("doc_id"), size(toks).as("dl"))
+      val st = dl.agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")).head
+      val post = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .localCheckpoint()
+      LexIndex(post, st.getDouble(0), st.getDouble(1))
+    })).value
+
   private def hybridRrfWith(spark: SparkSession, dir: String,
                             nQueries: Int, k: Int, perArm: Int,
                             rrfK: Int, denseArm: DataFrame): DataFrame = {
@@ -470,28 +503,23 @@ object Similarity {
     val qt = docs.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(toks)).as("term"))
-    val dl = docs.select(col("doc_id"), size(toks).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // corpus postings restricted to the query vocabulary before scoring
-    val tfq = docs
-      .select(col("doc_id"), explode(toks).as("term"))
+    // the memoized postings index restricted to the query vocabulary —
+    // per-(doc, term) tf is independent of the restriction, so scores
+    // are bit-identical to the inline form's
+    val idx = lexIndexFor(spark, dir)
+    val tfq = idx.post
       .join(broadcast(qt.select(col("term")).distinct()), "term")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val df = tfq.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val idf = log((lit(idx.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val score = idf * (col("tf") * lit(2.2)) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(idx.avgdl)))
     val wLex = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("neighbor_id"))
     val lex = tfq
       .join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         floor(score * lit(1000000.0) + lit(0.5)).as("micro"))
       .groupBy(col("query_id"), col("neighbor_id"))
@@ -941,6 +969,7 @@ object Similarity {
   def releaseCaches(): Unit = {
     ivfPqCodesMemo.clear()
     semTableMemo.clear()
+    lexMemo.clear()
   }
 
   /** Deterministic residual-PQ training: stride-sample the corpus
