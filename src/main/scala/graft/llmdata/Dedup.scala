@@ -523,6 +523,82 @@ object Dedup {
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------ semantic decontamination
+  /** SEMANTIC train/test CONTAMINATION — the embedding-space sibling
+    * of [[TextAnalysis.contaminationPairs]]: an eval answer can leak
+    * into a training corpus as a PARAPHRASE that shares no 4-token
+    * window, which only embedding similarity catches (the
+    * decontamination step LLM eval hygiene actually requires, cf.
+    * GPT-3's ngram-only decontamination post-mortem). For every
+    * TEST-split vector, the single most-similar TRAIN-split vector at
+    * cosine ≥ tau — the evidence row an eval-set audit reads (drop or
+    * re-split the test doc; the train doc is the leak source).
+    *
+    * Splits come from the SAME salted-md5 assignment as
+    * [[TextAnalysis.splitColumn]] (oracled by `txt_split_assign`), so
+    * the operator composes with the text-split surface instead of
+    * inventing a second split notion.
+    *
+    * This registered form is the EXACT SAMPLED baseline (the
+    * [[simCalibration]]/dd_embed_pairs pattern: the deterministic
+    * `vec_id % sampleMod` slice bounds the all-pairs work BY THE
+    * SAMPLE, and the DuckDB oracle reproduces every row —
+    * `list_cosine_similarity` + the identical md5 split). The full-
+    * corpus scale path is [[semanticContaminationLsh]]. */
+  def semanticContamination(spark: SparkSession, dir: String,
+                            tau: Double = 0.3,
+                            sampleMod: Int = LlmQueries.EmbedPairsSampleMod): DataFrame = {
+    val s = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"),
+        TextAnalysis.splitColumn(col("vec_id")).as("split"))
+    val test = s.filter(col("split") === "test")
+      .select(col("vec_id").as("test_id"), col("embedding").as("te"))
+    val train = s.filter(col("split") === "train")
+      .select(col("vec_id").as("train_id"), col("embedding").as("tr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id")).orderBy(col("cos_sim").desc, col("train_id"))
+    test.crossJoin(train)
+      .withColumn("cos_sim", Similarity.cosineBest(spark, col("te"), col("tr")))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= tau)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("test_id"), col("train_id"), col("cos_sim"))
+      .orderBy(col("test_id"))
+  }
+
+  /** [[semanticContamination]]'s FULL-CORPUS scale path: candidates
+    * come from the memoized LSH-banded pair kernel
+    * ([[embedPairsFor]] — corpus-scaled bits/band, bounded tiles,
+    * exact-cosine verified), then orient each cross-split pair as
+    * (test_id, train_id) and keep the top-1 train neighbor per test
+    * vector. Nothing here is all-pairs: the kernel's banding is the
+    * same shape `dd_embed_neardup` ships, and the orientation/top-1
+    * are one projection + one bounded window. Rows-only in
+    * CORRECTNESS (hyperplane buckets aren't SQL-reproducible);
+    * DedupSpec gates recall ≥ 0.9 against a driver-side brute-force
+    * cross-split reference and exact sims on every overlap. */
+  def semanticContaminationLsh(spark: SparkSession, dir: String,
+                               tau: Double = 0.3): DataFrame = {
+    val pairs = embedPairsFor(spark, dir, tau)
+      .withColumn("split_a", TextAnalysis.splitColumn(col("id_a")))
+      .withColumn("split_b", TextAnalysis.splitColumn(col("id_b")))
+      .filter((col("split_a") === "test" && col("split_b") === "train") ||
+        (col("split_a") === "train" && col("split_b") === "test"))
+      .select(
+        when(col("split_a") === "test", col("id_a")).otherwise(col("id_b"))
+          .as("test_id"),
+        when(col("split_a") === "test", col("id_b")).otherwise(col("id_a"))
+          .as("train_id"),
+        col("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id")).orderBy(col("cos_sim").desc, col("train_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("test_id"), col("train_id"), col("cos_sim"))
+      .orderBy(col("test_id"))
+  }
+
   /** Similarity-threshold CALIBRATION histogram — how a dedup
     * operator's cosine threshold actually gets chosen: the full
     * pairwise-similarity distribution of a deterministic id sample

@@ -899,6 +899,27 @@ object LlmQueries {
       |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
       |ORDER BY cos_sim DESC, id_a, id_b""".stripMargin
 
+  /** Exact sampled semantic-contamination oracle: DuckDB reproduces
+    * the salted-md5 split, the round-6 cosine, and the top-1 window —
+    * every row of the registered query. */
+  val ddSemanticContaminationSql: String =
+    s"""WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
+      |         WHEN substr(md5(CAST(vec_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM embeddings WHERE vec_id % $EmbedPairsSampleMod = 0),
+      |pairs AS (
+      |  SELECT t.vec_id AS test_id, a.vec_id AS train_id,
+      |    round(list_cosine_similarity(t.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos_sim
+      |  FROM s t, s a
+      |  WHERE t.split = 'test' AND a.split = 'train'
+      |    AND round(list_cosine_similarity(t.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) >= 0.3)
+      |SELECT test_id, train_id, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY test_id ORDER BY cos_sim DESC, train_id) AS rnk
+      |  FROM pairs)
+      |WHERE rnk = 1 ORDER BY test_id""".stripMargin
+
   val txtSplitAssignSql: String =
     """SELECT source,
       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc' THEN 'train'
@@ -1181,6 +1202,8 @@ object LlmQueries {
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssignBlocked(s, d)),
     "txt_pack_assign" -> ((s, d) => TextAnalysis.packAssignBlocked(s, d)),
     "dd_bloom_delta" -> ((s, d) => Dedup.bloomDelta(s, d)),
+    "dd_semantic_contamination" -> ((s, d) => Dedup.semanticContamination(s, d)),
+    "dd_semantic_contamination_lsh" -> ((s, d) => Dedup.semanticContaminationLsh(s, d)),
     "dd_semdedup" -> ((s, d) => Dedup.semDedup(s, d, 0.4)),
     // the forced centroid-TABLE model — the 100 TB mechanism benched
     // and curve-measured at every scale (the size dispatcher only
@@ -1267,6 +1290,7 @@ object LlmQueries {
     "dd_pagerank" -> ddPagerankSql,
     "dd_sim_calibration" -> ddSimCalibrationSql,
     "dd_embed_pairs" -> ddEmbedPairsSql,
+    "dd_semantic_contamination" -> ddSemanticContaminationSql,
     "txt_quality" -> txtQualitySql,
     "ann_cosine_topk" -> annTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,

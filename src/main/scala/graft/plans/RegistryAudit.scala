@@ -46,6 +46,7 @@ object RegistryAudit {
     "tx14_interval_join" -> "range join against the broadcast O(#publications) interval dimension",
     "tx16_bucketed_interval" -> "inherits tx13's cross join against the 1-row max-activity-date bound (the interval JOIN itself is the bucket equi-join under audit)",
     "dd_sim_calibration" -> "sample-bounded all-pairs calibration (vec_id % 10 sample by construction)",
+    "dd_semantic_contamination" -> "sample-bounded exact cross-split baseline (vec_id % 10 slice by construction; scale path is dd_semantic_contamination_lsh)",
     "q29_important_parts" -> "cross join against the 1-row global total/count side",
     "dd_triangles" -> "cross joins of three 1-row census aggregates",
     "txt_source_entropy" -> "cross join against the 1-row corpus-total side",

@@ -589,6 +589,51 @@ class DedupSpec extends SparkSpec {
     assert(aFlat === aTable)
   }
 
+  test("semantic contamination: exact ≡ driver brute on the sample; LSH form recall ≥0.9, sims exact") {
+    // driver-side split + cosine reference over the FULL corpus
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val tau = 0.3
+    def brute(filter: Long => Boolean): Map[Long, (Long, Double)] = {
+      val test = vecs.filter(v => filter(v._1) && splitOf(v._1) == "test")
+      val train = vecs.filter(v => filter(v._1) && splitOf(v._1) == "train")
+      test.flatMap { case (tid, tv) =>
+        val cands = train
+          .map { case (aid, av) => (aid, Similarity.cosine6(tv, av)) }
+          .filter(c => !c._2.isNaN && c._2 >= tau)
+        if (cands.isEmpty) None
+        else Some(tid -> cands.minBy(c => (-c._2, c._1)))
+      }.toMap
+    }
+    // exact sampled registered form ≡ the reference restricted to it
+    val exact = Dedup.semanticContamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(exact === brute(_ % LlmQueries.EmbedPairsSampleMod == 0))
+    assert(exact.nonEmpty, "vacuous sample: no cross-split pair at tau")
+    // full-corpus LSH form: ≥0.9 of the reference's top-1 rows appear
+    // with the identical (train_id, sim); every reported sim is exact
+    val full = brute(_ => true)
+    val lsh = Dedup.semanticContaminationLsh(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(full.nonEmpty)
+    val hits = full.count { case (tid, best) => lsh.get(tid).contains(best) }
+    assert(hits.toDouble / full.size >= 0.9,
+      s"LSH contamination recall ${hits.toDouble / full.size} over ${full.size}")
+    lsh.foreach { case (tid, (aid, sim)) =>
+      val ref = vecs.toMap
+      assert(sim === Similarity.cosine6(ref(tid), ref(aid)),
+        s"sim not exact for ($tid, $aid)")
+      assert(splitOf(tid) == "test" && splitOf(aid) == "train")
+    }
+  }
+
   test("two-level semdedup is deterministic across a full cache release and retrain") {
     def run(): Seq[(Long, Int, Long, Long, Boolean)] =
       Dedup.semDedup(spark, sf, 0.4, twoLevel = true).collect()
