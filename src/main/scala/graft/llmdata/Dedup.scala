@@ -380,10 +380,17 @@ object Dedup {
         val bytes = bloomBc.value
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, text) =>
-          md.reset()
-          val hex = md.digest(text.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          (id, graft.plans.Bloom.mightContainString(bytes, hex))
+          // null text ⇒ null verdict, matching the literal carrier
+          // (md5(null) propagates null through bloom_contains) — a
+          // bare getBytes would kill the streaming query on one bad
+          // row (review r9)
+          if (text == null) (id, None: Option[Boolean])
+          else {
+            md.reset()
+            val hex = md.digest(text.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (id, Some(graft.plans.Bloom.mightContainString(bytes, hex)))
+          }
         }
       }
       .toDF("doc_id", "might_dup")
@@ -883,29 +890,6 @@ object Dedup {
       maxDist)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
 
-  /** Banded Hamming near-dup join over ANY (id, sig64) frame — the
-    * pigeonhole kernel [[simhashNearDup]],
-    * [[Multimodal.imageNearDup]]'s perceptual dHash, and
-    * [[Multimodal.audioNearDup]] share: a pair whose Hamming distance
-    * is BELOW the band count must agree on ≥1 band (if every one of
-    * the `nBands` disjoint bands differed, the distance would be ≥
-    * nBands), so candidates are band equi-join buckets, never all
-    * pairs. The guarantee is exact only for d ≤ nBands − 1; beyond it
-    * a pair can spread one flipped bit into every band and be missed
-    * (ADVICE r8: the old fixed 4×16 layout silently lost recall for
-    * the callers' d = 6). `nBands` therefore AUTO-SIZES to the
-    * requested distance (4×16-bit for d ≤ 3, else 8×8-bit covering
-    * d ≤ 7 — the multi-index-hashing layout, Norouzi et al. 2012),
-    * making every registered caller's radius fully covered. The
-    * trade is bucket density: 8-bit bands hold N/256 expected members
-    * vs 16-bit's N/65536, so the within-bucket pair explode grows —
-    * at 100 TB the d > 3 radius costs ~8·(N/256)² candidate pairs per
-    * spread signature region, the price of a GUARANTEED (not
-    * probabilistic) radius-6 join on 64-bit signatures; a corpus
-    * where that explode dominates should drop to the probabilistic
-    * 16-bit banding (`nBands = Some(4)`) and accept LSH-style recall.
-    * Bucket members carry their signature into the pair explode, so
-    * the distance is computed without joining back. */
   /** Per-task width bound for the Hamming tile kernel below: a
     * (band, bucket) group wider than this is TILED into chunk pairs
     * ([[boundedPairsKeyed]]'s decomposition), never pair-exploded in
@@ -924,6 +908,32 @@ object Dedup {
     * mass upstream instead of pairwise-verifying it. */
   val HammingMaxChunks = 256
 
+  /** Banded Hamming near-dup join over ANY (id, sig64) frame — the
+    * pigeonhole kernel [[simhashNearDup]],
+    * [[Multimodal.imageNearDup]]'s perceptual dHash, and
+    * [[Multimodal.audioNearDup]] share: a pair whose Hamming distance
+    * is BELOW the band count must agree on ≥1 band (if every one of
+    * the `nBands` disjoint bands differed, the distance would be ≥
+    * nBands), so candidates are band equi-join buckets, never all
+    * pairs. The guarantee is exact only for d ≤ nBands − 1; beyond it
+    * a pair can spread one flipped bit into every band and be missed
+    * (ADVICE r8: the old fixed 4×16 layout silently lost recall for
+    * the callers' d = 6). `nBands` therefore AUTO-SIZES to the
+    * requested distance (4×16-bit for d ≤ 3, else 8×8-bit covering
+    * d ≤ 7 — the multi-index-hashing layout, Norouzi et al. 2012) and
+    * the auto path REFUSES a radius it cannot guarantee (d > 7 on
+    * 64-bit signatures would need >8 disjoint bands than the layout
+    * provides — silently losing recall is the r8 defect this fix
+    * retired; pass an explicit `nBands` to opt into probabilistic
+    * recall at wide radii). The trade is bucket density: 8-bit bands
+    * hold N/256 expected members vs 16-bit's N/65536, so candidate
+    * pairs grow — bounded by the tile census below, the price of a
+    * GUARANTEED (not probabilistic) radius-6 join on 64-bit
+    * signatures; a corpus where the verify flops dominate should drop
+    * to the probabilistic 16-bit banding (`nBands = Some(4)`) and
+    * accept LSH-style recall. Bucket members carry their signature
+    * into the tiles, so the distance is verified without joining
+    * back. */
   private[llmdata] def hammingPairs(sigs: DataFrame, maxDist: Int,
                                     nBands: Option[Int] = None,
                                     maxBucketWidth: Int = HammingMaxBucketWidth,
@@ -932,14 +942,22 @@ object Dedup {
     import spark.implicits._
     val nb = nBands.getOrElse(if (maxDist <= 3) 4 else 8)
     require(64 % nb == 0, s"band count $nb must divide 64")
+    require(nBands.isDefined || maxDist < nb,
+      s"maxDist $maxDist exceeds the $nb-band pigeonhole guarantee (d <= ${nb - 1}): " +
+        "pass an explicit nBands to opt into probabilistic recall at this radius")
     require(maxBucketWidth >= 2, s"maxBucketWidth $maxBucketWidth: need ≥ 2")
     val width = 64 / nb
     val mask = if (width == 64) -1L else (1L << width) - 1L
+    // ONE materialization of the signature source: sigs may embed the
+    // full per-row media decode (imageNearDup/audioNearDup), and the
+    // census guard action + both sides of the width join would
+    // otherwise re-decode the corpus up to three times (review r9)
     val bands = sigs.select(col("id"), col("sig64"),
       explode(array((0 until nb).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig64"), b * width).bitwiseAND(mask).as("sig"))): _*)).as("bs"))
       .select(col("id"), col("sig64"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .localCheckpoint()
     // distributed width census + chunk-pair tiling, the
     // [[boundedPairsKeyed]] shape specialized to 16-byte signature
     // members: widths join back co-partitioned on (band, sig), the

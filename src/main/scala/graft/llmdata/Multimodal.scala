@@ -254,6 +254,11 @@ object Multimodal {
                 val ch = fmt.getChannels
                 if (fmt.getSampleSizeInBits != 16 || ch < 1 || ch > 2) null
                 else {
+                  // honor the container's byte order: the formats this
+                  // fallback exists for (AIFF) deliver BIG-endian PCM —
+                  // reading them little-endian byte-swaps every sample
+                  // and garbles the energy envelope (review r9 finding)
+                  val be = fmt.isBigEndian
                   val raw = ais.readAllBytes()
                   val frames = raw.length / (2 * ch)
                   val out = new Array[Double](frames)
@@ -263,9 +268,10 @@ object Multimodal {
                     var c = 0
                     while (c < ch) {
                       val o = 2 * (i * ch + c)
-                      val lo = raw(o) & 0xFF
-                      val hi = raw(o + 1).toInt
-                      acc += ((hi << 8) | lo).toShort.toDouble
+                      val b0 = raw(o) & 0xFF
+                      val b1 = raw(o + 1) & 0xFF
+                      val s = if (be) (b0 << 8) | b1 else (b1 << 8) | b0
+                      acc += s.toShort.toDouble
                       c += 1
                     }
                     out(i) = acc / ch

@@ -162,7 +162,7 @@ object Similarity {
     * fixed-knob class the r7/r8 pool fixes retired (VERDICT r8 #4).
     * Probes scale with the cells ([[ivfDefaultProbes]]), keeping the
     * measured recall floors while the SCANNED FRACTION falls as the
-    * corpus grows (50% at the 16-cell floor → 12.5% at √N scale —
+    * corpus grows (50% at the 16-cell floor → 25% past it —
     * ScaleBench records the fraction per scale point). Explicit
     * cell/probe arguments are honored exactly (RecallProbe's
     * measurement contract). */
@@ -835,10 +835,10 @@ object Similarity {
     * corpus scatters true neighbors across cells; 8/16 probes caps at
     * the plain-IVF 0.86). Like [[NumProbes]] this is the FLOOR: the
     * default scales with the corpus-scaled cell count
-    * ([[ivfPqDefaultProbes]] — 3/16 of the cells, the same ratio this
-    * floor holds to the 16-cell floor), so the scanned fraction
-    * shrinks as the corpus grows instead of the probe width silently
-    * becoming a vanishing fraction of √N cells. */
+    * ([[ivfPqDefaultProbes]] — 3/8 of the cells), so the scanned
+    * fraction shrinks as the corpus grows (75% at the 16-cell floor →
+    * 38% past it) instead of the probe width silently becoming a
+    * vanishing fraction of √N cells. */
   val IvfPqProbes = 12
 
   /** Probe width for IVF∘PQ at a given cell count: 3/8 of the cells

@@ -93,34 +93,76 @@ object ManifestStore {
     * LOUDLY instead of waiting — a second live writer is a deployment
     * bug to surface, not a queue to join. A corpse from a crashed
     * writer (older than `graft.manifest.lockStaleMs`, default 30 min
-    * — orders of magnitude beyond any healthy mutation, which is
-    * metadata-only) is broken conditionally (re-stat, skip if a fresh
+    * — orders of magnitude beyond any healthy MANIFEST mutation) is
+    * broken conditionally (re-stat, skip if a fresh
     * claim moved the mtime) and the claim retried once. Same-thread
-    * nesting (commit → seal) re-enters via a thread-local held set. */
-  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
-    override def initialValue(): scala.collection.mutable.Set[String] =
-      scala.collection.mutable.Set.empty[String]
+    * nesting (commit → seal) re-enters via a thread-local held map
+    * (dir → nonce).
+    *
+    * One mutation is NOT metadata-only: [[commit]] holds the lease
+    * across the batch DATA write, which on a big batch can outlive
+    * the stale bound — a breaker could then steal the lease mid-
+    * commit and the original writer would seal over it silently
+    * (review r9 finding). The commit point therefore RE-VERIFIES
+    * ownership: [[sealLinesLocked]] checks the lock still carries
+    * this thread's nonce immediately before the manifest rename (and
+    * re-stamps it, re-arming the stale clock for the manifest write
+    * that follows) — a stolen lease becomes a loud
+    * IllegalStateException BEFORE any ledger mutation, never a
+    * silent interleave. */
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Map[String, String]] {
+    override def initialValue(): scala.collection.mutable.Map[String, String] =
+      scala.collection.mutable.Map.empty[String, String]
   }
+
+  private def lockPath(storeDir: String) =
+    new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/.writer.lock")
+
+  private def lockNonceAt(f: org.apache.hadoop.fs.FileSystem,
+                          lock: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = f.open(lock)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Verify this thread still owns the store's lease and refresh the
+    * stamp so the remaining manifest work re-arms the stale clock.
+    * Throws on a lost lease (stolen by a stale breaker while a long
+    * data write ran); no-op when this thread holds no lease for the
+    * store (unreachable from the public surface — every mutating
+    * path routes through [[withWriterLease]]). */
+  private def verifyHeld(spark: SparkSession, storeDir: String): Unit =
+    heldLeases.get.get(storeDir).foreach { nonce =>
+      val (f, _) = fs(spark, storeDir)
+      val lock = lockPath(storeDir)
+      val cur = lockNonceAt(f, lock)
+      if (!cur.contains(nonce))
+        throw new IllegalStateException(
+          s"manifest writer lease $lock was lost mid-mutation " +
+            s"(now held by ${cur.getOrElse("nobody")}): the batch data " +
+            "write outlived graft.manifest.lockStaleMs and a stale " +
+            "breaker took over - nothing was sealed; re-run the batch")
+      try {
+        val os = f.create(lock, true)
+        try os.write(nonce.getBytes("UTF-8")) finally os.close()
+      } catch { case _: java.io.IOException => () }
+    }
 
   private def withWriterLease[T](spark: SparkSession, storeDir: String)
                                 (body: => T): T = {
     if (heldLeases.get.contains(storeDir)) return body
     val (f, _) = fs(spark, storeDir)
-    val lock = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/.writer.lock")
+    val lock = lockPath(storeDir)
     val nonce = java.util.UUID.randomUUID().toString
     val staleMs = sys.props.get("graft.manifest.lockStaleMs")
       .map(_.toLong).getOrElse(30L * 60 * 1000)
     f.mkdirs(lock.getParent)
 
-    def lockNonce(): Option[String] =
-      try {
-        val in = f.open(lock)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
-        } finally in.close()
-      } catch { case _: java.io.IOException => None }
+    def lockNonce(): Option[String] = lockNonceAt(f, lock)
 
     // Hadoop's createNewFile is exists-then-create — atomic on HDFS but
     // a TOCTOU on local filesystems (the ProcessedStore dual-breaker
@@ -172,7 +214,7 @@ object ManifestStore {
       }
       if (!acquired) failHeld(age)
     }
-    heldLeases.get += storeDir
+    heldLeases.get += (storeDir -> nonce)
     try body
     finally {
       heldLeases.get -= storeDir
@@ -413,6 +455,10 @@ object ManifestStore {
 
   private def sealLinesLocked(spark: SparkSession, storeDir: String,
                               targetName: String, lines: Seq[String]): Unit = {
+    // the commit point re-verifies lease ownership: a long data write
+    // can outlive the stale bound, and sealing over a stolen lease
+    // would be the silent interleave the lease exists to prevent
+    verifyHeld(spark, storeDir)
     val (f, _) = fs(spark, storeDir)
     val dir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
     f.mkdirs(dir)
@@ -485,13 +531,20 @@ object ManifestStore {
     Option(sinceFold.get(key)).map(_.intValue) match {
       case Some(c) if c < every => None
       case _ =>
-        val ledger = readLedger(spark, storeDir)
-        sinceFold.put(key, Int.box(ledger.manifests.size))
-        if (ledger.manifests.size < every) None
-        else {
-          val id = ledger.manifests.last._1
-          sealLines(spark, storeDir, s"$id$SnapSuffix", snapLinesOf(ledger))
-          Some(id)
+        // the LEASE wraps the ledger read AND the fold seal (review r9
+        // finding: reading outside it could compose a snapshot from a
+        // ledger another writer then extends with a lower backfill id,
+        // and sealing that stale fold would drop the backfill's files
+        // from every future composition)
+        withWriterLease(spark, storeDir) {
+          val ledger = readLedger(spark, storeDir)
+          sinceFold.put(key, Int.box(ledger.manifests.size))
+          if (ledger.manifests.size < every) None
+          else {
+            val id = ledger.manifests.last._1
+            sealLines(spark, storeDir, s"$id$SnapSuffix", snapLinesOf(ledger))
+            Some(id)
+          }
         }
     }
   }

@@ -116,6 +116,16 @@ class DedupSpec extends SparkSpec {
         s"case $i: planted pair at distance " +
           s"${java.lang.Long.bitCount(planted(i)._1 ^ planted(i)._2)} must be found")
     }
+    // a radius the 8-band pigeonhole cannot guarantee must REFUSE on
+    // the auto path (silent recall loss is the r8 defect), and run
+    // only under an explicit probabilistic opt-in
+    val tiny = Seq((1L, 0L), (2L, 255L)).toDF("id", "sig64")
+    val refused = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(tiny, maxDist = 8)
+    }
+    assert(refused.getMessage.contains("pigeonhole"))
+    assert(Dedup.hammingPairs(tiny, maxDist = 8, nBands = Some(8))
+      .count() === 1L, "explicit nBands opts into the wide radius")
   }
 
   test("LSH-bucketed embedding near-dup recovers ≥90% of exact cosine pairs") {

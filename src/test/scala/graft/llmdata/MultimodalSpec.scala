@@ -445,4 +445,36 @@ class MultimodalSpec extends SparkSpec {
     assert(hs(1L).dhash === hs(3L).dhash,
       "imbalanced channels whose mean is the mono signal must collide")
   }
+
+  test("big-endian AIFF re-encode fingerprints identically to its WAV twin") {
+    // the registry fallback must honor the container's byte order: an
+    // AIFF delivers BIG-endian PCM, and reading it little-endian
+    // byte-swaps every sample (review r9 finding)
+    val monoBytes = Multimodal.audioFrame(spark, sf).limit(1)
+      .collect().map(_.getAs[Array[Byte]](1)).head
+    val mono = Multimodal.parseWavPcm16(monoBytes)
+    assert(mono != null)
+    val be = new Array[Byte](2 * mono.length)
+    mono.zipWithIndex.foreach { case (s, i) =>
+      val v = s.toInt
+      be(2 * i) = ((v >> 8) & 0xFF).toByte
+      be(2 * i + 1) = (v & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(be), fmt, mono.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    val aiff = baos.toByteArray
+    assert(Multimodal.parseWavPcm16(aiff) == null,
+      "AIFF must miss the WAV fast path and take the registry fallback")
+    import spark.implicits._
+    val hs = Multimodal.audioHashes(
+      Seq((1L, monoBytes), (2L, aiff)).toDF("media_id", "payload"))
+      .collect().map(h => h.media_id -> h).toMap
+    assert(hs(2L).decoded, "AIFF must decode through the registry, not stub-hash")
+    assert(hs(1L).dhash === hs(2L).dhash,
+      "a big-endian re-encode of the same recording must collide at Hamming 0")
+  }
 }

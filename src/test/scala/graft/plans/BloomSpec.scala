@@ -138,6 +138,16 @@ class BloomSpec extends SparkSpec {
       incoming.union(novel), spark.sparkContext.broadcast(small))
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
     assert(lit0 === bcast, "broadcast and literal carriers must agree exactly")
+    // null text: both carriers emit a NULL verdict; the broadcast one
+    // must not kill the query on the bad row (review r9)
+    val dirty = Seq((1L, "some text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+      .toSet
+    assert(verdicts(Dedup.streamingBloomGate(dirty, small)) ===
+      verdicts(Dedup.streamingBloomGateBroadcast(
+        dirty, spark.sparkContext.broadcast(small))))
     bc.destroy()
   }
 }

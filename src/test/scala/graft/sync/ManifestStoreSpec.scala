@@ -214,6 +214,25 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.commit(frame(("d2", 3)), store, 2L, "day")
     assert(readSet(store) === Set(("d0", 1), ("d1", 2), ("d2", 3)))
     assert(!lock.exists(), "the successful writer must release the broken lease")
+
+    // lease THEFT mid-commit (review r9): a data write outliving the
+    // stale bound lets a breaker take the lease — the seal must then
+    // refuse BEFORE touching the ledger, never interleave silently
+    ManifestStore.withLeaseForTest(spark, store) {
+      java.nio.file.Files.write(lock.toPath,
+        "thief-nonce".getBytes("UTF-8"))
+      val stolen = intercept[IllegalStateException] {
+        ManifestStore.commit(frame(("d3", 4)), store, 3L, "day")
+      }
+      assert(stolen.getMessage.contains("lost mid-mutation"))
+    }
+    assert(!ManifestStore.committed(spark, store, 3L),
+      "nothing may be sealed over a stolen lease")
+    assert(readSet(store) === Set(("d0", 1), ("d1", 2), ("d2", 3)))
+    // clean up the planted thief lock so later mutations proceed
+    assert(lock.delete())
+    ManifestStore.commit(frame(("d3", 4)), store, 3L, "day")
+    assert(readSet(store) === Set(("d0", 1), ("d1", 2), ("d2", 3), ("d3", 4)))
   }
 
   test("maybeSnapshot between folds is O(1): zero ledger reads off the seal-maintained counter (r8 #8)") {
