@@ -282,6 +282,61 @@ object Dedup {
       .join(broadcast(corpusIndex), Seq("band", "sig"))
       .select(col("doc_id"), col("corpus_id"), col("band"))
 
+  /** Corpus-adaptive hyperplane bits per band for the embedding-LSH
+    * family — shared by the batch pair kernel ([[embedPairsOf]]) and
+    * the streaming gate below so their candidate structures are the
+    * SAME keying: expected bucket width ≈ n/2^bits aimed at half the
+    * tile bound. */
+  private[llmdata] def embedBandBits(n: Long,
+                                     maxBucketWidth: Int = EmbedMaxBucketWidth): Int = {
+    def ceilLog2(x: Long): Int =
+      if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    math.max(2, math.min(8, ceilLog2(2L * n / maxBucketWidth)))
+  }
+
+  /** The banding the embedding gate pair below must agree on — derive
+    * it ONCE from the corpus and pass it to both sides (an index
+    * built at one bit width joined by a stream keyed at another would
+    * silently never collide). */
+  def embedGateBits(spark: SparkSession, dir: String): Int =
+    embedBandBits(Similarity.corpusCount(spark, dir))
+
+  /** Corpus-side EMBEDDING band index — the semantic sibling of
+    * [[corpusBandIndex]]: every corpus vector's 8 hyperplane-LSH
+    * (band, bucket) keys, the artifact a production semantic gate
+    * keeps hot (rebuilt per corpus compaction, broadcast to the
+    * ingestion stream). Same hyperplanes, band count, and
+    * corpus-adaptive bit width as [[embedPairsOf]]'s kernel, so gate
+    * collisions mirror the batch candidate structure exactly. */
+  def corpusEmbedBandIndex(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshKeys(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding",
+      numBands = 8, bitsPerBand = embedGateBits(spark, dir))
+      .select(col("vec_id").as("corpus_id"), col("band"), col("bucket"))
+
+  /** STREAMING SEMANTIC NEAR-DUP GATE — the embedding-space live
+    * filter next to the shingle gate above (a paraphrase leak shares
+    * no shingles; only embedding similarity flags it in-stream):
+    * incoming (vec_id, embedding) rows key themselves ROW-LOCALLY
+    * (hyperplane sign bits are pure per-row column arithmetic — zero
+    * aggregation, zero state, append-safe) and equi-join the static
+    * corpus index on (band, bucket). Dense-vector LSH trades
+    * differently than shingle MinHash: unrelated vectors DO collide
+    * in some band at these bit widths (the gate is a candidate
+    * GENERATOR, sized by the same banding the batch kernel verifies
+    * behind), so downstream exact verification is not optional — an
+    * identical vector collides in ALL 8 bands, which is the
+    * high-precision signal a router can act on immediately.
+    * `bitsPerBand` must be [[embedGateBits]] of the index's corpus
+    * (see there). Works identically on a batch frame. */
+  def streamingEmbedGate(incoming: DataFrame, corpusIndex: DataFrame,
+                         bitsPerBand: Int): DataFrame =
+    Similarity.lshKeys(incoming.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", numBands = 8, bitsPerBand = bitsPerBand)
+      .join(broadcast(corpusIndex), Seq("band", "bucket"))
+      .select(col("vec_id"), col("corpus_id"), col("band"))
+
   /** Bits per existing key for auto-sized Bloom filters: ~10 bits/key
     * with k = 7 probes is the textbook ~1% false-positive point. */
   val BloomBitsPerKey = 10L
@@ -706,15 +761,12 @@ object Dedup {
                                     maxChunks: Int = EmbedMaxChunks,
                                     bitsPerBand: Option[Int] = None): DataFrame = {
     require(maxBucketWidth >= 2, s"maxBucketWidth $maxBucketWidth: need ≥ 2")
-    def ceilLog2(x: Long): Int =
-      if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
     val n = vecs.count()
     // expected bucket width ≈ n / 2^bits; aim it at maxBucketWidth/2 so
     // tiling only fires on genuine skew, not on the uniform bulk.
     // `bitsPerBand` pins the banding (spec use: compare tiled vs
     // untiled kernels over the SAME candidate set)
-    val bits = bitsPerBand.getOrElse(
-      math.max(2, math.min(8, ceilLog2(2L * n / maxBucketWidth))))
+    val bits = bitsPerBand.getOrElse(embedBandBits(n, maxBucketWidth))
     val keys = Similarity.lshKeys(vecs, "vec_id", "embedding",
       numBands = 8, bitsPerBand = bits)
     boundedPairsKeyed(spark, keys, threshold, maxBucketWidth, maxChunks,

@@ -308,6 +308,37 @@ object Similarity {
     * cell id becomes the partition key and a probe touches C/probes of
     * the corpus instead of all of it. Recall vs brute force is measured
     * in SimilaritySpec. */
+  /** Memoized corpus-side coarse index for plain IVF — (neighbor_id,
+    * cell, ne), the INVERTED LISTS a deployed IVF index stores: the
+    * per-corpus assignment (N × cells cosines) is index-build work,
+    * not per-query work, and before this memo every `ivfTopK` call
+    * re-assigned the whole corpus through a `cells`-literal expression
+    * (the dominant cost of the curve row once cells corpus-scaled to
+    * 142 at the 10× point). Built with the same JVM kernel the PQ
+    * codes index uses ([[nearestCellLocal]] — round-6 cosine, ties to
+    * the lower cell, bit-identical to the Column form by its parity
+    * contract), centroids shipped as a broadcast variable. Same
+    * immutable-corpus contract as [[ivfCentroidsFor]]; released by
+    * [[releaseCaches]]. */
+  private val ivfAssignMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), FrameHolder]
+
+  private[llmdata] def ivfAssignFor(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignMemo.computeIfAbsent((spark, dir), key => new FrameHolder(() => {
+      val sparkK = key._1
+      import sparkK.implicits._
+      val cents = ivfCentroidsFor(sparkK, key._2).sortBy(_._1).map(_._2.toArray)
+      val bc = sparkK.sparkContext.broadcast(cents)
+      Tables.embeddings(sparkK, key._2)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val ct = bc.value
+          it.map { case (vid, v) => (vid, nearestCellLocal(ct, v), v) }
+        }
+        .toDF("neighbor_id", "cell", "ne")
+        .localCheckpoint()
+    })).value
+
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int, k: Int, probes: Int = 0): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -315,9 +346,7 @@ object Similarity {
     // probes = 0 (the default) scales with the corpus-scaled cell
     // count; an explicit width is honored exactly (RecallProbe)
     val pr = if (probes > 0) probes else ivfDefaultProbes(cents.length)
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-      .withColumn("cell",
-        element_at(nearestCells(spark, col("ne"), cents, 1), 1).getField("cell"))
+    val corpus = ivfAssignFor(spark, dir)
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("probe", explode(nearestCells(spark, col("qe"), cents, pr)))
@@ -968,6 +997,7 @@ object Similarity {
     * driver-side model memos are tiny arrays and are kept). */
   def releaseCaches(): Unit = {
     ivfPqCodesMemo.clear()
+    ivfAssignMemo.clear()
     semTableMemo.clear()
     lexMemo.clear()
   }

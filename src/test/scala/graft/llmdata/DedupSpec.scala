@@ -599,6 +599,27 @@ class DedupSpec extends SparkSpec {
     assert(aFlat === aTable)
   }
 
+  test("embedding gate collisions contain every verified near-dup pair (keying agreement)") {
+    // the gate and the batch pair kernel must share ONE keying
+    // (hyperplanes, band count, corpus-adaptive bit width): every
+    // exact-verified near-dup pair came from a shared bucket, so the
+    // self-gated corpus must collide on it — a bit-width mismatch
+    // between index and stream side would silently empty the gate
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val gate = Dedup.streamingEmbedGate(corpus,
+      Dedup.corpusEmbedBandIndex(spark, sf),
+      Dedup.embedGateBits(spark, sf))
+      .select(col("vec_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = pairKey(Dedup.embeddingNearDup(spark, sf, 0.4))
+    assert(verified.nonEmpty)
+    verified.foreach { case (a, b) =>
+      assert(gate.contains((a, b)) || gate.contains((b, a)),
+        s"verified pair ($a, $b) missing from the gate's candidates")
+    }
+  }
+
   test("semantic contamination: exact ≡ driver brute on the sample; LSH form recall ≥0.9, sims exact") {
     // driver-side split + cosine reference over the FULL corpus
     def splitOf(id: Long): String = {

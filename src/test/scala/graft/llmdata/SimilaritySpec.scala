@@ -86,6 +86,22 @@ class SimilaritySpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("stored IVF inverted lists equal the Column-literal assignment vector-for-vector") {
+    // the memoized corpus-side index (JVM kernel + broadcast centroids)
+    // must agree with the declarative literal form on EVERY vector —
+    // the nearestCellLocal parity contract, asserted not assumed
+    val cents = Similarity.ivfCentroidsFor(spark, sf)
+    val viaColumns = Similarity.assignWithLiterals(spark,
+      graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")),
+      cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaKernel = Similarity.ivfAssignFor(spark, sf)
+      .select(col("neighbor_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel === viaColumns)
+  }
+
   test("PQ+rerank top-k: recall floor, exact sims, and full result shape") {
     val pq = Similarity.pqTopK(spark, sf, nQ, k).cache()
     try {

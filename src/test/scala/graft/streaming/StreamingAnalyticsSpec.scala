@@ -148,6 +148,30 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally { index.unpersist(); () }
   }
 
+  test("streaming EMBEDDING gate: stream = batch, exact copy collides in all 8 bands") {
+    import spark.implicits._
+    import graft.llmdata.Dedup
+    // incoming shard: one exact copy of corpus vector 0's embedding
+    val srcVec = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0L).collect()(0).getSeq[Float](1)
+    val shard = Seq((400000L, srcVec)).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-embgate").toString + "/in"
+    shard.coalesce(1).write.parquet(dir)
+    val bits = Dedup.embedGateBits(spark, sf)
+    val index = Dedup.corpusEmbedBandIndex(spark, sf).cache()
+    try {
+      val stream = spark.readStream.schema(shard.schema).parquet(dir)
+      val live = drain(Dedup.streamingEmbedGate(stream, index, bits),
+        "append", "embgate_live")
+      val batch = Dedup.streamingEmbedGate(shard, index, bits)
+      assert(live.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(live).count() === 0)
+      // identical vector ⇒ identical sign bits ⇒ every band collides
+      assert(live.filter(col("vec_id") === 400000L && col("corpus_id") === 0L)
+        .select("band").distinct().count() === 8L)
+    } finally { index.unpersist(); () }
+  }
+
   test("streaming bloom gate: literal-sketch filter, stream = batch, no false negatives") {
     import spark.implicits._
     import graft.llmdata.Dedup
