@@ -295,25 +295,36 @@ object Dedup {
   }
 
   /** The banding the embedding gate pair below must agree on — derive
-    * it ONCE from the corpus and pass it to both sides (an index
-    * built at one bit width joined by a stream keyed at another would
-    * silently never collide). */
-  def embedGateBits(spark: SparkSession, dir: String): Int =
+    * it ONCE from the corpus. Package-visible for specs; callers get
+    * it CARRIED INSIDE [[EmbedBandIndex]] (review r9: a free-floating
+    * bit-width parameter let a caller join an index built at one
+    * width with a stream keyed at another — type-checks, runs, and
+    * silently never collides; carrying the width with the keys
+    * removes that mismatch class instead of documenting it). */
+  private[llmdata] def embedGateBits(spark: SparkSession, dir: String): Int =
     embedBandBits(Similarity.corpusCount(spark, dir))
+
+  /** The corpus-side embedding band index AND the bit width its keys
+    * were built at — the two travel together so a gate can never key
+    * its stream side at a different width than the index. */
+  final case class EmbedBandIndex(keys: DataFrame, bitsPerBand: Int)
 
   /** Corpus-side EMBEDDING band index — the semantic sibling of
     * [[corpusBandIndex]]: every corpus vector's 8 hyperplane-LSH
     * (band, bucket) keys, the artifact a production semantic gate
-    * keeps hot (rebuilt per corpus compaction, broadcast to the
-    * ingestion stream). Same hyperplanes, band count, and
-    * corpus-adaptive bit width as [[embedPairsOf]]'s kernel, so gate
-    * collisions mirror the batch candidate structure exactly. */
-  def corpusEmbedBandIndex(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshKeys(
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding",
-      numBands = 8, bitsPerBand = embedGateBits(spark, dir))
-      .select(col("vec_id").as("corpus_id"), col("band"), col("bucket"))
+    * keeps hot (rebuilt per corpus compaction). Same hyperplanes,
+    * band count, and corpus-adaptive bit width as [[embedPairsOf]]'s
+    * kernel, so gate collisions mirror the batch candidate structure
+    * exactly. */
+  def corpusEmbedBandIndex(spark: SparkSession, dir: String): EmbedBandIndex = {
+    val bits = embedGateBits(spark, dir)
+    EmbedBandIndex(
+      Similarity.lshKeys(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", numBands = 8, bitsPerBand = bits)
+        .select(col("vec_id").as("corpus_id"), col("band"), col("bucket")),
+      bits)
+  }
 
   /** STREAMING SEMANTIC NEAR-DUP GATE — the embedding-space live
     * filter next to the shingle gate above (a paraphrase leak shares
@@ -321,21 +332,28 @@ object Dedup {
     * incoming (vec_id, embedding) rows key themselves ROW-LOCALLY
     * (hyperplane sign bits are pure per-row column arithmetic — zero
     * aggregation, zero state, append-safe) and equi-join the static
-    * corpus index on (band, bucket). Dense-vector LSH trades
-    * differently than shingle MinHash: unrelated vectors DO collide
-    * in some band at these bit widths (the gate is a candidate
-    * GENERATOR, sized by the same banding the batch kernel verifies
-    * behind), so downstream exact verification is not optional — an
-    * identical vector collides in ALL 8 bands, which is the
-    * high-precision signal a router can act on immediately.
-    * `bitsPerBand` must be [[embedGateBits]] of the index's corpus
-    * (see there). Works identically on a batch frame. */
-  def streamingEmbedGate(incoming: DataFrame, corpusIndex: DataFrame,
-                         bitsPerBand: Int): DataFrame =
+    * corpus index on (band, bucket) at the width the index CARRIES.
+    * Dense-vector LSH trades differently than shingle MinHash:
+    * unrelated vectors DO collide in some band at these bit widths
+    * (the gate is a candidate GENERATOR, sized by the same banding
+    * the batch kernel verifies behind), so downstream exact
+    * verification is not optional — an identical vector collides in
+    * ALL 8 bands, which is the high-precision signal a router can
+    * act on immediately. `broadcastIndex = true` (default) pins the
+    * hot-cache deployment the docs describe at test scales; an index
+    * over a corpus too big to broadcast (N×8 rows — the same ceiling
+    * argument as [[BloomLiteralMaxBytes]]'s carrier split) passes
+    * `false` and the per-micro-batch join shuffles on (band, bucket)
+    * instead (stream-static equi-joins stay stateless either way).
+    * Works identically on a batch frame. */
+  def streamingEmbedGate(incoming: DataFrame, index: EmbedBandIndex,
+                         broadcastIndex: Boolean = true): DataFrame = {
+    val right = if (broadcastIndex) broadcast(index.keys) else index.keys
     Similarity.lshKeys(incoming.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", numBands = 8, bitsPerBand = bitsPerBand)
-      .join(broadcast(corpusIndex), Seq("band", "bucket"))
+      "vec_id", "embedding", numBands = 8, bitsPerBand = index.bitsPerBand)
+      .join(right, Seq("band", "bucket"))
       .select(col("vec_id"), col("corpus_id"), col("band"))
+  }
 
   /** Bits per existing key for auto-sized Bloom filters: ~10 bits/key
     * with k = 7 probes is the textbook ~1% false-positive point. */
@@ -1003,13 +1021,19 @@ object Dedup {
     // ONE materialization of the signature source: sigs may embed the
     // full per-row media decode (imageNearDup/audioNearDup), and the
     // census guard action + both sides of the width join would
-    // otherwise re-decode the corpus up to three times (review r9)
+    // otherwise re-decode the corpus up to three times (review r9).
+    // persist + explicit unpersist below, NOT localCheckpoint: the
+    // kernel runs per call (it is not corpus-memoized), and
+    // checkpoint blocks would pin executor storage until GC across
+    // every bench/spec invocation (second review pass) — instead the
+    // SMALL result (passing pairs only) is checkpointed eagerly and
+    // the big exploded frame is released before returning
     val bands = sigs.select(col("id"), col("sig64"),
       explode(array((0 until nb).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig64"), b * width).bitwiseAND(mask).as("sig"))): _*)).as("bs"))
       .select(col("id"), col("sig64"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .localCheckpoint()
+      .persist()
     // distributed width census + chunk-pair tiling, the
     // [[boundedPairsKeyed]] shape specialized to 16-byte signature
     // members: widths join back co-partitioned on (band, sig), the
@@ -1027,7 +1051,7 @@ object Dedup {
       s"hamming band hot bucket: widest (band, sig) needs $hottest chunks of " +
         s"$maxBucketWidth (> $maxChunks) — a signature mass this dense should " +
         "be removed by exact dedup before pairwise verification")
-    bands.join(widths.select(col("band"), col("sig"), col("c")),
+    val pairs = bands.join(widths.select(col("band"), col("sig"), col("c")),
         Seq("band", "sig"))
       .select(col("band"), col("sig"), col("c"), col("id"), col("sig64"))
       .as[(Int, Long, Int, Long, Long)]
@@ -1077,6 +1101,11 @@ object Dedup {
       }
       .toDF("id_a", "id_b", "hamming")
       .distinct()
+      // eager: materialize the small pair result off the cached bands,
+      // then free the big exploded frame (see the persist note above)
+      .localCheckpoint()
+    bands.unpersist()
+    pairs
   }
 
   // -------------------------------------- near-dup cluster resolution

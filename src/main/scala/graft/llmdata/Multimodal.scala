@@ -252,7 +252,14 @@ object Multimodal {
                   new java.io.ByteArrayInputStream(bytes))
                 val fmt = ais.getFormat
                 val ch = fmt.getChannels
-                if (fmt.getSampleSizeInBits != 16 || ch < 1 || ch > 2) null
+                // encoding must be SIGNED PCM: reading unsigned (or
+                // a-law/mu-law) frames via .toShort would produce a
+                // wrong-but-plausible fingerprint instead of the
+                // honest stub fallback (review r9 — the same defect
+                // class as the endianness fix)
+                if (fmt.getSampleSizeInBits != 16 || ch < 1 || ch > 2 ||
+                    fmt.getEncoding !=
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
                 else {
                   // honor the container's byte order: the formats this
                   // fallback exists for (AIFF) deliver BIG-endian PCM —

@@ -105,11 +105,11 @@ object ManifestStore {
     * commit and the original writer would seal over it silently
     * (review r9 finding). The commit point therefore RE-VERIFIES
     * ownership: [[sealLinesLocked]] checks the lock still carries
-    * this thread's nonce immediately before the manifest rename (and
-    * re-stamps it, re-arming the stale clock for the manifest write
-    * that follows) — a stolen lease becomes a loud
-    * IllegalStateException BEFORE any ledger mutation, never a
-    * silent interleave. */
+    * this thread's nonce immediately before the manifest rename — a
+    * stolen lease becomes a loud IllegalStateException BEFORE any
+    * ledger mutation (only an unparsed `.tmp-` orphan remains),
+    * never a silent interleave; see [[verifyHeld]] for why the check
+    * is read-only and for the documented residual window. */
   private val heldLeases = new ThreadLocal[scala.collection.mutable.Map[String, String]] {
     override def initialValue(): scala.collection.mutable.Map[String, String] =
       scala.collection.mutable.Map.empty[String, String]
@@ -118,21 +118,41 @@ object ManifestStore {
   private def lockPath(storeDir: String) =
     new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/.writer.lock")
 
+  /** Full nonce read — LOOPS to EOF (a single `read` may legally
+    * return fewer bytes than the stored nonce on HDFS/object-store
+    * streams; comparing a truncated nonce against a full one would
+    * either spuriously abort a healthy commit through [[verifyHeld]]
+    * or skip a legitimate release — review r9 #2). */
   private def lockNonceAt(f: org.apache.hadoop.fs.FileSystem,
                           lock: org.apache.hadoop.fs.Path): Option[String] =
     try {
       val in = f.open(lock)
       try {
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8"))
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) {
+          off += n
+          n = in.read(buf, off, buf.length - off)
+        }
+        if (n > 0) off += n
+        Some(new String(buf, 0, off, "UTF-8"))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  /** Verify this thread still owns the store's lease and refresh the
-    * stamp so the remaining manifest work re-arms the stale clock.
-    * Throws on a lost lease (stolen by a stale breaker while a long
-    * data write ran); no-op when this thread holds no lease for the
+  /** Verify this thread still owns the store's lease — a READ-ONLY
+    * check, deliberately with NO re-stamp (review r9 #1: an
+    * unconditional overwrite after the read could clobber a stale
+    * breaker's fresh claim back to this writer's nonce, recreating
+    * the dual-owner interleave; the safe behavior for a commit whose
+    * data write outlived the stale bound is to ABORT loudly — the
+    * operator raises `graft.manifest.lockStaleMs` for genuinely long
+    * batches). The residual window is a theft landing between this
+    * read and the caller's rename — milliseconds against a 30-minute
+    * staleness bound, the same documented residue as
+    * [[graft.tx.ProcessedStore.withSwapLock]]; closing it outright
+    * needs a lease service or a transactional table format. Throws
+    * on a lost lease; no-op when this thread holds no lease for the
     * store (unreachable from the public surface — every mutating
     * path routes through [[withWriterLease]]). */
   private def verifyHeld(spark: SparkSession, storeDir: String): Unit =
@@ -146,10 +166,6 @@ object ManifestStore {
             s"(now held by ${cur.getOrElse("nobody")}): the batch data " +
             "write outlived graft.manifest.lockStaleMs and a stale " +
             "breaker took over - nothing was sealed; re-run the batch")
-      try {
-        val os = f.create(lock, true)
-        try os.write(nonce.getBytes("UTF-8")) finally os.close()
-      } catch { case _: java.io.IOException => () }
     }
 
   private def withWriterLease[T](spark: SparkSession, storeDir: String)
@@ -455,14 +471,16 @@ object ManifestStore {
 
   private def sealLinesLocked(spark: SparkSession, storeDir: String,
                               targetName: String, lines: Seq[String]): Unit = {
-    // the commit point re-verifies lease ownership: a long data write
-    // can outlive the stale bound, and sealing over a stolen lease
-    // would be the silent interleave the lease exists to prevent
-    verifyHeld(spark, storeDir)
     val (f, _) = fs(spark, storeDir)
     val dir = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest")
     f.mkdirs(dir)
     val tmp = stageLines(spark, storeDir, targetName, lines)
+    // re-verify lease ownership IMMEDIATELY before the commit point
+    // (after staging — a long data write or stage can outlive the
+    // stale bound, and renaming a manifest in over a stolen lease
+    // would be the silent interleave the lease exists to prevent; an
+    // abort here leaves only an unparsed .tmp- orphan)
+    verifyHeld(spark, storeDir)
     val target = new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$targetName")
     val renamed =
       try f.rename(tmp, target)

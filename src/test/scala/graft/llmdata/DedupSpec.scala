@@ -608,8 +608,7 @@ class DedupSpec extends SparkSpec {
     val corpus = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
     val gate = Dedup.streamingEmbedGate(corpus,
-      Dedup.corpusEmbedBandIndex(spark, sf),
-      Dedup.embedGateBits(spark, sf))
+      Dedup.corpusEmbedBandIndex(spark, sf))
       .select(col("vec_id"), col("corpus_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val verified = pairKey(Dedup.embeddingNearDup(spark, sf, 0.4))

@@ -157,19 +157,22 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val shard = Seq((400000L, srcVec)).toDF("vec_id", "embedding")
     val dir = Files.createTempDirectory("graft-embgate").toString + "/in"
     shard.coalesce(1).write.parquet(dir)
-    val bits = Dedup.embedGateBits(spark, sf)
-    val index = Dedup.corpusEmbedBandIndex(spark, sf).cache()
+    val index = Dedup.corpusEmbedBandIndex(spark, sf)
+    index.keys.cache()
     try {
       val stream = spark.readStream.schema(shard.schema).parquet(dir)
-      val live = drain(Dedup.streamingEmbedGate(stream, index, bits),
+      val live = drain(Dedup.streamingEmbedGate(stream, index),
         "append", "embgate_live")
-      val batch = Dedup.streamingEmbedGate(shard, index, bits)
+      // the non-broadcast deployment shape (an index too big to
+      // broadcast shuffles on (band, bucket)) must agree exactly
+      val batch = Dedup.streamingEmbedGate(shard, index,
+        broadcastIndex = false)
       assert(live.exceptAll(batch).count() === 0)
       assert(batch.exceptAll(live).count() === 0)
       // identical vector ⇒ identical sign bits ⇒ every band collides
       assert(live.filter(col("vec_id") === 400000L && col("corpus_id") === 0L)
         .select("band").distinct().count() === 8L)
-    } finally { index.unpersist(); () }
+    } finally { index.keys.unpersist(); () }
   }
 
   test("streaming bloom gate: literal-sketch filter, stream = batch, no false negatives") {

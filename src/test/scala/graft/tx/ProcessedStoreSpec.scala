@@ -122,7 +122,10 @@ class ProcessedStoreSpec extends SparkSpec {
         } catch { case t: Throwable => errs.add(t); () }
       })
     }
-    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    // generous join bound: suites run in parallel and a loaded host
+    // can starve the 200 ms claim-retry loop well past 30 s (observed
+    // flake r9); the assertions below, not this bound, are the gate
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
     assert(errs.isEmpty, s"breaker failed: ${errs.peek()}")
     assert(entered.get() === 2, "both breakers must eventually acquire")
     assert(maxSeen.get() === 1,
