@@ -353,8 +353,12 @@ object ManifestStore {
     * grouped per owning batch directory and read with that directory
     * as `basePath`, so the `<col>=<value>` partition column survives
     * into the frame. */
-  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val byBatch = currentFiles(spark, storeDir).toSeq
+  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    composeRead(spark, storeDir, currentFiles(spark, storeDir))
+
+  private def composeRead(spark: SparkSession, storeDir: String,
+                          files: Map[String, Seq[String]]): Option[DataFrame] = {
+    val byBatch = files.toSeq
       .flatMap { case (_, rels) => rels }
       .groupBy(ownerId)
     byBatch.toSeq.sortBy(_._1).map { case (id, rels) =>
@@ -367,6 +371,59 @@ object ManifestStore {
       // upgrade (degraded until backfilled, never wedged), matching the
       // callers' merge-side evolution contract
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** TIME-TRAVEL read: the store AS OF `batchId` — every partition
+    * composed from only the manifests (and at most one snapshot) with
+    * ids ≤ `batchId`, the Iceberg/Delta "snapshot read" this ledger's
+    * immutable per-batch directories afford for free: a debugging
+    * session reproduces exactly what a consumer saw at batch B, an
+    * audit diffs two versions, a bad-batch investigation reads the
+    * last-good state WITHOUT restoring anything.
+    *
+    * Retention bounds, stated loudly rather than hidden (the same
+    * physics as Delta's VACUUM-breaks-time-travel):
+    *
+    *  - history BELOW the newest fold floor is gone by design
+    *    ([[vacuum]] deletes folded manifests and superseded
+    *    snapshots) — a `batchId` below the newest snapshot id throws
+    *    with the floor in the message;
+    *  - a [[vacuum]] run deletes data files the CURRENT composition
+    *    no longer references, which includes files an as-of
+    *    composition still needs — an as-of read older than the last
+    *    vacuum fails on the missing file (loudly, never silently
+    *    partial). A store that wants deep time travel simply vacuums
+    *    on a retention schedule instead of per batch.
+    *
+    * None when nothing ≤ `batchId` has committed. */
+  def readStoreAsOf(spark: SparkSession, storeDir: String,
+                    batchId: Long): Option[DataFrame] = {
+    val (f, dir) = fs(spark, s"$storeDir/_manifest")
+    if (!f.exists(dir)) return None
+    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    val snapIds = names.flatMap(snapIdOf)
+    snapIds.filter(_ > batchId).sorted.lastOption.foreach { newest =>
+      if (!snapIds.exists(_ <= batchId))
+        throw new IllegalArgumentException(
+          s"cannot read $storeDir as of batch $batchId: history at or " +
+            s"below it was folded into snapshot $newest and vacuumed - " +
+            "the earliest readable version is the newest snapshot at or " +
+            s"below the requested id (fold floor: ${snapIds.min})")
+    }
+    def slurp(name: String): String = {
+      val in = f.open(new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val snap = snapIds.filter(_ <= batchId).sorted.lastOption
+      .map(id => (id, parseEntries(slurp(s"$id$SnapSuffix"))))
+    val floor = snap.map(_._1).getOrElse(Long.MinValue)
+    val ids = names.flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(id => id > floor && id <= batchId).sorted
+    if (snap.isEmpty && ids.isEmpty) return None
+    val files = ids.map(id => parseEntries(slurp(id.toString)))
+      .foldLeft(snap.map(_._2).getOrElse(Map.empty[String, Seq[String]]))(_ ++ _)
+    composeRead(spark, storeDir, files)
   }
 
   /** Run `use` over the current store read, re-listing ONCE if a

@@ -235,6 +235,47 @@ class ManifestStoreSpec extends SparkSpec {
     assert(readSet(store) === Set(("d0", 1), ("d1", 2), ("d2", 3), ("d3", 4)))
   }
 
+  test("time travel: as-of reads compose history exactly; fold floor refuses; vacuumed retention fails loudly") {
+    val store = s"${Files.createTempDirectory("graft-ms").toString}/asof"
+    // 6 replace-by-partition commits rotating over 3 days: day d_r as
+    // of batch B holds the rows of the LAST batch <= B touching it
+    (0 until 6).foreach(i => ManifestStore.commit(
+      frame((s"d${i % 3}", i), (s"d${i % 3}", 100 + i)), store, i.toLong, "day"))
+    def expected(asOf: Int): Set[(String, Int)] =
+      (0 to asOf).groupBy(_ % 3).values.flatMap { is =>
+        val i = is.max
+        Seq((s"d${i % 3}", i), (s"d${i % 3}", 100 + i))
+      }.toSet
+    def asOf(b: Long): Set[(String, Int)] =
+      ManifestStore.readStoreAsOf(spark, store, b).map(
+        _.collect().map(r =>
+          (r.getAs[String]("day"), r.getAs[Int]("v"))).toSet)
+        .getOrElse(Set.empty)
+    (0 until 6).foreach(i =>
+      assert(asOf(i.toLong) === expected(i), s"as-of $i diverged"))
+    assert(asOf(5L) === readSet(store), "as-of newest == current read")
+    assert(ManifestStore.readStoreAsOf(spark, store, -1L).isEmpty,
+      "nothing committed at or below the target -> None")
+
+    // fold + advance + vacuum: retention now bounds time travel
+    ManifestStore.snapshot(spark, store) // folds ids 0..5 at snap 5
+    ManifestStore.commit(frame(("d0", 6), ("d0", 106)), store, 6L, "day")
+    ManifestStore.vacuum(spark, store)
+    assert(asOf(6L) === readSet(store))
+    // below the fold floor: refused with the floor named
+    val folded = intercept[IllegalArgumentException] {
+      ManifestStore.readStoreAsOf(spark, store, 4L)
+    }
+    assert(folded.getMessage.contains("folded"))
+    // at the fold floor the LEDGER composes, but batch 6 superseded
+    // d0 and vacuum reclaimed its pre-6 files — the stale read must
+    // fail LOUDLY on the missing file, never return silently-partial
+    intercept[Exception] {
+      ManifestStore.readStoreAsOf(spark, store, 5L).get.collect()
+    }
+    ()
+  }
+
   test("maybeSnapshot between folds is O(1): zero ledger reads off the seal-maintained counter (r8 #8)") {
     val store = s"${Files.createTempDirectory("graft-ms").toString}/probe"
     ManifestStore.commit(frame(("d0", 0)), store, 0L, "day")
