@@ -1040,7 +1040,10 @@ object Dedup {
     // inner join doubles as the width-1 drop, and each tile's task
     // holds ≤ 2 chunks and verifies its pairs LOCALLY — only pairs
     // within maxDist are ever emitted to the distinct shuffle (the
-    // old kernel shuffled every bucket pair and filtered after)
+    // old kernel shuffled every bucket pair and filtered after).
+    // try/finally: the hot-bucket require (and any job failure) must
+    // not leak the persisted frame (review r9 second pass)
+    try {
     val widths = bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("w")).filter(col("w") > 1)
       .withColumn("c",
@@ -1104,8 +1107,8 @@ object Dedup {
       // eager: materialize the small pair result off the cached bands,
       // then free the big exploded frame (see the persist note above)
       .localCheckpoint()
-    bands.unpersist()
     pairs
+    } finally { bands.unpersist(); () }
   }
 
   // -------------------------------------- near-dup cluster resolution

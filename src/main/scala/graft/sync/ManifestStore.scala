@@ -307,7 +307,14 @@ object ManifestStore {
     * concurrent reader — retried ONCE with a fresh listing (the
     * snapshot that replaced it is committed before the fold deletes
     * anything, so the second pass always sees a complete ledger). */
-  private def readLedger(spark: SparkSession, storeDir: String): Ledger = {
+  /** Optionally BOUNDED at `upTo`: only the newest snapshot and
+    * manifests with ids ≤ the bound participate — the time-travel
+    * read ([[readStoreAsOf]]) and the current read are ONE
+    * implementation (review r9: the as-of path's first cut inlined a
+    * near-verbatim copy of this machinery and immediately diverged
+    * by dropping the vacuum-race retry below). */
+  private def readLedger(spark: SparkSession, storeDir: String,
+                         upTo: Long = Long.MaxValue): Ledger = {
     ledgerReads.incrementAndGet()
     def once(): Ledger = {
       val (f, dir) = fs(spark, s"$storeDir/_manifest")
@@ -318,12 +325,13 @@ object ManifestStore {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       }
-      val snap = names.flatMap(n => snapIdOf(n).map(_ -> n)).sortBy(_._1)
+      val snap = names.flatMap(n => snapIdOf(n).map(_ -> n))
+        .filter(_._1 <= upTo).sortBy(_._1)
         .lastOption.map { case (id, name) => (id, parseEntries(slurp(name))) }
       val floor = snap.map(_._1).getOrElse(Long.MinValue)
       val ids = names
         .flatMap(n => scala.util.Try(n.toLong).toOption)
-        .filter(_ > floor).sorted
+        .filter(id => id > floor && id <= upTo).sorted
       Ledger(snap, ids.map(id => (id, parseEntries(slurp(id.toString)))))
     }
     try once()
@@ -398,32 +406,63 @@ object ManifestStore {
     * None when nothing ≤ `batchId` has committed. */
   def readStoreAsOf(spark: SparkSession, storeDir: String,
                     batchId: Long): Option[DataFrame] = {
-    val (f, dir) = fs(spark, s"$storeDir/_manifest")
-    if (!f.exists(dir)) return None
-    val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
-    val snapIds = names.flatMap(snapIdOf)
-    snapIds.filter(_ > batchId).sorted.lastOption.foreach { newest =>
-      if (!snapIds.exists(_ <= batchId))
+    val ledger = readLedger(spark, storeDir, upTo = batchId)
+    if (ledger.snap.nonEmpty || ledger.manifests.nonEmpty)
+      composeRead(spark, storeDir, foldLedger(ledger))
+    else newestSnapId(spark, storeDir).filter(_ > batchId) match {
+      // nothing readable at/below the target: distinguish VACUUMED
+      // history (a newer fold exists and every manifest at/below it
+      // is gone — vacuum removes them all-or-nothing, so an empty
+      // bounded ledger under a newer snapshot means the history was
+      // actually reclaimed, not merely folded; a mere snapshot()
+      // leaves the manifests in place and the branch above composes
+      // from them) from a target before the store's first commit
+      case Some(newest) =>
         throw new IllegalArgumentException(
           s"cannot read $storeDir as of batch $batchId: history at or " +
             s"below it was folded into snapshot $newest and vacuumed - " +
-            "the earliest readable version is the newest snapshot at or " +
-            s"below the requested id (fold floor: ${snapIds.min})")
+            "the earliest readable version is the newest remaining " +
+            "snapshot or manifest at or below the requested id")
+      case None => None
     }
-    def slurp(name: String): String = {
-      val in = f.open(new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$name"))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+  }
+
+  /** VERSION DIFF between two as-of reads — the audit view time
+    * travel exists for: every row removed by (exclusive) and added
+    * since `fromBatch`, tagged `change ∈ {added, removed}`. A row
+    * changed in place (same key, new values) appears as one removed +
+    * one added row — key semantics belong to the caller, the store
+    * is row-typed. Bag semantics (`exceptAll`) so duplicate rows
+    * count correctly. Same retention physics as [[readStoreAsOf]]:
+    * both versions must still be within the fold floor and vacuum
+    * retention. Empty frame (not None) when the versions are equal. */
+  def diffStore(spark: SparkSession, storeDir: String,
+                fromBatch: Long, toBatch: Long): Option[DataFrame] = {
+    require(fromBatch <= toBatch,
+      s"diff range reversed: from $fromBatch > to $toBatch")
+    val from = readStoreAsOf(spark, storeDir, fromBatch)
+    val to = readStoreAsOf(spark, storeDir, toBatch)
+    (from, to) match {
+      case (None, None) => None
+      case _ =>
+        import org.apache.spark.sql.functions.{col, lit}
+        def empty(like: DataFrame): DataFrame = like.limit(0)
+        val f0 = from.getOrElse(empty(to.get))
+        val t0 = to.getOrElse(empty(from.get))
+        // schema-ALIGN both sides before the positional exceptAll
+        // (review r9: the store supports column addition across
+        // versions via allowMissingColumns — the diff across exactly
+        // such an upgrade must null-fill and column-order-normalize,
+        // not throw on the count mismatch)
+        val cols = (f0.columns ++ t0.columns).distinct.sorted.map(col(_))
+        val f = f0.unionByName(empty(t0), allowMissingColumns = true)
+          .select(cols: _*)
+        val t = t0.unionByName(empty(f0), allowMissingColumns = true)
+          .select(cols: _*)
+        Some(
+          t.exceptAll(f).withColumn("change", lit("added"))
+            .unionByName(f.exceptAll(t).withColumn("change", lit("removed"))))
     }
-    val snap = snapIds.filter(_ <= batchId).sorted.lastOption
-      .map(id => (id, parseEntries(slurp(s"$id$SnapSuffix"))))
-    val floor = snap.map(_._1).getOrElse(Long.MinValue)
-    val ids = names.flatMap(n => scala.util.Try(n.toLong).toOption)
-      .filter(id => id > floor && id <= batchId).sorted
-    if (snap.isEmpty && ids.isEmpty) return None
-    val files = ids.map(id => parseEntries(slurp(id.toString)))
-      .foldLeft(snap.map(_._2).getOrElse(Map.empty[String, Seq[String]]))(_ ++ _)
-    composeRead(spark, storeDir, files)
   }
 
   /** Run `use` over the current store read, re-listing ONCE if a
@@ -672,6 +711,22 @@ object ManifestStore {
           scala.util.Try(name.toLong).toOption.exists(_ <= snapId) ||
             snapIdOf(name).exists(_ < snapId)
         if (folded) { mf.delete(st.getPath, false); () }
+      }
+    }
+    // reap STALE staged orphans (review r9: a crash between stage and
+    // rename — or a lease-theft abort — leaves `.tmp-` files no reader
+    // parses but every listing must scan past; unreaped they grow
+    // unbounded on a long-lived store). Only corpses older than the
+    // stale bound: a fresh `.tmp-` may belong to an in-flight seal.
+    locally {
+      val (mf, mdir) = fs(spark, s"$storeDir/_manifest")
+      val staleMs = sys.props.get("graft.manifest.lockStaleMs")
+        .map(_.toLong).getOrElse(30L * 60 * 1000)
+      if (mf.exists(mdir)) mf.listStatus(mdir).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-") &&
+            System.currentTimeMillis - st.getModificationTime > staleMs) {
+          mf.delete(st.getPath, false); ()
+        }
       }
     }
     if (!f.exists(dataRoot)) (0, 0)

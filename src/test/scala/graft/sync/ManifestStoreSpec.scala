@@ -257,12 +257,33 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.readStoreAsOf(spark, store, -1L).isEmpty,
       "nothing committed at or below the target -> None")
 
-    // fold + advance + vacuum: retention now bounds time travel
+    // version diff: rows removed/added between two as-of reads —
+    // batches 3 and 4 replaced d0 and d1 since batch 2, d2 untouched
+    def diffSet(a: Long, b: Long): Set[(String, Int, String)] =
+      ManifestStore.diffStore(spark, store, a, b).get.collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[Int]("v"),
+          r.getAs[String]("change"))).toSet
+    assert(diffSet(2L, 4L) === Set(
+      ("d0", 0, "removed"), ("d0", 100, "removed"),
+      ("d1", 1, "removed"), ("d1", 101, "removed"),
+      ("d0", 3, "added"), ("d0", 103, "added"),
+      ("d1", 4, "added"), ("d1", 104, "added")))
+    assert(diffSet(4L, 4L) === Set.empty, "equal versions diff empty")
+    assert(intercept[IllegalArgumentException] {
+      ManifestStore.diffStore(spark, store, 4L, 2L)
+    }.getMessage.contains("reversed"))
+
+    // fold WITHOUT vacuum: the manifests still exist, so history below
+    // the fold floor must still COMPOSE (review r9: the first cut
+    // refused here even though nothing was reclaimed)
     ManifestStore.snapshot(spark, store) // folds ids 0..5 at snap 5
     ManifestStore.commit(frame(("d0", 6), ("d0", 106)), store, 6L, "day")
+    assert(asOf(4L) === expected(4),
+      "folded-but-not-vacuumed history must still compose")
+    // vacuum: retention now bounds time travel
     ManifestStore.vacuum(spark, store)
     assert(asOf(6L) === readSet(store))
-    // below the fold floor: refused with the floor named
+    // below the fold floor with the manifests reclaimed: refused
     val folded = intercept[IllegalArgumentException] {
       ManifestStore.readStoreAsOf(spark, store, 4L)
     }
@@ -273,7 +294,34 @@ class ManifestStoreSpec extends SparkSpec {
     intercept[Exception] {
       ManifestStore.readStoreAsOf(spark, store, 5L).get.collect()
     }
+
+    // diff across a SCHEMA-ADDING upgrade: later batches carry a new
+    // column; both sides null-fill and order-normalize before the
+    // positional compare (review r9)
+    import spark.implicits._
+    val widened = Seq(("d1", 7, 77)).toDF("day", "v", "w")
+    ManifestStore.commit(widened, store, 7L, "day")
+    val d = ManifestStore.diffStore(spark, store, 6L, 7L).get.collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Int]("v"),
+        Option(r.get(r.fieldIndex("w"))), r.getAs[String]("change"))).toSet
+    assert(d === Set(
+      ("d1", 7, Some(77), "added"),
+      ("d1", 4, None, "removed"), ("d1", 104, None, "removed")))
     ()
+  }
+
+  test("vacuum reaps stale staged .tmp- orphans, never fresh ones") {
+    val store = s"${Files.createTempDirectory("graft-ms").toString}/tmpreap"
+    ManifestStore.commit(frame(("d0", 1)), store, 0L, "day")
+    val mdir = new java.io.File(s"$store/_manifest")
+    val old = new java.io.File(mdir, ".tmp-9-deadbeef")
+    val fresh = new java.io.File(mdir, ".tmp-9-cafebabe")
+    assert(old.createNewFile() && fresh.createNewFile())
+    assert(old.setLastModified(System.currentTimeMillis - 31L * 60 * 1000))
+    ManifestStore.vacuum(spark, store)
+    assert(!old.exists(), "a stale staged orphan must be reaped")
+    assert(fresh.exists(), "an in-flight fresh stage must be left alone")
+    assert(readSet(store) === Set(("d0", 1)))
   }
 
   test("maybeSnapshot between folds is O(1): zero ledger reads off the seal-maintained counter (r8 #8)") {
