@@ -68,7 +68,12 @@ object Bench {
           None
         }
       }
-      val t = onePass().flatMap(t1 => onePass().map(math.min(t1, _)))
+      // BOTH pass times are recorded next to the min (VERDICT r9 #6):
+      // min-of-2 hides which pass a host-load spike hit, so an outlier
+      // reads as a regression — [t1, t2] makes it self-diagnosing
+      val p1 = onePass()
+      val p2 = p1.flatMap(_ => onePass())
+      val t = for (a <- p1; b <- p2) yield math.min(a, b)
       if (t.isEmpty) failed ::= name
       // lint the FINAL adaptive plan the run above executed — the
       // registry policy at the benched scale, not the test scale
@@ -78,18 +83,21 @@ object Bench {
           lint ::= s"$name: $f"
         }
       }
-      name -> t.getOrElse(0.0)
+      (name, t.getOrElse(0.0), Seq(p1, p2).flatten)
     }
     graft.llmdata.Dedup.releaseCaches()
     graft.llmdata.TextAnalysis.releaseCaches()
     graft.llmdata.Similarity.releaseCaches()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ps = results.map { case (k, _, passes) =>
+      "\"" + k + "\":" + passes.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ls = lint.sorted.map("\"" + _.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }

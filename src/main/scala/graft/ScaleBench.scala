@@ -107,7 +107,11 @@ object ScaleBench {
             None
           }
         }
-        val t = onePass().flatMap(t1 => onePass().map(math.min(t1, _)))
+        // both pass times ride the JSON next to the min (VERDICT r9
+        // #6) so a host-load outlier is self-diagnosing
+        val p1 = onePass()
+        val p2 = p1.flatMap(_ => onePass())
+        val t = for (a <- p1; b <- p2) yield math.min(a, b)
         if (t.isEmpty) failed ::= s"$name@$label"
         lastRun.foreach { df =>
           plans.RegistryAudit.unexempt(name, df).foreach { f =>
@@ -121,7 +125,7 @@ object ScaleBench {
         val n = if (t.isEmpty) -1L
           else try queries(name)(spark, dir).count()
           catch { case _: Throwable => -1L }
-        (label, t.getOrElse(0.0), n)
+        (label, t.getOrElse(0.0), n, Seq(p1, p2).flatten)
       }
       name -> times
     }
@@ -137,7 +141,7 @@ object ScaleBench {
     println("| query | sf0.01 s/rows | sf0.1 s/rows | synth1x s/rows | synth10x s/rows | t(10x)/t(1x) | out(10x)/out(1x) |")
     println("|---|---|---|---|---|---|---|")
     rows.foreach { case (name, ts) =>
-      val m = ts.map { case (l, t, n) => l -> ((t, n)) }.toMap
+      val m = ts.map { case (l, t, n, _) => l -> ((t, n)) }.toMap
       val tRatio =
         if (m("synth1x")._1 > 0) m("synth10x")._1 / m("synth1x")._1 else Double.NaN
       val nRatio =
@@ -161,8 +165,9 @@ object ScaleBench {
       println(f"| $label | $c | $p (${p.toDouble / c}%.2f) | $pq (${pq.toDouble / c}%.2f) |")
     }
     val qs = rows.map { case (n, ts) =>
-      "\"" + n + "\":{" + ts.map { case (l, t, c) =>
-        "\"" + l + "\":{\"sec\":" + t + ",\"rows\":" + c + "}"
+      "\"" + n + "\":{" + ts.map { case (l, t, c, passes) =>
+        "\"" + l + "\":{\"sec\":" + t + ",\"rows\":" + c +
+          ",\"passes\":" + passes.mkString("[", ",", "]") + "}"
       }.mkString(",") + "}"
     }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -448,7 +448,11 @@ object Dedup {
     // validate the header ONCE on the driver — a malformed sketch must
     // fail at gate construction, not per task at runtime
     graft.plans.Bloom.mightContainString(bloomBc.value, "")
-    incoming.select(col("doc_id"), col("text")).as[(Long, String)]
+    // doc_id decodes as Option[Long], NOT a primitive: a null id must
+    // pass through like the literal carrier (whose projection never
+    // touches it) instead of killing the streaming query on the
+    // null-in-non-nullable decode (ADVICE r9)
+    incoming.select(col("doc_id"), col("text")).as[(Option[Long], String)]
       .mapPartitions { rows =>
         val bytes = bloomBc.value
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -82,10 +82,13 @@ object MaterializedView {
         lit(0L).as("n_tx"), lit(0.0).as("usd_total"),
         lit(0).as("bucket")))
 
-  /** Delete data files no current manifest references — see
-    * [[graft.sync.ManifestStore.vacuum]] for the safety rules. */
-  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) =
-    ManifestStore.vacuum(spark, storeDir)
+  /** Delete data files no retained manifest references — see
+    * [[graft.sync.ManifestStore.vacuum]] for the safety rules.
+    * `retainBatches` > 1 keeps the last R versions time-travel-readable
+    * ([[graft.sync.ManifestStore.readStoreAsOf]]) across the reclaim. */
+  def vacuum(spark: SparkSession, storeDir: String,
+             retainBatches: Int = 1): (Int, Int) =
+    ManifestStore.vacuum(spark, storeDir, retainBatches)
 
   /** Replace-by-key upsert of the changed groups into the bucketed
     * store. Public so a batch backfill can use the identical path

@@ -163,7 +163,8 @@ object Pipeline {
                            clock: Column = current_timestamp(),
                            onFreshBatch: Long => Unit = _ => (),
                            today: () => java.time.LocalDate =
-                             () => java.time.LocalDate.now()): StreamingQuery = {
+                             () => java.time.LocalDate.now(),
+                           retainBatches: Int = 1): StreamingQuery = {
     import graft.sync.ManifestStore
     val firstDelivery = new java.util.concurrent.atomic.AtomicBoolean(true)
     source.writeStream
@@ -213,10 +214,13 @@ object Pipeline {
             // single writer, between seals, never racing one) so a
             // long-running stream's per-read ledger cost stays O(K);
             // after a fold, vacuum reclaims the folded manifests (in
-            // append mode nothing supersedes, so data files never go)
+            // append mode nothing supersedes, so data files never go);
+            // retainBatches > 1 keeps the last R versions time-travel-
+            // readable across the reclaim (the retention schedule the
+            // as-of docs point to)
             layout.all.foreach { store =>
               if (ManifestStore.maybeSnapshot(spark, store, SnapshotEvery).nonEmpty)
-                ManifestStore.vacuum(spark, store)
+                ManifestStore.vacuum(spark, store, retainBatches)
             }
           } finally batch.unpersist()
         }

@@ -114,10 +114,13 @@ object SketchView {
           lit(null).cast("long").as("event_id"),
           lit(null).cast("double").as("value"))))
 
-  /** Delete data files no current manifest references — see
-    * [[graft.sync.ManifestStore.vacuum]] for the safety rules. */
-  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) =
-    ManifestStore.vacuum(spark, storeDir)
+  /** Delete data files no retained manifest references — see
+    * [[graft.sync.ManifestStore.vacuum]] for the safety rules.
+    * `retainBatches` > 1 keeps the last R versions time-travel-readable
+    * ([[graft.sync.ManifestStore.readStoreAsOf]]) across the reclaim. */
+  def vacuum(spark: SparkSession, storeDir: String,
+             retainBatches: Int = 1): (Int, Int) =
+    ManifestStore.vacuum(spark, storeDir, retainBatches)
 
   /** Idempotent merge of one micro-batch into the stored sketch table.
     * Public so a batch backfill can use the identical path. Backfill

@@ -57,7 +57,8 @@ object StreamMain {
           maxFilesPerTrigger: Option[Int] = None,
           rateFor: java.time.LocalDate => Double =
             d => rates.rateFor(d.toString),
-          clock: Column = current_timestamp()): Status = {
+          clock: Column = current_timestamp(),
+          retainBatches: Int = 1): Status = {
     val layout = Pipeline.StoreLayout(outRoot)
     val fresh = new java.util.concurrent.atomic.AtomicLong(0L)
     val trigger = triggerSec match {
@@ -66,7 +67,8 @@ object StreamMain {
     }
     val q = Pipeline.startFanOutCommitted(
       Pipeline.jsonFileSource(spark, inputDir, maxFilesPerTrigger),
-      layout, rateFor, trigger, clock, _ => { fresh.incrementAndGet(); () })
+      layout, rateFor, trigger, clock, _ => { fresh.incrementAndGet(); () },
+      retainBatches = retainBatches)
     q.awaitTermination()
     def countOf(store: String): Long =
       ManifestStore.withStore(spark, store)(_.map(_.count()).getOrElse(0L))
@@ -76,9 +78,10 @@ object StreamMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StreamMain <inputDir> <outRoot> [triggerSec] [maxFilesPerTrigger]")
+      "usage: StreamMain <inputDir> <outRoot> [triggerSec] [maxFilesPerTrigger] [retainBatches]")
     val triggerSec = if (args.length > 2) Some(args(2).toInt).filter(_ > 0) else None
     val maxFiles = if (args.length > 3) Some(args(3).toInt).filter(_ > 0) else None
+    val retain = if (args.length > 4) math.max(1, args(4).toInt) else 1
     val spark = SparkSession.builder()
       .appName("graft-stream-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
@@ -87,7 +90,8 @@ object StreamMain {
     // calling it inside try would skip spark.stop()
     val emptyStores =
       try {
-        val st = run(spark, args(0), args(1), triggerSec, maxFiles)
+        val st = run(spark, args(0), args(1), triggerSec, maxFiles,
+          retainBatches = retain)
         println(st.json)
         st.total == 0L
       } finally spark.stop()

@@ -198,7 +198,18 @@ object ManifestStore {
         val os = f.create(lock, true)
         try os.write(nonce.getBytes("UTF-8")) finally os.close()
       } catch { case _: java.io.IOException => () }
-      lockNonce().contains(nonce)
+      val ok = lockNonce().contains(nonce)
+      // a failed stamp write (or failed verification) after OUR O_EXCL
+      // create would otherwise leave an empty zero-age lock — the store
+      // then reports "held by another writer (age ~0)" for lockStaleMs
+      // with no live holder (ADVICE r9). Reap the corpse this claimant
+      // just created, but only while it carries NO nonce: a stamped
+      // claim (ours raced away, or anyone's) is never clobbered.
+      if (!ok && lockNonce().forall(_.isEmpty)) {
+        try { f.delete(lock, false); () }
+        catch { case _: java.io.IOException => () }
+      }
+      ok
     }
 
     def failHeld(age: Long): Nothing =
@@ -217,15 +228,33 @@ object ManifestStore {
         .getOrElse(-1L)
       if (st.isEmpty) acquired = tryClaim() // holder released between probes
       else if (age > staleMs) {
-        // break ONLY the measured corpse (re-stat; a moved mtime means
-        // a fresh claim landed and this writer must fail instead)
-        val cur =
-          try Some(f.getFileStatus(lock).getModificationTime)
-          catch { case _: java.io.IOException => None }
-        if (cur == st.map(_.getModificationTime)) {
-          try { f.delete(lock, false); () }
-          catch { case _: java.io.IOException => () }
-          acquired = tryClaim()
+        // break the corpse by ATOMIC RENAME to a breaker-unique name:
+        // two breakers can both measure the same stale mtime, but only
+        // one rename wins the file — delete+recreate let the slower
+        // breaker's delete remove the faster breaker's freshly claimed
+        // lock and BOTH acquire (ADVICE r9). Rename preserves mtime,
+        // so the winner re-verifies it actually moved the measured
+        // corpse; a FRESH lock moved by mistake (claimed between the
+        // stat and the rename) is renamed back — and if that restore
+        // loses a further race, the victim's commit-point verifyHeld
+        // aborts loudly, never a silent dual-owner interleave.
+        val corpse = new org.apache.hadoop.fs.Path(
+          s"$storeDir/_manifest/.writer.lock.broken-$nonce")
+        val won =
+          try f.rename(lock, corpse)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          val moved =
+            try Some(f.getFileStatus(corpse).getModificationTime)
+            catch { case _: java.io.IOException => None }
+          if (moved == st.map(_.getModificationTime)) {
+            try { f.delete(corpse, false); () }
+            catch { case _: java.io.IOException => () }
+            acquired = tryClaim()
+          } else {
+            try { f.rename(corpse, lock); () }
+            catch { case _: java.io.IOException => () }
+          }
         }
       }
       if (!acquired) failHeld(age)
@@ -260,6 +289,19 @@ object ManifestStore {
     * O(1). Per-JVM state is sound under the single-writer contract
     * the lease above enforces. */
   private val sinceFold =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Integer]
+
+  /** Probes answered off the counter since the last ledger sync — the
+    * staleness BACKSTOP (ADVICE r9): the per-JVM [[sinceFold]] counter
+    * goes stale-LOW when writership legally moves between JVMs
+    * serially (JVM A commits, B commits more, A resumes — A's counter
+    * resumes from its old value and folds are deferred indefinitely).
+    * Forcing a ledger re-sync at least every `every` probes bounds the
+    * deferral at ~2× the cadence, while the healthy single-JVM path
+    * still pays ZERO ledger reads between folds: the counter reaches
+    * the cadence no later than the probe count does, so the normal
+    * due-fold read doubles as the sync. */
+  private val probesSinceSync =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Integer]
 
   /** Ledger read counter (test observability for the O(1) probe —
@@ -418,11 +460,22 @@ object ManifestStore {
       // leaves the manifests in place and the branch above composes
       // from them) from a target before the store's first commit
       case Some(newest) =>
+        // name the actual retention FLOOR — the oldest remaining
+        // snapshot is the earliest version that still composes (after
+        // a retention-scheduled vacuum it sits below the newest fold)
+        val floor = {
+          val (f, dir) = fs(spark, s"$storeDir/_manifest")
+          if (!f.exists(dir)) newest
+          else f.listStatus(dir).toSeq
+            .flatMap(st => snapIdOf(st.getPath.getName))
+            .sorted.headOption.getOrElse(newest)
+        }
         throw new IllegalArgumentException(
           s"cannot read $storeDir as of batch $batchId: history at or " +
             s"below it was folded into snapshot $newest and vacuumed - " +
-            "the earliest readable version is the newest remaining " +
-            "snapshot or manifest at or below the requested id")
+            s"the retention floor is $floor (the earliest version that " +
+            "still composes); vacuum with retainBatches > 1 to keep " +
+            "deeper history readable")
       case None => None
     }
   }
@@ -642,8 +695,10 @@ object ManifestStore {
                     every: Int): Option[Long] = {
     require(every > 0, s"snapshot cadence must be positive, got $every")
     val key = (spark, storeDir)
+    val probes = Option(probesSinceSync.get(key)).map(_.intValue).getOrElse(0) + 1
+    probesSinceSync.put(key, Int.box(probes))
     Option(sinceFold.get(key)).map(_.intValue) match {
-      case Some(c) if c < every => None
+      case Some(c) if c < every && probes < every => None
       case _ =>
         // the LEASE wraps the ledger read AND the fold seal (review r9
         // finding: reading outside it could compose a snapshot from a
@@ -653,6 +708,7 @@ object ManifestStore {
         withWriterLease(spark, storeDir) {
           val ledger = readLedger(spark, storeDir)
           sinceFold.put(key, Int.box(ledger.manifests.size))
+          probesSinceSync.put(key, Int.box(0))
           if (ledger.manifests.size < every) None
           else {
             val id = ledger.manifests.last._1
@@ -688,28 +744,83 @@ object ManifestStore {
     (ledger.snap.map(_._1), ledger.manifests.size)
   }
 
-  /** Delete files the current composition no longer needs: data files
-    * no current manifest references, manifests folded into the newest
-    * snapshot (ids ≤ its id — their batches stay [[committed]] via
-    * the snapshot floor), and superseded older snapshots. Safety
-    * rules: batch ids above the highest committed manifest are
-    * skipped (an in-flight replay owns them — run from the writer
-    * between batches or quiesced); only files absent from the current
-    * composition are deleted, so the store read is untouched; the
-    * newest snapshot and every manifest above it are never deleted.
+  /** One manifest/snapshot file's parsed entries, by name. */
+  private def parseNamed(spark: SparkSession, storeDir: String,
+                         name: String): Map[String, Seq[String]] = {
+    val (f, _) = fs(spark, storeDir)
+    val in = f.open(new org.apache.hadoop.fs.Path(s"$storeDir/_manifest/$name"))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseEntries(text)
+  }
+
+  /** Delete files the retained compositions no longer need: data files
+    * no retained manifest references, manifests folded into the
+    * retention base (their batches stay [[committed]] via the snapshot
+    * floor), and snapshots below the base. Safety rules: batch ids
+    * above the highest committed manifest are skipped (an in-flight
+    * replay owns them — run from the writer between batches or
+    * quiesced); only files absent from every retained composition are
+    * deleted, so the store read is untouched; the newest snapshot and
+    * every manifest above the base are never deleted; the lease is
+    * RE-VERIFIED before each destructive phase (ADVICE r9: a vacuum
+    * outliving the stale bound could keep deleting from a pre-theft
+    * ledger read while a new writer mutates the store).
+    *
+    * RETENTION (`retainBatches` = R, default 1): the reclaim keeps the
+    * last R committed versions composable by [[readStoreAsOf]] — the
+    * Delta-style retention schedule the time-travel docs point to. The
+    * retention BASE is the newest snapshot at or below the R-th-newest
+    * version id (one is folded and sealed AT that id first if none
+    * exists); manifests above the base survive, and the referenced-file
+    * set is the union over the base snapshot plus every retained
+    * manifest, so any version ≥ the base still composes exactly.
+    * As-of reads below the base keep failing loudly naming the floor.
+    * R = 1 is the historical behavior: only the current composition is
+    * guaranteed (versions between the newest fold and the head may
+    * lose superseded files).
+    *
     * Returns (files deleted, batch dirs removed). */
-  def vacuum(spark: SparkSession, storeDir: String): (Int, Int) = withWriterLease(spark, storeDir) {
+  def vacuum(spark: SparkSession, storeDir: String,
+             retainBatches: Int = 1): (Int, Int) = withWriterLease(spark, storeDir) {
+    require(retainBatches >= 1,
+      s"retainBatches must be >= 1, got $retainBatches")
+    val (mf, mdir) = fs(spark, s"$storeDir/_manifest")
+    // retention base: the newest snapshot at or below the R-th-newest
+    // committed version id, folded on the spot when absent
+    val base: Option[Long] =
+      if (retainBatches <= 1 || !mf.exists(mdir)) None
+      else {
+        val names = mf.listStatus(mdir).toSeq.map(_.getPath.getName)
+        val versionIds = (names.flatMap(n => scala.util.Try(n.toLong).toOption)
+          ++ names.flatMap(snapIdOf)).distinct.sorted
+        versionIds.takeRight(retainBatches).headOption.map { floorId =>
+          names.flatMap(snapIdOf).filter(_ <= floorId).maxOption.getOrElse {
+            val bounded = readLedger(spark, storeDir, upTo = floorId)
+            sealLinesLocked(spark, storeDir, s"$floorId$SnapSuffix",
+              snapLinesOf(bounded))
+            // an out-of-order (non-newest) fold must not zero the
+            // since-fold cadence counter — drop it to "unknown" so the
+            // next probe re-syncs from the ledger instead
+            sinceFold.remove((spark, storeDir))
+            floorId
+          }
+        }
+      }
     val ledger = readLedger(spark, storeDir)
     val (f, dataRoot) = fs(spark, s"$storeDir/data")
-    // fold the ledger history first: manifests the newest snapshot
-    // covers, and snapshots below it
-    ledger.snap.map(_._1).foreach { snapId =>
-      val (mf, mdir) = fs(spark, s"$storeDir/_manifest")
-      if (mf.exists(mdir)) f.listStatus(mdir).foreach { st =>
+    // fold the ledger history first: manifests at or below the delete
+    // bound (the retention base, else the newest snapshot), and
+    // snapshots below it
+    val deleteBound = base.orElse(ledger.snap.map(_._1))
+    deleteBound.foreach { bound =>
+      verifyHeld(spark, storeDir)
+      if (mf.exists(mdir)) mf.listStatus(mdir).foreach { st =>
         val name = st.getPath.getName
         val folded =
-          scala.util.Try(name.toLong).toOption.exists(_ <= snapId) ||
-            snapIdOf(name).exists(_ < snapId)
+          scala.util.Try(name.toLong).toOption.exists(_ <= bound) ||
+            snapIdOf(name).exists(_ < bound)
         if (folded) { mf.delete(st.getPath, false); () }
       }
     }
@@ -718,12 +829,15 @@ object ManifestStore {
     // parses but every listing must scan past; unreaped they grow
     // unbounded on a long-lived store). Only corpses older than the
     // stale bound: a fresh `.tmp-` may belong to an in-flight seal.
+    // Same reap for `.writer.lock.broken-` leftovers a crashed breaker
+    // failed to delete after winning the corpse rename.
     locally {
-      val (mf, mdir) = fs(spark, s"$storeDir/_manifest")
       val staleMs = sys.props.get("graft.manifest.lockStaleMs")
         .map(_.toLong).getOrElse(30L * 60 * 1000)
       if (mf.exists(mdir)) mf.listStatus(mdir).foreach { st =>
-        if (st.getPath.getName.startsWith(".tmp-") &&
+        val name = st.getPath.getName
+        if ((name.startsWith(".tmp-") ||
+             name.startsWith(".writer.lock.broken-")) &&
             System.currentTimeMillis - st.getModificationTime > staleMs) {
           mf.delete(st.getPath, false); ()
         }
@@ -733,9 +847,28 @@ object ManifestStore {
     else {
       val maxCommitted = (ledger.snap.map(_._1).toSeq ++
         ledger.manifests.map(_._1)).maxOption.getOrElse(-1L)
-      val referenced: Set[String] = foldLedger(ledger).values.flatten.toSet
+      // files any RETAINED composition needs: with no retention base,
+      // the current composition (historical behavior); with one, the
+      // base snapshot's files plus every on-disk manifest above it —
+      // a superset of every retained version's composition (any newer
+      // snapshot's entries fold from exactly those sources)
+      val referenced: Set[String] = base match {
+        case None => foldLedger(ledger).values.flatten.toSet
+        case Some(b) =>
+          val names = mf.listStatus(mdir).toSeq.map(_.getPath.getName)
+          val baseFiles =
+            parseNamed(spark, storeDir, s"$b$SnapSuffix").values.flatten
+          val laterFiles = names
+            .flatMap(n => scala.util.Try(n.toLong).toOption).filter(_ > b)
+            .flatMap(id =>
+              parseNamed(spark, storeDir, id.toString).values.flatten)
+          (baseFiles ++ laterFiles).toSet
+      }
       var files = 0; var dirs = 0
       f.listStatus(dataRoot).filter(_.isDirectory).foreach { bdir =>
+        // re-verify per batch directory: the data loop is the long
+        // phase, and deleting from a stolen lease is silent data loss
+        verifyHeld(spark, storeDir)
         scala.util.Try(bdir.getPath.getName.stripPrefix("b").toLong).toOption
           .filter(_ <= maxCommitted).foreach { bid =>
             var keptAny = false

@@ -138,12 +138,18 @@ class BloomSpec extends SparkSpec {
       incoming.union(novel), spark.sparkContext.broadcast(small))
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
     assert(lit0 === bcast, "broadcast and literal carriers must agree exactly")
-    // null text: both carriers emit a NULL verdict; the broadcast one
-    // must not kill the query on the bad row (review r9)
-    val dirty = Seq((1L, "some text"), (2L, null.asInstanceOf[String]))
+    // null text AND null doc_id: both carriers emit a NULL verdict for
+    // the null text and pass a null id THROUGH; the broadcast one must
+    // not kill the query on either bad row (review r9 + ADVICE r9: a
+    // primitive Long decode died on null ids, breaking row parity)
+    val dirty = Seq(
+      (java.lang.Long.valueOf(1L), "some text"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String]),
+      (null.asInstanceOf[java.lang.Long], "orphan text"))
       .toDF("doc_id", "text")
     def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
       .toSet
     assert(verdicts(Dedup.streamingBloomGate(dirty, small)) ===
       verdicts(Dedup.streamingBloomGateBroadcast(

@@ -324,6 +324,62 @@ class ManifestStoreSpec extends SparkSpec {
     assert(readSet(store) === Set(("d0", 1)))
   }
 
+  test("retention-scheduled vacuum: the last R versions stay as-of readable, older ones fail loudly naming the floor (r9 next #3)") {
+    val store = s"${Files.createTempDirectory("graft-ms").toString}/retain"
+    // 8 replace-by-partition commits rotating over 2 days
+    (0 until 8).foreach(i => ManifestStore.commit(
+      frame((s"d${i % 2}", i)), store, i.toLong, "day"))
+    def asOf(b: Long): Set[(String, Int)] =
+      ManifestStore.readStoreAsOf(spark, store, b).map(
+        _.collect().map(r =>
+          (r.getAs[String]("day"), r.getAs[Int]("v"))).toSet)
+        .getOrElse(Set.empty)
+    val pre = (0 until 8).map(i => asOf(i.toLong))
+    val (files, _) = ManifestStore.vacuum(spark, store, retainBatches = 3)
+    assert(files > 0, "pre-floor superseded files must be reclaimed")
+    // the retained window (versions 5, 6, 7) composes EXACTLY as it
+    // did before the reclaim; the current read is untouched
+    (5 until 8).foreach(i =>
+      assert(asOf(i.toLong) === pre(i), s"retained as-of $i diverged"))
+    assert(readSet(store) === pre(7), "vacuum changed the current read")
+    // below the retention floor: loud refusal NAMING the floor
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.readStoreAsOf(spark, store, 4L)
+    }
+    assert(e.getMessage.contains("folded") && e.getMessage.contains("5"),
+      s"refusal must name the retention floor: ${e.getMessage}")
+    // a second retention vacuum over the same window is a stable no-op
+    assert(ManifestStore.vacuum(spark, store, retainBatches = 3) === ((0, 0)))
+    (5 until 8).foreach(i => assert(asOf(i.toLong) === pre(i)))
+    // ...and the store keeps committing/reading normally on top
+    ManifestStore.commit(frame(("d0", 8)), store, 8L, "day")
+    assert(readSet(store) === Set(("d0", 8), ("d1", 7)))
+    assert(asOf(6L) === pre(6), "older retained version must survive new commits")
+  }
+
+  test("sinceFold backstop: a counter gone stale-LOW across a JVM handoff still folds within the cadence (ADVICE r9)") {
+    val store = s"${Files.createTempDirectory("graft-ms").toString}/backstop"
+    ManifestStore.commit(frame(("d0", 0)), store, 0L, "day")
+    // prime this JVM's counter (one sync read)
+    assert(ManifestStore.maybeSnapshot(spark, store, 3).isEmpty)
+    // a FOREIGN writer (another JVM) commits 4 more batches: simulate
+    // by writing the manifest files directly, bypassing this JVM's
+    // seal-maintained counter — the counter is now stale-LOW (1 vs 5)
+    val mdir = new java.io.File(s"$store/_manifest")
+    val m0 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(mdir, "0").toPath), "UTF-8")
+    (1 to 4).foreach(i => java.nio.file.Files.write(
+      new java.io.File(mdir, i.toString).toPath, m0.getBytes("UTF-8")))
+    // without the backstop the fold would be deferred forever (the
+    // counter alone never reaches the cadence); the probe bound forces
+    // a re-sync within `every` probes and the due fold lands
+    val folded = (1 to 3).flatMap(_ =>
+      ManifestStore.maybeSnapshot(spark, store, 3))
+    assert(folded === Seq(4L),
+      s"stale-LOW counter must re-sync and fold within the cadence: $folded")
+    assert(readSet(store) === Set(("d0", 0)))
+  }
+
   test("maybeSnapshot between folds is O(1): zero ledger reads off the seal-maintained counter (r8 #8)") {
     val store = s"${Files.createTempDirectory("graft-ms").toString}/probe"
     ManifestStore.commit(frame(("d0", 0)), store, 0L, "day")
