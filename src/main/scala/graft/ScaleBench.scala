@@ -50,8 +50,8 @@ object ScaleBench {
     "dd_semantic_contamination_lsh",
     "mm_phash_dedup", "mm_audio_dedup",
     "txt_chunk_dedup", "txt_pack_assign",
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_topk_2l",
+    "ann_pq_topk", "ann_ivfpq_topk",
     "ann_pca_topk", "ann_hybrid_rrf", "ann_hybrid_rrf_ivfpq",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
@@ -154,10 +154,17 @@ object ScaleBench {
     }
     // scanned-fraction observability (r8 #4): what the corpus-scaled
     // IVF defaults resolve to at each scale point — the fraction must
-    // FALL as the corpus grows past the probe floors
+    // FALL as the corpus grows past the probe floors. The projected
+    // rows apply the SAME pure functions (uncapped ⌈√N⌉ cells + the
+    // r10 log-growth probe ceiling) at production sizes: past ~250k
+    // vectors the fraction keeps falling instead of stalling at 25%
+    // (VERDICT r9 #1/#2; SimilaritySpec pins the envelope).
     val scan = scales.map { case (label, dir, _, _) =>
       val (c, p, pq) = llmdata.Similarity.ivfIndexStats(spark, dir)
       (label, c, p, pq)
+    } ++ Seq(1000000L, 100000000L, 1000000000L).map { nn =>
+      val (c, p, pq) = llmdata.Similarity.ivfIndexStatsAt(nn)
+      (s"projected:$nn", c, p, pq)
     }
     println("| scale | ivf cells | ivf probes (scan frac) | ivfpq probes (scan frac) |")
     println("|---|---|---|---|")

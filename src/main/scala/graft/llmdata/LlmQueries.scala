@@ -1177,6 +1177,13 @@ object LlmQueries {
     "ann_cosine_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d, 5, 10)),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d, 5, 10)),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, 5, 10)),
+    // the forced two-level coarse-model sibling — the 100 TB
+    // mechanism (distributive Lloyd + table-join assignment + dense
+    // ids) benched and curve-measured at every scale; the size
+    // dispatcher only takes it past IvfFlatMaxCells, which no test
+    // corpus reaches (the dd_semdedup_2l pattern, VERDICT r9 #1)
+    "ann_ivf_topk_2l" -> ((s, d) =>
+      Similarity.ivfTopK(s, d, 5, 10, forceTable = true)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, 5, 10)),
     "ann_pca_topk" -> ((s, d) => Similarity.pcaTopK(s, d, 5, 10)),
@@ -1249,8 +1256,8 @@ object LlmQueries {
   )
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
-    * ann_lsh_topk / ann_ivf_topk / ann_pq_topk / ann_ivfpq_topk
-    * intentionally absent
+    * ann_lsh_topk / ann_ivf_topk / ann_ivf_topk_2l / ann_pq_topk /
+    * ann_ivfpq_topk intentionally absent
     * (rows-only): hash functions / trained quantizers aren't
     * reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact

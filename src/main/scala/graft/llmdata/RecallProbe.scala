@@ -44,6 +44,15 @@ object RecallProbe {
         graft.tools.SynthCorpus.embeddings(spark, n)
           .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
         d
+      } else if (spec.startsWith("synthc:")) {
+        // planted-cluster corpus (VERDICT r9 #2): the regime where
+        // recall is governed by probe targeting, not scanned fraction
+        val n = spec.stripPrefix("synthc:").toLong
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft-recall-synthc$n").toString
+        graft.tools.SynthCorpus.clusteredEmbeddings(spark, n)
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        d
       } else spec
 
     def pairs(df: DataFrame): Set[(Long, Long)] =
@@ -53,15 +62,28 @@ object RecallProbe {
     def recall(df: DataFrame): Double =
       (exact & pairs(df)).size.toDouble / exact.size
 
-    val cells = Similarity.ivfCentroidsFor(spark, dir).length
+    val n = Similarity.corpusCount(spark, dir)
+    val (cells, ivfP, ivfpqP) = Similarity.ivfIndexStatsAt(n)
     println(f"corpus=$dir nQ=$nQ k=$k exact_pairs=${exact.size} " +
-      f"cells=$cells ivf_probes=${Similarity.ivfDefaultProbes(cells)} " +
-      f"ivfpq_probes=${Similarity.ivfPqDefaultProbes(cells)}")
+      f"cells=$cells ivf_probes=$ivfP ivfpq_probes=$ivfpqP")
     for (p <- Seq(2, 4, 6, 8))
       println(f"ivf   probes=$p%-2d                recall=${
         recall(Similarity.ivfTopK(spark, dir, nQ, k, probes = p))}%.3f")
+    // scanned-fraction grid (VERDICT r9 #2): recall at 25%/10%/3% of
+    // the cells — on the clustered corpus (synthc:) these justify the
+    // log-growth probe ceiling; on the structure-free corpora recall
+    // tracks the fraction by construction
+    for (frac <- Seq(0.25, 0.10, 0.03)) {
+      val p = math.max(1, math.ceil(frac * cells).toInt)
+      println(f"ivf   probes=$p%-3d (${frac * 100}%2.0f%% scanned)  recall=${
+        recall(Similarity.ivfTopK(spark, dir, nQ, k, probes = p))}%.3f")
+      println(f"ivfpq probes=$p%-3d (${frac * 100}%2.0f%% scanned)  recall=${
+        recall(Similarity.ivfPqTopK(spark, dir, nQ, k, probes = p))}%.3f")
+    }
     println(f"ivf   corpus-scaled default      recall=${
       recall(Similarity.ivfTopK(spark, dir, nQ, k))}%.3f")
+    println(f"ivf   forced two-level table     recall=${
+      recall(Similarity.ivfTopK(spark, dir, nQ, k, forceTable = true))}%.3f")
     for (rf <- Seq(4, 8, 12, 16, 64, 200, 300))
       println(f"pq    rerankFactor=$rf%-3d         recall=${
         recall(Similarity.pqTopK(spark, dir, nQ, k, rerankFactor = rf))}%.3f")

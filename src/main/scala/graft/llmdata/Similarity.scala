@@ -156,55 +156,97 @@ object Similarity {
   // ------------------------------------------------------------- IVF
   /** IVF cell-count FLOOR, probe-width floor, and Lloyd refinement
     * rounds. The DEFAULT cell count is CORPUS-SCALED since r9
-    * ([[ivfDefaultCells]]: max(16, ⌈√N⌉), capped by
-    * [[IvfCellCap]]) — the docs argued "production sizes cells ~√N"
-    * for three rounds while the knob stayed pinned at 16, the same
-    * fixed-knob class the r7/r8 pool fixes retired (VERDICT r8 #4).
-    * Probes scale with the cells ([[ivfDefaultProbes]]), keeping the
-    * measured recall floors while the SCANNED FRACTION falls as the
-    * corpus grows (50% at the 16-cell floor → 25% past it —
-    * ScaleBench records the fraction per scale point). Explicit
-    * cell/probe arguments are honored exactly (RecallProbe's
-    * measurement contract). */
+    * ([[ivfDefaultCells]]: max(16, ⌈√N⌉)) and UNCAPPED since r10
+    * (VERDICT r9 #1): past [[IvfFlatMaxCells]] the coarse model moves
+    * off the plan — trained by the distributive two-level Lloyd and
+    * assigned by table join ([[ivfTwoLevelFor]]) — so cells keep
+    * tracking ⌈√N⌉ beyond ~1M vectors instead of stalling. Probes
+    * scale with the cells ([[ivfDefaultProbes]]) up to a LOG-GROWTH
+    * ceiling (VERDICT r9 #2, justified by the planted-cluster recall
+    * grid), so the SCANNED FRACTION keeps FALLING as the corpus
+    * grows: 50% at the 16-cell floor → 25% past it → ~8% at 1M →
+    * <0.5% at 1B (the production envelope — a 1B-vector index runs
+    * ~31k cells with ~120 probes here). Explicit cell/probe
+    * arguments are honored exactly (RecallProbe's measurement
+    * contract). */
   val NumCells = 16
   val NumProbes = 8
   val LloydIters = 8
 
-  /** Literal-size guard on the corpus-scaled cell count: the coarse
-    * model rides plans as `cells` struct literals and its Lloyd
-    * training collects cells·d means per round — both fine at 1024 ×
-    * 64 floats (≈256 KiB), and the cap keeps them CONSTANT-bounded
-    * (the [[SemFlatMaxK]] argument). √N hits the cap at ~1M vectors;
-    * beyond it the scanned fraction grows linearly-in-N-per-cell
-    * again, which is the point where a production index moves the
-    * coarse table off the plan the way [[semAssignTwoLevelFor]]
-    * moved the fine one. */
-  val IvfCellCap = 1024
+  /** Largest cell count the FLAT coarse model is allowed — a
+    * CONSTANT, the [[SemFlatMaxK]] move: the flat model rides plans
+    * as `cells` struct literals (bounded ≈256 KiB at the cap) and its
+    * Lloyd training collects cells·d means per round. √N reaches the
+    * cap at ~1M vectors; beyond it [[ivfModelCellsFor]] /
+    * [[ivfInvertedFor]] switch to the TWO-LEVEL table model (trained
+    * distributively, assigned by cell-keyed join, no plan structure
+    * or driver collect growing with N) — every verified corpus stays
+    * flat, so registered outputs are unchanged at tested scales while
+    * a 1B-vector corpus takes the table path automatically. */
+  val IvfFlatMaxCells = 1024
 
-  /** Corpus-scaled coarse cell count: max([[NumCells]], ⌈√N⌉), capped
-    * at [[IvfCellCap]]. */
+  /** Corpus-scaled coarse cell count: max([[NumCells]], ⌈√N⌉) —
+    * UNCAPPED (the scanned fraction must keep falling; the literal
+    * bound lives in [[ivfFlatCells]], not in the target). */
   private[llmdata] def ivfDefaultCells(n: Long): Int =
-    math.min(IvfCellCap.toLong, math.max(NumCells.toLong,
-      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    math.max(NumCells.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** Cell count of the bounded FLAT model ([[ivfCentroidsFor]]):
+    * the corpus-scaled target, capped at [[IvfFlatMaxCells]]. Also
+    * the coarse LEVEL of the two-level model past the cap. */
+  private[llmdata] def ivfFlatCells(n: Long): Int =
+    math.min(IvfFlatMaxCells, ivfDefaultCells(n))
+
+  /** ⌈log2 n⌉ for n ≥ 1 (0 for n ≤ 1) — the probe-growth driver. */
+  private[llmdata] def ceilLog2(n: Long): Int =
+    if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** Log-ceiling coefficients for the probe defaults: probes stop
+    * tracking cells/4 once c·⌈log2 N⌉ is smaller (VERDICT r9 #2).
+    * On a CLUSTERED corpus — the regime that justifies sub-fraction
+    * probing — recall is governed by probe TARGETING, not the scanned
+    * fraction: the planted-cluster grid (RecallProbe `synthc:`)
+    * measures IVF recall ≥ 0.9 at a 3% scan, where the structure-free
+    * corpora (recall ≈ fraction by construction) sit at ~0.03. The
+    * coefficients keep every VERIFIED scale on the fraction rule
+    * (outputs unchanged: the log ceiling only wins past ~250k
+    * vectors) while a 1B-vector corpus probes ~120 of ~31k cells
+    * (0.38% scanned) instead of a quarter of the corpus. */
+  val IvfProbeLogC = 4
+  val IvfPqProbeLogC = 6
 
   /** (cells, ivf probes, ivfpq probes) the scaled defaults resolve to
     * for this corpus — the scanned-fraction observability ScaleBench
-    * records per scale point (VERDICT r8 #4). */
-  def ivfIndexStats(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val cells = ivfCentroidsFor(spark, dir).length
-    (cells, ivfDefaultProbes(cells), ivfPqDefaultProbes(cells))
+    * records per scale point (VERDICT r8 #4). Pure arithmetic on the
+    * corpus count (the trained model always has exactly
+    * [[ivfDefaultCells]] cells), so the stats never force an index
+    * build. */
+  def ivfIndexStats(spark: SparkSession, dir: String): (Int, Int, Int) =
+    ivfIndexStatsAt(corpusCount(spark, dir))
+
+  /** [[ivfIndexStats]] as a pure function of N — lets ScaleBench
+    * print the PROJECTED envelope at 1M/100M/1B next to the measured
+    * scale points. */
+  def ivfIndexStatsAt(n: Long): (Int, Int, Int) = {
+    val cells = ivfDefaultCells(n)
+    (cells, ivfDefaultProbes(cells, n), ivfPqDefaultProbes(cells, n))
   }
 
-  /** Probe width for a given cell count: cells/4 (a 25% scanned
-    * fraction once past the floor), never below [[NumProbes]]. On the
-    * deliberately WEAK-STRUCTURE test corpora recall tracks the
-    * scanned fraction almost linearly (true neighbors scatter across
-    * cells — RecallProbe's grid documents it), so the spec floors are
-    * measured values for THIS fraction, gating regression; a real
-    * clustered corpus concentrates neighbors in the query's nearest
-    * cells and the same fraction buys far higher recall. */
-  private[llmdata] def ivfDefaultProbes(cells: Int): Int =
-    math.max(NumProbes, (cells + 3) / 4)
+  /** Probe width for a given cell count and corpus size: cells/4 (a
+    * 25% scanned fraction once past the floor), capped by the
+    * [[IvfProbeLogC]]·⌈log2 N⌉ log ceiling, never below
+    * [[NumProbes]]. On the deliberately WEAK-STRUCTURE test corpora
+    * recall tracks the scanned fraction almost linearly (true
+    * neighbors scatter across cells — RecallProbe's grid documents
+    * it), so the spec floors are measured values for THIS fraction,
+    * gating regression; a real clustered corpus concentrates
+    * neighbors in the query's nearest cells and the same probe count
+    * buys far higher recall at a falling fraction (the planted-
+    * cluster grid measures it). */
+  private[llmdata] def ivfDefaultProbes(cells: Int, n: Long): Int =
+    math.min(math.max(NumProbes, (cells + 3) / 4),
+      math.max(NumProbes, IvfProbeLogC * ceilLog2(n)))
 
   /** Deterministic IVF coarse centroids: seeded from every (N/C)-th
     * corpus vector by vec_id, then refined with [[LloydIters]] rounds of
@@ -241,18 +283,22 @@ object Similarity {
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CentroidHolder]
 
-  /** Memoized trained centroids per (session, corpus dir) — training is
-    * an offline index-build step, not per-query work; recomputing the
-    * Lloyd rounds on every query call would bill index construction to
-    * every search. Assumes the corpus under `dir` is immutable for the
-    * session (a rebuilt corpus needs a retrained index — ship a new
-    * session/job for it, as any offline ANN index does). */
+  /** Memoized trained FLAT centroids per (session, corpus dir) —
+    * training is an offline index-build step, not per-query work;
+    * recomputing the Lloyd rounds on every query call would bill index
+    * construction to every search. Assumes the corpus under `dir` is
+    * immutable for the session (a rebuilt corpus needs a retrained
+    * index — ship a new session/job for it, as any offline ANN index
+    * does). Cell count = [[ivfFlatCells]] (the CAPPED size): past the
+    * cap this array is the coarse LEVEL of the two-level model, never
+    * the full model — [[ivfModelCellsFor]] is the dispatching
+    * accessor. */
   private[llmdata] def ivfCentroidsFor(spark: SparkSession,
                                        dir: String): Array[(Int, Seq[Float])] =
     centroidMemo.computeIfAbsent((spark, dir),
       k => new CentroidHolder(() => ivfCentroids(k._1,
         Tables.embeddings(k._1, k._2),
-        ivfDefaultCells(corpusCount(k._1, k._2))))).value
+        ivfFlatCells(corpusCount(k._1, k._2))))).value
 
   private[llmdata] def ivfCentroids(spark: SparkSession,
                                     corpus: DataFrame,
@@ -289,9 +335,9 @@ object Similarity {
   /** Column: the `take` cells nearest (by cosine) to `vec`. Centroids
     * stay float arrays so the native `cosine_sim` expression applies
     * (16 codegen'd loops per row, not 48 interpreted lambda folds). */
-  private def nearestCells(spark: SparkSession, vec: Column,
-                           centroids: Array[(Int, Seq[Float])],
-                           take: Int): Column = {
+  private[llmdata] def nearestCells(spark: SparkSession, vec: Column,
+                                    centroids: Array[(Int, Seq[Float])],
+                                    take: Int): Column = {
     // rank cells by cosine via sort of (negated sim, cell) structs —
     // pure column algebra, no UDF
     val scored = array(centroids.toIndexedSeq.map { case (cid, cvec) =>
@@ -339,21 +385,142 @@ object Similarity {
         .localCheckpoint()
     })).value
 
+  // ------------------------------------- two-level coarse IVF model
+  /** The UNCAPPED coarse model as data, not plan structure (VERDICT
+    * r9 #1): dense-id centroid array for the query side plus the
+    * corpus assignment frame — the exact machinery
+    * [[semAssignTwoLevelFor]] proved for the SemDeDup fine model,
+    * now closing the ANN family's last literal-bounded model.
+    *
+    *  - `cells`: (dense cell id, centroid), sorted — O(√N·d) driver/
+    *    broadcast memory, the RAM-resident coarse quantizer every
+    *    production IVF deployment holds (Faiss keeps nlist centroids
+    *    in memory; 31k × 64 floats ≈ 8 MB at 1B vectors). A DRIVER
+    *    ARRAY, never a plan literal.
+    *  - `assign`: (vec_id, embedding, cluster, centroid_sim_micro) —
+    *    the [[assignWithTable]] contract with ids DENSIFIED to
+    *    0..k−1 by (coarse cell, sub) order, so downstream indexing
+    *    (qdotc arrays, codes tables) works exactly like the flat
+    *    model's.
+    *
+    * Training: coarse level = the BOUNDED flat model
+    * ([[ivfCentroidsFor]], ≤ [[IvfFlatMaxCells]] literals), fine
+    * level = [[twoLevelCentroids]] with width ≈ ⌊√N⌋ so the total
+    * cell count tracks [[ivfDefaultCells]] — fully distributive
+    * Lloyd, zero driver collect growing with N. Corpus ASSIGNMENT is
+    * hierarchical (nearest sub WITHIN the row's coarse cell — the
+    * IMI/two-level shape that keeps assignment O(N·(C₀ + k/C₀))
+    * instead of O(N·k)); query-side probe RANKING is global over the
+    * dense array (better targeting, bounded by Q·k driver work).
+    * The documented asymmetry is standard for multi-level coarse
+    * quantizers and is covered by the forced-sibling recall gate. */
+  private[llmdata] final case class IvfTableModel(
+      cells: Array[(Int, Array[Float])], assign: DataFrame) {
+    def inverted: DataFrame = assign.select(
+      col("vec_id").as("neighbor_id"), col("cluster").as("cell"),
+      col("embedding").as("ne"))
+  }
+
+  private final class IvfModelHolder(thunk: () => IvfTableModel) {
+    lazy val value: IvfTableModel = thunk()
+  }
+  private val ivfTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IvfModelHolder]
+
+  private[llmdata] def ivfTwoLevelFor(spark: SparkSession,
+                                      dir: String): IvfTableModel =
+    ivfTableMemo.computeIfAbsent((spark, dir), key => new IvfModelHolder(() => {
+      val sparkK = key._1
+      val n = corpusCount(sparkK, key._2)
+      val corpus = Tables.embeddings(sparkK, key._2)
+        .select(col("vec_id"), col("embedding"))
+      val coarse = ivfCentroidsFor(sparkK, key._2)
+      val width = math.max(1L, n / ivfDefaultCells(n).toLong)
+      val cents = twoLevelCentroids(sparkK, corpus, coarse, width)
+      // densify (cell, sub) → 0..k−1 in (cell, sub) order: k rows
+      // only (bounded √N-scale), severed from query plans by the
+      // localCheckpoint below
+      val wAll = Window.orderBy(col("cell"), col("sub"))
+      val dense = cents
+        .withColumn("dense", row_number().over(wAll).cast("int") - 1)
+        .localCheckpoint()
+      val assigned = assignRows(sparkK,
+          withCoarseCell(sparkK, corpus, coarse), cents)
+        .join(dense.select(col("cell"), col("sub"), col("dense")),
+          Seq("cell", "sub"))
+        .select(col("vec_id"), col("embedding"),
+          col("dense").as("cluster"),
+          floor(-col("neg") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("centroid_sim_micro"))
+        .localCheckpoint()
+      val cellArr = dense.select(col("dense"), col("centroid")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      IvfTableModel(cellArr, assigned)
+    })).value
+
+  /** The ACTIVE coarse model's dense-id centroid array: flat while
+    * the corpus-scaled cell count fits [[IvfFlatMaxCells]] (outputs
+    * unchanged at every verified scale), the two-level table model
+    * beyond it. Entry i is (i, centroid_i) — positions equal ids. */
+  private[llmdata] def ivfModelCellsFor(spark: SparkSession,
+                                        dir: String): Array[(Int, Array[Float])] =
+    if (ivfDefaultCells(corpusCount(spark, dir)) <= IvfFlatMaxCells)
+      ivfCentroidsFor(spark, dir).sortBy(_._1)
+        .map { case (cid, c) => (cid, c.toArray) }
+    else ivfTwoLevelFor(spark, dir).cells
+
+  /** The ACTIVE model's corpus-side inverted lists (neighbor_id,
+    * cell, ne) — the flat kernel assignment at bounded cell counts,
+    * the two-level join assignment beyond the cap. */
+  private[llmdata] def ivfInvertedFor(spark: SparkSession,
+                                      dir: String): DataFrame =
+    if (ivfDefaultCells(corpusCount(spark, dir)) <= IvfFlatMaxCells)
+      ivfAssignFor(spark, dir)
+    else ivfTwoLevelFor(spark, dir).inverted
+
+  /** Driver-side probe ranking on the pinned [[cosine6]] kernel —
+    * bit-identical to the retired Column-literal [[nearestCells]]
+    * ranking (same rounded cosine, same (−sim, cell) ascending order
+    * with NaN-last totals, ties to the smaller cell id; SimilaritySpec
+    * pins the equality), without ever embedding a cells-sized literal
+    * array in the plan. O(Q·cells·d) driver work — the per-query cost
+    * every IVF deployment pays against its RAM-resident coarse
+    * quantizer. */
+  private[llmdata] def rankProbes(cells: Array[(Int, Array[Float])],
+                                  qv: Array[Float], take: Int): Seq[Int] =
+    cells.toSeq.map { case (cid, cv) => (-cosine6(qv, cv), cid) }
+      .sorted.take(take).map(_._2)
+
   def ivfTopK(spark: SparkSession, dir: String,
-              nQueries: Int, k: Int, probes: Int = 0): DataFrame = {
+              nQueries: Int, k: Int, probes: Int = 0,
+              forceTable: Boolean = false): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val cents = ivfCentroidsFor(spark, dir)
+    val model = if (forceTable) ivfTwoLevelFor(spark, dir) else null
+    val cells =
+      if (forceTable) model.cells else ivfModelCellsFor(spark, dir)
     // probes = 0 (the default) scales with the corpus-scaled cell
     // count; an explicit width is honored exactly (RecallProbe)
-    val pr = if (probes > 0) probes else ivfDefaultProbes(cents.length)
-    val corpus = ivfAssignFor(spark, dir)
+    val pr =
+      if (probes > 0) probes
+      else ivfDefaultProbes(cells.length, corpusCount(spark, dir))
+    val corpus =
+      if (forceTable) model.inverted else ivfInvertedFor(spark, dir)
+    // per-query probe sets computed driver-side (O(nQueries) collect,
+    // the ivfPqTopK pattern) and joined in as a tiny local relation —
+    // no plan literal grows with the cell count
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val probePairs = qs.toSeq.flatMap { case (qid, qv) =>
+      rankProbes(cells, qv, pr).map(cid => (qid, cid))
+    }.toDF("query_id", "cell")
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .withColumn("probe", explode(nearestCells(spark, col("qe"), cents, pr)))
-      .select(col("query_id"), col("qe"), col("probe.cell").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    queries.join(corpus, "cell")
+    probePairs.join(corpus, "cell")
+      .join(broadcast(queries), "query_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
       .withColumn("rnk", row_number().over(w))
@@ -870,13 +1037,16 @@ object Similarity {
     * vanishing fraction of √N cells. */
   val IvfPqProbes = 12
 
-  /** Probe width for IVF∘PQ at a given cell count: 3/8 of the cells
-    * (vs plain IVF's 1/4 — the ADC scan over 8-byte codes is ~32×
-    * cheaper per candidate than an exact cosine, so the compressed
-    * path affords the wider probe while its EXACT work stays the
-    * constant rerank pool), never below [[IvfPqProbes]]. */
-  private[llmdata] def ivfPqDefaultProbes(cells: Int): Int =
-    math.max(IvfPqProbes, (3 * cells + 7) / 8)
+  /** Probe width for IVF∘PQ at a given cell count and corpus size:
+    * 3/8 of the cells (vs plain IVF's 1/4 — the ADC scan over code
+    * bytes is ~32× cheaper per candidate than an exact cosine, so the
+    * compressed path affords the wider probe while its EXACT work
+    * stays the constant rerank pool), capped by the
+    * [[IvfPqProbeLogC]]·⌈log2 N⌉ log ceiling (3/2 of plain IVF's,
+    * keeping the fraction ratio), never below [[IvfPqProbes]]. */
+  private[llmdata] def ivfPqDefaultProbes(cells: Int, n: Long): Int =
+    math.min(math.max(IvfPqProbes, (3 * cells + 7) / 8),
+      math.max(IvfPqProbes, IvfPqProbeLogC * ceilLog2(n)))
 
   /** Driver/executor-shared cell assignment on the [[cosine6]] kernel
     * (ties to the lower cell id) — training residuals and the scan's
@@ -925,13 +1095,19 @@ object Similarity {
 
   /** Memoized residual codebooks per (session, corpus dir) — same
     * index-build-not-per-query contract as [[ivfCentroidsFor]] /
-    * [[pqCodebooksFor]]. */
+    * [[pqCodebooksFor]]. The coarse model is the ACTIVE one
+    * ([[ivfModelCellsFor]]): past [[IvfFlatMaxCells]] that is the
+    * two-level dense array, against which the bounded training
+    * sample (and the encode below) assigns exhaustively — the Faiss
+    * flat-coarse-quantizer shape (nlist centroids scanned per
+    * vector), kept because the IVF∘PQ kernels only ever touch the
+    * model as an array. */
   private[llmdata] def ivfPqCodebooksFor(spark: SparkSession,
                                          dir: String): Array[Array[Array[Double]]] =
     ivfPqMemo.computeIfAbsent((spark, dir),
       k => new IvfPqHolder(() => ivfPqCodebooks(k._1,
         Tables.embeddings(k._1, k._2),
-        ivfCentroidsFor(k._1, k._2).sortBy(_._1).map(_._2.toArray)))).value
+        ivfModelCellsFor(k._1, k._2).map(_._2)))).value
 
   private val ivfPqCodesMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), IvfPqCodesHolder]
@@ -952,7 +1128,7 @@ object Similarity {
     ivfPqCodesMemo.computeIfAbsent((spark, dir), key => new IvfPqCodesHolder(() => {
       val sparkK = key._1; val dirK = key._2
       import sparkK.implicits._
-      val cents = ivfCentroidsFor(sparkK, dirK).sortBy(_._1).map(_._2.toArray)
+      val cents = ivfModelCellsFor(sparkK, dirK).map(_._2)
       val books = ivfPqCodebooksFor(sparkK, dirK)
       val sub = books(0)(0).length
       val bcC = sparkK.sparkContext.broadcast(cents)
@@ -998,6 +1174,7 @@ object Similarity {
   def releaseCaches(): Unit = {
     ivfPqCodesMemo.clear()
     ivfAssignMemo.clear()
+    ivfTableMemo.clear()
     semTableMemo.clear()
     lexMemo.clear()
   }
@@ -1063,9 +1240,12 @@ object Similarity {
                 rerankPool: Int = 0): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val cents = ivfCentroidsFor(spark, dir).sortBy(_._1).map(_._2.toArray)
-    // probes = 0 (the default) scales with the cell count, like ivfTopK
-    val pr = if (probes > 0) probes else ivfPqDefaultProbes(cents.length)
+    val cents = ivfModelCellsFor(spark, dir).map(_._2)
+    // probes = 0 (the default) scales with the cell count up to the
+    // log ceiling, like ivfTopK
+    val pr =
+      if (probes > 0) probes
+      else ivfPqDefaultProbes(cents.length, corpusCount(spark, dir))
     val books = ivfPqCodebooksFor(spark, dir)
     val sub = books(0)(0).length
     val qs = e.filter(col("vec_id") < nQueries)
@@ -1460,7 +1640,9 @@ object Similarity {
     * literals) — zero shuffle; the similarity is stored as an exact
     * long so every downstream argmin/argmax is partition-order-free. */
   private[llmdata] def clusterAssign(spark: SparkSession, dir: String): DataFrame =
-    clusterAssignWith(spark, dir, ivfCentroidsFor(spark, dir))
+    if (ivfDefaultCells(corpusCount(spark, dir)) <= IvfFlatMaxCells)
+      clusterAssignWith(spark, dir, ivfCentroidsFor(spark, dir))
+    else ivfTwoLevelFor(spark, dir).assign
 
   /** Mean cluster width SemDeDup aims for — the knob that keeps its
     * within-cluster pair work LINEAR in the corpus: cluster count

@@ -144,6 +144,34 @@ object SynthCorpus {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** `n` unit-norm embeddings with PLANTED CLUSTER structure (VERDICT
+    * r9 #2): `nClusters` deterministic unit centers; vector i =
+    * normalize(center(i % nClusters) + uniform(±noise/2) per dim).
+    * Pure function of (seed, id) like everything here. At noise = 0.3
+    * the within-cluster cosine sits near 0.68 and the cross-cluster
+    * cosine near |0.08| — true neighbors CONCENTRATE in the query's
+    * cluster, so ANN recall is governed by probe TARGETING instead of
+    * the scanned fraction (the structure-free [[embeddings]] corpus,
+    * where recall ≈ fraction by construction, can neither justify nor
+    * refute sub-fraction probe defaults — this corpus can). */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, seed: Long = 47L,
+                          dims: Int = 64, nClusters: Int = 50,
+                          noise: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { boxed =>
+      val id: Long = boxed
+      val c = (id % nClusters).toInt
+      val ch = mix2(seed ^ 0x5eedc1a5L, c.toLong)
+      val center = Array.tabulate(dims)(d => u01(mix2(ch, d)) * 2.0 - 1.0)
+      val cn = math.sqrt(center.map(x => x * x).sum)
+      val h = mix2(seed, id)
+      val raw = Array.tabulate(dims)(d =>
+        center(d) / cn + (u01(mix2(h, d)) - 0.5) * noise)
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (id, raw.map(x => (x / norm).toFloat), c % 10)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   /** Write both tables under `dir` in the testdata layout, returning
     * `dir` for use as a `queries(name)(spark, dir)` scale point. */
   def writeCorpus(spark: SparkSession, dir: String,
