@@ -47,7 +47,7 @@ object ScaleBench {
     "dd_minhash_neardup", "dd_simhash_pairs", "dd_clusters",
     "dd_embed_pairs", "dd_embed_neardup", "dd_embed_clusters",
     "dd_semdedup", "dd_semdedup_2l", "dd_bloom_delta",
-    "dd_semantic_contamination_lsh",
+    "dd_semantic_contamination_lsh", "dd_embed_gate_shuffle",
     "mm_phash_dedup", "mm_audio_dedup",
     "txt_chunk_dedup", "txt_pack_assign",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_topk_2l",

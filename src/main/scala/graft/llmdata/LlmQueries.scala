@@ -1171,6 +1171,28 @@ object LlmQueries {
     "dd_embed_pairs" -> ((s, d) => Dedup.embeddingNearDupExact(s, d, 0.3,
       sampleMod = Some(EmbedPairsSampleMod))),
     "dd_embed_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d, 0.4)),
+    // the SHUFFLE-JOIN deployment of the streaming semantic gate
+    // (VERDICT r9 #4): the form an index too big to broadcast
+    // actually runs — a 10% incoming shard keyed row-locally, equi-
+    // joined against the corpus band index on (band, bucket) with NO
+    // broadcast, then the consumer-side rollup every deployment runs
+    // on the candidate stream: matched-band count per (incoming,
+    // corpus) pair, thresholded at ≥ half the bands (an exact copy
+    // matches all 8; at the corpus-adaptive bit widths a random pair
+    // rarely clears 4 — the high-precision router signal). Rows-only
+    // (hyperplane hashes aren't SQL); raw-gate stream ≡ batch is
+    // pinned in StreamingAnalyticsSpec at the 10× index scale.
+    "dd_embed_gate_shuffle" -> ((s, d) => {
+      val e = graft.Tables.embeddings(s, d)
+        .select(functions.col("vec_id"), functions.col("embedding"))
+      Dedup.streamingEmbedGate(
+        e.filter(functions.col("vec_id") % 10 === 3),
+        Dedup.corpusEmbedBandIndex(s, d), broadcastIndex = false)
+        .filter(functions.col("vec_id") =!= functions.col("corpus_id"))
+        .groupBy(functions.col("vec_id"), functions.col("corpus_id"))
+        .agg(functions.count(functions.lit(1)).as("n_bands"))
+        .filter(functions.col("n_bands") >= 4)
+    }),
     "dd_embed_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, 0.4)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "txt_rolling_overlap" -> ((s, d) => TextAnalysis.rollingOverlapPairs(s, d, 3)),

@@ -175,6 +175,44 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally { index.keys.unpersist(); () }
   }
 
+  test("streaming EMBEDDING gate at the 10x scale point: shuffle-join deployment, stream = batch (r9 #4)") {
+    import graft.llmdata.Dedup
+    // the synth10x corpus (20k vectors — the curve's largest scale
+    // point) with the index NOT broadcast: the deployment shape an
+    // unbroadcastable index actually runs (per-micro-batch equi-join
+    // shuffling on (band, bucket)); previously spec-gated only on a
+    // 1-row shard at sf0.001
+    val dir = Files.createTempDirectory("graft-embgate10x").toString
+    graft.tools.SynthCorpus.embeddings(spark, 20000L)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // a micro-batch-sized shard (20 rows) against the FULL-SCALE
+    // index: the index side is what grows in deployment; the raw
+    // candidate stream for a whole 10% slice (~20M rows at these
+    // bucket widths) belongs in the registered rollup form, not a
+    // driver-side memory sink
+    val shard = e.filter(col("vec_id") % 1000 === 3)
+    val shardDir = Files.createTempDirectory("graft-embgate10x-in").toString + "/in"
+    shard.coalesce(2).write.parquet(shardDir)
+    val index = Dedup.corpusEmbedBandIndex(spark, dir)
+    index.keys.cache()
+    try {
+      val stream = spark.readStream.schema(shard.schema).parquet(shardDir)
+      val live = drain(
+        Dedup.streamingEmbedGate(stream, index, broadcastIndex = false),
+        "append", "embgate10x_live")
+      val batch = Dedup.streamingEmbedGate(shard, index,
+        broadcastIndex = false)
+      assert(live.count() > 0, "the 10% shard must collide at 20k")
+      assert(live.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(live).count() === 0)
+      // non-vacuous beyond self-matches: the planted twins (and
+      // organic band collisions) must surface cross-id candidates
+      assert(live.filter(col("vec_id") =!= col("corpus_id")).count() > 0)
+    } finally { index.keys.unpersist(); () }
+  }
+
   test("streaming bloom gate: literal-sketch filter, stream = batch, no false negatives") {
     import spark.implicits._
     import graft.llmdata.Dedup
