@@ -775,6 +775,81 @@ object LlmQueries {
     * (each pattern counted on the previous stage's scrubbed text);
     * DuckDB's regexp_replace needs the explicit 'g' flag (Spark's is
     * global by default). */
+  /** DuckDB mirror of [[TextAnalysis.syntheticUrl]] +
+    * [[TextAnalysis.canonicalUrl]] / registrableDomain — the same
+    * Java∩RE2-safe regexes, the same CASE structure, binary-collation
+    * list_sort matching Spark's array_sort. */
+  private val urlCanonCte: String =
+    """u AS (
+      |  SELECT doc_id, text,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+      |          WHEN doc_id % 3 = 1 THEN 'https' ELSE 'HtTpS' END)
+      |    || '://'
+      |    || (CASE WHEN doc_id % 11 = 0 THEN 'User:Pw@' ELSE '' END)
+      |    || 'WWW.'
+      |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+      |    || '.CoM'
+      |    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+      |             WHEN doc_id % 4 = 1 THEN ':443'
+      |             WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ''
+      |             ELSE '/docs/' || lang || '/' || (doc_id % 100) END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ''
+      |             ELSE '?b=' || (n_chars % 10) || '&a=' || (doc_id % 5) END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '#s' || (doc_id % 3) ELSE '' END)
+      |    AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, text, url,
+      |    lower(regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 1)) AS scheme,
+      |    regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 2) AS auth,
+      |    regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 3) AS path,
+      |    regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 4) AS query
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, text, url,
+      |    CASE WHEN scheme = '' THEN trim(url) ELSE
+      |      scheme || '://' ||
+      |      (CASE WHEN contains(auth, '@') THEN auth ELSE
+      |        lower(regexp_extract(auth, '^([^:]*)', 1)) ||
+      |        (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) = ''
+      |               OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
+      |               OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
+      |              THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END)
+      |       END) ||
+      |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |      (CASE WHEN query = '' THEN ''
+      |            ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
+      |    END AS canon_url,
+      |    CASE WHEN regexp_extract(lower(regexp_extract(
+      |             regexp_extract(auth, '([^@]*)$', 1), '^([^:]*)', 1)),
+      |             '([^.]+[.][^.]+)$', 1) = ''
+      |         THEN lower(regexp_extract(
+      |             regexp_extract(auth, '([^@]*)$', 1), '^([^:]*)', 1))
+      |         ELSE regexp_extract(lower(regexp_extract(
+      |             regexp_extract(auth, '([^@]*)$', 1), '^([^:]*)', 1)),
+      |             '([^.]+[.][^.]+)$', 1)
+      |    END AS domain
+      |  FROM p)""".stripMargin
+
+  // plain concatenation, NOT an outer stripMargin: the CTE's `||`
+  // concat operators start lines, and a second stripMargin pass would
+  // eat one pipe of each
+  val txtUrlCanonSql: String =
+    "WITH " + urlCanonCte +
+      "\nSELECT doc_id, url, canon_url, domain FROM c ORDER BY doc_id"
+
+  val txtDomainRollupSql: String =
+    "WITH " + urlCanonCte +
+      "\nSELECT domain, COUNT(*) AS n_docs," +
+      "\n  COUNT(DISTINCT canon_url) AS n_urls," +
+      "\n  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens" +
+      "\nFROM c GROUP BY domain ORDER BY domain"
+
   val txtRedactSql: String =
     """WITH s AS (
       |  SELECT doc_id, text,
@@ -1248,6 +1323,8 @@ object LlmQueries {
     "txt_chunks" -> ((s, d) => TextAnalysis.passageChunks(s, d)
       .orderBy("doc_id", "chunk_idx")),
     "txt_redact" -> TextAnalysis.redactPii _,
+    "txt_url_canon" -> ((s, d) => TextAnalysis.canonicalUrls(s, d)),
+    "txt_domain_rollup" -> ((s, d) => TextAnalysis.domainRollup(s, d)),
     "txt_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(s, d, 3, 20)),
@@ -1342,6 +1419,8 @@ object LlmQueries {
     "txt_doc_index_delta" -> txtDocIndexDeltaSql,
     "txt_chunks" -> txtChunksSql,
     "txt_redact" -> txtRedactSql,
+    "txt_url_canon" -> txtUrlCanonSql,
+    "txt_domain_rollup" -> txtDomainRollupSql,
     "txt_chunk_dedup" -> txtChunkDedupSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,

@@ -565,4 +565,48 @@ class TextAnalysisSpec extends SparkSpec {
         .collect().toSeq === packRef, s"pack blockDocs=$bd")
     }
   }
+
+  test("URL canonicalization edge cases: case/port/fragment/query-sort, userinfo and IDN as documented (r9 #7)") {
+    import spark.implicits._
+    val urls = Seq(
+      // mixed case + default port + unsorted query + fragment
+      (0L, "HTTP://WWW.Example.COM:80/A/b?z=1&a=2#frag"),
+      // empty path -> "/", https default port stripped
+      (1L, "https://Host.com:443"),
+      // non-default port kept
+      (2L, "https://Host.com:8443/x"),
+      // USERINFO: authority verbatim (usernames are case-sensitive);
+      // scheme/query/fragment still canonicalize — documented limit
+      (3L, "HtTpS://User:Pw@Host.COM:443/p?b=1&a=2#f"),
+      // IDN: lowercased as-is, NOT punycoded — documented limit
+      (4L, "http://Ünïcode.Example/path"),
+      // trim + multi-label host -> two-label domain approximation
+      (5L, "  https://a.b.c.co/x?a=1  "),
+      // unparseable: returned trimmed, untouched
+      (6L, "not a url")
+    ).toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"),
+        TextAnalysis.canonicalUrl(col("url")).as("c"),
+        TextAnalysis.registrableDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got(0L) === (("http://www.example.com/A/b?a=2&z=1", "example.com")))
+    assert(got(1L) === (("https://host.com/", "host.com")))
+    assert(got(2L) === (("https://host.com:8443/x", "host.com")))
+    assert(got(3L) === (("https://User:Pw@Host.COM:443/p?a=2&b=1", "host.com")))
+    assert(got(4L) === (("http://ünïcode.example/path", "ünïcode.example")))
+    assert(got(5L) === (("https://a.b.c.co/x?a=1", "c.co")))
+    assert(got(6L) === (("not a url", "")))
+    // idempotence: canonicalizing a canonical URL is a fixed point
+    val canon = urls.select(TextAnalysis.canonicalUrl(col("url")).as("c"))
+    val twice = canon.select(col("c"),
+      TextAnalysis.canonicalUrl(col("c")).as("cc"))
+    assert(twice.filter(col("c") =!= col("cc")).count() === 0)
+    // the registered rollup partitions the corpus: doc counts sum to
+    // the corpus size and every domain is a lowercased source .com
+    val roll = TextAnalysis.domainRollup(spark, sf).collect()
+    assert(roll.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    assert(roll.forall(_.getAs[String]("domain").matches("src[0-9]+\\.com")))
+  }
 }
