@@ -1356,11 +1356,13 @@ object LlmQueries {
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
     * ann_lsh_topk / ann_ivf_topk / ann_ivf_topk_2l / ann_pq_topk /
-    * ann_ivfpq_topk intentionally absent
+    * ann_ivfpq_topk / dd_embed_gate_shuffle intentionally absent
     * (rows-only): hash functions / trained quantizers aren't
     * reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact
-    * cosine, so its reported sims are brute-force-identical).
+    * cosine, so its reported sims are brute-force-identical; the
+    * shuffle-join gate is pinned stream ≡ batch at the 10× index
+    * scale in StreamingAnalyticsSpec).
     * ann_mmr_rerank is likewise rows-only: a greedy argmax chain isn't
     * SQL-expressible; SimilaritySpec gates it against a driver-side
     * reference and the λ=1 ≡ brute-force identity. txt_bpe_merges is
