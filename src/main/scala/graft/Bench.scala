@@ -88,6 +88,7 @@ object Bench {
     graft.llmdata.Dedup.releaseCaches()
     graft.llmdata.TextAnalysis.releaseCaches()
     graft.llmdata.Similarity.releaseCaches()
+    graft.llmdata.AnnIndex.releaseCaches()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ps = results.map { case (k, _, passes) =>

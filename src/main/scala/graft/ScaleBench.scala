@@ -51,7 +51,7 @@ object ScaleBench {
     "mm_phash_dedup", "mm_audio_dedup",
     "txt_chunk_dedup", "txt_pack_assign",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_topk_2l",
-    "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_stored",
     "ann_pca_topk", "ann_hybrid_rrf", "ann_hybrid_rrf_ivfpq",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
@@ -132,6 +132,7 @@ object ScaleBench {
     llmdata.Dedup.releaseCaches()
     llmdata.TextAnalysis.releaseCaches()
     llmdata.Similarity.releaseCaches()
+    llmdata.AnnIndex.releaseCaches()
 
     // markdown table: times, output rows, and the 10x-step ratios
     // (synth10x / synth1x — the SAME generator at both ends, so the

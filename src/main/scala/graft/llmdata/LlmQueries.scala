@@ -1283,6 +1283,12 @@ object LlmQueries {
       Similarity.ivfTopK(s, d, 5, 10, forceTable = true)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, 5, 10)),
+    // the PERSISTED-index deployment path (r10): model sides loaded
+    // from the on-disk artifact, candidate scan reading the
+    // cell-partitioned codes table with partition pruning; results
+    // row-for-row equal the memoized path (AnnIndexSpec) — rows-only
+    "ann_ivfpq_stored" -> ((s, d) =>
+      AnnIndex.ivfPqTopK(s, d, AnnIndex.storedIndexFor(s, d), 5, 10)),
     "ann_pca_topk" -> ((s, d) => Similarity.pcaTopK(s, d, 5, 10)),
     "emb_kmeans" -> ((s, d) => Similarity.kmeansReport(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
@@ -1356,7 +1362,8 @@ object LlmQueries {
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
     * ann_lsh_topk / ann_ivf_topk / ann_ivf_topk_2l / ann_pq_topk /
-    * ann_ivfpq_topk / dd_embed_gate_shuffle intentionally absent
+    * ann_ivfpq_topk / ann_ivfpq_stored / dd_embed_gate_shuffle
+    * intentionally absent
     * (rows-only): hash functions / trained quantizers aren't
     * reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact
