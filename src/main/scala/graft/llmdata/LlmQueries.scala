@@ -1289,6 +1289,14 @@ object LlmQueries {
     // row-for-row equal the memoized path (AnnIndexSpec) — rows-only
     "ann_ivfpq_stored" -> ((s, d) =>
       AnnIndex.ivfPqTopK(s, d, AnnIndex.storedIndexFor(s, d), 5, 10)),
+    // the INCREMENTAL-maintenance deployment path (r11): base
+    // generation indexes the corpus minus a 10% shard, the shard
+    // arrives via AnnIndex.append against the frozen persisted model —
+    // the composed code set is row-for-row the full build's (same
+    // encode kernel, same model), so the query output is pinned equal
+    // to ann_ivfpq_stored's (AnnIndexSpec) — rows-only like it
+    "ann_ivfpq_append" -> ((s, d) =>
+      AnnIndex.ivfPqTopK(s, d, AnnIndex.appendIndexFor(s, d), 5, 10)),
     "ann_pca_topk" -> ((s, d) => Similarity.pcaTopK(s, d, 5, 10)),
     "emb_kmeans" -> ((s, d) => Similarity.kmeansReport(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
@@ -1362,8 +1370,8 @@ object LlmQueries {
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
     * ann_lsh_topk / ann_ivf_topk / ann_ivf_topk_2l / ann_pq_topk /
-    * ann_ivfpq_topk / ann_ivfpq_stored / dd_embed_gate_shuffle
-    * intentionally absent
+    * ann_ivfpq_topk / ann_ivfpq_stored / ann_ivfpq_append /
+    * dd_embed_gate_shuffle intentionally absent
     * (rows-only): hash functions / trained quantizers aren't
     * reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact

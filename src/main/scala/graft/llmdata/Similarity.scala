@@ -1142,52 +1142,70 @@ object Similarity {
   private[llmdata] def ivfPqCodesFor(spark: SparkSession, dir: String): DataFrame =
     ivfPqCodesMemo.computeIfAbsent((spark, dir), key => new IvfPqCodesHolder(() => {
       val sparkK = key._1; val dirK = key._2
-      import sparkK.implicits._
-      val cents = ivfModelCellsFor(sparkK, dirK).map(_._2)
-      val books = ivfPqCodebooksFor(sparkK, dirK)
-      val rot = pqRotationFor(sparkK, dirK, IvfPqM)
-      val sub = books(0)(0).length
-      val bcC = sparkK.sparkContext.broadcast(cents)
-      val bcB = sparkK.sparkContext.broadcast(books)
-      val bcR = sparkK.sparkContext.broadcast(rot)
-      Tables.embeddings(sparkK, dirK)
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val ct = bcC.value
-          val bk = bcB.value
-          val rt = bcR.value
-          it.map { case (vid, v) =>
-            val cell = nearestCellLocal(ct, v)
-            // residual in the OPQ-rotated basis — the same basis the
-            // books trained in and the query LUT rotates into
-            val rv = rotateD(rt,
-              Array.tabulate(v.length)(j => v(j).toDouble - ct(cell)(j)))
-            val code = Array.tabulate(IvfPqM) { m =>
-              var best = 0; var bestD = Double.MaxValue
-              var c = 0
-              while (c < IvfPqK) {
-                var d = 0.0; var j = 0
-                while (j < sub) {
-                  val t = rv(m * sub + j) - bk(m)(c)(j)
-                  d += t * t; j += 1
-                }
-                if (d < bestD) { bestD = d; best = c }
-                c += 1
-              }
-              best.toByte
-            }
-            var nv = 0.0
-            v.foreach { x => nv += x.toDouble * x }
-            (vid, cell, code, math.sqrt(nv))
-          }
-        }
-        .toDF("vec_id", "cell", "code", "norm")
+      encodeIvfPq(sparkK,
+        Tables.embeddings(sparkK, dirK).select(col("vec_id"), col("embedding")),
+        ivfModelCellsFor(sparkK, dirK).map(_._2),
+        ivfPqCodebooksFor(sparkK, dirK),
+        pqRotationFor(sparkK, dirK, IvfPqM))
         // cell id IS the partition key of the stored index: a probe
         // touches probes/C of the partitions, and the query-time
         // cell filter ([[ivfPqTopK]]) prunes whole partitions
         .repartition(col("cell"))
         .localCheckpoint()
     })).value
+
+  /** The IVF∘PQ ENCODE kernel as a standalone transform — (vec_id,
+    * embedding) → (vec_id, cell, code, norm) against a GIVEN model
+    * (coarse centroids, residual books, rotation). Factored out of the
+    * memoized corpus encode so [[AnnIndex.append]] can encode an
+    * incoming delta with the PERSISTED generation's model and be
+    * bit-identical by construction (one kernel, not two copies):
+    * nearest cell on the pinned [[cosine6]] kernel (ties to the lower
+    * id), residual rotated into the OPQ basis, per-subspace L2 argmin
+    * with ties to the lower code, exact norm. One map-only pass —
+    * model sides ride as broadcast variables, nothing scales with the
+    * corpus in the plan. */
+  private[llmdata] def encodeIvfPq(spark: SparkSession, vecs: DataFrame,
+                                   cents: Array[Array[Float]],
+                                   books: Array[Array[Array[Double]]],
+                                   rot: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val sub = books(0)(0).length
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(books)
+    val bcR = spark.sparkContext.broadcast(rot)
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ct = bcC.value
+        val bk = bcB.value
+        val rt = bcR.value
+        it.map { case (vid, v) =>
+          val cell = nearestCellLocal(ct, v)
+          // residual in the OPQ-rotated basis — the same basis the
+          // books trained in and the query LUT rotates into
+          val rv = rotateD(rt,
+            Array.tabulate(v.length)(j => v(j).toDouble - ct(cell)(j)))
+          val code = Array.tabulate(IvfPqM) { m =>
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < IvfPqK) {
+              var d = 0.0; var j = 0
+              while (j < sub) {
+                val t = rv(m * sub + j) - bk(m)(c)(j)
+                d += t * t; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            best.toByte
+          }
+          var nv = 0.0
+          v.foreach { x => nv += x.toDouble * x }
+          (vid, cell, code, math.sqrt(nv))
+        }
+      }
+      .toDF("vec_id", "cell", "code", "norm")
+  }
 
   /** Drop the memoized stored-codes index and two-level SemDeDup
     * assignment references (idempotent; Bench/ScaleBench call it

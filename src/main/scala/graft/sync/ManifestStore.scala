@@ -205,9 +205,30 @@ object ManifestStore {
       // with no live holder (ADVICE r9). Reap the corpse this claimant
       // just created, but only while it carries NO nonce: a stamped
       // claim (ours raced away, or anyone's) is never clobbered.
+      // The reap itself goes through the same RENAME-to-unique trick
+      // as the stale break (ADVICE r10): a read-then-delete had a
+      // TOCTOU — a stamp landing between the emptiness re-read and
+      // the delete would be deleted live, re-opening the dual-writer
+      // window. Rename aside first (atomic: only one mover wins the
+      // file), verify the MOVED file is still empty, then delete; a
+      // stamped claim moved by mistake is renamed back, and if that
+      // restore loses a further race the victim's commit-point
+      // verifyHeld aborts loudly — never a silent dual owner.
       if (!ok && lockNonce().forall(_.isEmpty)) {
-        try { f.delete(lock, false); () }
-        catch { case _: java.io.IOException => () }
+        val corpse = new org.apache.hadoop.fs.Path(
+          s"$storeDir/_manifest/.writer.lock.broken-$nonce")
+        val moved =
+          try f.rename(lock, corpse)
+          catch { case _: java.io.IOException => false }
+        if (moved) {
+          if (lockNonceAt(f, corpse).forall(_.isEmpty)) {
+            try { f.delete(corpse, false); () }
+            catch { case _: java.io.IOException => () }
+          } else {
+            try { f.rename(corpse, lock); () }
+            catch { case _: java.io.IOException => () }
+          }
+        }
       }
       ok
     }

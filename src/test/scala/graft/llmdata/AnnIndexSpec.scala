@@ -1,13 +1,17 @@
 package graft.llmdata
 
 import graft.SparkSpec
+import graft.sync.GenDir
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** The persisted ANN index must change WHERE the index lives, never
   * the answer: stored-path results row-for-row equal the memoized
   * path's, the cell partition key physically prunes unprobed files,
-  * and the build is an idempotent overwrite. */
+  * builds commit atomically (a killed rebuild can never expose mixed
+  * generations — VERDICT r10 #1), metas validate loudly, appends
+  * compose exactly, and vacuum reclaims without touching the newest
+  * generation. */
 class AnnIndexSpec extends SparkSpec {
 
   private lazy val indexDir = {
@@ -16,11 +20,15 @@ class AnnIndexSpec extends SparkSpec {
     d
   }
 
-  test("meta round-trips and matches the corpus") {
+  private def genDir = AnnIndex.resolveGen(spark, indexDir)
+
+  test("meta round-trips, validates, and matches the corpus") {
     val meta = AnnIndex.readMeta(spark, indexDir)
     assert(meta.n === graft.Tables.embeddings(spark, sf).count())
     assert(meta.cells === Similarity.ivfModelCellsFor(spark, sf).length)
     assert(meta.dims === 64)
+    assert(meta.m === Similarity.IvfPqM)
+    assert(meta.k === Similarity.IvfPqK)
   }
 
   test("stored-index query ≡ memoized-index query row-for-row") {
@@ -33,7 +41,7 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("probed-cell filter prunes parquet partitions: unprobed cell files are never read") {
-    val codes = s"$indexDir/codes.parquet"
+    val codes = s"$genDir/codes.parquet"
     val allCells = spark.read.parquet(codes)
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
     assert(allCells.size > 4, "need enough cells for pruning to mean anything")
@@ -53,11 +61,114 @@ class AnnIndexSpec extends SparkSpec {
     assert(allFiles > files.length.toLong)
   }
 
-  test("rebuild is an idempotent overwrite; IndexMain.run reports the same meta") {
+  test("a rebuild killed before commit leaves the old generation intact and readers unaffected") {
+    val before = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect().toSeq
+    val genBefore = genDir
+    // the kill: the ENTIRE build ran (all parquet + meta staged) but
+    // the commit rename never happened
+    val corpse = AnnIndex.writeCrashBeforeCommit(spark, sf, indexDir)
+    assert(new java.io.File(corpse).getName.startsWith(".tmp-"),
+      "a crashed build must only ever leave a .tmp-* staging dir")
+    // the reader resolves exactly the old complete generation — never
+    // a mix of old and new files
+    assert(genDir === genBefore)
+    val after = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect().toSeq
+    assert(after === before, "a killed rebuild must not change any answer")
+    // and a subsequent REAL rebuild commits the next generation
     val meta2 = IndexMain.run(spark, sf, indexDir)
+    assert(genDir !== genBefore)
     assert(meta2 === AnnIndex.readMeta(spark, indexDir))
-    val stored = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect()
-    val memo = Similarity.ivfPqTopK(spark, sf, 5, 10).collect()
-    assert(stored.toSeq === memo.toSeq)
+    val rebuilt = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect().toSeq
+    assert(rebuilt === before)
+  }
+
+  test("dual-builder contention fails loudly instead of interleaving") {
+    val d = Files.createTempDirectory("graft-annindex-race").toString
+    // both builders staged against the same target generation name;
+    // the faster one committed between the slower one's id computation
+    // and its rename — the slower rename must fail loudly, never merge
+    val tmpFast = GenDir.stage(spark, d)
+    val tmpSlow = GenDir.stage(spark, d)
+    GenDir.commit(spark, d, tmpFast, Some("gen-0"))
+    val e = intercept[IllegalStateException] {
+      GenDir.commit(spark, d, tmpSlow, Some("gen-0"))
+    }
+    assert(e.getMessage.contains("gen-0"))
+    assert(e.getMessage.contains("rename race"))
+    // the loser's staging dir survives for inspection
+    assert(new java.io.File(tmpSlow).exists())
+  }
+
+  test("a torn or mismatched meta fails loudly naming the artifact, never mis-decodes") {
+    val d = Files.createTempDirectory("graft-annindex-meta").toString
+    def plant(metaJson: String): Unit = {
+      val g = new java.io.File(s"$d/gen-0")
+      g.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d/gen-0/meta.json"),
+        metaJson.getBytes("UTF-8"))
+    }
+    plant("""{"format":2,"n":100""") // torn mid-write
+    val torn = intercept[IllegalStateException] {
+      AnnIndex.readMeta(spark, d)
+    }
+    assert(torn.getMessage.contains("meta.json") ||
+      torn.getMessage.contains("gen-0"))
+    assert(torn.getMessage.contains("missing"))
+    plant("""{"format":2,"n":100,"cells":10,"dims":64,"m":8,"k":256}""")
+    val geom = intercept[IllegalStateException] {
+      AnnIndex.readMeta(spark, d)
+    }
+    assert(geom.getMessage.contains("m=8"))
+    plant("""{"format":1,"n":100,"cells":10,"dims":64,"m":16,"k":256}""")
+    val fmt = intercept[IllegalStateException] {
+      AnnIndex.readMeta(spark, d)
+    }
+    assert(fmt.getMessage.contains("format 1"))
+  }
+
+  test("an unbuilt index dir fails loudly, never reads empty") {
+    val d = Files.createTempDirectory("graft-annindex-virgin").toString
+    val e = intercept[IllegalStateException] {
+      AnnIndex.ivfPqTopK(spark, sf, d, 5, 10)
+    }
+    assert(e.getMessage.contains("no committed ANN index generation"))
+  }
+
+  test("append(shard) onto base(corpus \\ shard) ≡ the full build at the query level, row-for-row") {
+    val composed = AnnIndex.appendIndexFor(spark, sf)
+    val stored = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect().toSeq
+    val appended = AnnIndex.ivfPqTopK(spark, sf, composed, 5, 10).collect().toSeq
+    assert(appended === stored,
+      "base + delta must compose the exact code set a full build writes")
+    // the delta segment really exists and carries the shard
+    val gen = AnnIndex.resolveGen(spark, composed)
+    val deltaCodes = spark.read.parquet(s"$gen/delta-0/codes.parquet")
+    assert(deltaCodes.count() ===
+      graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 10 === 7).count())
+    // and the composed index counts base + delta
+    val meta = AnnIndex.readMeta(spark, composed)
+    assert(meta.n ===
+      graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 10 =!= 7).count())
+  }
+
+  test("vacuum reclaims superseded generations and crash corpses, never the newest") {
+    val d = Files.createTempDirectory("graft-annindex-vac").toString
+    AnnIndex.write(spark, sf, d)
+    val q0 = AnnIndex.ivfPqTopK(spark, sf, d, 5, 10).collect().toSeq
+    AnnIndex.writeCrashBeforeCommit(spark, sf, d) // corpse
+    AnnIndex.write(spark, sf, d) // gen-1 supersedes gen-0
+    AnnIndex.vacuum(spark, d)
+    val left = new java.io.File(d).listFiles().map(_.getName).toSet
+    assert(left === Set("gen-1"),
+      s"vacuum must leave exactly the newest generation, got $left")
+    assert(AnnIndex.ivfPqTopK(spark, sf, d, 5, 10).collect().toSeq === q0)
+  }
+
+  test("GenDir vacuum refuses retain < 1") {
+    val d = Files.createTempDirectory("graft-gendir").toString
+    intercept[IllegalArgumentException] { GenDir.vacuum(spark, d, 0) }
   }
 }
