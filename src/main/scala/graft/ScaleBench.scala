@@ -51,7 +51,8 @@ object ScaleBench {
     "mm_phash_dedup", "mm_audio_dedup",
     "txt_chunk_dedup", "txt_pack_assign",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_topk_2l",
-    "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_stored",
+    "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_frame", "ann_ivfpq_stored",
+    "ann_ivfpq_append",
     "ann_pca_topk", "ann_hybrid_rrf", "ann_hybrid_rrf_ivfpq",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
@@ -129,6 +130,26 @@ object ScaleBench {
       }
       name -> times
     }
+    // query-BATCH scaling on the 20k-vector synthetic corpus (VERDICT
+    // r10 #2): the frame path's per-query cost must hold ~flat as the
+    // batch grows 400× — past QFrameThreshold the auto-dispatch takes
+    // the frame path, so only small batches also measure the driver
+    // placement. Min of 2 passes per cell; indexes are warm from the
+    // family sweep above (steady-state serving cost, like Bench).
+    val qBatchCells = Seq(("driver", 5, false), ("driver", 50, false),
+      ("frame", 5, true), ("frame", 50, true),
+      ("frame", 500, true), ("frame", 2000, true))
+    val qBatch = qBatchCells.map { case (mode, q, ff) =>
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        llmdata.Similarity.ivfPqTopK(spark, synthDir, q, 10, frameQueries = ff)
+          .queryExecution.toRdd.foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(pass(), pass())
+      (mode, q, t)
+    }
+
     llmdata.Dedup.releaseCaches()
     llmdata.TextAnalysis.releaseCaches()
     llmdata.Similarity.releaseCaches()
@@ -172,6 +193,11 @@ object ScaleBench {
     scan.foreach { case (label, c, p, pq) =>
       println(f"| $label | $c | $p (${p.toDouble / c}%.2f) | $pq (${pq.toDouble / c}%.2f) |")
     }
+    println("| ivfpq query batch (synth10x, 20k vecs) | sec | sec/query |")
+    println("|---|---|---|")
+    qBatch.foreach { case (mode, q, t) =>
+      println(f"| $mode@$q | $t%.2f | ${t / q}%.4f |")
+    }
     val qs = rows.map { case (n, ts) =>
       "\"" + n + "\":{" + ts.map { case (l, t, c, passes) =>
         "\"" + l + "\":{\"sec\":" + t + ",\"rows\":" + c +
@@ -185,7 +211,11 @@ object ScaleBench {
       "\"" + label + "\":{\"cells\":" + c + ",\"ivf_probes\":" + p +
         ",\"ivfpq_probes\":" + pq + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"ivf_scan":$sc}""")
+    val qb = qBatch.map { case (mode, q, t) =>
+      "\"" + mode + "@" + q + "\":{\"sec\":" + t +
+        ",\"sec_per_query\":" + (t / q) + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"ivf_scan":$sc,"q_batch":$qb}""")
     spark.stop()
     if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }

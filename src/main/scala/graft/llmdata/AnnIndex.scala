@@ -374,90 +374,23 @@ object AnnIndex {
     * Returns results row-for-row identical to the memoized path. */
   def ivfPqTopK(spark: SparkSession, corpusDir: String, indexDir: String,
                 nQueries: Int, k: Int, probes: Int = 0,
-                rerankPool: Int = 0): DataFrame = {
-    import spark.implicits._
+                rerankPool: Int = 0,
+                frameQueries: Boolean = false): DataFrame = {
     val gen = resolveGen(spark, indexDir)
     val meta = readMeta(spark, indexDir)
     val (cents, books, rot) = loadModel(spark, gen)
-    val e = Tables.embeddings(spark, corpusDir)
-    val nTotal = totalIndexed(spark, gen, meta)
-    val pr =
-      if (probes > 0) probes
-      else Similarity.ivfPqDefaultProbes(cents.length, nTotal)
-    val sub = books(0)(0).length
-    val qs = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-    val qInfos = qs.map { case (qid, qv) =>
-      val ranked = cents.indices
-        .map(c => (-Similarity.cosine6(qv, cents(c)), c)).sorted.take(pr).map(_._2)
-      val qdotc = Array.fill(cents.length)(Double.NaN)
-      ranked.foreach { c =>
-        var d = 0.0; var j = 0
-        while (j < qv.length) { d += qv(j).toDouble * cents(c)(j); j += 1 }
-        qdotc(c) = d
-      }
-      val rq = Similarity.rotate(rot, qv)
-      val lut = Array.tabulate(Similarity.IvfPqM, Similarity.IvfPqK) { (m, c) =>
-        var d = 0.0; var j = 0
-        while (j < sub) { d += rq(m * sub + j) * books(m)(c)(j); j += 1 }
-        d
-      }
-      var nq = 0.0
-      qv.foreach { x => nq += x.toDouble * x }
-      (qid, qdotc, lut, math.sqrt(nq))
-    }
-    val bcQs = spark.sparkContext.broadcast(qInfos)
-    val R = if (rerankPool > 0) rerankPool
-      else math.max(16 * k, Similarity.IvfPqRerankPool)
-    val probedCells = qInfos
-      .flatMap(_._2.zipWithIndex.collect { case (d, c) if !d.isNaN => c })
-      .distinct.sorted
-    // the stored scan: cell is a PARTITION column, so this filter
-    // prunes directories before any file is opened
-    val cand = codesScan(spark, gen)
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col("vec_id"), col("cell"), col("code"), col("norm"))
-      .as[(Long, Int, Array[Byte], Double)]
-      .mapPartitions { it =>
-        val ls = bcQs.value
-        val ord = Ordering.by[(Long, Double), (Double, Long)] { case (nid, a) => (-a, nid) }
-        val heaps = ls.map(q => (q._1, new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord)))
-        it.foreach { case (vid, cell, code, norm) =>
-          var qi = 0
-          while (qi < ls.length) {
-            val (qid, qdotc, lut, qnorm) = ls(qi)
-            if (qid != vid && !qdotc(cell).isNaN) {
-              var adc = qdotc(cell); var m = 0
-              while (m < Similarity.IvfPqM) { adc += lut(m)(code(m) & 0xFF); m += 1 }
-              val approx = adc / (qnorm * norm)
-              val h = heaps(qi)._2
-              if (h.size < R) h.enqueue((vid, approx))
-              else if (ord.lt((vid, approx), h.head)) { h.dequeue(); h.enqueue((vid, approx)) }
-            }
-            qi += 1
-          }
-        }
-        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (nid, a) => (qid, nid, a) } }
-      }
-      .toDF("query_id", "neighbor_id", "approx")
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx").desc, col("neighbor_id"))
-    val topR = cand.withColumn("rr", row_number().over(wA))
-      .filter(col("rr") <= R)
-      .select(col("query_id"), col("neighbor_id"))
-    val qFrame = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    topR
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
-      .join(broadcast(qFrame), "query_id")
-      .withColumn("sim", Similarity.cosineBest(spark, col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    // the SHARED query program ([[Similarity.ivfPqQueryProgram]] — one
+    // implementation behind the memoized and persisted paths, so they
+    // can never drift): in driver mode the probed-cell union lands as
+    // a codegen'd filter that here PARTITION-PRUNES whole cell
+    // directories (cell is the physical partition key); in frame mode
+    // (Q past [[Similarity.QFrameThreshold]] or forced) the query
+    // frame ranks its own probes per executor and candidates come
+    // from the cell-keyed equi-join — the corpus-scale batch shape.
+    Similarity.ivfPqQueryProgram(spark, Tables.embeddings(spark, corpusDir),
+      codesScan(spark, gen), cents, books, rot,
+      totalIndexed(spark, gen, meta), nQueries, k, probes, rerankPool,
+      frameQueries)
   }
 }
 

@@ -1283,6 +1283,15 @@ object LlmQueries {
       Similarity.ivfTopK(s, d, 5, 10, forceTable = true)),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, 5, 10)),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, 5, 10)),
+    // the corpus-scale BATCH deployment of the same query program
+    // (r11): probe ranking and ADC math run per-executor against the
+    // broadcast model — zero driver flops grow with the query batch
+    // (the auto-dispatch takes this path past QFrameThreshold; forced
+    // here so it is benched at the registered scale). Outputs pinned
+    // row-for-row equal to ann_ivfpq_topk's (SimilaritySpec) —
+    // rows-only like it
+    "ann_ivfpq_frame" -> ((s, d) =>
+      Similarity.ivfPqTopK(s, d, 5, 10, frameQueries = true)),
     // the PERSISTED-index deployment path (r10): model sides loaded
     // from the on-disk artifact, candidate scan reading the
     // cell-partitioned codes table with partition pruning; results
@@ -1370,8 +1379,8 @@ object LlmQueries {
 
   /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
     * ann_lsh_topk / ann_ivf_topk / ann_ivf_topk_2l / ann_pq_topk /
-    * ann_ivfpq_topk / ann_ivfpq_stored / ann_ivfpq_append /
-    * dd_embed_gate_shuffle intentionally absent
+    * ann_ivfpq_topk / ann_ivfpq_frame / ann_ivfpq_stored /
+    * ann_ivfpq_append / dd_embed_gate_shuffle intentionally absent
     * (rows-only): hash functions / trained quantizers aren't
     * reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact

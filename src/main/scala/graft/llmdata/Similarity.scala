@@ -491,9 +491,45 @@ object Similarity {
     cells.toSeq.map { case (cid, cv) => (-cosine6(qv, cv), cid) }
       .sorted.take(take).map(_._2)
 
+  /** Threshold past which the ANN query paths move probe ranking off
+    * the driver by default (VERDICT r10 #2): the driver path collects
+    * the query batch and ranks probes at O(Q·cells·d) driver flops —
+    * the standard per-query serving cost against the RAM-resident
+    * coarse quantizer, fine at interactive Q but a single-thread
+    * ceiling for a corpus-scale batch join (10⁶ queries × 31k cells).
+    * Past this Q the FRAME path runs instead: the dense centroid
+    * array (O(√N·d), ~8 MB at 1B vectors) ships as a broadcast
+    * variable and each executor ranks its own queries' probes —
+    * per-query cost flat in Q (ScaleBench's query-batch table
+    * measures it). Identical probe sets and outputs by construction:
+    * the same [[rankProbes]] kernel runs either side (SimilaritySpec
+    * pins it), so the dispatch is a pure execution-placement choice. */
+  val QFrameThreshold = 64
+
+  /** Executor-side probe ranking over the query FRAME: one row per
+    * (query_id, probed cell), computed per-partition against the
+    * broadcast centroid array with the SAME pinned [[rankProbes]]
+    * kernel the driver path uses — bit-identical probe sets, no
+    * driver collect, no plan structure growing with Q or cells. */
+  private[llmdata] def probePairsFrame(spark: SparkSession, queries: DataFrame,
+                                       cells: Array[(Int, Array[Float])],
+                                       take: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cells)
+    queries.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ct = bc.value
+        it.flatMap { case (qid, qv) =>
+          rankProbes(ct, qv, take).map(cid => (qid, cid))
+        }
+      }
+      .toDF("query_id", "cell")
+  }
+
   def ivfTopK(spark: SparkSession, dir: String,
               nQueries: Int, k: Int, probes: Int = 0,
-              forceTable: Boolean = false): DataFrame = {
+              forceTable: Boolean = false,
+              frameQueries: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val model = if (forceTable) ivfTwoLevelFor(spark, dir) else null
@@ -506,15 +542,21 @@ object Similarity {
       else ivfDefaultProbes(cells.length, corpusCount(spark, dir))
     val corpus =
       if (forceTable) model.inverted else ivfInvertedFor(spark, dir)
-    // per-query probe sets computed driver-side (O(nQueries) collect,
-    // the ivfPqTopK pattern) and joined in as a tiny local relation —
-    // no plan literal grows with the cell count
-    val qs = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-    val probePairs = qs.toSeq.flatMap { case (qid, qv) =>
-      rankProbes(cells, qv, pr).map(cid => (qid, cid))
-    }.toDF("query_id", "cell")
+    val qFrame = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+    // per-query probe sets: driver-side (O(nQueries) collect, the
+    // classic serving shape) below QFrameThreshold, per-executor over
+    // the query frame past it — SAME kernel, identical pairs, and in
+    // neither form does a plan literal grow with the cell count
+    val probePairs =
+      if (frameQueries || nQueries > QFrameThreshold)
+        probePairsFrame(spark, qFrame, cells, pr)
+      else {
+        val qs = qFrame.as[(Long, Array[Float])].collect().sortBy(_._1)
+        qs.toSeq.flatMap { case (qid, qv) =>
+          rankProbes(cells, qv, pr).map(cid => (qid, cid))
+        }.toDF("query_id", "cell")
+      }
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("query_id"))
@@ -1285,83 +1327,189 @@ object Similarity {
     * SimilaritySpec). */
   def ivfPqTopK(spark: SparkSession, dir: String,
                 nQueries: Int, k: Int, probes: Int = 0,
-                rerankPool: Int = 0): DataFrame = {
+                rerankPool: Int = 0,
+                frameQueries: Boolean = false): DataFrame =
+    ivfPqQueryProgram(spark, Tables.embeddings(spark, dir),
+      ivfPqCodesFor(spark, dir),
+      ivfModelCellsFor(spark, dir).map(_._2),
+      ivfPqCodebooksFor(spark, dir),
+      pqRotationFor(spark, dir, IvfPqM),
+      corpusCount(spark, dir), nQueries, k, probes, rerankPool,
+      frameQueries)
+
+  /** The SHARED IVF∘PQ query program — one implementation behind both
+    * the memoized index ([[ivfPqTopK]]) and the persisted artifact
+    * ([[AnnIndex.ivfPqTopK]]), parameterized by the codes scan and the
+    * model arrays so the two paths can never drift.
+    *
+    * Two candidate-generation placements (VERDICT r10 #2), identical
+    * math either way:
+    *
+    *  - DRIVER (Q ≤ [[QFrameThreshold]] or `frameQueries = false`):
+    *    collect the query batch, rank probes and build each query's
+    *    qdotc array + M×K residual LUT on the driver, broadcast the
+    *    batch, and heap-scan the cell-filtered codes — the classic
+    *    per-query serving shape (O(Q·cells·d) driver flops against
+    *    the RAM-resident coarse quantizer), plus the probed-cell
+    *    union pushed as a codegen'd filter ahead of the scan (on the
+    *    persisted index that filter partition-prunes whole cell
+    *    directories).
+    *  - FRAME (`frameQueries = true` or Q > the threshold): zero
+    *    driver flops — the query frame ranks its own probes per
+    *    executor against the broadcast centroid array and emits one
+    *    row per (query, probed cell) carrying the exact centroid dot,
+    *    the rotated query, and its norm; candidates come from an
+    *    equi-join with the codes table ON THE CELL KEY (the shuffle
+    *    axis a corpus-scale batch join wants), and the ADC score is
+    *    computed candidate-local from the rotated query and the
+    *    broadcast books. The per-subspace dot runs in the same j-order
+    *    as the driver LUT build, and the M adds in the same m-order,
+    *    so every approx score is bit-identical to the driver path's
+    *    (SimilaritySpec pins row-for-row output equality) — the
+    *    dispatch is purely WHERE the work runs.
+    *
+    * Both branches end in the same exact-rerank tail: window top-R by
+    * approx, exact cosine on the R·Q pool, top-k. */
+  private[llmdata] def ivfPqQueryProgram(spark: SparkSession, e: DataFrame,
+                                         codes: DataFrame,
+                                         cents: Array[Array[Float]],
+                                         books: Array[Array[Array[Double]]],
+                                         rot: Array[Array[Double]],
+                                         nTotal: Long, nQueries: Int, k: Int,
+                                         probes: Int, rerankPool: Int,
+                                         frameQueries: Boolean): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-    val cents = ivfModelCellsFor(spark, dir).map(_._2)
     // probes = 0 (the default) scales with the cell count up to the
     // log ceiling, like ivfTopK
     val pr =
       if (probes > 0) probes
-      else ivfPqDefaultProbes(cents.length, corpusCount(spark, dir))
-    val books = ivfPqCodebooksFor(spark, dir)
-    val rot = pqRotationFor(spark, dir, IvfPqM)
+      else ivfPqDefaultProbes(cents.length, nTotal)
     val sub = books(0)(0).length
-    val qs = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect().sortBy(_._1) // O(nQueries) — the broadcast query side
-    // per query: probed-cell exact centroid dots (NaN = unprobed) +
-    // the shared residual LUT (in the OPQ-rotated basis — rotation is
-    // orthonormal, so dot(q, res) = dot(Rq, R·res) and the ADC score
-    // still targets the original cosine) + exact norm
-    val qInfos = qs.map { case (qid, qv) =>
-      val ranked = cents.indices
-        .map(c => (-cosine6(qv, cents(c)), c)).sorted.take(pr).map(_._2)
-      val qdotc = Array.fill(cents.length)(Double.NaN)
-      ranked.foreach { c =>
-        var d = 0.0; var j = 0
-        while (j < qv.length) { d += qv(j).toDouble * cents(c)(j); j += 1 }
-        qdotc(c) = d
-      }
-      val rq = rotate(rot, qv)
-      val lut = Array.tabulate(IvfPqM, IvfPqK) { (m, c) =>
-        var d = 0.0; var j = 0
-        while (j < sub) { d += rq(m * sub + j) * books(m)(c)(j); j += 1 }
-        d
-      }
-      var nq = 0.0
-      qv.foreach { x => nq += x.toDouble * x }
-      (qid, qdotc, lut, math.sqrt(nq))
-    }
-    val bcQs = spark.sparkContext.broadcast(qInfos)
     val R = if (rerankPool > 0) rerankPool else math.max(16 * k, IvfPqRerankPool)
-    // the scan reads the STORED codes table ([[ivfPqCodesFor]]) — the
-    // encode pass ran once per (session, corpus) at index-build time,
-    // so per-query-batch work per candidate is M LUT adds, never a
-    // re-encode (the doc'd "scan reads codes, not floats" is literal).
-    // The batch's probed-cell union is pushed as a codegen'd filter
-    // AHEAD of the lambda: the codes table is cell-partitioned, so
-    // unprobed cells drop in whole partitions before any heap work.
-    val probedCells = qInfos
-      .flatMap(_._2.zipWithIndex.collect { case (d, c) if !d.isNaN => c })
-      .distinct.sorted
-    val cand = ivfPqCodesFor(spark, dir)
-      .filter(col("cell").isin(probedCells: _*))
-      .as[(Long, Int, Array[Byte], Double)]
-      .mapPartitions { it =>
-        val ls = bcQs.value
-        val ord = Ordering.by[(Long, Double), (Double, Long)] { case (nid, a) => (-a, nid) }
-        val heaps = ls.map(q => (q._1, new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord)))
-        it.foreach { case (vid, cell, code, norm) =>
-          // only queries probing this vector's cell ever see it — the
-          // IVF bound; at scale the partition itself is the cell
-          var qi = 0
-          while (qi < ls.length) {
-            val (qid, qdotc, lut, qnorm) = ls(qi)
-            if (qid != vid && !qdotc(cell).isNaN) {
-              var adc = qdotc(cell); var m = 0
-              while (m < IvfPqM) { adc += lut(m)(code(m) & 0xFF); m += 1 }
-              val approx = adc / (qnorm * norm)
-              val h = heaps(qi)._2
-              if (h.size < R) h.enqueue((vid, approx))
-              else if (ord.lt((vid, approx), h.head)) { h.dequeue(); h.enqueue((vid, approx)) }
+    val codeScan = codes
+      .select(col("vec_id"), col("cell"), col("code"), col("norm"))
+
+    val cand: DataFrame = if (frameQueries || nQueries > QFrameThreshold) {
+      val bcC = spark.sparkContext.broadcast(cents)
+      val bcB = spark.sparkContext.broadcast(books)
+      val bcR = spark.sparkContext.broadcast(rot)
+      // (query_id, cell, qdotc, rq, qnorm) — one row per probed cell,
+      // built per-executor: probe ranking on the pinned cosine6
+      // kernel, exact centroid dot in ascending-j order, the OPQ
+      // rotation of the query (shared across its probe rows)
+      val qprobe = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val ct = bcC.value
+          val rt = bcR.value
+          val ctIdx = Array.tabulate(ct.length)(i => (i, ct(i)))
+          it.flatMap { case (qid, qv) =>
+            val ranked = rankProbes(ctIdx, qv, pr)
+            val rq = rotate(rt, qv)
+            var nq = 0.0
+            qv.foreach { x => nq += x.toDouble * x }
+            val qn = math.sqrt(nq)
+            ranked.map { c =>
+              var d = 0.0; var j = 0
+              while (j < qv.length) { d += qv(j).toDouble * ct(c)(j); j += 1 }
+              (qid, c, d, rq, qn)
             }
-            qi += 1
           }
         }
-        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (nid, a) => (qid, nid, a) } }
+        .toDF("query_id", "cell", "qdotc", "rq", "qnorm")
+      // candidates = codes ⋈ probe rows on the CELL key — the shuffle
+      // a corpus-scale batch join wants; ADC is candidate-local: the
+      // same per-subspace sums the driver LUT holds, computed in the
+      // same order, so scores are bit-identical
+      codeScan
+        .join(qprobe, "cell")
+        .select(col("query_id"), col("vec_id"), col("qdotc"),
+          col("rq"), col("qnorm"), col("code"), col("norm"))
+        .as[(Long, Long, Double, Array[Double], Double, Array[Byte], Double)]
+        .mapPartitions { it =>
+          val bk = bcB.value
+          it.flatMap { case (qid, vid, qdotc, rq, qn, code, norm) =>
+            if (qid == vid) Iterator.empty
+            else {
+              var adc = qdotc; var m = 0
+              while (m < IvfPqM) {
+                val cc = code(m) & 0xFF
+                var d = 0.0; var j = 0
+                while (j < sub) { d += rq(m * sub + j) * bk(m)(cc)(j); j += 1 }
+                adc += d; m += 1
+              }
+              Iterator.single((qid, vid, adc / (qn * norm)))
+            }
+          }
+        }
+        .toDF("query_id", "neighbor_id", "approx")
+    } else {
+      val qs = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1) // O(nQueries) — the broadcast query side
+      // per query: probed-cell exact centroid dots (NaN = unprobed) +
+      // the shared residual LUT (in the OPQ-rotated basis — rotation is
+      // orthonormal, so dot(q, res) = dot(Rq, R·res) and the ADC score
+      // still targets the original cosine) + exact norm
+      val qInfos = qs.map { case (qid, qv) =>
+        val ranked = cents.indices
+          .map(c => (-cosine6(qv, cents(c)), c)).sorted.take(pr).map(_._2)
+        val qdotc = Array.fill(cents.length)(Double.NaN)
+        ranked.foreach { c =>
+          var d = 0.0; var j = 0
+          while (j < qv.length) { d += qv(j).toDouble * cents(c)(j); j += 1 }
+          qdotc(c) = d
+        }
+        val rq = rotate(rot, qv)
+        val lut = Array.tabulate(IvfPqM, IvfPqK) { (m, c) =>
+          var d = 0.0; var j = 0
+          while (j < sub) { d += rq(m * sub + j) * books(m)(c)(j); j += 1 }
+          d
+        }
+        var nq = 0.0
+        qv.foreach { x => nq += x.toDouble * x }
+        (qid, qdotc, lut, math.sqrt(nq))
       }
-      .toDF("query_id", "neighbor_id", "approx")
+      val bcQs = spark.sparkContext.broadcast(qInfos)
+      // the scan reads the STORED codes table — the encode pass ran
+      // once at index-build time, so per-query-batch work per
+      // candidate is M LUT adds, never a re-encode (the doc'd "scan
+      // reads codes, not floats" is literal). The batch's probed-cell
+      // union is pushed as a codegen'd filter AHEAD of the lambda:
+      // the codes table is cell-partitioned, so unprobed cells drop
+      // in whole partitions before any heap work.
+      val probedCells = qInfos
+        .flatMap(_._2.zipWithIndex.collect { case (d, c) if !d.isNaN => c })
+        .distinct.sorted
+      codeScan
+        .filter(col("cell").isin(probedCells: _*))
+        .as[(Long, Int, Array[Byte], Double)]
+        .mapPartitions { it =>
+          val ls = bcQs.value
+          val ord = Ordering.by[(Long, Double), (Double, Long)] { case (nid, a) => (-a, nid) }
+          val heaps = ls.map(q => (q._1, new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord)))
+          it.foreach { case (vid, cell, code, norm) =>
+            // only queries probing this vector's cell ever see it — the
+            // IVF bound; at scale the partition itself is the cell
+            var qi = 0
+            while (qi < ls.length) {
+              val (qid, qdotc, lut, qnorm) = ls(qi)
+              if (qid != vid && !qdotc(cell).isNaN) {
+                var adc = qdotc(cell); var m = 0
+                while (m < IvfPqM) { adc += lut(m)(code(m) & 0xFF); m += 1 }
+                val approx = adc / (qnorm * norm)
+                val h = heaps(qi)._2
+                if (h.size < R) h.enqueue((vid, approx))
+                else if (ord.lt((vid, approx), h.head)) { h.dequeue(); h.enqueue((vid, approx)) }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (nid, a) => (qid, nid, a) } }
+        }
+        .toDF("query_id", "neighbor_id", "approx")
+    }
+
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
     val topR = cand.withColumn("rr", row_number().over(wA))

@@ -61,6 +61,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(allFiles > files.length.toLong)
   }
 
+  test("stored-index frame-path query ≡ stored-index driver-path query row-for-row (r10 #2)") {
+    val driver = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect().toSeq
+    val frame = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10,
+      frameQueries = true).collect().toSeq
+    assert(frame === driver,
+      "the persisted path's frame mode must not change any row")
+  }
+
   test("a rebuild killed before commit leaves the old generation intact and readers unaffected") {
     val before = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect().toSeq
     val genBefore = genDir

@@ -119,6 +119,36 @@ class SimilaritySpec extends SparkSpec {
       "probe ranking must be bit-identical across the two mechanisms")
   }
 
+  test("query-FRAME probe ranking ≡ driver-path probe sets per query (r10 #2)") {
+    import spark.implicits._
+    val cells = Similarity.ivfModelCellsFor(spark, sf)
+    val qFrame = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 20).select(col("vec_id"), col("embedding"))
+    val viaFrame = Similarity.probePairsFrame(spark, qFrame, cells, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val viaDriver = qFrame.as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        id -> Similarity.rankProbes(cells, v, 8).toSet
+      }.toMap
+    assert(viaFrame === viaDriver,
+      "executor-side probe ranking must produce the driver path's probe sets")
+  }
+
+  test("frame-path IVF and IVF∘PQ queries ≡ driver-path queries row-for-row (r10 #2)") {
+    // the frame path moves probe ranking / LUT math into executors —
+    // a pure execution-placement change; same kernels, same operation
+    // order, so every output row (ranks AND sims) must be identical
+    val ivfD = Similarity.ivfTopK(spark, sf, nQ, k).collect().toSeq
+    val ivfF = Similarity.ivfTopK(spark, sf, nQ, k, frameQueries = true)
+      .collect().toSeq
+    assert(ivfF === ivfD, "ivfTopK frame path must not change any row")
+    val pqD = Similarity.ivfPqTopK(spark, sf, nQ, k).collect().toSeq
+    val pqF = Similarity.ivfPqTopK(spark, sf, nQ, k, frameQueries = true)
+      .collect().toSeq
+    assert(pqF === pqD, "ivfPqTopK frame path must not change any row")
+  }
+
   test("forced two-level coarse model: dense ids, full shape, exact sims, recall floor, determinism (r9 #1)") {
     val model = Similarity.ivfTwoLevelFor(spark, sf)
     // dense-id contract: cell ids are exactly 0..k-1 in array order
