@@ -89,6 +89,7 @@ object Bench {
     graft.llmdata.TextAnalysis.releaseCaches()
     graft.llmdata.Similarity.releaseCaches()
     graft.llmdata.AnnIndex.releaseCaches()
+    graft.llmdata.LexStore.releaseCaches()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ps = results.map { case (k, _, passes) =>

@@ -208,21 +208,11 @@ object AnnIndex {
       .sortBy(_._1)
   }
 
-  private def writeJson(spark: SparkSession, path: String, text: String): Unit = {
-    val (f, p) = GenDir.fsOf(spark, path)
-    val os = f.create(p, true)
-    try os.write(text.getBytes("UTF-8")) finally os.close()
-  }
+  private def writeJson(spark: SparkSession, path: String, text: String): Unit =
+    GenDir.writeJson(spark, path, text)
 
-  private def readJsonLong(text: String, key: String,
-                           path: String): Long = {
-    val re = ("\"" + java.util.regex.Pattern.quote(key) +
-      "\"\\s*:\\s*(-?[0-9]+)").r
-    re.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(
-      throw new IllegalStateException(
-        s"ANN index artifact $path is corrupt: required field " +
-          s""""$key" missing from: $text"""))
-  }
+  private def readJsonLong(text: String, key: String, path: String): Long =
+    GenDir.jsonLong(text, key, path)
 
   private def validateGeometry(m: Long, k: Long, fmt: Long,
                                path: String): Unit = {
@@ -292,19 +282,7 @@ object AnnIndex {
   def readMeta(spark: SparkSession, indexDir: String): Meta = {
     val gen = resolveGen(spark, indexDir)
     val path = s"$gen/meta.json"
-    val (f, p) = GenDir.fsOf(spark, path)
-    val text =
-      try {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      } catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"ANN index generation $gen has no readable meta.json - " +
-              s"the artifact is corrupt (commit is atomic, so this " +
-              s"indicates external damage): ${e.getMessage}")
-      }
+    val text = GenDir.readJson(spark, path, "ANN index meta.json")
     def fld(k: String): Long = readJsonLong(text, k, path)
     validateGeometry(fld("m"), fld("k"), fld("format"), path)
     Meta(fld("n"), fld("cells").toInt, fld("dims").toInt,
@@ -319,11 +297,7 @@ object AnnIndex {
                            meta: Meta): Long =
     meta.n + deltaDirs(spark, gen).map { case (_, d) =>
       val path = s"$d/delta.json"
-      val (f, p) = GenDir.fsOf(spark, path)
-      val in = f.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+      val text = GenDir.readJson(spark, path, "ANN index delta.json")
       validateGeometry(readJsonLong(text, "m", path),
         readJsonLong(text, "k", path),
         readJsonLong(text, "format", path), path)

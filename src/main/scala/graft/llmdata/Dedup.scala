@@ -355,6 +355,87 @@ object Dedup {
       .select(col("vec_id"), col("corpus_id"), col("band"))
   }
 
+  // ------------------------------------- persisted gate indexes (r11)
+  /** On-disk format version for the persisted gate indexes. */
+  val GateIndexFormat = 2
+
+  /** Persist the corpus-side EMBEDDING band index — keys AND the bit
+    * width they were keyed at — through the [[graft.sync.GenDir]]
+    * commit protocol (VERDICT r10 #7): a RESTARTED ingestion stream
+    * loads its gate from disk instead of re-keying the whole corpus,
+    * and the carried width can never drift from the stored keys (the
+    * width rides the meta, validated at load). Returns the key count. */
+  def writeEmbedBandIndex(spark: SparkSession, corpusDir: String,
+                          idxDir: String): Long = {
+    import graft.sync.GenDir
+    val idx = corpusEmbedBandIndex(spark, corpusDir)
+    val tmp = GenDir.stage(spark, idxDir)
+    idx.keys.write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    val n = spark.read.parquet(s"$tmp/keys.parquet").count()
+    GenDir.writeJson(spark, s"$tmp/meta.json",
+      s"""{"format":$GateIndexFormat,"bits":${idx.bitsPerBand},"n_keys":$n}""")
+    GenDir.commit(spark, idxDir, tmp)
+    n
+  }
+
+  /** Load a persisted embedding band index (newest committed
+    * generation; format and width validated loudly). The returned
+    * value is a drop-in [[EmbedBandIndex]] — the gate cannot tell a
+    * loaded index from a freshly built one, and
+    * StreamingAnalyticsSpec pins identical gate output across a
+    * checkpoint restart that reloads it. */
+  def loadEmbedBandIndex(spark: SparkSession, idxDir: String): EmbedBandIndex = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed embed-band-index generation under $idxDir - " +
+          "run writeEmbedBandIndex"))
+    val path = s"$gen/meta.json"
+    val text = GenDir.readJson(spark, path, "embed band index meta.json")
+    val fmt = GenDir.jsonLong(text, "format", path)
+    if (fmt != GateIndexFormat)
+      throw new IllegalStateException(
+        s"embed band index $path has format $fmt; this reader " +
+          s"understands format $GateIndexFormat - rebuild the index")
+    EmbedBandIndex(spark.read.parquet(s"$gen/keys.parquet"),
+      GenDir.jsonLong(text, "bits", path).toInt)
+  }
+
+  /** Persist the corpus-side SHINGLE band index ([[corpusBandIndex]])
+    * — the MinHash-banded keys of the historical corpus — through the
+    * same commit protocol. */
+  def writeBandIndex(spark: SparkSession, corpusDir: String,
+                     idxDir: String): Long = {
+    import graft.sync.GenDir
+    val tmp = GenDir.stage(spark, idxDir)
+    corpusBandIndex(spark, corpusDir)
+      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    val n = spark.read.parquet(s"$tmp/keys.parquet").count()
+    GenDir.writeJson(spark, s"$tmp/meta.json",
+      s"""{"format":$GateIndexFormat,"n_keys":$n}""")
+    GenDir.commit(spark, idxDir, tmp)
+    n
+  }
+
+  /** Load a persisted shingle band index (newest committed
+    * generation, format-validated) — drop-in for the
+    * [[streamingNearDupGate]] corpus side. */
+  def loadBandIndex(spark: SparkSession, idxDir: String): DataFrame = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed band-index generation under $idxDir - " +
+          "run writeBandIndex"))
+    val path = s"$gen/meta.json"
+    val text = GenDir.readJson(spark, path, "band index meta.json")
+    val fmt = GenDir.jsonLong(text, "format", path)
+    if (fmt != GateIndexFormat)
+      throw new IllegalStateException(
+        s"band index $path has format $fmt; this reader understands " +
+          s"format $GateIndexFormat - rebuild the index")
+    spark.read.parquet(s"$gen/keys.parquet")
+  }
+
   /** Bits per existing key for auto-sized Bloom filters: ~10 bits/key
     * with k = 7 probes is the textbook ~1% false-positive point. */
   val BloomBitsPerKey = 10L
@@ -1480,6 +1561,53 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_raw"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("exact_drop"), 1L).otherwise(0L)).as("n_dropped_exact"),
+        sum(when(col("nd_drop"), 1L).otherwise(0L)).as("n_dropped_neardup"),
+        sum(when(col("kept"), col("n_tokens").cast("long")).otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** [[dedupCorpus]] with the URL STAGE a crawl pipeline runs FIRST
+    * (VERDICT r10 #5): re-fetches of the same page are dropped by
+    * canonical URL (first-seen keeper = min stable doc id per
+    * [[TextAnalysis.canonicalUrl]] key) BEFORE content hashing, so the
+    * expensive stages never see them. Fates are attributed
+    * cheapest-signal-first — url_dup → exact_dup → near_dup → kept —
+    * extending dedupCorpus's exact-first convention by one stage; the
+    * exact/near-dup keeper tables are still computed over the full
+    * corpus (attribution chooses the bucket, not the keeper — same
+    * stance as dedupCorpus). Every stage is a hash-partitioned
+    * group-by or equi-join: the URL stage adds one group-by on the
+    * canonical-URL key, the cheapest shuffle in the pipeline, which is
+    * exactly why production crawls run it first. */
+  def urlDedupCorpus(spark: SparkSession, dir: String, threshold: Double,
+                     maxDocFreq: Option[Long] = None): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        TextAnalysis.canonicalUrl(TextAnalysis.syntheticCrawlUrl).as("cu"))
+    val urlMin = docs.groupBy(col("cu")).agg(min(col("doc_id")).as("url_min"))
+    val surv = docs.groupBy(col("h")).agg(min(col("doc_id")).as("min_id"))
+    val ndDrop = jaccardLabelsFor(spark, dir, threshold, maxDocFreq)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"), lit(true).as("nd"))
+    docs.join(urlMin, "cu")
+      .join(surv, "h")
+      .join(ndDrop, Seq("doc_id"), "left")
+      .withColumn("url_drop", col("doc_id") =!= col("url_min"))
+      .withColumn("exact_drop",
+        !col("url_drop") && col("doc_id") =!= col("min_id"))
+      .withColumn("nd_drop",
+        !col("url_drop") && !col("exact_drop") && col("nd").isNotNull)
+      .withColumn("kept",
+        !col("url_drop") && !col("exact_drop") && col("nd").isNull)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("url_drop"), 1L).otherwise(0L)).as("n_dropped_url"),
         sum(when(col("exact_drop"), 1L).otherwise(0L)).as("n_dropped_exact"),
         sum(when(col("nd_drop"), 1L).otherwise(0L)).as("n_dropped_neardup"),
         sum(when(col("kept"), col("n_tokens").cast("long")).otherwise(0L))

@@ -1,0 +1,174 @@
+package graft.llmdata
+
+import graft.Tables
+import graft.sync.GenDir
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED BM25 postings index (VERDICT r10 #6) — the lexical twin
+  * of [[AnnIndex]]: a hybrid-retrieval deployment keeps its inverted
+  * postings ON DISK next to the ANN artifact, so a restarted serving
+  * job loads instead of re-exploding the corpus token stream. Commits
+  * ride the same [[GenDir]] stage + marker-last + atomic-rename
+  * protocol (a killed rebuild leaves only a `.tmp-*` corpse; readers
+  * always compose one complete generation; dual builders fail loudly).
+  *
+  * Layout under `lexDir/gen-<id>/`:
+  *  - `postings.parquet/bucket=<b>/…` — (doc_id, term, tf, dl)
+  *    partitioned by the TERM BUCKET `pmod(xxhash64(term), Buckets)`:
+  *    a query restricts the scan to its own terms' buckets, so
+  *    unrelated vocabulary is pruned at the DIRECTORY level before
+  *    any file is opened (the on-disk version of "a query touches
+  *    its posting lists, not the index");
+  *  - `stats.json` — format version plus the two corpus scalars as
+  *    EXACT integers (doc count, summed doc length): the reader
+  *    recomputes `avgdl = sum_dl / n` with the same double division
+  *    the memoized builder used, so every BM25 term is bit-identical
+  *    and the DuckDB oracle hash of the hybrid entry is unchanged
+  *    when the stored index serves the lexical arm.
+  *
+  * Citation: the reference keeps no retrieval surface; this artifact
+  * serves the engine's LLM-data charter (hybrid dense+lexical
+  * retrieval over the documents table). */
+object LexStore {
+
+  /** Term-bucket count — constant (vocabulary-independent): the
+    * pruning unit, not a capacity bound; at 100 TB each bucket is
+    * simply a bigger directory and the probe set stays O(query
+    * terms). */
+  val Buckets = 64
+
+  /** On-disk format version ([[AnnIndex.Format]] discipline). */
+  val Format = 2
+
+  private[llmdata] def bucketOf(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(Buckets.toLong)).cast("int")
+
+  /** Build and commit the postings artifact for the corpus under
+    * `corpusDir` as the next generation of `lexDir`. The postings
+    * rows are EXACTLY the memoized [[Similarity.lexIndexFor]] frame
+    * (one builder, no second tokenizer to drift), plus the bucket
+    * key. Returns (docCount, sumDl). */
+  def write(spark: SparkSession, corpusDir: String,
+            lexDir: String): (Long, Long) = {
+    val idx = Similarity.lexIndexFor(spark, corpusDir)
+    val tmp = GenDir.stage(spark, lexDir)
+    idx.post
+      .withColumn("bucket", bucketOf(col("term")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/postings.parquet")
+    // the scalars as exact longs — avgdl is recomputed by the reader
+    // with the identical double division, never parsed from a
+    // serialized double
+    val dl = Tables.documents(spark, corpusDir)
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head
+    val (n, sumDl) = (dl.getLong(0), dl.getLong(1))
+    writeJson(spark, s"$tmp/stats.json",
+      s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl}""")
+    GenDir.commit(spark, lexDir, tmp)
+    (n, sumDl)
+  }
+
+  private def writeJson(spark: SparkSession, path: String, text: String): Unit =
+    GenDir.writeJson(spark, path, text)
+
+  /** Resolve the newest committed generation, loudly ([[AnnIndex
+    * .resolveGen]] discipline). */
+  def resolveGen(spark: SparkSession, lexDir: String): String =
+    GenDir.newest(spark, lexDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed BM25 postings generation under $lexDir - either " +
+          "the index was never built or every build crashed before " +
+          "commit (only .tmp-* staging dirs exist); run LexMain"))
+
+  private def readStats(spark: SparkSession, gen: String): (Long, Long) = {
+    val path = s"$gen/stats.json"
+    val text = GenDir.readJson(spark, path, "BM25 postings stats.json")
+    def fld(k: String): Long = GenDir.jsonLong(text, k, path)
+    val fmt = fld("format")
+    if (fmt != Format)
+      throw new IllegalStateException(
+        s"BM25 postings artifact $path has format $fmt; this reader " +
+          s"understands format $Format - rebuild the index")
+    (fld("n_docs"), fld("sum_dl"))
+  }
+
+  /** Load the stored index restricted to `queryTerms`' buckets — the
+    * probed scan: the bucket filter partition-prunes every other
+    * term's directory (LexStoreSpec asserts the file set), then the
+    * downstream term equi-join keeps exactly the query vocabulary as
+    * the memoized path would. `queryTerms` is bounded by the query
+    * batch's distinct tokens (the same O(Q) driver material the ANN
+    * paths hold per batch). */
+  def load(spark: SparkSession, lexDir: String,
+           queryTerms: Seq[String]): Similarity.LexIndex = {
+    import spark.implicits._
+    val gen = resolveGen(spark, lexDir)
+    val (n, sumDl) = readStats(spark, gen)
+    // bucket ids through the SAME Column expression the writer used —
+    // a tiny local job over the query terms, so the probe set can
+    // never drift from the stored partitioning
+    val buckets = queryTerms.toDF("term")
+      .select(bucketOf(col("term")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val post = spark.read.parquet(s"$gen/postings.parquet")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    Similarity.LexIndex(post, n.toDouble, sumDl.toDouble / n)
+  }
+
+  private val storedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Session-memoized persisted postings dir per corpus (the
+    * [[AnnIndex.storedIndexFor]] convention: first pass pays the real
+    * on-disk build, steady state is the disk read a deployment
+    * runs). */
+  def storedLexFor(spark: SparkSession, corpusDir: String): String =
+    storedMemo.computeIfAbsent((spark, corpusDir), _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-lexindex").toString
+      write(spark, corpusDir, d)
+      d
+    })
+
+  def releaseCaches(): Unit = storedMemo.clear()
+
+  /** The query batch's distinct tokens, collected driver-side —
+    * bounded by the batch (nQueries docs), the standard per-batch
+    * query material. */
+  private[llmdata] def queryTermsOf(spark: SparkSession, corpusDir: String,
+                                    nQueries: Int): Seq[String] =
+    Tables.documents(spark, corpusDir)
+      .filter(col("doc_id") < nQueries)
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+}
+
+/** `spark-submit`-able postings-build job (the IndexMain convention):
+  * build the persisted BM25 postings for a corpus as the next
+  * committed generation, print ONE JSON status line, exit non-zero
+  * when the artifact would be empty. */
+object LexMain {
+  def run(spark: SparkSession, corpusDir: String,
+          lexDir: String): (Long, Long) =
+    LexStore.write(spark, corpusDir, lexDir)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: LexMain <corpusDir> <lexDir>")
+    val spark = SparkSession.builder()
+      .appName("graft-lex-index-build")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val empty =
+      try {
+        val (n, sumDl) = run(spark, args(0), args(1))
+        println(s"""{"job":"lex_index_build","n_docs":$n,""" +
+          s""""sum_dl":$sumDl,"format":${LexStore.Format}}""")
+        n == 0L
+      } finally spark.stop()
+    if (empty) sys.exit(2)
+  }
+}

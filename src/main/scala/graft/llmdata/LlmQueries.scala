@@ -159,6 +159,92 @@ object LlmQueries {
       |  CAST(SUM(CASE WHEN NOT exact_drop AND NOT is_nd THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Mirror of [[Dedup.urlDedupCorpus]]: the crawl-url generator and
+    * the FULL canonicalization chain (same regexes and CASE structure
+    * as [[urlCanonCte]]'s canon), the url-first fate attribution, and
+    * the same recursive near-dup fixpoint as [[ddCorpusDedupSql]]. */
+  val ddUrlDedupSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |dfc AS (SELECT g FROM s GROUP BY g HAVING COUNT(*) <= $JaccardDocFreqCap),
+      |sc AS (SELECT s.doc_id, s.g FROM s JOIN dfc USING (g)),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |      FROM sc a JOIN sc b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |  WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs),
+      |r(id, label) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, r.label FROM r JOIN e ON e.src = r.id),
+      |nd AS (SELECT id AS doc_id FROM r GROUP BY id HAVING id <> MIN(label)),
+      |cu0 AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN (CASE WHEN doc_id % 4 = 0 THEN 'HTTP' ELSE 'http' END)
+      |          ELSE (CASE WHEN doc_id % 4 = 1 THEN 'HTTPS' ELSE 'https' END) END)
+      |    || '://WWW.'
+      |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+      |    || '.CoM'
+      |    || (CASE WHEN doc_id % 8 < 2
+      |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+      |          ELSE '' END)
+      |    || '/p/' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'), 1, 1)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+      |  FROM documents),
+      |cp AS (
+      |  SELECT doc_id, trim(url) AS turl,
+      |    lower(regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 1)) AS scheme,
+      |    regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 2) AS auth,
+      |    regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 3) AS path,
+      |    regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 4) AS query
+      |  FROM cu0),
+      |cc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme = '' THEN turl ELSE
+      |      scheme || '://' ||
+      |      (CASE WHEN contains(auth, '@') OR starts_with(auth, '[') THEN auth ELSE
+      |        lower(regexp_extract(auth, '^([^:]*)', 1)) ||
+      |        (CASE WHEN regexp_extract(auth, ':([0-9]+)${"$"}', 1) = ''
+      |               OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)${"$"}', 1) = '80')
+      |               OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)${"$"}', 1) = '443')
+      |              THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)${"$"}', 1) END)
+      |       END) ||
+      |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |      (CASE WHEN query = '' THEN ''
+      |            ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
+      |    END AS cu
+      |  FROM cp),
+      |um AS (SELECT cu, MIN(doc_id) AS url_min FROM cc GROUP BY cu),
+      |ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+      |       FROM documents),
+      |d AS (SELECT doc.doc_id, doc.source,
+      |        len(string_split(doc.text, ' ')) AS n_tokens,
+      |        (doc.doc_id <> um.url_min) AS url_drop,
+      |        (doc.doc_id <> ex.min_id) AS exact_d,
+      |        (nd.doc_id IS NOT NULL) AS is_nd
+      |      FROM documents doc
+      |      JOIN cc ON doc.doc_id = cc.doc_id
+      |      JOIN um USING (cu)
+      |      JOIN ex ON doc.doc_id = ex.doc_id
+      |      LEFT JOIN nd ON doc.doc_id = nd.doc_id)
+      |SELECT source, COUNT(*) AS n_raw,
+      |  CAST(SUM(CASE WHEN NOT url_drop AND NOT exact_d AND NOT is_nd THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN url_drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_url,
+      |  CAST(SUM(CASE WHEN NOT url_drop AND exact_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_exact,
+      |  CAST(SUM(CASE WHEN NOT url_drop AND NOT exact_d AND is_nd THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_neardup,
+      |  CAST(SUM(CASE WHEN NOT url_drop AND NOT exact_d AND NOT is_nd THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Mirror of [[TextAnalysis.stratifiedSample]]'s per-source md5 hex
     * cuts: src0 0.5→'8000', src1 1.0→'g' (above every 4-hex string),
     * src2 0.25→'4000', default 0.1→'1999'. */
@@ -777,10 +863,16 @@ object LlmQueries {
     * global by default). */
   /** DuckDB mirror of [[TextAnalysis.syntheticUrl]] +
     * [[TextAnalysis.canonicalUrl]] / registrableDomain — the same
-    * Java∩RE2-safe regexes, the same CASE structure, binary-collation
-    * list_sort matching Spark's array_sort. */
+    * Java∩RE2-safe regexes, the same CASE structure (including the
+    * IPv6-bracket pass-through and the PUBLIC-SUFFIX three-label
+    * rule, whose IN list is generated from the very
+    * [[TextAnalysis.PublicSuffixes]] constant the engine evaluates),
+    * binary-collation list_sort matching Spark's array_sort. */
+  private val pslInList: String =
+    TextAnalysis.PublicSuffixes.map(s => s"'$s'").mkString(", ")
+
   private val urlCanonCte: String =
-    """u AS (
+    s"""u AS (
       |  SELECT doc_id, text,
       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
       |          WHEN doc_id % 3 = 1 THEN 'https' ELSE 'HtTpS' END)
@@ -788,7 +880,7 @@ object LlmQueries {
       |    || (CASE WHEN doc_id % 11 = 0 THEN 'User:Pw@' ELSE '' END)
       |    || 'WWW.'
       |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
-      |    || '.CoM'
+      |    || (CASE WHEN doc_id % 9 = 0 THEN '.Co.UK' ELSE '.CoM' END)
       |    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
       |             WHEN doc_id % 4 = 1 THEN ':443'
       |             WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
@@ -810,31 +902,40 @@ object LlmQueries {
       |    regexp_extract(trim(url),
       |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)', 4) AS query
       |  FROM u),
+      |h AS (
+      |  SELECT doc_id, text, url, scheme, auth, path, query,
+      |    regexp_extract(auth, '([^@]*)${"$"}', 1) AS after_user,
+      |    regexp_extract(regexp_extract(auth, '([^@]*)${"$"}', 1),
+      |      '^(\\[[^\\]]*\\])', 1) AS brkt,
+      |    lower(regexp_extract(regexp_extract(auth, '([^@]*)${"$"}', 1),
+      |      '^([^:]*)', 1)) AS host
+      |  FROM p),
+      |d AS (
+      |  SELECT *, regexp_extract(host, '([^.]+[.][^.]+)${"$"}', 1) AS last2,
+      |    regexp_extract(host, '([^.]+[.][^.]+[.][^.]+)${"$"}', 1) AS last3
+      |  FROM h),
       |c AS (
       |  SELECT doc_id, text, url,
       |    CASE WHEN scheme = '' THEN trim(url) ELSE
       |      scheme || '://' ||
-      |      (CASE WHEN contains(auth, '@') THEN auth ELSE
-      |        lower(regexp_extract(auth, '^([^:]*)', 1)) ||
-      |        (CASE WHEN regexp_extract(auth, ':([0-9]+)$', 1) = ''
-      |               OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
-      |               OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
-      |              THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)$', 1) END)
+      |      (CASE WHEN contains(auth, '@') OR starts_with(auth, '[') THEN auth ELSE
+      |        host ||
+      |        (CASE WHEN regexp_extract(auth, ':([0-9]+)${"$"}', 1) = ''
+      |               OR (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)${"$"}', 1) = '80')
+      |               OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)${"$"}', 1) = '443')
+      |              THEN '' ELSE ':' || regexp_extract(auth, ':([0-9]+)${"$"}', 1) END)
       |       END) ||
       |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
       |      (CASE WHEN query = '' THEN ''
       |            ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
       |    END AS canon_url,
-      |    CASE WHEN regexp_extract(lower(regexp_extract(
-      |             regexp_extract(auth, '([^@]*)$', 1), '^([^:]*)', 1)),
-      |             '([^.]+[.][^.]+)$', 1) = ''
-      |         THEN lower(regexp_extract(
-      |             regexp_extract(auth, '([^@]*)$', 1), '^([^:]*)', 1))
-      |         ELSE regexp_extract(lower(regexp_extract(
-      |             regexp_extract(auth, '([^@]*)$', 1), '^([^:]*)', 1)),
-      |             '([^.]+[.][^.]+)$', 1)
+      |    CASE WHEN starts_with(after_user, '[')
+      |           THEN (CASE WHEN brkt <> '' THEN brkt ELSE after_user END)
+      |         WHEN last2 = '' THEN host
+      |         WHEN last2 IN ($pslInList) AND last3 <> '' THEN last3
+      |         ELSE last2
       |    END AS domain
-      |  FROM p)""".stripMargin
+      |  FROM d)""".stripMargin
 
   // plain concatenation, NOT an outer stripMargin: the CTE's `||`
   // concat operators start lines, and a second stripMargin pass would
@@ -1233,6 +1334,11 @@ object LlmQueries {
       Dedup.nearDupClusters(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "dd_corpus_dedup" -> ((s, d) =>
       Dedup.dedupCorpus(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
+    // the crawl-pipeline composition (r11): canonical-URL dedup runs
+    // AHEAD of content hashing — fates url_dup → exact_dup → near_dup
+    // → kept, per-source; full SQL oracle incl. the canon chain
+    "dd_url_dedup" -> ((s, d) =>
+      Dedup.urlDedupCorpus(s, d, 0.2, maxDocFreq = Some(JaccardDocFreqCap))),
     "txt_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "txt_repetition" -> ((s, d) => TextAnalysis.repetitionScores(s, d)),
     "txt_contamination" -> ((s, d) => TextAnalysis.contaminationPairs(s, d)),
@@ -1310,6 +1416,12 @@ object LlmQueries {
     "emb_kmeans" -> ((s, d) => Similarity.kmeansReport(s, d)),
     "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d, 5, 10)),
     "ann_hybrid_rrf" -> ((s, d) => Similarity.hybridRrfTopK(s, d, 5, 10)),
+    // the PERSISTED-postings deployment of the lexical arm (r11):
+    // loads the on-disk BM25 index (bucket-pruned) instead of the
+    // session memo — bit-identical scores, so the SAME SQL oracle
+    // hash-gates it (the strongest stored ≡ memoized proof available)
+    "ann_hybrid_rrf_stored" -> ((s, d) =>
+      Similarity.hybridRrfStoredTopK(s, d, 5, 10)),
     // the scale sibling: dense arm = IVF∘PQ (probe-bounded + constant
     // exact rerank) instead of the per-query corpus scan; rows-only
     // (trained cells aren't SQL-reproducible — the brute sibling
@@ -1413,6 +1525,7 @@ object LlmQueries {
     "dd_containment" -> ddContainmentSql,
     "dd_clusters" -> ddClustersSql,
     "dd_corpus_dedup" -> ddCorpusDedupSql,
+    "dd_url_dedup" -> ddUrlDedupSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_contamination" -> txtContaminationSql,
@@ -1427,6 +1540,9 @@ object LlmQueries {
     "ann_cosine_topk" -> annTopkSql,
     "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_hybrid_rrf" -> annHybridRrfSql,
+    // the stored-postings sibling is gated by the IDENTICAL oracle:
+    // persistence must not change a single fused score
+    "ann_hybrid_rrf_stored" -> annHybridRrfSql,
     "txt_bm25_topk" -> txtBm25Sql,
     "txt_tfidf_topterms" -> txtTfidfSql,
     "txt_curation_report" -> txtCurationReportSql,

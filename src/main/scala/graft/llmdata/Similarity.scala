@@ -219,17 +219,36 @@ object Similarity {
   /** (cells, ivf probes, ivfpq probes) the scaled defaults resolve to
     * for this corpus — the scanned-fraction observability ScaleBench
     * records per scale point (VERDICT r8 #4). Pure arithmetic on the
-    * corpus count (the trained model always has exactly
-    * [[ivfDefaultCells]] cells), so the stats never force an index
-    * build. */
+    * corpus count, so the stats never force an index build. In the
+    * FLAT regime (target cells ≤ [[IvfFlatMaxCells]] — every test
+    * corpus) the trained model has exactly this many cells; past the
+    * cap these are a PROJECTION (ADVICE r10): the two-level trainer
+    * rounds cells up PER COARSE CELL (Σ⌈n_c/width⌉), so the
+    * materialized model can hold up to [[IvfFlatMaxCells]] more cells
+    * than the target — queries resolve probes against the ACTUAL
+    * count ([[ivfIndexStatsActual]]); the projection under-states the
+    * cell count by ≤ coarse-cell rounding (so the projected scanned
+    * FRACTION is an upper bound, the conservative direction). */
   def ivfIndexStats(spark: SparkSession, dir: String): (Int, Int, Int) =
     ivfIndexStatsAt(corpusCount(spark, dir))
 
   /** [[ivfIndexStats]] as a pure function of N — lets ScaleBench
     * print the PROJECTED envelope at 1M/100M/1B next to the measured
-    * scale points. */
+    * scale points (approximation bound documented above). */
   def ivfIndexStatsAt(n: Long): (Int, Int, Int) = {
     val cells = ivfDefaultCells(n)
+    (cells, ivfDefaultProbes(cells, n), ivfPqDefaultProbes(cells, n))
+  }
+
+  /** The stats the query paths ACTUALLY resolve: probes computed
+    * against the materialized model's real cell count
+    * ([[ivfModelCellsFor]].length — forces/reuses the index build,
+    * unlike the projection). Equal to [[ivfIndexStats]] in the flat
+    * regime; past [[IvfFlatMaxCells]] this is the ground truth the
+    * projection approximates. */
+  def ivfIndexStatsActual(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val n = corpusCount(spark, dir)
+    val cells = ivfModelCellsFor(spark, dir).length
     (cells, ivfDefaultProbes(cells, n), ivfPqDefaultProbes(cells, n))
   }
 
@@ -695,6 +714,22 @@ object Similarity {
     hybridRrfWith(spark, dir, nQueries, k, perArm, rrfK,
       ivfPqTopK(spark, dir, nQueries, perArm))
 
+  /** [[hybridRrfTopK]] with the LEXICAL arm served from the PERSISTED
+    * postings artifact ([[LexStore]], VERDICT r10 #6): the stored
+    * index carries the identical (doc, term, tf, dl) rows and exact
+    * integer corpus scalars, restricted at read time to the query
+    * terms' buckets (directory-level pruning), so every BM25 term —
+    * and therefore the fused output — is bit-identical to the
+    * memoized form's and the same DuckDB oracle hash gates it. */
+  def hybridRrfStoredTopK(spark: SparkSession, dir: String,
+                          nQueries: Int, k: Int, perArm: Int = 20,
+                          rrfK: Int = 60): DataFrame =
+    hybridRrfWith(spark, dir, nQueries, k, perArm, rrfK,
+      bruteForceTopK(spark, dir, nQueries, perArm),
+      lexIdx = Some(LexStore.load(spark,
+        LexStore.storedLexFor(spark, dir),
+        LexStore.queryTermsOf(spark, dir, nQueries))))
+
   /** Memoized lexical postings index per (session, corpus): the
     * (doc_id, term, tf, dl) frame plus the two corpus scalars (doc
     * count, mean doc length) — the standing INVERTED INDEX a hybrid
@@ -705,14 +740,14 @@ object Similarity {
     * every BM25 term is bit-identical and the DuckDB oracle hash is
     * unchanged. Same immutable-corpus contract as [[ivfCentroidsFor]];
     * released by [[releaseCaches]]. */
-  private final case class LexIndex(post: DataFrame, n: Double, avgdl: Double)
+  private[llmdata] final case class LexIndex(post: DataFrame, n: Double, avgdl: Double)
   private final class LexHolder(thunk: () => LexIndex) {
     lazy val value: LexIndex = thunk()
   }
   private val lexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LexHolder]
 
-  private def lexIndexFor(spark: SparkSession, dir: String): LexIndex =
+  private[llmdata] def lexIndexFor(spark: SparkSession, dir: String): LexIndex =
     lexMemo.computeIfAbsent((spark, dir), key => new LexHolder(() => {
       val toks = split(col("text"), " ")
       val docs = Tables.documents(key._1, key._2)
@@ -728,9 +763,10 @@ object Similarity {
       LexIndex(post, st.getDouble(0), st.getDouble(1))
     })).value
 
-  private def hybridRrfWith(spark: SparkSession, dir: String,
-                            nQueries: Int, k: Int, perArm: Int,
-                            rrfK: Int, denseArm: DataFrame): DataFrame = {
+  private[llmdata] def hybridRrfWith(spark: SparkSession, dir: String,
+                                     nQueries: Int, k: Int, perArm: Int,
+                                     rrfK: Int, denseArm: DataFrame,
+                                     lexIdx: Option[LexIndex] = None): DataFrame = {
     val toks = split(col("text"), " ")
     val docs = Tables.documents(spark, dir)
 
@@ -741,10 +777,13 @@ object Similarity {
     val qt = docs.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(toks)).as("term"))
-    // the memoized postings index restricted to the query vocabulary —
-    // per-(doc, term) tf is independent of the restriction, so scores
-    // are bit-identical to the inline form's
-    val idx = lexIndexFor(spark, dir)
+    // the postings index (session-memoized by default; a PERSISTED
+    // index loaded by [[LexStore]] can be injected — it must carry
+    // the identical (doc, term, tf, dl) rows for the query
+    // vocabulary, so scores stay bit-identical) restricted to the
+    // query vocabulary — per-(doc, term) tf is independent of the
+    // restriction, so scores are bit-identical to the inline form's
+    val idx = lexIdx.getOrElse(lexIndexFor(spark, dir))
     val tfq = idx.post
       .join(broadcast(qt.select(col("term")).distinct()), "term")
     val df = tfq.groupBy(col("term"))

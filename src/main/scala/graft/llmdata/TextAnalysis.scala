@@ -193,7 +193,11 @@ object TextAnalysis {
     val port = regexp_extract(auth, ":([0-9]+)$", 1)
     val defPort = (scheme === "http" && port === "80") ||
       (scheme === "https" && port === "443")
-    val canonAuth = when(auth.contains("@"), auth)
+    // a bracketed IPv6 authority ('[::1]:8080') passes through
+    // verbatim like userinfo (ADVICE r10): the '^([^:]*)' host split
+    // truncates at the first colon of the address — better the
+    // documented, spec-pinned pass-through than a corrupted canon
+    val canonAuth = when(auth.contains("@") || auth.startsWith("["), auth)
       .otherwise(concat(host,
         when(port === "" || defPort, lit(""))
           .otherwise(concat(lit(":"), port))))
@@ -205,19 +209,94 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), canonAuth, canonPath, canonQ))
   }
 
-  /** Registrable-domain APPROXIMATION: the last two labels of the
-    * lowercased host (userinfo and port stripped) — `a.b.example.com`
-    * → `example.com`. Real eTLD+1 needs the public-suffix list
-    * (`.co.uk` breaks the two-label rule); shipping that list is a
-    * data dependency, not an algorithm change, so the approximation
-    * is documented rather than hidden. A host with fewer than two
-    * labels returns as-is. */
+  /** BUNDLED PUBLIC-SUFFIX SNAPSHOT (VERDICT r10 #4) — the high-traffic
+    * MULTI-LABEL rules from the ICANN section of the Public Suffix
+    * List (publicsuffix.org — public data: the country-code
+    * second-level registries under which names are registered, e.g.
+    * `.co.uk`): a host whose last TWO labels are one of these
+    * registers at the third label, so eTLD+1 is the last THREE
+    * labels. Single-label suffixes (`.com`, `.de`, …) need no entry —
+    * the two-label rule already handles them — and the rare
+    * three-label rules plus the PSL's private section are out of this
+    * snapshot's scope (documented; a deployment tracking the full
+    * list swaps this constant for the file — same expression, longer
+    * IN list). A CONSTANT-size set (never corpus-scaled), so it rides
+    * the row-local expression as a plain IN list and the DuckDB
+    * oracle mirrors it from this very value. */
+  val PublicSuffixes: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "plc.uk",
+    "ltd.uk", "sch.uk", "nhs.uk",
+    // Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    // Brazil / Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "com.ve", "com.uy", "com.ec", "com.bo", "com.py",
+    "com.do", "com.gt", "com.ni", "com.pa", "com.sv", "com.hn",
+    // India / South & Southeast Asia
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "gov.in", "ac.in", "edu.in", "res.in",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "com.pk", "gov.pk", "edu.pk", "com.bd", "com.np", "com.lk",
+    // East Asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    // Middle East / Africa
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.sa", "com.eg", "com.ae",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "go.ke", "ac.ke", "co.tz", "co.ug",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+    "com.gh", "com.et", "co.zw", "co.bw", "com.na", "co.mz",
+    // Europe (multi-label registries)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "co.it", "gov.it", "edu.it")
+
+  /** Registrable domain (eTLD+1) against the bundled
+    * [[PublicSuffixes]] snapshot: lowercased host (userinfo and port
+    * stripped), last THREE labels when the last two are a listed
+    * public suffix (`a.b.example.co.uk` → `example.co.uk`), last two
+    * otherwise (`a.b.example.com` → `example.com`) — the out-of-table
+    * FALLBACK rule, still an approximation for suffixes the snapshot
+    * omits (documented above). A host with fewer than two labels
+    * returns as-is; a host that IS a bare listed suffix (`co.uk`)
+    * returns itself (no registrable name exists). A bracketed IPv6
+    * authority returns the bracketed address verbatim (ADVICE r10 —
+    * an IP has no registrable domain; the bracket form is the
+    * honest, pinned answer). */
   def registrableDomain(url: Column): Column = {
     val auth = regexp_extract(trim(url), UrlPartsRe, 2)
     val afterUser = regexp_extract(auth, "([^@]*)$", 1)
+    val bracket = regexp_extract(afterUser, "^(\\[[^\\]]*\\])", 1)
     val host = lower(regexp_extract(afterUser, "^([^:]*)", 1))
     val lastTwo = regexp_extract(host, "([^.]+[.][^.]+)$", 1)
-    when(lastTwo === "", host).otherwise(lastTwo)
+    val lastThree = regexp_extract(host, "([^.]+[.][^.]+[.][^.]+)$", 1)
+    when(afterUser.startsWith("["),
+      when(bracket =!= "", bracket).otherwise(afterUser))
+      .when(lastTwo === "", host)
+      .when(lastTwo.isin(PublicSuffixes: _*) && lastThree =!= "", lastThree)
+      .otherwise(lastTwo)
   }
 
   /** Deterministic MESSY url column synthesized from corpus fields —
@@ -243,8 +322,42 @@ object TextAnalysis {
         lit("&a="), (id % 5).cast("string")))
     val frag = when(id % 2 === 0, concat(lit("#s"), (id % 3).cast("string")))
       .otherwise(lit(""))
-    concat(scheme, lit("://"), user, lit("WWW."), src, lit(".CoM"),
+    // a .Co.UK class (id % 9) exercises the PUBLIC-SUFFIX path: its
+    // registrable domain must be the last THREE labels — oracle-checked
+    // at every scale, so the PSL rule is never vacuous
+    val tld = when(id % 9 === 0, lit(".Co.UK")).otherwise(lit(".CoM"))
+    concat(scheme, lit("://"), user, lit("WWW."), src, tld,
       port, path, query, frag)
+  }
+
+  /** Deterministic CRAWL-shaped url column — the sibling of
+    * [[syntheticUrl]] for the URL-KEYED DEDUP stage ([[Dedup
+    * .urlDedupCorpus]]): real crawls re-fetch the same page under
+    * surface-variant URLs (scheme/host case, explicit default ports,
+    * fragments), so this generator maps MANY docs onto each canonical
+    * URL — the per-source path bucket (`/p/<id % 31>`) makes genuine
+    * re-crawl collisions at every scale, and the variants make the
+    * CANONICALIZATION load-bearing: two docs share a key only after
+    * case-folding, default-port stripping, and fragment removal
+    * agree. Mirrored expression-for-expression by the DuckDB oracle. */
+  private[llmdata] def syntheticCrawlUrl: Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0,
+        when(id % 4 === 0, lit("HTTP")).otherwise(lit("http")))
+      .otherwise(when(id % 4 === 1, lit("HTTPS")).otherwise(lit("https")))
+    // explicit DEFAULT port on some fetches — stripped by the canon
+    val port = when(id % 8 < 2,
+        when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+      .otherwise(lit(""))
+    val src = when(id % 3 === 0, upper(col("source"))).otherwise(col("source"))
+    val frag = when(id % 5 === 0, lit("#top")).otherwise(lit(""))
+    // page bucket = one hex digit of an id-keyed md5 — a LAYOUT-FREE
+    // collision key (the test tables stripe sources over doc_id % 20,
+    // so any small modulus of the id aliases with the stripe; the
+    // hash bucket collides ~1/16 within every source at every scale)
+    val page = substring(md5(concat(id.cast("string"), lit(":url"))), 1, 1)
+    concat(scheme, lit("://WWW."), src, lit(".CoM"), port,
+      lit("/p/"), page, frag)
   }
 
   /** Per-document canonicalized URL view — (doc_id, url, canon_url,

@@ -26,6 +26,7 @@ object RegistryAudit {
     "ann_cosine_topk" -> "brute-force baseline: tiny broadcast query side (nQueries=5)",
     "ann_filtered_topk" -> "filtered brute-force: tiny broadcast query side (nQueries=5)",
     "ann_hybrid_rrf" -> "dense arm's brute-force broadcast query side (the r9 lex-index memo removed the old 1-row stats cross join)",
+    "ann_hybrid_rrf_stored" -> "same dense arm as ann_hybrid_rrf (brute-force broadcast query side); the stored-postings lexical arm adds only equi-joins",
     "dd_embed_pairs" -> "sample-bounded exact baseline (vec_id % 10 slice by construction; scale path is dd_embed_neardup)",
     "ea17_kmv_overlap" -> "non-equi pair join over two 5-row sketch aggregates",
     "txt_cms_terms" -> "cross join against a 1-row global CMS sketch",

@@ -88,6 +88,44 @@ object GenDir {
     dest.toString
   }
 
+  /** Write a small JSON marker file (driver-side, create-or-replace).
+    * Inside a staging dir this is the LAST write of a build — the
+    * within-dir witness that every artifact file landed before the
+    * commit rename publishes the whole generation. */
+  def writeJson(spark: SparkSession, path: String, text: String): Unit = {
+    val (f, p) = fsOf(spark, path)
+    val os = f.create(p, true)
+    try os.write(text.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Read a marker file, failing loudly naming the artifact (never an
+    * opaque IO trace for a damaged generation). */
+  def readJson(spark: SparkSession, path: String, what: String): String = {
+    val (f, p) = fsOf(spark, path)
+    try {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"$what at $path is unreadable - the artifact is corrupt " +
+            s"(commit is atomic, so this indicates external damage): " +
+            e.getMessage)
+    }
+  }
+
+  /** Strict integer field extraction from a marker — a missing field
+    * (torn file) fails loudly naming the artifact and the field. */
+  def jsonLong(text: String, key: String, path: String): Long = {
+    val re = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*(-?[0-9]+)").r
+    re.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(
+      throw new IllegalStateException(
+        s"artifact marker $path is corrupt: required field " +
+          s""""$key" missing from: $text"""))
+  }
+
   /** Delete superseded generations and `.tmp-*` crash corpses, keeping
     * the newest `retain` committed generations (≥ 1). Single-operator
     * contract: run only when no builder is mid-commit and no reader

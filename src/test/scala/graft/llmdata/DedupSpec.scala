@@ -664,6 +664,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("url-first corpus dedup: fates partition the corpus, the url stage fires, keepers are first-seen (r10 #5)") {
+    import org.apache.spark.sql.functions._
+    val cap = Some(graft.llmdata.LlmQueries.JaccardDocFreqCap)
+    val rep = Dedup.urlDedupCorpus(spark, sf, 0.2, cap).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // fates are a PARTITION of each source's raw docs
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped_url") +
+        r.getAs[Long]("n_dropped_exact") + r.getAs[Long]("n_dropped_neardup")
+        === r.getAs[Long]("n_raw"), s"fates must partition: $r")
+    }
+    assert(rep.map(_.getAs[Long]("n_raw")).sum === nDocs)
+    // the URL stage is non-vacuous: the crawl generator plants
+    // surface-variant re-fetches at every scale
+    assert(rep.map(_.getAs[Long]("n_dropped_url")).sum > 0,
+      "url_dup fate must fire on the crawl-shaped corpus")
+    // url-first can only shrink the kept set vs the exact-first report
+    val base = Dedup.dedupCorpus(spark, sf, 0.2, cap).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= base(r.getAs[String]("source")),
+        "adding a drop stage must not keep more docs")
+    }
+    // first-seen keeper: recompute url keepers directly — every kept
+    // doc must be the min doc id of its canonical-URL group
+    val cu = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextAnalysis.canonicalUrl(TextAnalysis.syntheticCrawlUrl).as("cu"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cu"))
+    val dupKeys = cu.withColumn("mn", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("mn")).count()
+    assert(dupKeys === rep.map(_.getAs[Long]("n_dropped_url")).sum,
+      "n_dropped_url must equal the non-first-seen canonical-URL rows")
+  }
+
   test("two-level semdedup is deterministic across a full cache release and retrain") {
     def run(): Seq[(Long, Int, Long, Long, Boolean)] =
       Dedup.semDedup(spark, sf, 0.4, twoLevel = true).collect()

@@ -1,0 +1,88 @@
+package graft.llmdata
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The persisted BM25 postings index must change WHERE the lexical
+  * arm lives, never a single fused score: stored hybrid ≡ memoized
+  * hybrid bit-for-bit, the term-bucket partition key physically
+  * prunes unrelated vocabulary, and the artifact validates loudly
+  * (the [[AnnIndexSpec]] durability discipline — the commit protocol
+  * itself is GenDir's, already kill/contention-tested there). */
+class LexStoreSpec extends SparkSpec {
+
+  private lazy val lexDir = {
+    val d = Files.createTempDirectory("graft-lexspec").toString
+    LexStore.write(spark, sf, d)
+    d
+  }
+
+  test("stored-postings hybrid ≡ memoized hybrid row-for-row (r10 #6)") {
+    val memo = Similarity.hybridRrfTopK(spark, sf, 5, 10).collect().toSeq
+    val stored = Similarity.hybridRrfStoredTopK(spark, sf, 5, 10).collect().toSeq
+    assert(stored === memo,
+      "persisting the postings must not change any fused row")
+  }
+
+  test("stored postings carry exactly the memoized index's rows and scalars") {
+    val gen = LexStore.resolveGen(spark, lexDir)
+    val idx = Similarity.lexIndexFor(spark, sf)
+    val stored = spark.read.parquet(s"$gen/postings.parquet")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    assert(stored.count() === idx.post.count())
+    assert(stored.exceptAll(idx.post).count() === 0)
+    // scalars reload exactly through the integer round-trip
+    val loaded = LexStore.load(spark, lexDir, Seq("anything"))
+    assert(loaded.n === idx.n)
+    assert(loaded.avgdl === idx.avgdl)
+  }
+
+  test("query-term bucket filter prunes postings partitions on disk") {
+    val gen = LexStore.resolveGen(spark, lexDir)
+    val post = s"$gen/postings.parquet"
+    val someTerms = spark.read.parquet(post)
+      .select(col("term")).distinct().limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val buckets = someTerms.map { t =>
+      spark.range(1).select(
+        LexStore.bucketOf(lit(t)).as("b")).head.getInt(0)
+    }.distinct
+    val files = spark.read.parquet(post)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(buckets.exists(b => f.contains(s"bucket=$b/")),
+        s"file outside the probed term buckets was read: $f")
+    }
+    val allFiles = spark.read.parquet(post)
+      .select(input_file_name().as("f")).distinct().count()
+    assert(allFiles > files.length.toLong,
+      "pruning must leave most buckets unread")
+  }
+
+  test("virgin or torn artifacts fail loudly naming the artifact") {
+    val d = Files.createTempDirectory("graft-lexspec-virgin").toString
+    val virgin = intercept[IllegalStateException] {
+      LexStore.load(spark, d, Seq("x"))
+    }
+    assert(virgin.getMessage.contains("no committed BM25 postings"))
+    new java.io.File(s"$d/gen-0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/gen-0/stats.json"),
+      """{"format":2,"n_docs":5""".getBytes("UTF-8"))
+    val torn = intercept[IllegalStateException] {
+      LexStore.load(spark, d, Seq("x"))
+    }
+    assert(torn.getMessage.contains("missing"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/gen-0/stats.json"),
+      """{"format":1,"n_docs":5,"sum_dl":10}""".getBytes("UTF-8"))
+    val fmt = intercept[IllegalStateException] {
+      LexStore.load(spark, d, Seq("x"))
+    }
+    assert(fmt.getMessage.contains("format 1"))
+  }
+}

@@ -159,6 +159,15 @@ class SimilaritySpec extends SparkSpec {
     val ids = model.assign.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSet
     assert(ids.subsetOf(model.cells.map(_._1).toSet))
+    // ADVICE r10: the trainer's per-coarse-cell ceil rounding bounds
+    // the ACTUAL cell count within [target, target + coarse cells] —
+    // the documented gap between the projection (ivfIndexStatsAt) and
+    // what materialized queries resolve (ivfIndexStatsActual)
+    val target = Similarity.ivfDefaultCells(n)
+    val coarse = Similarity.ivfFlatCells(n)
+    assert(model.cells.length >= target &&
+      model.cells.length <= target + coarse,
+      s"actual ${model.cells.length} vs target $target (+ coarse $coarse)")
     val ivf2l = Similarity.ivfTopK(spark, sf, nQ, k, forceTable = true).cache()
     try {
       val perQ = ivf2l.groupBy("query_id").agg(count(lit(1)).as("c"))
@@ -183,6 +192,9 @@ class SimilaritySpec extends SparkSpec {
   test("IVF defaults: verified scales pinned, cells uncapped past 1M, scanned fraction falls to <0.5% at 1B (r9 #1/#2)") {
     // pinned at the verified scales — registered outputs must not move
     assert(Similarity.ivfIndexStatsAt(500L) === ((23, 8, 12)))
+    // in the flat regime the projection IS the materialized truth
+    assert(Similarity.ivfIndexStatsActual(spark, sf) ===
+      Similarity.ivfIndexStats(spark, sf))
     assert(Similarity.ivfIndexStatsAt(5000L) === ((71, 18, 27)))
     assert(Similarity.ivfIndexStatsAt(20000L) === ((142, 36, 54)))
     assert(Similarity.ivfIndexStatsAt(50000L) === ((224, 56, 84)))

@@ -580,10 +580,20 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "HtTpS://User:Pw@Host.COM:443/p?b=1&a=2#f"),
       // IDN: lowercased as-is, NOT punycoded — documented limit
       (4L, "http://Ünïcode.Example/path"),
-      // trim + multi-label host -> two-label domain approximation
+      // trim + multi-label host -> two-label fallback (c.co is not a
+      // listed public suffix)
       (5L, "  https://a.b.c.co/x?a=1  "),
       // unparseable: returned trimmed, untouched
-      (6L, "not a url")
+      (6L, "not a url"),
+      // PUBLIC-SUFFIX rule (r10 #4): last two labels are a listed
+      // suffix -> eTLD+1 is the last THREE labels
+      (7L, "https://Deep.Sub.Example.Co.UK/x"),
+      // a BARE public suffix has no registrable name -> itself
+      (8L, "http://CO.UK"),
+      // bracketed IPv6 authority: verbatim pass-through in the canon
+      // (ADVICE r10), bracketed address as the "domain"
+      (9L, "http://[::1]:8080/p?b=2&a=1#f"),
+      (10L, "https://shop.example.com.au")
     ).toDF("doc_id", "url")
     val got = urls.select(col("doc_id"),
         TextAnalysis.canonicalUrl(col("url")).as("c"),
@@ -597,16 +607,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === (("http://ünïcode.example/path", "ünïcode.example")))
     assert(got(5L) === (("https://a.b.c.co/x?a=1", "c.co")))
     assert(got(6L) === (("not a url", "")))
+    assert(got(7L) === (("https://deep.sub.example.co.uk/x", "example.co.uk")))
+    assert(got(8L) === (("http://co.uk/", "co.uk")))
+    assert(got(9L) === (("http://[::1]:8080/p?a=1&b=2", "[::1]")))
+    assert(got(10L) === (("https://shop.example.com.au/", "example.com.au")))
     // idempotence: canonicalizing a canonical URL is a fixed point
     val canon = urls.select(TextAnalysis.canonicalUrl(col("url")).as("c"))
     val twice = canon.select(col("c"),
       TextAnalysis.canonicalUrl(col("c")).as("cc"))
     assert(twice.filter(col("c") =!= col("cc")).count() === 0)
     // the registered rollup partitions the corpus: doc counts sum to
-    // the corpus size and every domain is a lowercased source .com
+    // the corpus size and every domain is a lowercased source under
+    // .com or (the PSL class, doc_id % 9) .co.uk — both present, so
+    // the three-label rule is non-vacuous in the oracle-checked entry
     val roll = TextAnalysis.domainRollup(spark, sf).collect()
     assert(roll.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sf).count())
-    assert(roll.forall(_.getAs[String]("domain").matches("src[0-9]+\\.com")))
+    val domains = roll.map(_.getAs[String]("domain"))
+    assert(domains.forall(_.matches("src[0-9]+\\.(com|co\\.uk)")))
+    assert(domains.exists(_.endsWith(".co.uk")),
+      "the public-suffix class must appear in the rollup")
   }
 }

@@ -213,6 +213,74 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally { index.keys.unpersist(); () }
   }
 
+  test("streaming gates reload their PERSISTED index across a checkpoint restart: output identical (r10 #7)") {
+    import spark.implicits._
+    import graft.llmdata.Dedup
+    // the deployment story: the gate's corpus index lives ON DISK
+    // (GenDir-committed); a restarted stream loads it instead of
+    // re-keying the corpus, resumes from its checkpoint, and must
+    // emit exactly what an unbroken run would have
+    val idxDir = Files.createTempDirectory("graft-gateidx").toString
+    Dedup.writeEmbedBandIndex(spark, sf, idxDir)
+    val memoIdx = Dedup.corpusEmbedBandIndex(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val shard1 = e.filter(col("vec_id") % 10 === 3)
+    val shard2 = e.filter(col("vec_id") % 10 === 7)
+    val inDir = Files.createTempDirectory("graft-gateidx-in").toString + "/in"
+    val cp = Files.createTempDirectory("graft-gateidx-cp").toString
+    // a FILE sink (checkpoint-recoverable, unlike the memory sink) —
+    // the same exactly-once file-sink shape the pipeline sinks use
+    val outDir = Files.createTempDirectory("graft-gateidx-out").toString + "/out"
+    shard1.coalesce(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      // a fresh LOAD each run — the restarted process's view
+      val loaded = Dedup.loadEmbedBandIndex(spark, idxDir)
+      assert(loaded.bitsPerBand === memoIdx.bitsPerBand,
+        "the stored index must carry its keying width")
+      val stream = spark.readStream.schema(shard1.schema).parquet(inDir)
+      val q = Dedup.streamingEmbedGate(stream, loaded, broadcastIndex = false)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow).start()
+      q.awaitTermination()
+    }
+    def rowsOut(): Set[(Long, Long, Int)] =
+      spark.read.parquet(outDir)
+        .select(col("vec_id"), col("corpus_id"), col("band"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    run()
+    val r1 = rowsOut()
+    // the "crash": the first process is gone; new files arrive
+    shard2.coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    val rAll = rowsOut()
+    val r2 = rAll -- r1
+    assert(r1.nonEmpty && r2.nonEmpty)
+    def rowSet(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("vec_id"), col("corpus_id"), col("band"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // run 2 resumed from the checkpoint: it emits EXACTLY the new
+    // shard's collisions (batch oracle), nothing reprocessed
+    val batch2 = rowSet(Dedup.streamingEmbedGate(shard2, memoIdx,
+      broadcastIndex = false))
+    assert(r2 === batch2)
+    // and the union across the restart equals the unbroken batch run
+    val batchAll = rowSet(Dedup.streamingEmbedGate(
+      shard1.unionByName(shard2), memoIdx, broadcastIndex = false))
+    assert(rAll === batchAll)
+    // the shingle gate's stored index round-trips the same way
+    val sDir = Files.createTempDirectory("graft-bandidx").toString
+    Dedup.writeBandIndex(spark, sf, sDir)
+    val someDocs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(50)
+    val viaStored = Dedup.streamingNearDupGate(someDocs,
+      Dedup.loadBandIndex(spark, sDir)).collect().toSeq
+    val viaMemo = Dedup.streamingNearDupGate(someDocs,
+      Dedup.corpusBandIndex(spark, sf)).collect().toSeq
+    assert(viaStored.toSet === viaMemo.toSet)
+  }
+
   test("streaming bloom gate: literal-sketch filter, stream = batch, no false negatives") {
     import spark.implicits._
     import graft.llmdata.Dedup
