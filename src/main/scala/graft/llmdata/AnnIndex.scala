@@ -194,6 +194,50 @@ object AnnIndex {
   def vacuum(spark: SparkSession, indexDir: String, retain: Int = 1): Unit =
     GenDir.vacuum(spark, indexDir, retain)
 
+  /** COMPACT the newest generation's delta segments back into the
+    * base codes table — the maintenance job that completes the
+    * append lifecycle (append → … → compact → vacuum): a new
+    * generation is committed whose codes.parquet is the UNION of the
+    * old base and every committed delta, rewritten into clean
+    * cell partitions (each append leaves one small file per touched
+    * cell; a compaction folds the accumulating small files back into
+    * one coherent table, the parquet small-file hygiene every
+    * streaming-ingest table needs). NO re-encode happens — the model
+    * sides are copied byte-compatible from the old generation (read
+    * and rewritten through lossless parquet), so query results are
+    * pinned row-for-row unchanged (AnnIndexSpec). The old generation
+    * (with its deltas) stays on disk for concurrent readers until
+    * [[vacuum]]. Returns the new meta (n = total indexed). */
+  def compact(spark: SparkSession, indexDir: String): Meta = {
+    val gen = resolveGen(spark, indexDir)
+    val meta = readMeta(spark, indexDir)
+    val nTotal = totalIndexed(spark, gen, meta)
+    val tmp = GenDir.stage(spark, indexDir)
+    // model sides: lossless parquet → parquet copy
+    spark.read.parquet(s"$gen/centroids.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/centroids.parquet")
+    spark.read.parquet(s"$gen/books.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/books.parquet")
+    spark.read.parquet(s"$gen/rotation.parquet")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/rotation.parquet")
+    // codes: base ∪ deltas, repartitioned on the cell key so each
+    // cell directory lands as a coherent partition again
+    codesScan(spark, gen)
+      .select(col("vec_id"), col("cell"), col("code"), col("norm"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmp/codes.parquet")
+    val newMeta = meta.copy(n = nTotal)
+    GenDir.writeJson(spark, s"$tmp/meta.json",
+      s"""{"format":$Format,"n":${newMeta.n},"cells":${newMeta.cells},""" +
+        s""""dims":${newMeta.dims},"m":${newMeta.m},"k":${newMeta.k}}""")
+    GenDir.commit(spark, indexDir, tmp)
+    newMeta
+  }
+
   private val DeltaRe = "^delta-([0-9]+)$".r
   private def deltaDirs(spark: SparkSession, gen: String): Seq[(Long, String)] = {
     val (f, p) = GenDir.fsOf(spark, gen)

@@ -50,17 +50,26 @@ object LexStore {
     * (one builder, no second tokenizer to drift), plus the bucket
     * key. Returns (docCount, sumDl). */
   def write(spark: SparkSession, corpusDir: String,
-            lexDir: String): (Long, Long) = {
+            lexDir: String): (Long, Long) =
+    writeBase(spark, corpusDir, lexDir, lit(true))
+
+  /** [[write]] restricted to documents passing `keep` — the base-index
+    * seam LexStoreSpec uses to prove append ≡ full build (postings
+    * rows are per-(doc, term) and row-local, so filtering the memoized
+    * frame by doc id IS the base corpus's index). */
+  private[llmdata] def writeBase(spark: SparkSession, corpusDir: String,
+                                 lexDir: String,
+                                 keep: org.apache.spark.sql.Column): (Long, Long) = {
     val idx = Similarity.lexIndexFor(spark, corpusDir)
     val tmp = GenDir.stage(spark, lexDir)
-    idx.post
+    idx.post.filter(keep)
       .withColumn("bucket", bucketOf(col("term")))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$tmp/postings.parquet")
     // the scalars as exact longs — avgdl is recomputed by the reader
     // with the identical double division, never parsed from a
     // serialized double
-    val dl = Tables.documents(spark, corpusDir)
+    val dl = Tables.documents(spark, corpusDir).filter(keep)
       .select(size(split(col("text"), " ")).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head
     val (n, sumDl) = (dl.getLong(0), dl.getLong(1))
@@ -72,6 +81,58 @@ object LexStore {
 
   private def writeJson(spark: SparkSession, path: String, text: String): Unit =
     GenDir.writeJson(spark, path, text)
+
+  /** APPEND a delta postings segment for newly ingested documents —
+    * and unlike [[AnnIndex.append]] this increment is DRIFT-FREE:
+    * BM25's corpus statistics are exactly additive (doc count and
+    * summed doc length are plain sums; per-(doc, term) tf and dl are
+    * row-local), so base + deltas is byte-for-byte the index a full
+    * rebuild over the union corpus produces — no frozen-model
+    * staleness to document, and LexStoreSpec pins the equality.
+    * `incoming` is a (doc_id, text) frame; its postings are computed
+    * by the same tokenize→explode→count pipeline as the full build
+    * and land as `delta-<seq>/postings.parquet` (term-bucketed like
+    * the base) with the segment's exact scalars in its marker;
+    * [[load]] unions committed segments and sums the scalars.
+    * Returns (docCount, sumDl) of the delta. */
+  def append(spark: SparkSession, lexDir: String,
+             incoming: DataFrame): (Long, Long) = {
+    val gen = resolveGen(spark, lexDir)
+    readStats(spark, gen) // validate the base before extending it
+    val toks = split(col("text"), " ")
+    val dl = incoming.select(col("doc_id"), size(toks).as("dl"))
+    val post = incoming
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+    val tmp = GenDir.stage(spark, gen)
+    post.withColumn("bucket", bucketOf(col("term")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/postings.parquet")
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head
+    val (n, sumDl) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    GenDir.writeJson(spark, s"$tmp/delta.json",
+      s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl}""")
+    val seq = deltaDirs(spark, gen).map(_._1).reduceOption(_ max _)
+      .getOrElse(-1L) + 1L
+    GenDir.commit(spark, gen, tmp, Some(s"delta-$seq"))
+    (n, sumDl)
+  }
+
+  private val DeltaRe = "^delta-([0-9]+)$".r
+  private def deltaDirs(spark: SparkSession, gen: String): Seq[(Long, String)] = {
+    val (f, p) = GenDir.fsOf(spark, gen)
+    val entries =
+      try f.listStatus(p)
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    entries.toSeq.filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case DeltaRe(id) => Some((id.toLong, st.getPath.toString))
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
 
   /** Resolve the newest committed generation, loudly ([[AnnIndex
     * .resolveGen]] discipline). */
@@ -105,14 +166,33 @@ object LexStore {
            queryTerms: Seq[String]): Similarity.LexIndex = {
     import spark.implicits._
     val gen = resolveGen(spark, lexDir)
-    val (n, sumDl) = readStats(spark, gen)
+    val (nBase, sumBase) = readStats(spark, gen)
+    // committed delta segments extend base EXACTLY (additive stats;
+    // each marker validated like the base's)
+    val deltas = deltaDirs(spark, gen).map { case (_, d) =>
+      val path = s"$d/delta.json"
+      val text = GenDir.readJson(spark, path, "BM25 postings delta.json")
+      val fmt = GenDir.jsonLong(text, "format", path)
+      if (fmt != Format)
+        throw new IllegalStateException(
+          s"BM25 postings delta $path has format $fmt; this reader " +
+            s"understands format $Format - rebuild the index")
+      (d, GenDir.jsonLong(text, "n_docs", path),
+        GenDir.jsonLong(text, "sum_dl", path))
+    }
+    val n = nBase + deltas.map(_._2).sum
+    val sumDl = sumBase + deltas.map(_._3).sum
     // bucket ids through the SAME Column expression the writer used —
     // a tiny local job over the query terms, so the probe set can
     // never drift from the stored partitioning
     val buckets = queryTerms.toDF("term")
       .select(bucketOf(col("term")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val post = spark.read.parquet(s"$gen/postings.parquet")
+    val post = deltas.map { case (d, _, _) =>
+      spark.read.parquet(s"$d/postings.parquet")
+    }.foldLeft(spark.read.parquet(s"$gen/postings.parquet")) {
+      (acc, d) => acc.unionByName(d)
+    }
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     Similarity.LexIndex(post, n.toDouble, sumDl.toDouble / n)

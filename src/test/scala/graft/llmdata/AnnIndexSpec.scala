@@ -162,6 +162,24 @@ class AnnIndexSpec extends SparkSpec {
         .filter(col("vec_id") % 10 =!= 7).count())
   }
 
+  test("compaction folds deltas into clean cell partitions without changing any answer") {
+    val composed = AnnIndex.appendIndexFor(spark, sf)
+    val before = AnnIndex.ivfPqTopK(spark, sf, composed, 5, 10).collect().toSeq
+    val genBefore = AnnIndex.resolveGen(spark, composed)
+    val nBefore = AnnIndex.readMeta(spark, composed).n +
+      spark.read.parquet(s"$genBefore/delta-0/codes.parquet").count()
+    val meta = AnnIndex.compact(spark, composed)
+    val genAfter = AnnIndex.resolveGen(spark, composed)
+    assert(genAfter !== genBefore, "compaction commits a NEW generation")
+    // the compacted generation carries no delta dirs and counts the union
+    assert(meta.n === nBefore)
+    assert(!new java.io.File(s"$genAfter/delta-0".stripPrefix("file:")).exists())
+    // the old generation (deltas included) survives for live readers
+    assert(new java.io.File(s"$genBefore/delta-0".stripPrefix("file:")).exists())
+    val after = AnnIndex.ivfPqTopK(spark, sf, composed, 5, 10).collect().toSeq
+    assert(after === before, "compaction must not change any row")
+  }
+
   test("vacuum reclaims superseded generations and crash corpses, never the newest") {
     val d = Files.createTempDirectory("graft-annindex-vac").toString
     AnnIndex.write(spark, sf, d)

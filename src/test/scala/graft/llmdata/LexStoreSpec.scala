@@ -63,6 +63,31 @@ class LexStoreSpec extends SparkSpec {
       "pruning must leave most buckets unread")
   }
 
+  test("append(shard) onto base(corpus \\ shard) ≡ the full build — postings AND scalars exact (drift-free)") {
+    // BM25's corpus stats are additive, so unlike the ANN delta path
+    // there is NO frozen-model drift: base + delta must be exactly
+    // the full rebuild's index
+    val d = Files.createTempDirectory("graft-lexappend").toString
+    val isShard = col("doc_id") % 10 === 7
+    LexStore.writeBase(spark, sf, d, !isShard)
+    LexStore.append(spark, d,
+      graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).filter(isShard))
+    val full = Similarity.lexIndexFor(spark, sf)
+    // load with ALL terms so the bucket filter keeps everything
+    val allTerms = spark.read.parquet(
+      s"${LexStore.resolveGen(spark, lexDir)}/postings.parquet")
+      .select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    val composed = LexStore.load(spark, d, allTerms)
+    assert(composed.n === full.n)
+    assert(composed.avgdl === full.avgdl)
+    assert(composed.post.count() === full.post.count())
+    assert(composed.post.exceptAll(full.post).count() === 0)
+    // and the delta segment really exists
+    val gen = LexStore.resolveGen(spark, d)
+    assert(new java.io.File(s"$gen/delta-0".stripPrefix("file:")).exists())
+  }
+
   test("virgin or torn artifacts fail loudly naming the artifact") {
     val d = Files.createTempDirectory("graft-lexspec-virgin").toString
     val virgin = intercept[IllegalStateException] {
