@@ -54,6 +54,7 @@ object ScaleBench {
     "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_frame", "ann_ivfpq_stored",
     "ann_ivfpq_append",
     "ann_pca_topk", "ann_hybrid_rrf", "ann_hybrid_rrf_ivfpq",
+    "ann_hybrid_rrf_stored", "dd_url_dedup",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
     // top-k, the capstone composition, and the span-marking semi join
@@ -136,14 +137,23 @@ object ScaleBench {
     // the frame path, so only small batches also measure the driver
     // placement. Min of 2 passes per cell; indexes are warm from the
     // family sweep above (steady-state serving cost, like Bench).
-    val qBatchCells = Seq(("driver", 5, false), ("driver", 50, false),
-      ("frame", 5, true), ("frame", 50, true),
-      ("frame", 500, true), ("frame", 2000, true))
+    val qBatchCells = Seq(
+      ("ivfpq-driver", 5, false), ("ivfpq-driver", 50, false),
+      ("ivfpq-frame", 5, true), ("ivfpq-frame", 50, true),
+      ("ivfpq-frame", 500, true), ("ivfpq-frame", 2000, true),
+      ("ivf-driver", 50, false),
+      ("ivf-frame", 50, true), ("ivf-frame", 500, true))
     val qBatch = qBatchCells.map { case (mode, q, ff) =>
       def pass(): Double = {
         val t0 = System.nanoTime()
-        llmdata.Similarity.ivfPqTopK(spark, synthDir, q, 10, frameQueries = ff)
-          .queryExecution.toRdd.foreach(_ => ())
+        val df =
+          if (mode.startsWith("ivfpq"))
+            llmdata.Similarity.ivfPqTopK(spark, synthDir, q, 10,
+              frameQueries = ff)
+          else
+            llmdata.Similarity.ivfTopK(spark, synthDir, q, 10,
+              frameQueries = ff)
+        df.queryExecution.toRdd.foreach(_ => ())
         (System.nanoTime() - t0) / 1e9
       }
       val t = math.min(pass(), pass())

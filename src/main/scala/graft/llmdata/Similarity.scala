@@ -730,6 +730,25 @@ object Similarity {
         LexStore.storedLexFor(spark, dir),
         LexStore.queryTermsOf(spark, dir, nQueries))))
 
+  /** The FULLY-PERSISTED serving stack — dense arm from the stored
+    * IVF∘PQ index ([[AnnIndex]]), lexical arm from the stored BM25
+    * postings ([[LexStore]]): what a restarted hybrid-retrieval
+    * server actually loads (zero session-memoized state; both
+    * artifacts survive the process). Both arms are individually
+    * pinned ≡ their memoized twins, so the fused output is pinned
+    * row-for-row ≡ [[hybridRrfIvfPqTopK]] (LexStoreSpec) — the
+    * composition proof that the two artifact families serve together
+    * unchanged. */
+  def hybridRrfStoredStackTopK(spark: SparkSession, dir: String,
+                               nQueries: Int, k: Int, perArm: Int = 20,
+                               rrfK: Int = 60): DataFrame =
+    hybridRrfWith(spark, dir, nQueries, k, perArm, rrfK,
+      AnnIndex.ivfPqTopK(spark, dir,
+        AnnIndex.storedIndexFor(spark, dir), nQueries, perArm),
+      lexIdx = Some(LexStore.load(spark,
+        LexStore.storedLexFor(spark, dir),
+        LexStore.queryTermsOf(spark, dir, nQueries))))
+
   /** Memoized lexical postings index per (session, corpus): the
     * (doc_id, term, tf, dl) frame plus the two corpus scalars (doc
     * count, mean doc length) — the standing INVERTED INDEX a hybrid

@@ -70,14 +70,27 @@ object GenDir {
     * (or as `name` when given — used for intra-generation deltas).
     * Returns the committed path. Throws loudly when the destination
     * already exists — the dual-builder contention case — naming both
-    * directories; the staged work is left in place for inspection. */
+    * directories; the staged work is left in place for inspection.
+    *
+    * TOCTOU closure: Hadoop's local rename moves the source INTO an
+    * existing destination directory and reports success, so a
+    * committer that loses the race between its exists-check and its
+    * rename would otherwise "succeed" while its artifact sits nested
+    * (and invisible) inside the winner's generation. After the
+    * rename, the committer checks for its own UNIQUE staging name
+    * under the destination — presence is race-free proof of nesting —
+    * and fails loudly; [[vacuum]] reaps the nested corpse.
+    * `raceSeam` (test-only) skips the exists pre-check to make the
+    * lost-race interleave deterministic in specs. */
   def commit(spark: SparkSession, root: String, tmpDir: String,
-             name: Option[String] = None): String = {
+             name: Option[String] = None,
+             raceSeam: Boolean = false): String = {
     val (f, r) = fsOf(spark, root)
     val dest = new Path(r,
       name.getOrElse(s"gen-${newest(spark, root).map(_._1 + 1).getOrElse(0L)}"))
+    val tmpName = new Path(tmpDir).getName
     val ok =
-      try !f.exists(dest) && f.rename(new Path(tmpDir), dest)
+      try (raceSeam || !f.exists(dest)) && f.rename(new Path(tmpDir), dest)
       catch { case _: java.io.IOException => false }
     if (!ok)
       throw new IllegalStateException(
@@ -85,6 +98,18 @@ object GenDir {
           s"(a concurrent builder won the generation) - staged build " +
           s"left at $tmpDir; re-run against the committed artifact " +
           "or vacuum and rebuild")
+    val nested = new Path(dest, tmpName)
+    val wasNested =
+      try f.exists(nested)
+      catch { case _: java.io.IOException => false }
+    if (wasNested)
+      throw new IllegalStateException(
+        s"artifact commit lost the rename race: a concurrent builder " +
+          s"committed $dest between this committer's existence check " +
+          s"and its rename, and the local-filesystem rename NESTED the " +
+          s"staged build at $nested instead of failing - the committed " +
+          "artifact is the winner's (unmixed); the nested corpse is " +
+          "inert and reclaimed by vacuum")
     dest.toString
   }
 
@@ -137,12 +162,20 @@ object GenDir {
     gens.dropRight(retain).foreach { case (_, p) =>
       f.delete(new Path(p), true)
     }
-    val entries =
-      try f.listStatus(r)
-      catch { case _: java.io.FileNotFoundException => Array.empty }
-    entries.foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith(".tmp-"))
-        f.delete(st.getPath, true)
+    def reapTmp(dir: Path): Unit = {
+      val entries =
+        try f.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => Array.empty }
+      entries.foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".tmp-"))
+          f.delete(st.getPath, true)
+      }
     }
+    reapTmp(r)
+    // nested corpses too: a lost-race committer's staging dir can end
+    // up INSIDE a retained generation (see [[commit]]'s TOCTOU note),
+    // and delta stagings live under the generation dir by design —
+    // under the vacuum contract (no live builder) both are corpses
+    gens.takeRight(retain).foreach { case (_, p) => reapTmp(new Path(p)) }
   }
 }

@@ -107,6 +107,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(new java.io.File(tmpSlow).exists())
   }
 
+  test("lost-race rename that NESTS into the winner's generation is detected, never a silent success") {
+    // the TOCTOU the exists pre-check cannot close: Hadoop's local
+    // rename moves the source INTO an existing destination and
+    // reports success — the raceSeam makes the interleave
+    // deterministic (loser's exists-check happened before the
+    // winner's commit)
+    val d = Files.createTempDirectory("graft-annindex-nest").toString
+    val tmpWin = GenDir.stage(spark, d)
+    val tmpLose = GenDir.stage(spark, d)
+    GenDir.writeJson(spark, s"$tmpWin/meta.json", """{"w":1}""")
+    GenDir.commit(spark, d, tmpWin, Some("gen-0"))
+    val e = intercept[IllegalStateException] {
+      GenDir.commit(spark, d, tmpLose, Some("gen-0"), raceSeam = true)
+    }
+    assert(e.getMessage.contains("NESTED"))
+    // the winner's artifact is intact (unmixed) — its marker survives
+    assert(GenDir.readJson(spark, s"$d/gen-0/meta.json", "meta")
+      .contains("\"w\":1"))
+    // and vacuum reclaims the nested corpse inside the retained gen
+    GenDir.vacuum(spark, d)
+    val inside = new java.io.File(s"$d/gen-0").listFiles().map(_.getName)
+    assert(!inside.exists(_.startsWith(".tmp-")),
+      s"nested corpse must be reaped: ${inside.toSeq}")
+  }
+
   test("a torn or mismatched meta fails loudly naming the artifact, never mis-decodes") {
     val d = Files.createTempDirectory("graft-annindex-meta").toString
     def plant(metaJson: String): Unit = {

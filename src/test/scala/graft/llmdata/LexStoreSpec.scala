@@ -88,6 +88,14 @@ class LexStoreSpec extends SparkSpec {
     assert(new java.io.File(s"$gen/delta-0".stripPrefix("file:")).exists())
   }
 
+  test("fully-persisted serving stack (stored ANN + stored BM25) ≡ the memoized hybrid row-for-row") {
+    val memo = Similarity.hybridRrfIvfPqTopK(spark, sf, 5, 10).collect().toSeq
+    val stack = Similarity.hybridRrfStoredStackTopK(spark, sf, 5, 10)
+      .collect().toSeq
+    assert(stack === memo,
+      "a restarted server loading both artifacts must serve identical results")
+  }
+
   test("virgin or torn artifacts fail loudly naming the artifact") {
     val d = Files.createTempDirectory("graft-lexspec-virgin").toString
     val virgin = intercept[IllegalStateException] {
