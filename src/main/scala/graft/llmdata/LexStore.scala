@@ -226,6 +226,42 @@ object LexStore {
       .distinct().collect().map(_.getString(0)).toSeq
 }
 
+/** `spark-submit`-able gate-index build job (the IndexMain/LexMain
+  * convention): persist the streaming gates' corpus-side band index —
+  * `embed` (hyperplane-LSH over embeddings) or `shingle`
+  * (MinHash-banded over documents) — as the next committed
+  * generation, print ONE JSON status line, exit non-zero when the
+  * artifact would be empty. A restarted ingestion stream then loads
+  * the artifact ([[Dedup.loadEmbedBandIndex]]/[[Dedup.loadBandIndex]])
+  * instead of re-keying the corpus. */
+object GateMain {
+  def run(spark: SparkSession, kind: String, corpusDir: String,
+          idxDir: String): Long = kind match {
+    case "embed" => Dedup.writeEmbedBandIndex(spark, corpusDir, idxDir)
+    case "shingle" => Dedup.writeBandIndex(spark, corpusDir, idxDir)
+    case other => throw new IllegalArgumentException(
+      s"unknown gate index kind '$other' (embed | shingle)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: GateMain <embed|shingle> <corpusDir> <idxDir>")
+    val spark = SparkSession.builder()
+      .appName("graft-gate-index-build")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val empty =
+      try {
+        val n = run(spark, args(0), args(1), args(2))
+        println(s"""{"job":"gate_index_build","kind":"${args(0)}",""" +
+          s""""n_keys":$n,"format":${Dedup.GateIndexFormat}}""")
+        n == 0L
+      } finally spark.stop()
+    if (empty) sys.exit(2)
+  }
+}
+
 /** `spark-submit`-able postings-build job (the IndexMain convention):
   * build the persisted BM25 postings for a corpus as the next
   * committed generation, print ONE JSON status line, exit non-zero

@@ -270,8 +270,12 @@ class StreamingAnalyticsSpec extends SparkSpec {
       shard1.unionByName(shard2), memoIdx, broadcastIndex = false))
     assert(rAll === batchAll)
     // the shingle gate's stored index round-trips the same way
+    // (built through the spark-submit twin's entry point)
     val sDir = Files.createTempDirectory("graft-bandidx").toString
-    Dedup.writeBandIndex(spark, sf, sDir)
+    assert(graft.llmdata.GateMain.run(spark, "shingle", sf, sDir) > 0L)
+    intercept[IllegalArgumentException] {
+      graft.llmdata.GateMain.run(spark, "nope", sf, sDir)
+    }
     val someDocs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).limit(50)
     val viaStored = Dedup.streamingNearDupGate(someDocs,
