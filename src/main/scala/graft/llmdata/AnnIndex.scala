@@ -170,11 +170,17 @@ object AnnIndex {
     * full build: the documented drift bound of every production IVF
     * delta path (recall on new vectors degrades only as far as the
     * frozen centroids mis-fit them; what is indexed is always scanned
-    * exactly). Returns the committed delta's row count. */
+    * exactly). Concurrency: two appends race the `delta-<seq>` name
+    * and the loser fails loudly ([[GenDir.commit]]); an append racing
+    * a FULL REBUILD targets the generation it resolved at entry — if
+    * the rebuild commits first, the delta lands in the superseded
+    * generation and readers of the new one won't see it (the ingest
+    * job re-runs against the new generation; same single-maintainer
+    * stance as vacuum). Returns the committed delta's row count. */
   def append(spark: SparkSession, indexDir: String,
              incoming: DataFrame): Long = {
     val gen = resolveGen(spark, indexDir)
-    val meta = readMeta(spark, indexDir)
+    val meta = readMetaAt(spark, gen) // same generation — never re-resolved
     val (cents, books, rot) = loadModel(spark, gen)
     val tmp = GenDir.stage(spark, gen)
     Similarity.encodeIvfPq(spark, incoming, cents, books, rot)
@@ -183,9 +189,8 @@ object AnnIndex {
     val n = spark.read.parquet(s"$tmp/codes.parquet").count()
     writeJson(spark, s"$tmp/delta.json",
       s"""{"format":$Format,"n":$n,"m":${meta.m},"k":${meta.k}}""")
-    val seq = deltaDirs(spark, gen).map(_._1).reduceOption(_ max _)
-      .getOrElse(-1L) + 1L
-    GenDir.commit(spark, gen, tmp, Some(s"delta-$seq"))
+    GenDir.commit(spark, gen, tmp,
+      Some(GenDir.nextDeltaName(GenDir.deltas(spark, gen))))
     n
   }
 
@@ -210,8 +215,9 @@ object AnnIndex {
     * [[vacuum]]. Returns the new meta (n = total indexed). */
   def compact(spark: SparkSession, indexDir: String): Meta = {
     val gen = resolveGen(spark, indexDir)
-    val meta = readMeta(spark, indexDir)
-    val nTotal = totalIndexed(spark, gen, meta)
+    val meta = readMetaAt(spark, gen)
+    val deltas = GenDir.deltas(spark, gen)
+    val nTotal = totalIndexed(spark, deltas, meta)
     val tmp = GenDir.stage(spark, indexDir)
     // model sides: lossless parquet → parquet copy
     spark.read.parquet(s"$gen/centroids.parquet")
@@ -225,7 +231,7 @@ object AnnIndex {
       .parquet(s"$tmp/rotation.parquet")
     // codes: base ∪ deltas, repartitioned on the cell key so each
     // cell directory lands as a coherent partition again
-    codesScan(spark, gen)
+    codesScanOf(spark, gen, deltas)
       .select(col("vec_id"), col("cell"), col("code"), col("norm"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -236,20 +242,6 @@ object AnnIndex {
         s""""dims":${newMeta.dims},"m":${newMeta.m},"k":${newMeta.k}}""")
     GenDir.commit(spark, indexDir, tmp)
     newMeta
-  }
-
-  private val DeltaRe = "^delta-([0-9]+)$".r
-  private def deltaDirs(spark: SparkSession, gen: String): Seq[(Long, String)] = {
-    val (f, p) = GenDir.fsOf(spark, gen)
-    val entries =
-      try f.listStatus(p)
-      catch { case _: java.io.FileNotFoundException => Array.empty }
-    entries.toSeq.filter(_.isDirectory)
-      .flatMap(st => st.getPath.getName match {
-        case DeltaRe(id) => Some((id.toLong, st.getPath.toString))
-        case _ => None
-      })
-      .sortBy(_._1)
   }
 
   private def writeJson(spark: SparkSession, path: String, text: String): Unit =
@@ -323,8 +315,15 @@ object AnnIndex {
     * artifact — never an opaque index-out-of-bounds on a torn file),
     * format-version and PQ-geometry checks (a reader with different
     * constants must refuse, not mis-decode). */
-  def readMeta(spark: SparkSession, indexDir: String): Meta = {
-    val gen = resolveGen(spark, indexDir)
+  def readMeta(spark: SparkSession, indexDir: String): Meta =
+    readMetaAt(spark, resolveGen(spark, indexDir))
+
+  /** [[readMeta]] against an ALREADY-RESOLVED generation dir — the
+    * form every multi-step reader must use: resolving once and
+    * threading the generation through keeps a rebuild that commits
+    * mid-read from mixing one generation's model with another's meta
+    * (the single-generation contract, enforced structurally). */
+  private[llmdata] def readMetaAt(spark: SparkSession, gen: String): Meta = {
     val path = s"$gen/meta.json"
     val text = GenDir.readJson(spark, path, "ANN index meta.json")
     def fld(k: String): Long = readJsonLong(text, k, path)
@@ -333,13 +332,16 @@ object AnnIndex {
       fld("m").toInt, fld("k").toInt)
   }
 
-  /** Total indexed vectors across base + committed deltas of `gen` —
-    * the N the probe defaults scale on. Each delta's marker is
-    * validated like the meta (geometry drift in a delta is the same
-    * silent-mis-decode hazard). */
-  private def totalIndexed(spark: SparkSession, gen: String,
+  /** Total indexed vectors across base + the GIVEN committed delta
+    * listing — the N the probe defaults scale on. Each delta's marker
+    * is validated like the meta (geometry drift in a delta is the
+    * same silent-mis-decode hazard). Callers list deltas ONCE
+    * ([[GenDir.deltas]]) and share the listing with [[codesScanOf]] —
+    * one directory round trip, one marker read per delta, per query. */
+  private def totalIndexed(spark: SparkSession,
+                           deltas: Seq[(Long, String)],
                            meta: Meta): Long =
-    meta.n + deltaDirs(spark, gen).map { case (_, d) =>
+    meta.n + deltas.map { case (_, d) =>
       val path = s"$d/delta.json"
       val text = GenDir.readJson(spark, path, "ANN index delta.json")
       validateGeometry(readJsonLong(text, "m", path),
@@ -349,11 +351,12 @@ object AnnIndex {
     }.sum
 
   /** The generation's full codes scan: base table unioned with every
-    * committed delta segment. Each side is cell-partitioned parquet,
-    * so a probed-cell filter partition-prunes every segment
-    * independently. */
-  private def codesScan(spark: SparkSession, gen: String): DataFrame =
-    deltaDirs(spark, gen).map { case (_, d) =>
+    * committed delta segment (the shared listing). Each side is
+    * cell-partitioned parquet, so a probed-cell filter partition-
+    * prunes every segment independently. */
+  private def codesScanOf(spark: SparkSession, gen: String,
+                          deltas: Seq[(Long, String)]): DataFrame =
+    deltas.map { case (_, d) =>
       spark.read.parquet(s"$d/codes.parquet")
     }.foldLeft(spark.read.parquet(s"$gen/codes.parquet")) {
       (acc, d) => acc.unionByName(d)
@@ -385,29 +388,30 @@ object AnnIndex {
     * loaded from the newest committed generation and the candidate
     * scan reading the cell-partitioned codes table (base + committed
     * deltas) — the batch's probed-cell union becomes a
-    * partition-pruning filter, so unprobed cells' files are never
-    * opened (AnnIndexSpec asserts the pruned file set). Query
-    * vectors and the exact rerank still read the corpus (the index
-    * stores codes, not floats — exactly the deployment split).
-    * Returns results row-for-row identical to the memoized path. */
+    * partition-pruning filter (driver mode always; frame mode while
+    * the union stays under [[Similarity.FramePruneMaxCells]] — past
+    * it the batch's union approaches every cell and the scan is
+    * semantically full anyway), so unprobed cells' files are never
+    * opened (AnnIndexSpec asserts the pruned file set). The
+    * generation is resolved ONCE and threaded through meta, listing,
+    * and scan — a rebuild committing mid-read can never mix
+    * generations — and the delta listing is taken once and shared
+    * between the count and the scan (one directory round trip and
+    * one marker read per delta on the serving path). Query vectors
+    * and the exact rerank still read the corpus (the index stores
+    * codes, not floats — exactly the deployment split). Returns
+    * results row-for-row identical to the memoized path. */
   def ivfPqTopK(spark: SparkSession, corpusDir: String, indexDir: String,
                 nQueries: Int, k: Int, probes: Int = 0,
                 rerankPool: Int = 0,
                 frameQueries: Boolean = false): DataFrame = {
     val gen = resolveGen(spark, indexDir)
-    val meta = readMeta(spark, indexDir)
+    val meta = readMetaAt(spark, gen)
+    val deltas = GenDir.deltas(spark, gen)
     val (cents, books, rot) = loadModel(spark, gen)
-    // the SHARED query program ([[Similarity.ivfPqQueryProgram]] — one
-    // implementation behind the memoized and persisted paths, so they
-    // can never drift): in driver mode the probed-cell union lands as
-    // a codegen'd filter that here PARTITION-PRUNES whole cell
-    // directories (cell is the physical partition key); in frame mode
-    // (Q past [[Similarity.QFrameThreshold]] or forced) the query
-    // frame ranks its own probes per executor and candidates come
-    // from the cell-keyed equi-join — the corpus-scale batch shape.
     Similarity.ivfPqQueryProgram(spark, Tables.embeddings(spark, corpusDir),
-      codesScan(spark, gen), cents, books, rot,
-      totalIndexed(spark, gen, meta), nQueries, k, probes, rerankPool,
+      codesScanOf(spark, gen, deltas), cents, books, rot,
+      totalIndexed(spark, deltas, meta), nQueries, k, probes, rerankPool,
       frameQueries)
   }
 }

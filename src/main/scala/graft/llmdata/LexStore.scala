@@ -114,24 +114,9 @@ object LexStore {
     val (n, sumDl) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
     GenDir.writeJson(spark, s"$tmp/delta.json",
       s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl}""")
-    val seq = deltaDirs(spark, gen).map(_._1).reduceOption(_ max _)
-      .getOrElse(-1L) + 1L
-    GenDir.commit(spark, gen, tmp, Some(s"delta-$seq"))
+    GenDir.commit(spark, gen, tmp,
+      Some(GenDir.nextDeltaName(GenDir.deltas(spark, gen))))
     (n, sumDl)
-  }
-
-  private val DeltaRe = "^delta-([0-9]+)$".r
-  private def deltaDirs(spark: SparkSession, gen: String): Seq[(Long, String)] = {
-    val (f, p) = GenDir.fsOf(spark, gen)
-    val entries =
-      try f.listStatus(p)
-      catch { case _: java.io.FileNotFoundException => Array.empty }
-    entries.toSeq.filter(_.isDirectory)
-      .flatMap(st => st.getPath.getName match {
-        case DeltaRe(id) => Some((id.toLong, st.getPath.toString))
-        case _ => None
-      })
-      .sortBy(_._1)
   }
 
   /** Resolve the newest committed generation, loudly ([[AnnIndex
@@ -168,8 +153,9 @@ object LexStore {
     val gen = resolveGen(spark, lexDir)
     val (nBase, sumBase) = readStats(spark, gen)
     // committed delta segments extend base EXACTLY (additive stats;
-    // each marker validated like the base's)
-    val deltas = deltaDirs(spark, gen).map { case (_, d) =>
+    // each marker validated like the base's) — one listing, shared
+    // between the scalar sums and the postings union
+    val deltas = GenDir.deltas(spark, gen).map { case (_, d) =>
       val path = s"$d/delta.json"
       val text = GenDir.readJson(spark, path, "BM25 postings delta.json")
       val fmt = GenDir.jsonLong(text, "format", path)

@@ -525,6 +525,17 @@ object Similarity {
     * pins it), so the dispatch is a pure execution-placement choice. */
   val QFrameThreshold = 64
 
+  /** Frame-mode pruning budget: the frame path pushes the batch's
+    * probed-cell union as a codegen'd filter (partition-pruning on a
+    * persisted index) only while the union holds at most this many
+    * cells — the same constant literal budget as [[IvfFlatMaxCells]].
+    * A corpus-scale batch's union approaches EVERY cell, where the
+    * filter would be a cells-sized plan literal (the r10-retired
+    * defect class) guarding a semantically full scan; past the budget
+    * the cell-keyed join alone bounds the work and no literal rides
+    * the plan. */
+  val FramePruneMaxCells = 1024
+
   /** Executor-side probe ranking over the query FRAME: one row per
     * (query_id, probed cell), computed per-partition against the
     * broadcast centroid array with the SAME pinned [[rankProbes]]
@@ -1475,11 +1486,27 @@ object Similarity {
           }
         }
         .toDF("query_id", "cell", "qdotc", "rq", "qnorm")
+      // the batch's probed-cell union, pushed as a partition-pruning
+      // filter while it fits the constant literal budget (a bounded
+      // O(≤cells) collect of a distinct aggregate — qprobe itself is
+      // cheap to recompute relative to candidate scoring): a
+      // moderate-Q batch against a persisted index then opens only
+      // its probed cell directories, exactly like the driver path;
+      // a corpus-scale batch blows the budget, where the union is
+      // ~every cell and the filter would be a cells-sized plan
+      // literal guarding a semantically full scan — skipped.
+      val probedUnion = qprobe.select(col("cell")).distinct()
+        .limit(FramePruneMaxCells + 1)
+        .collect().map(_.getInt(0))
+      val prunedScan =
+        if (probedUnion.length <= FramePruneMaxCells)
+          codeScan.filter(col("cell").isin(probedUnion.toSeq: _*))
+        else codeScan
       // candidates = codes ⋈ probe rows on the CELL key — the shuffle
       // a corpus-scale batch join wants; ADC is candidate-local: the
       // same per-subspace sums the driver LUT holds, computed in the
       // same order, so scores are bit-identical
-      codeScan
+      prunedScan
         .join(qprobe, "cell")
         .select(col("query_id"), col("vec_id"), col("qdotc"),
           col("rq"), col("qnorm"), col("code"), col("norm"))

@@ -66,6 +66,28 @@ object GenDir {
   def newest(spark: SparkSession, root: String): Option[(Long, String)] =
     generations(spark, root).lastOption
 
+  private val DeltaRe = "^delta-([0-9]+)$".r
+
+  /** Committed delta segments under a generation dir, ascending by
+    * sequence — the intra-generation twin of [[generations]] (one
+    * listing; callers share the result instead of re-listing). */
+  def deltas(spark: SparkSession, gen: String): Seq[(Long, String)] = {
+    val (f, p) = fsOf(spark, gen)
+    val entries =
+      try f.listStatus(p)
+      catch { case _: java.io.FileNotFoundException => Array.empty }
+    entries.toSeq.filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case DeltaRe(id) => Some((id.toLong, st.getPath.toString))
+        case _ => None
+      })
+      .sortBy(_._1)
+  }
+
+  /** The next free `delta-<seq>` name given an existing listing. */
+  def nextDeltaName(existing: Seq[(Long, String)]): String =
+    s"delta-${existing.map(_._1).reduceOption(_ max _).getOrElse(-1L) + 1L}"
+
   /** Atomically publish a fully-staged `tmpDir` as the next generation
     * (or as `name` when given — used for intra-generation deltas).
     * Returns the committed path. Throws loudly when the destination
@@ -79,9 +101,12 @@ object GenDir {
     * (and invisible) inside the winner's generation. After the
     * rename, the committer checks for its own UNIQUE staging name
     * under the destination — presence is race-free proof of nesting —
-    * and fails loudly; [[vacuum]] reaps the nested corpse.
-    * `raceSeam` (test-only) skips the exists pre-check to make the
-    * lost-race interleave deterministic in specs. */
+    * and fails loudly; [[vacuum]] reaps the nested corpse. (POSIX
+    * rename would instead REPLACE an EMPTY existing destination, but
+    * a committed artifact dir is never empty — the marker JSON is
+    * always inside — so that branch cannot clobber a real
+    * generation.) `raceSeam` (test-only) skips the exists pre-check
+    * to make the lost-race interleave deterministic in specs. */
   def commit(spark: SparkSession, root: String, tmpDir: String,
              name: Option[String] = None,
              raceSeam: Boolean = false): String = {
@@ -162,20 +187,30 @@ object GenDir {
     gens.dropRight(retain).foreach { case (_, p) =>
       f.delete(new Path(p), true)
     }
-    def reapTmp(dir: Path): Unit = {
+    // nested corpses too: a lost-race committer's staging dir can end
+    // up INSIDE a retained generation OR inside one of its delta
+    // segments (a lost delta-commit race nests at gen/delta-N/.tmp-*),
+    // and delta stagings live under the generation dir by design —
+    // under the vacuum contract (no live builder) all are corpses.
+    // Depth 2 (root → gen → delta) covers every commit destination.
+    def reapTmp(dir: Path, depth: Int): Unit = {
       val entries =
         try f.listStatus(dir)
         catch { case _: java.io.FileNotFoundException => Array.empty }
       entries.foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith(".tmp-"))
-          f.delete(st.getPath, true)
+        if (st.isDirectory) {
+          if (st.getPath.getName.startsWith(".tmp-"))
+            f.delete(st.getPath, true)
+          else if (depth > 0 && st.getPath.getName.startsWith("delta-"))
+            reapTmp(st.getPath, depth - 1) // only commit destinations,
+          // never parquet data dirs (listing every cell partition of
+          // codes.parquet would be wasted IO)
+        }
       }
     }
-    reapTmp(r)
-    // nested corpses too: a lost-race committer's staging dir can end
-    // up INSIDE a retained generation (see [[commit]]'s TOCTOU note),
-    // and delta stagings live under the generation dir by design —
-    // under the vacuum contract (no live builder) both are corpses
-    gens.takeRight(retain).foreach { case (_, p) => reapTmp(new Path(p)) }
+    reapTmp(r, 0)
+    gens.takeRight(retain).foreach { case (_, p) =>
+      reapTmp(new Path(p), 1)
+    }
   }
 }

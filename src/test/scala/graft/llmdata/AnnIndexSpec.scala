@@ -125,11 +125,28 @@ class AnnIndexSpec extends SparkSpec {
     // the winner's artifact is intact (unmixed) — its marker survives
     assert(GenDir.readJson(spark, s"$d/gen-0/meta.json", "meta")
       .contains("\"w\":1"))
-    // and vacuum reclaims the nested corpse inside the retained gen
+    // a lost DELTA-commit race nests one level deeper
+    // (gen-0/delta-0/.tmp-*) — same detection, same reclamation.
+    // The winner's delta carries its marker (committed dirs are never
+    // empty; an empty dir would be REPLACED by POSIX rename instead)
+    val tmpDelta = GenDir.stage(spark, s"$d/gen-0")
+    GenDir.writeJson(spark, s"$tmpDelta/delta.json", """{"n":1}""")
+    GenDir.commit(spark, s"$d/gen-0", tmpDelta, Some("delta-0"))
+    val tmpDeltaLose = GenDir.stage(spark, s"$d/gen-0")
+    val e2 = intercept[IllegalStateException] {
+      GenDir.commit(spark, s"$d/gen-0", tmpDeltaLose, Some("delta-0"),
+        raceSeam = true)
+    }
+    assert(e2.getMessage.contains("NESTED"))
+    // and vacuum reclaims the nested corpses at BOTH depths
     GenDir.vacuum(spark, d)
     val inside = new java.io.File(s"$d/gen-0").listFiles().map(_.getName)
     assert(!inside.exists(_.startsWith(".tmp-")),
       s"nested corpse must be reaped: ${inside.toSeq}")
+    val insideDelta = new java.io.File(s"$d/gen-0/delta-0")
+      .listFiles().map(_.getName)
+    assert(!insideDelta.exists(_.startsWith(".tmp-")),
+      s"delta-level nested corpse must be reaped: ${insideDelta.toSeq}")
   }
 
   test("a torn or mismatched meta fails loudly naming the artifact, never mis-decodes") {
