@@ -191,6 +191,19 @@ object AnnIndex {
       s"""{"format":$Format,"n":$n,"m":${meta.m},"k":${meta.k}}""")
     GenDir.commit(spark, gen, tmp,
       Some(GenDir.nextDeltaName(GenDir.deltas(spark, gen))))
+    // fail-loudly completion of the append-vs-rebuild race note above:
+    // if a full rebuild committed while this delta was being encoded,
+    // the delta landed in a SUPERSEDED generation and no reader will
+    // see it — surface that as an error (the ingest job re-runs
+    // against the new generation) instead of a positive row count
+    val genNow = resolveGen(spark, indexDir)
+    if (genNow != gen)
+      throw new IllegalStateException(
+        s"ANN index append committed its delta into $gen, but a full " +
+          s"rebuild published $genNow concurrently - the delta is " +
+          "invisible to readers of the new generation; re-run the " +
+          "append against it (the superseded delta is inert and " +
+          "reclaimed by vacuum)")
     n
   }
 

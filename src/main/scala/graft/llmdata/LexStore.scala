@@ -116,6 +116,16 @@ object LexStore {
       s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl}""")
     GenDir.commit(spark, gen, tmp,
       Some(GenDir.nextDeltaName(GenDir.deltas(spark, gen))))
+    // same fail-loudly race completion as [[AnnIndex.append]]: a full
+    // rebuild publishing a new generation mid-append makes this delta
+    // invisible — report it, never a silent positive count
+    val genNow = resolveGen(spark, lexDir)
+    if (genNow != gen)
+      throw new IllegalStateException(
+        s"BM25 postings append committed its delta into $gen, but a " +
+          s"full rebuild published $genNow concurrently - the delta " +
+          "is invisible to readers of the new generation; re-run the " +
+          "append against it")
     (n, sumDl)
   }
 

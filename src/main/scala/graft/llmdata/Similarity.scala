@@ -1446,7 +1446,8 @@ object Similarity {
                                          rot: Array[Array[Double]],
                                          nTotal: Long, nQueries: Int, k: Int,
                                          probes: Int, rerankPool: Int,
-                                         frameQueries: Boolean): DataFrame = {
+                                         frameQueries: Boolean,
+                                         framePruneBudget: Int = FramePruneMaxCells): DataFrame = {
     import spark.implicits._
     // probes = 0 (the default) scales with the cell count up to the
     // log ceiling, like ivfTopK
@@ -1466,6 +1467,10 @@ object Similarity {
       // built per-executor: probe ranking on the pinned cosine6
       // kernel, exact centroid dot in ascending-j order, the OPQ
       // rotation of the query (shared across its probe rows)
+      // MATERIALIZED once (localCheckpoint, bounded Q·probes rows):
+      // both the probed-union collect below and the candidate join
+      // read this frame — without the checkpoint the whole
+      // probe-ranking pass would run twice per batch
       val qprobe = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .mapPartitions { it =>
@@ -1486,20 +1491,21 @@ object Similarity {
           }
         }
         .toDF("query_id", "cell", "qdotc", "rq", "qnorm")
+        .localCheckpoint()
       // the batch's probed-cell union, pushed as a partition-pruning
       // filter while it fits the constant literal budget (a bounded
-      // O(≤cells) collect of a distinct aggregate — qprobe itself is
-      // cheap to recompute relative to candidate scoring): a
-      // moderate-Q batch against a persisted index then opens only
-      // its probed cell directories, exactly like the driver path;
-      // a corpus-scale batch blows the budget, where the union is
-      // ~every cell and the filter would be a cells-sized plan
-      // literal guarding a semantically full scan — skipped.
+      // O(≤cells) collect of a distinct aggregate over the
+      // checkpointed frame): a moderate-Q batch against a persisted
+      // index then opens only its probed cell directories, exactly
+      // like the driver path; a corpus-scale batch blows the budget,
+      // where the union is ~every cell and the filter would be a
+      // cells-sized plan literal guarding a semantically full scan —
+      // skipped (SimilaritySpec pins both sides of the budget).
       val probedUnion = qprobe.select(col("cell")).distinct()
-        .limit(FramePruneMaxCells + 1)
+        .limit(framePruneBudget + 1)
         .collect().map(_.getInt(0))
       val prunedScan =
-        if (probedUnion.length <= FramePruneMaxCells)
+        if (probedUnion.length <= framePruneBudget)
           codeScan.filter(col("cell").isin(probedUnion.toSeq: _*))
         else codeScan
       // candidates = codes ⋈ probe rows on the CELL key — the shuffle

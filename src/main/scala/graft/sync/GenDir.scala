@@ -124,9 +124,18 @@ object GenDir {
           s"left at $tmpDir; re-run against the committed artifact " +
           "or vacuum and rebuild")
     val nested = new Path(dest, tmpName)
+    // verification failure must fail TOWARD the loud path: mapping an
+    // IOException to "not nested" would turn a lost race back into
+    // the silent false success this check exists to close
     val wasNested =
       try f.exists(nested)
-      catch { case _: java.io.IOException => false }
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"artifact commit could not VERIFY its rename (checking " +
+              s"$nested): ${e.getMessage} - treat this commit as " +
+              "FAILED and re-run against the committed artifact", e)
+      }
     if (wasNested)
       throw new IllegalStateException(
         s"artifact commit lost the rename race: a concurrent builder " +

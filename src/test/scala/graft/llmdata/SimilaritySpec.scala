@@ -149,6 +149,36 @@ class SimilaritySpec extends SparkSpec {
     assert(pqF === pqD, "ivfPqTopK frame path must not change any row")
   }
 
+  test("frame-mode prune budget: within-budget plans carry the probed-cell filter, over-budget plans carry NO cells-sized literal (r11)") {
+    val e = Tables.embeddings(spark, sf)
+    val codes = Similarity.ivfPqCodesFor(spark, sf)
+    val cents = Similarity.ivfModelCellsFor(spark, sf).map(_._2)
+    val books = Similarity.ivfPqCodebooksFor(spark, sf)
+    val rot = Similarity.pqRotationFor(spark, sf, Similarity.IvfPqM)
+    val n = Similarity.corpusCount(spark, sf)
+    def run(budget: Int): DataFrame =
+      Similarity.ivfPqQueryProgram(spark, e, codes, cents, books, rot,
+        n, nQ, k, 0, 0, frameQueries = true, framePruneBudget = budget)
+    // budget 0 = every batch is over-budget: the filter must vanish
+    // and the results must not move (the budget is an IO choice,
+    // never a semantic one)
+    val pruned = run(Similarity.FramePruneMaxCells)
+    val full = run(0)
+    assert(full.collect().toSeq === pruned.collect().toSeq,
+      "dropping the prune filter must not change any row")
+    // plan shape pins both sides: a regression that always prunes
+    // would ride corpus-scale plans as a cells-sized IN literal — the
+    // r10-retired defect class
+    def hasCellInList(df: DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan.toString
+      p.contains("cell#") && (p.contains(" IN (") || p.contains("INSET"))
+    }
+    assert(hasCellInList(pruned),
+      "within budget the probed-cell union must ride as a filter")
+    assert(!hasCellInList(full),
+      "over budget no cells-sized literal may ride the plan")
+  }
+
   test("forced two-level coarse model: dense ids, full shape, exact sims, recall floor, determinism (r9 #1)") {
     val model = Similarity.ivfTwoLevelFor(spark, sf)
     // dense-id contract: cell ids are exactly 0..k-1 in array order
