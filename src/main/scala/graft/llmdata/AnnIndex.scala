@@ -53,6 +53,21 @@ import org.apache.spark.sql.functions._
   * ROW-FOR-ROW the memoized path's results (AnnIndexSpec pins it) —
   * persistence changes where the index lives, never the answer.
   *
+  * MAINTENANCE CONTRACT (ADVICE r11): the mutating entry points —
+  * [[append]], [[compact]], full rebuilds ([[write]]), and [[vacuum]]
+  * — assume a SINGLE maintainer, the same stance [[GenDir.vacuum]]
+  * documents. Concurrent READERS are always safe (they compose one
+  * committed generation), and concurrent WRITERS of the same
+  * destination fail loudly at the commit rename, but the
+  * cross-operation races (append vs rebuild, append vs compact) are
+  * closed only BEST-EFFORT: append and compact each re-check the
+  * relevant listing AFTER their commit and fail loudly when a
+  * concurrent publication made work invisible, yet a writer that
+  * commits after that re-check still slips the window (the checks
+  * shrink the race to one resolve-to-recheck span; they cannot
+  * serialize two uncoordinated maintainers). Run maintenance from one
+  * scheduler — [[graft.llmdata.IngestMain]] is that job.
+  *
   * Citation: the reference keeps no ANN surface (its engine is a POS
   * analytics stack); this family exists for the engine's LLM-data
   * charter. */
@@ -174,9 +189,12 @@ object AnnIndex {
     * and the loser fails loudly ([[GenDir.commit]]); an append racing
     * a FULL REBUILD targets the generation it resolved at entry — if
     * the rebuild commits first, the delta lands in the superseded
-    * generation and readers of the new one won't see it (the ingest
-    * job re-runs against the new generation; same single-maintainer
-    * stance as vacuum). Returns the committed delta's row count. */
+    * generation and readers of the new one won't see it. The
+    * post-commit re-resolve below surfaces that case BEST-EFFORT (a
+    * rebuild committing after the re-check still slips the window —
+    * see the maintenance contract in the object scaladoc; one
+    * maintainer is the real guarantee). Returns the committed delta's
+    * row count. */
   def append(spark: SparkSession, indexDir: String,
              incoming: DataFrame): Long = {
     val gen = resolveGen(spark, indexDir)
@@ -191,11 +209,14 @@ object AnnIndex {
       s"""{"format":$Format,"n":$n,"m":${meta.m},"k":${meta.k}}""")
     GenDir.commit(spark, gen, tmp,
       Some(GenDir.nextDeltaName(GenDir.deltas(spark, gen))))
-    // fail-loudly completion of the append-vs-rebuild race note above:
-    // if a full rebuild committed while this delta was being encoded,
-    // the delta landed in a SUPERSEDED generation and no reader will
-    // see it — surface that as an error (the ingest job re-runs
-    // against the new generation) instead of a positive row count
+    // best-effort completion of the append-vs-rebuild race note
+    // above: if a full rebuild committed while this delta was being
+    // encoded, the delta landed in a SUPERSEDED generation and no
+    // reader will see it — surface that as an error (the ingest job
+    // re-runs against the new generation) instead of a positive row
+    // count. A rebuild committing AFTER this re-check still slips the
+    // window (ADVICE r11) — the single-maintainer contract is the
+    // guarantee; this check just shrinks the race to one span.
     val genNow = resolveGen(spark, indexDir)
     if (genNow != gen)
       throw new IllegalStateException(
@@ -226,10 +247,20 @@ object AnnIndex {
     * pinned row-for-row unchanged (AnnIndexSpec). The old generation
     * (with its deltas) stays on disk for concurrent readers until
     * [[vacuum]]. Returns the new meta (n = total indexed). */
-  def compact(spark: SparkSession, indexDir: String): Meta = {
+  def compact(spark: SparkSession, indexDir: String): Meta =
+    compactWithSeam(spark, indexDir, () => ())
+
+  /** [[compact]] with a test seam invoked right after the entry delta
+    * listing — the window the post-commit re-list check closes: a
+    * spec appends a segment inside the seam and must see the loud
+    * missing-segment error, never a silent compacted generation that
+    * dropped the append. */
+  private[llmdata] def compactWithSeam(spark: SparkSession, indexDir: String,
+                                       afterListing: () => Unit): Meta = {
     val gen = resolveGen(spark, indexDir)
     val meta = readMetaAt(spark, gen)
     val deltas = GenDir.deltas(spark, gen)
+    afterListing()
     val nTotal = totalIndexed(spark, deltas, meta)
     val tmp = GenDir.stage(spark, indexDir)
     // model sides: lossless parquet → parquet copy
@@ -254,6 +285,25 @@ object AnnIndex {
       s"""{"format":$Format,"n":${newMeta.n},"cells":${newMeta.cells},""" +
         s""""dims":${newMeta.dims},"m":${newMeta.m},"k":${newMeta.k}}""")
     GenDir.commit(spark, indexDir, tmp)
+    // the mirror of append's post-commit check (ADVICE r11): this
+    // compaction folded the delta listing it took AT ENTRY — an append
+    // that committed a new segment into the OLD generation after that
+    // snapshot is NOT in the new generation's codes, and readers
+    // resolving the new generation would silently lose it. Re-list the
+    // old generation after the commit and fail loudly when new
+    // segments appeared (the operator re-appends them against the new
+    // generation; the folded ones are already in). Best-effort like
+    // append's check — see the maintenance contract in the scaladoc.
+    val deltasNow = GenDir.deltas(spark, gen)
+    if (deltasNow.map(_._1).toSet != deltas.map(_._1).toSet)
+      throw new IllegalStateException(
+        s"ANN index compaction folded ${deltas.length} delta segments " +
+          s"of $gen but the generation now holds ${deltasNow.length} - " +
+          "a concurrent append landed after this compaction's entry " +
+          "listing and its rows are MISSING from the committed " +
+          "compacted generation; re-append the missing segments " +
+          s"(${deltasNow.map(_._1).toSet.diff(deltas.map(_._1).toSet).toSeq.sorted.mkString(", ")}) " +
+          "against the new generation")
     newMeta
   }
 

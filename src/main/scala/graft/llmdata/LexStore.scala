@@ -61,18 +61,28 @@ object LexStore {
                                  lexDir: String,
                                  keep: org.apache.spark.sql.Column): (Long, Long) = {
     val idx = Similarity.lexIndexFor(spark, corpusDir)
+    // the scalars as exact longs — avgdl is recomputed by the reader
+    // with the identical double division, never parsed from a
+    // serialized double. Computed BEFORE any staging so an empty
+    // corpus refuses up front (ADVICE r11): a committed zero-doc
+    // base would make every reader's avgdl division NaN and silently
+    // NaN every BM25 score — the artifact family promises loud
+    // failures, so the builder refuses to create the hazard at all.
+    val dl = Tables.documents(spark, corpusDir).filter(keep)
+      .select(size(split(col("text"), " ")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head
+    val (n, sumDl) = (dl.getLong(0), if (dl.isNullAt(1)) 0L else dl.getLong(1))
+    if (n == 0L)
+      throw new IllegalStateException(
+        s"refusing to commit an EMPTY BM25 postings artifact to " +
+          s"$lexDir: the corpus under $corpusDir has no documents " +
+          "(after the keep filter) - a zero-doc base would NaN every " +
+          "reader's avgdl; fix the corpus path or filter and re-run")
     val tmp = GenDir.stage(spark, lexDir)
     idx.post.filter(keep)
       .withColumn("bucket", bucketOf(col("term")))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$tmp/postings.parquet")
-    // the scalars as exact longs — avgdl is recomputed by the reader
-    // with the identical double division, never parsed from a
-    // serialized double
-    val dl = Tables.documents(spark, corpusDir).filter(keep)
-      .select(size(split(col("text"), " ")).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head
-    val (n, sumDl) = (dl.getLong(0), dl.getLong(1))
     writeJson(spark, s"$tmp/stats.json",
       s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl}""")
     GenDir.commit(spark, lexDir, tmp)
@@ -116,9 +126,12 @@ object LexStore {
       s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl}""")
     GenDir.commit(spark, gen, tmp,
       Some(GenDir.nextDeltaName(GenDir.deltas(spark, gen))))
-    // same fail-loudly race completion as [[AnnIndex.append]]: a full
+    // same BEST-EFFORT race completion as [[AnnIndex.append]]: a full
     // rebuild publishing a new generation mid-append makes this delta
-    // invisible — report it, never a silent positive count
+    // invisible — report it rather than return a positive count. A
+    // rebuild committing after this re-check still slips the window
+    // (ADVICE r11); the single-maintainer contract ([[AnnIndex]]
+    // scaladoc, shared by this artifact family) is the guarantee.
     val genNow = resolveGen(spark, lexDir)
     if (genNow != gen)
       throw new IllegalStateException(
@@ -178,6 +191,16 @@ object LexStore {
     }
     val n = nBase + deltas.map(_._2).sum
     val sumDl = sumBase + deltas.map(_._3).sum
+    // belt to writeBase's braces (ADVICE r11): a zero-doc artifact —
+    // possible only via external damage or a pre-guard build — would
+    // make avgdl below 0/0 = NaN and silently NaN every BM25 score;
+    // the artifact family fails loudly instead, naming the artifact
+    if (n == 0L)
+      throw new IllegalStateException(
+        s"BM25 postings artifact $gen indexes ZERO documents " +
+          "(n_docs = 0 across base + deltas) - avgdl is undefined and " +
+          "every score would be NaN; rebuild the index over a " +
+          "non-empty corpus")
     // bucket ids through the SAME Column expression the writer used —
     // a tiny local job over the query terms, so the probe set can
     // never drift from the stored partitioning

@@ -1424,14 +1424,18 @@ object Similarity {
     *    persisted index that filter partition-prunes whole cell
     *    directories).
     *  - FRAME (`frameQueries = true` or Q > the threshold): zero
-    *    driver flops — the query frame ranks its own probes per
+    *    driver FLOPS — the query frame ranks its own probes per
     *    executor against the broadcast centroid array and emits one
-    *    row per (query, probed cell) carrying the exact centroid dot,
-    *    the rotated query, and its norm; candidates come from an
-    *    equi-join with the codes table ON THE CELL KEY (the shuffle
-    *    axis a corpus-scale batch join wants), and the ADC score is
-    *    computed candidate-local from the rotated query and the
-    *    broadcast books. The per-subspace dot runs in the same j-order
+    *    SCALAR row per (query, probed cell) carrying only the exact
+    *    centroid dot; candidates come from an equi-join with the
+    *    codes table ON THE CELL KEY (the shuffle axis a corpus-scale
+    *    batch join wants), and the ADC score is computed
+    *    candidate-local from the broadcast books plus a broadcast
+    *    query_id → (rotated query, norm) map — O(Q·d) query-batch
+    *    material shipped once per executor (ADVICE r11), never
+    *    duplicated into the candidates-sized join payload the way a
+    *    per-row vector column would be. The per-subspace dot runs in
+    *    the same j-order
     *    as the driver LUT build, and the M adds in the same m-order,
     *    so every approx score is bit-identical to the driver path's
     *    (SimilaritySpec pins row-for-row output equality) — the
@@ -1463,35 +1467,54 @@ object Similarity {
       val bcC = spark.sparkContext.broadcast(cents)
       val bcB = spark.sparkContext.broadcast(books)
       val bcR = spark.sparkContext.broadcast(rot)
-      // (query_id, cell, qdotc, rq, qnorm) — one row per probed cell,
-      // built per-executor: probe ranking on the pinned cosine6
-      // kernel, exact centroid dot in ascending-j order, the OPQ
-      // rotation of the query (shared across its probe rows)
-      // MATERIALIZED once (localCheckpoint, bounded Q·probes rows):
-      // both the probed-union collect below and the candidate join
-      // read this frame — without the checkpoint the whole
-      // probe-ranking pass would run twice per batch
+      // (query_id, cell, qdotc) — one row per probed cell, built
+      // per-executor: probe ranking on the pinned cosine6 kernel and
+      // the exact centroid dot in ascending-j order. SCALARS ONLY
+      // (ADVICE r11): the rotated query vector and its norm used to
+      // ride every probe row and fan through the cell join into every
+      // candidate row — candidates × dims × 8 bytes of redundant
+      // shuffle payload at exactly the corpus-scale batches this path
+      // exists for. They now ship ONCE per query via the broadcast
+      // map below. MATERIALIZED once (localCheckpoint, bounded
+      // Q·probes rows): both the probed-union collect below and the
+      // candidate join read this frame — without the checkpoint the
+      // whole probe-ranking pass would run twice per batch.
       val qprobe = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .mapPartitions { it =>
           val ct = bcC.value
-          val rt = bcR.value
           val ctIdx = Array.tabulate(ct.length)(i => (i, ct(i)))
           it.flatMap { case (qid, qv) =>
-            val ranked = rankProbes(ctIdx, qv, pr)
-            val rq = rotate(rt, qv)
-            var nq = 0.0
-            qv.foreach { x => nq += x.toDouble * x }
-            val qn = math.sqrt(nq)
-            ranked.map { c =>
+            rankProbes(ctIdx, qv, pr).map { c =>
               var d = 0.0; var j = 0
               while (j < qv.length) { d += qv(j).toDouble * ct(c)(j); j += 1 }
-              (qid, c, d, rq, qn)
+              (qid, c, d)
             }
           }
         }
-        .toDF("query_id", "cell", "qdotc", "rq", "qnorm")
+        .toDF("query_id", "cell", "qdotc")
         .localCheckpoint()
+      // query-side ADC material, one entry per query: the OPQ-rotated
+      // query (same rotate kernel and j-order as before — scores stay
+      // bit-identical) and its exact norm, computed per-executor and
+      // collected — an O(Q·d) driver hold, the same bounded class as
+      // the driver path's O(Q) query collect, then broadcast so every
+      // candidate partition resolves its queries' vectors locally.
+      // Q-bounded: the batch's own material, never corpus-scaled —
+      // versus the per-candidate duplication this replaces, which
+      // grew with candidates ≈ Q · probes · cell size.
+      val qMat = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val rt = bcR.value
+          it.map { case (qid, qv) =>
+            var nq = 0.0
+            qv.foreach { x => nq += x.toDouble * x }
+            (qid, rotate(rt, qv), math.sqrt(nq))
+          }
+        }.collect()
+      val bcQ = spark.sparkContext.broadcast(
+        qMat.map { case (qid, rq, qn) => qid -> ((rq, qn)) }.toMap)
       // the batch's probed-cell union, pushed as a partition-pruning
       // filter while it fits the constant literal budget (a bounded
       // O(≤cells) collect of a distinct aggregate over the
@@ -1515,13 +1538,15 @@ object Similarity {
       prunedScan
         .join(qprobe, "cell")
         .select(col("query_id"), col("vec_id"), col("qdotc"),
-          col("rq"), col("qnorm"), col("code"), col("norm"))
-        .as[(Long, Long, Double, Array[Double], Double, Array[Byte], Double)]
+          col("code"), col("norm"))
+        .as[(Long, Long, Double, Array[Byte], Double)]
         .mapPartitions { it =>
           val bk = bcB.value
-          it.flatMap { case (qid, vid, qdotc, rq, qn, code, norm) =>
+          val qm = bcQ.value
+          it.flatMap { case (qid, vid, qdotc, code, norm) =>
             if (qid == vid) Iterator.empty
             else {
+              val (rq, qn) = qm(qid)
               var adc = qdotc; var m = 0
               while (m < IvfPqM) {
                 val cc = code(m) & 0xFF

@@ -32,6 +32,15 @@ object GenDir {
 
   private val GenRe = "^gen-([0-9]+)$".r
 
+  /** Listing telemetry: every [[generations]]/[[deltas]] directory
+    * listing bumps this counter. On an object store each listing is a
+    * billed round trip, so the serving paths' contract ("one listing
+    * per opened handle, not per query") is ASSERTABLE — specs reset
+    * the counter, run a query batch through a pinned handle, and
+    * require zero new listings. An AtomicLong costs nothing on the
+    * hot path (one uncontended increment per listing). */
+  private[graft] val listingCount = new java.util.concurrent.atomic.AtomicLong
+
   private[graft] def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -49,6 +58,7 @@ object GenDir {
     * only becomes visible under a `gen-<id>` name via the atomic
     * commit rename, so presence IS the commit marker. */
   def generations(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    listingCount.incrementAndGet()
     val (f, r) = fsOf(spark, root)
     val entries =
       try f.listStatus(r)
@@ -72,6 +82,7 @@ object GenDir {
     * sequence — the intra-generation twin of [[generations]] (one
     * listing; callers share the result instead of re-listing). */
   def deltas(spark: SparkSession, gen: String): Seq[(Long, String)] = {
+    listingCount.incrementAndGet()
     val (f, p) = fsOf(spark, gen)
     val entries =
       try f.listStatus(p)
@@ -114,15 +125,40 @@ object GenDir {
     val dest = new Path(r,
       name.getOrElse(s"gen-${newest(spark, root).map(_._1 + 1).getOrElse(0L)}"))
     val tmpName = new Path(tmpDir).getName
+    var caught: Option[java.io.IOException] = None
     val ok =
       try (raceSeam || !f.exists(dest)) && f.rename(new Path(tmpDir), dest)
-      catch { case _: java.io.IOException => false }
-    if (!ok)
-      throw new IllegalStateException(
-        s"artifact commit lost the rename race: $dest already exists " +
-          s"(a concurrent builder won the generation) - staged build " +
-          s"left at $tmpDir; re-run against the committed artifact " +
-          "or vacuum and rebuild")
+      catch { case e: java.io.IOException => caught = Some(e); false }
+    if (!ok) {
+      // diagnose before blaming a race (ADVICE r11): a rename can also
+      // fail because the staging dir is missing, permissions deny it,
+      // or the filesystem threw — in those cases the destination does
+      // NOT exist and "re-run against the committed artifact" would
+      // point the operator at an artifact that isn't there. Reserve
+      // the race wording for the case it describes; an exists-probe
+      // that itself fails reports the uncertainty rather than guess.
+      val destExists =
+        try Some(f.exists(dest))
+        catch { case _: java.io.IOException => None }
+      val cause = caught.map(e => s" (caught: ${e.getMessage})").getOrElse("")
+      throw (destExists match {
+        case Some(true) => new IllegalStateException(
+          s"artifact commit lost the rename race: $dest already exists " +
+            s"(a concurrent builder won the generation) - staged build " +
+            s"left at $tmpDir; re-run against the committed artifact " +
+            "or vacuum and rebuild")
+        case Some(false) => new IllegalStateException(
+          s"artifact commit FAILED to rename $tmpDir -> $dest and the " +
+            s"destination does not exist$cause - this is NOT a lost " +
+            "rename race: check that the staging directory still " +
+            "exists and that the filesystem permits the rename, then " +
+            "re-run the build")
+        case None => new IllegalStateException(
+          s"artifact commit FAILED to rename $tmpDir -> $dest and could " +
+            s"not determine whether the destination exists$cause - " +
+            "inspect the artifact root before re-running")
+      })
+    }
     val nested = new Path(dest, tmpName)
     // verification failure must fail TOWARD the loud path: mapping an
     // IOException to "not nested" would turn a lost race back into

@@ -239,4 +239,40 @@ class AnnIndexSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft-gendir").toString
     intercept[IllegalArgumentException] { GenDir.vacuum(spark, d, 0) }
   }
+
+  test("a rename failure with no committed destination is diagnosed as NOT a race (ADVICE r11)") {
+    val d = Files.createTempDirectory("graft-gendir-norace").toString
+    // the staging dir never existed — the rename fails, and the old
+    // message would have told the operator to 're-run against the
+    // committed artifact' that does not exist
+    val e = intercept[IllegalStateException] {
+      GenDir.commit(spark, d, s"$d/.tmp-never-staged")
+    }
+    assert(e.getMessage.contains("NOT a lost"),
+      s"non-race failure must not be blamed on a race: ${e.getMessage}")
+    assert(e.getMessage.contains("destination does not exist"))
+    // the race wording is reserved for the case it describes
+    assert(!e.getMessage.contains("already exists"))
+  }
+
+  test("compaction racing a concurrent append fails loudly naming the missing segment (ADVICE r11)") {
+    val d = Files.createTempDirectory("graft-annindex-raced").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    AnnIndex.writeBase(spark, sf, d, col("vec_id") % 10 =!= 7)
+    AnnIndex.append(spark, d, emb.filter(col("vec_id") % 20 === 7))
+    // the append lands AFTER compact's entry listing — the folded
+    // generation is missing it, and the post-commit re-list must say so
+    val e = intercept[IllegalStateException] {
+      AnnIndex.compactWithSeam(spark, d, () => {
+        AnnIndex.append(spark, d, emb.filter(col("vec_id") % 20 === 17))
+        ()
+      })
+    }
+    assert(e.getMessage.contains("MISSING"))
+    assert(e.getMessage.contains("delta"), e.getMessage)
+    // the committed-but-unfolded segment id is named for the operator
+    assert(e.getMessage.contains("1"),
+      s"the missing segment's id must be named: ${e.getMessage}")
+  }
 }

@@ -118,4 +118,29 @@ class LexStoreSpec extends SparkSpec {
     }
     assert(fmt.getMessage.contains("format 1"))
   }
+
+  test("an empty artifact is refused at build AND at load, never NaN scores (ADVICE r11)") {
+    // the builder refuses to create the hazard: a keep filter that
+    // drops every document must fail BEFORE any staging or commit
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-lexstore-empty").toString
+    val build = intercept[IllegalStateException] {
+      LexStore.writeBase(spark, sf, d, org.apache.spark.sql.functions.lit(false))
+    }
+    assert(build.getMessage.contains("EMPTY"))
+    assert(new java.io.File(d).listFiles() == null ||
+      !new java.io.File(d).listFiles().exists(_.getName.startsWith("gen-")),
+      "a refused empty build must not commit a generation")
+    // and a zero-doc artifact that exists anyway (external damage)
+    // fails loudly at load instead of NaN-ing every BM25 score
+    new java.io.File(s"$d/gen-0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/gen-0/stats.json"),
+      """{"format":2,"n_docs":0,"sum_dl":0}""".getBytes("UTF-8"))
+    val load = intercept[IllegalStateException] {
+      LexStore.load(spark, d, Seq("x"))
+    }
+    assert(load.getMessage.contains("ZERO documents"))
+    assert(load.getMessage.contains("NaN"))
+  }
 }
