@@ -467,16 +467,139 @@ object AnnIndex {
   def ivfPqTopK(spark: SparkSession, corpusDir: String, indexDir: String,
                 nQueries: Int, k: Int, probes: Int = 0,
                 rerankPool: Int = 0,
-                frameQueries: Boolean = false): DataFrame = {
+                frameQueries: Boolean = false): DataFrame =
+    topKAt(spark, open(spark, indexDir), corpusDir, nQueries, k, probes,
+      rerankPool, frameQueries)
+
+  // ------------------------------------- pinned-generation serving (r11 #4)
+  /** A PINNED serving handle: one resolved generation, its validated
+    * meta, its committed delta listing, the total indexed count, and
+    * the model arrays — everything [[ivfPqTopK]] re-derives per call,
+    * taken ONCE. A serving job opens a handle per query BATCH and
+    * runs every query through [[topKAt]] with ZERO further directory
+    * listings or marker reads (GenDir.listingCount-asserted in
+    * AnnIndexSpec) — on an object store that is the difference
+    * between one listing per batch and one per query, real money at
+    * serving QPS. The handle also makes the single-generation
+    * contract structural across a whole batch: a rebuild committing
+    * mid-batch can never mix generations between two queries. */
+  final case class Handle(gen: String, meta: Meta,
+                          deltas: Seq[(Long, String)], nTotal: Long,
+                          cents: Array[Array[Float]],
+                          books: Array[Array[Array[Double]]],
+                          rot: Array[Array[Double]])
+
+  /** Open a pinned handle on the newest committed generation: one
+    * generation listing, one delta listing, one marker read per
+    * delta, one model load. */
+  def open(spark: SparkSession, indexDir: String): Handle = {
     val gen = resolveGen(spark, indexDir)
     val meta = readMetaAt(spark, gen)
     val deltas = GenDir.deltas(spark, gen)
     val (cents, books, rot) = loadModel(spark, gen)
-    Similarity.ivfPqQueryProgram(spark, Tables.embeddings(spark, corpusDir),
-      codesScanOf(spark, gen, deltas), cents, books, rot,
-      totalIndexed(spark, deltas, meta), nQueries, k, probes, rerankPool,
-      frameQueries)
+    Handle(gen, meta, deltas, totalIndexed(spark, deltas, meta),
+      cents, books, rot)
   }
+
+  /** [[ivfPqTopK]] against an already-opened [[Handle]] — no listings,
+    * no marker reads, no model load; the pinned generation serves
+    * every call. NOTE the returned frame is lazy and the pinned
+    * generation's files can be reclaimed by a vacuum after two
+    * subsequent rebuilds — a long-lived handle crossing that window
+    * should serve through [[servingTopK]], which materializes and
+    * retries. */
+  def topKAt(spark: SparkSession, h: Handle, corpusDir: String,
+             nQueries: Int, k: Int, probes: Int = 0,
+             rerankPool: Int = 0,
+             frameQueries: Boolean = false): DataFrame =
+    Similarity.ivfPqQueryProgram(spark, Tables.embeddings(spark, corpusDir),
+      codesScanOf(spark, h.gen, h.deltas), h.cents, h.books, h.rot,
+      h.nTotal, nQueries, k, probes, rerankPool, frameQueries)
+
+  /** VACUUM-SAFE serving read (VERDICT r11 #4 — the ManifestStore
+    * `withStore` one-shot-retry stance ported to this artifact
+    * family): opens a handle, runs the query, and MATERIALIZES the
+    * (Q·k)-row result eagerly — the returned frame can never lose
+    * index files afterwards — retrying ONCE onto a freshly resolved
+    * generation if the scan died because a concurrent vacuum
+    * reclaimed the pinned generation's files mid-read (the
+    * resolve-to-scan race [[GenDir.vacuum]] documents). The fresh
+    * handle reads only the newest committed generation, which vacuum
+    * never deletes, so the retry cannot hit the same race; any other
+    * failure propagates unchanged. Materialization is cheap by
+    * construction: the result is the top-k frame, Q·k rows, never
+    * corpus-sized. */
+  def servingTopK(spark: SparkSession, corpusDir: String, indexDir: String,
+                  nQueries: Int, k: Int, probes: Int = 0,
+                  rerankPool: Int = 0,
+                  frameQueries: Boolean = false): DataFrame =
+    servingTopKWithSeam(spark, corpusDir, indexDir, nQueries, k, probes,
+      rerankPool, frameQueries, () => ())
+
+  /** [[servingTopK]] with a test seam between the handle open and the
+    * scan — the resolve-to-scan window the one-shot retry closes: a
+    * spec rebuilds + vacuums inside the seam and must still get the
+    * newest generation's answer, never a mid-scan death. */
+  private[llmdata] def servingTopKWithSeam(spark: SparkSession,
+                                           corpusDir: String, indexDir: String,
+                                           nQueries: Int, k: Int, probes: Int,
+                                           rerankPool: Int,
+                                           frameQueries: Boolean,
+                                           afterOpen: () => Unit): DataFrame = {
+    def once(seam: () => Unit): DataFrame = {
+      val h = open(spark, indexDir)
+      seam()
+      topKAt(spark, h, corpusDir, nQueries, k, probes, rerankPool,
+        frameQueries).localCheckpoint(true)
+    }
+    try once(afterOpen)
+    catch {
+      case e: Throwable if graft.sync.ManifestStore.isFileNotFound(e) =>
+        once(() => ())
+    }
+  }
+
+  // --------------------------------------- maintenance triggers (r11 #3/#8)
+  /** Default segment-count compaction trigger: each append lands one
+    * small file per touched cell, so segments accumulate small files
+    * linearly under continuous ingest — past this many, [[compact]]
+    * folds them back into one coherent cell-partitioned table. A
+    * constant (never corpus-scaled): the cost being bounded is
+    * per-query file opens, segments × probed cells, independent of
+    * corpus size. */
+  val CompactMaxSegments = 8
+
+  /** The fraction of indexed vectors living in delta segments —
+    * encoded against the FROZEN coarse model, so this is the index's
+    * measured staleness exposure. Read from the markers already on
+    * disk (one listing + one marker read per segment; no data scan).
+    * [[RecallProbe]]'s drift grid measures recall@10 against a full
+    * rebuild at increasing delta fractions of a SHIFTED shard — the
+    * evidence behind [[RebuildDeltaFraction]]. */
+  def deltaFraction(spark: SparkSession, indexDir: String): Double = {
+    val gen = resolveGen(spark, indexDir)
+    val meta = readMetaAt(spark, gen)
+    val total = totalIndexed(spark, GenDir.deltas(spark, gen), meta)
+    if (total == 0L) 0.0 else (total - meta.n).toDouble / total
+  }
+
+  /** Rebuild trigger on [[deltaFraction]]: past this fraction the
+    * frozen coarse model has mis-fit enough of the index that a full
+    * rebuild (re-training centroids/books on the union corpus) is
+    * warranted. The value is justified by RecallProbe's measured
+    * drift grid (SURVEY §2.13): recall on shifted-shard queries stays
+    * at/near the unshifted floor through 20% delta mass and the grid
+    * documents where it degrades — IngestMain surfaces
+    * `should_rebuild` in its status line at this threshold. */
+  val RebuildDeltaFraction = 0.2
+
+  /** Should the ingest job fold this index's deltas? True when the
+    * newest generation carries more than [[CompactMaxSegments]]
+    * committed segments (small-file hygiene) — [[IngestMain]] wires
+    * this into auto-compaction and its status line. */
+  def shouldCompact(spark: SparkSession, indexDir: String,
+                    maxSegments: Int = CompactMaxSegments): Boolean =
+    GenDir.deltas(spark, resolveGen(spark, indexDir)).length > maxSegments
 }
 
 /** `spark-submit`-able index-build job (the SyncMain/CurateMain/

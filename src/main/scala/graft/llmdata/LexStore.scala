@@ -163,16 +163,21 @@ object LexStore {
     (fld("n_docs"), fld("sum_dl"))
   }
 
-  /** Load the stored index restricted to `queryTerms`' buckets — the
-    * probed scan: the bucket filter partition-prunes every other
-    * term's directory (LexStoreSpec asserts the file set), then the
-    * downstream term equi-join keeps exactly the query vocabulary as
-    * the memoized path would. `queryTerms` is bounded by the query
-    * batch's distinct tokens (the same O(Q) driver material the ANN
-    * paths hold per batch). */
-  def load(spark: SparkSession, lexDir: String,
-           queryTerms: Seq[String]): Similarity.LexIndex = {
-    import spark.implicits._
+  // ------------------------------------- pinned-generation serving (r11 #4)
+  /** A PINNED serving handle ([[AnnIndex.Handle]] discipline): one
+    * resolved generation, its validated scalars, and its committed
+    * delta segments with their validated marker scalars — everything
+    * [[load]] re-derives per call, taken ONCE. A serving job opens a
+    * handle per query batch and runs every query's [[loadAt]] with
+    * zero further listings or marker reads. */
+  final case class Handle(gen: String, n: Long, sumDl: Long,
+                          deltaDirs: Seq[String])
+
+  /** Open a pinned handle on the newest committed generation: one
+    * generation listing, one delta listing, one marker read per
+    * delta. Fails loudly on a zero-doc artifact ([[load]]'s NaN
+    * guard). */
+  def open(spark: SparkSession, lexDir: String): Handle = {
     val gen = resolveGen(spark, lexDir)
     val (nBase, sumBase) = readStats(spark, gen)
     // committed delta segments extend base EXACTLY (additive stats;
@@ -201,13 +206,34 @@ object LexStore {
           "(n_docs = 0 across base + deltas) - avgdl is undefined and " +
           "every score would be NaN; rebuild the index over a " +
           "non-empty corpus")
+    Handle(gen, n, sumDl, deltas.map(_._1))
+  }
+
+  /** Load the stored index restricted to `queryTerms`' buckets — the
+    * probed scan: the bucket filter partition-prunes every other
+    * term's directory (LexStoreSpec asserts the file set), then the
+    * downstream term equi-join keeps exactly the query vocabulary as
+    * the memoized path would. `queryTerms` is bounded by the query
+    * batch's distinct tokens (the same O(Q) driver material the ANN
+    * paths hold per batch). One listing per call — a serving batch
+    * amortizes further through [[open]] + [[loadAt]]. */
+  def load(spark: SparkSession, lexDir: String,
+           queryTerms: Seq[String]): Similarity.LexIndex =
+    loadAt(spark, open(spark, lexDir), queryTerms)
+
+  /** [[load]] against an already-opened [[Handle]] — zero listings or
+    * marker reads; the pinned generation serves every call. */
+  def loadAt(spark: SparkSession, h: Handle,
+             queryTerms: Seq[String]): Similarity.LexIndex = {
+    import spark.implicits._
+    val (gen, n, sumDl) = (h.gen, h.n, h.sumDl)
     // bucket ids through the SAME Column expression the writer used —
     // a tiny local job over the query terms, so the probe set can
     // never drift from the stored partitioning
     val buckets = queryTerms.toDF("term")
       .select(bucketOf(col("term")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val post = deltas.map { case (d, _, _) =>
+    val post = h.deltaDirs.map { d =>
       spark.read.parquet(s"$d/postings.parquet")
     }.foldLeft(spark.read.parquet(s"$gen/postings.parquet")) {
       (acc, d) => acc.unionByName(d)

@@ -554,7 +554,12 @@ object ManifestStore {
         use(readStore(spark, storeDir))
     }
 
-  private def isFileNotFound(e: Throwable): Boolean =
+  /** Does this failure's cause chain indicate a composed data file
+    * vanished under the reader (a vacuum racing a lazy scan)? Shared
+    * with the GenDir-artifact serving paths ([[graft.llmdata
+    * .AnnIndex]]/[[graft.llmdata.LexStore]]), whose one-shot-retry
+    * reads classify failures with the same test. */
+  private[graft] def isFileNotFound(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
       case _: java.io.FileNotFoundException => true
       case t =>

@@ -240,6 +240,60 @@ class AnnIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] { GenDir.vacuum(spark, d, 0) }
   }
 
+  test("a pinned handle serves a whole query batch with ZERO further listings (r11 #4)") {
+    val base = AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect().toSeq
+    val h = AnnIndex.open(spark, indexDir)
+    val before = GenDir.listingCount.get()
+    val r1 = AnnIndex.topKAt(spark, h, sf, 5, 10).collect().toSeq
+    val r2 = AnnIndex.topKAt(spark, h, sf, 3, 10).collect().toSeq
+    val r3 = AnnIndex.topKAt(spark, h, sf, 5, 10, frameQueries = true)
+      .collect().toSeq
+    assert(GenDir.listingCount.get() === before,
+      "a pinned handle must never re-list directories per query")
+    assert(r1 === base, "the pinned path must not change any row")
+    assert(r3 === base)
+    assert(r2.nonEmpty)
+    // the per-call path pays listings per call — the handle's savings
+    // are real, not an artifact of the counter never moving
+    AnnIndex.ivfPqTopK(spark, sf, indexDir, 5, 10).collect()
+    assert(GenDir.listingCount.get() > before)
+  }
+
+  test("servingTopK survives a vacuum reclaiming its pinned generation between resolve and scan (r11 #4)") {
+    val d = Files.createTempDirectory("graft-annindex-serve").toString
+    AnnIndex.write(spark, sf, d) // gen-0
+    val expected = AnnIndex.ivfPqTopK(spark, sf, d, 5, 10).collect().toSeq
+    // a result materialized BEFORE any vacuum stays consumable after
+    // one (the serving read is eager — never a lazy frame over files
+    // that can vanish)
+    val early = AnnIndex.servingTopK(spark, sf, d, 5, 10)
+    // the race: this reader resolves gen-0, then a rebuild + vacuum
+    // reclaim gen-0's files before its scan runs
+    val served = AnnIndex.servingTopKWithSeam(spark, sf, d, 5, 10, 0, 0,
+      frameQueries = false, afterOpen = () => {
+        AnnIndex.write(spark, sf, d) // gen-1 supersedes
+        AnnIndex.vacuum(spark, d)    // gen-0's files are gone
+      }).collect().toSeq
+    assert(served === expected,
+      "the one-shot retry must land on the newest committed generation")
+    assert(early.collect().toSeq === expected,
+      "a materialized serving result must survive later vacuums")
+    // the UNWRAPPED pinned read does die on the same race — the retry
+    // in servingTopK is load-bearing, not decorative
+    val h0 = {
+      AnnIndex.write(spark, sf, d) // fresh rebuild to pin
+      val h = AnnIndex.open(spark, d)
+      AnnIndex.write(spark, sf, d)
+      AnnIndex.vacuum(spark, d)
+      h
+    }
+    val e = intercept[Throwable] {
+      AnnIndex.topKAt(spark, h0, sf, 5, 10).collect()
+    }
+    assert(graft.sync.ManifestStore.isFileNotFound(e),
+      s"expected a vanished-file failure, got: $e")
+  }
+
   test("a rename failure with no committed destination is diagnosed as NOT a race (ADVICE r11)") {
     val d = Files.createTempDirectory("graft-gendir-norace").toString
     // the staging dir never existed — the rename fails, and the old

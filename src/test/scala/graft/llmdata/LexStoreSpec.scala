@@ -119,6 +119,22 @@ class LexStoreSpec extends SparkSpec {
     assert(fmt.getMessage.contains("format 1"))
   }
 
+  test("a pinned postings handle serves query loads with ZERO further listings (r11 #4)") {
+    val lexDir = LexStore.storedLexFor(spark, sf)
+    val terms = LexStore.queryTermsOf(spark, sf, 3)
+    val viaLoad = LexStore.load(spark, lexDir, terms)
+    val h = LexStore.open(spark, lexDir)
+    val before = graft.sync.GenDir.listingCount.get()
+    val viaHandle = LexStore.loadAt(spark, h, terms)
+    val again = LexStore.loadAt(spark, h, terms.take(5))
+    assert(graft.sync.GenDir.listingCount.get() === before,
+      "a pinned handle must never re-list directories per load")
+    assert(viaHandle.n === viaLoad.n)
+    assert(viaHandle.avgdl === viaLoad.avgdl)
+    assert(viaHandle.post.collect().toSet === viaLoad.post.collect().toSet)
+    assert(again.n === viaLoad.n)
+  }
+
   test("an empty artifact is refused at build AND at load, never NaN scores (ADVICE r11)") {
     // the builder refuses to create the hazard: a keep filter that
     // drops every document must fail BEFORE any staging or commit
