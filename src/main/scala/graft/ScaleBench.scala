@@ -165,6 +165,7 @@ object ScaleBench {
     llmdata.Similarity.releaseCaches()
     llmdata.AnnIndex.releaseCaches()
     llmdata.LexStore.releaseCaches()
+    llmdata.Ingest.releaseCaches()
 
     // markdown table: times, output rows, and the 10x-step ratios
     // (synth10x / synth1x — the SAME generator at both ends, so the

