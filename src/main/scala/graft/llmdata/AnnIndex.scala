@@ -79,10 +79,19 @@ object AnnIndex {
 
   /** Index metadata — everything the query side needs without
     * touching the corpus: indexed-vector count (probe defaults), cell
-    * count, dims, and the PQ geometry the codes carry. */
+    * count, dims, the PQ geometry the codes carry, and `trained` —
+    * how many of `n` were present at the last FULL build (model
+    * training). `trained` survives compaction (which folds deltas
+    * without re-training), so [[deltaFraction]] measures true
+    * staleness exposure rather than "rows currently in delta
+    * segments"; older markers without the field read as
+    * fully-trained (`trained = n`). */
   final case class Meta(n: Long, cells: Int, dims: Int,
                         m: Int = Similarity.IvfPqM,
-                        k: Int = Similarity.IvfPqK)
+                        k: Int = Similarity.IvfPqK,
+                        trained: Long = -1L) {
+    def trainedN: Long = if (trained < 0) n else trained
+  }
 
   /** Resolve the newest committed generation directory under
     * `indexDir`, failing loudly on a virgin/corrupt root (a crashed
@@ -162,13 +171,14 @@ object AnnIndex {
 
     // n = what this artifact actually indexes (parquet metadata count)
     val n = spark.read.parquet(s"$tmp/codes.parquet").count()
-    val meta = Meta(n, cents.length, dims)
+    val meta = Meta(n, cents.length, dims, trained = n)
     // the meta is the LAST byte staged — within the staging dir it
     // witnesses "every artifact file landed"; the commit rename then
     // publishes all of it atomically
     writeJson(spark, s"$tmp/meta.json",
       s"""{"format":$Format,"n":${meta.n},"cells":${meta.cells},""" +
-        s""""dims":${meta.dims},"m":${meta.m},"k":${meta.k}}""")
+        s""""dims":${meta.dims},"m":${meta.m},"k":${meta.k},""" +
+        s""""trained":${meta.trainedN}}""")
     (meta, tmp)
   }
 
@@ -253,7 +263,12 @@ object AnnIndex {
 
   /** COMPACT the newest generation's delta segments back into the
     * base codes table — the maintenance job that completes the
-    * append lifecycle (append → … → compact → vacuum): a new
+    * append lifecycle (append → … → compact → vacuum). NOTE a
+    * compaction does NOT retire drift: the model sides are copied,
+    * not re-trained, so [[deltaFraction]]'s staleness exposure (the
+    * measured [[RebuildDeltaFraction]] penalty) persists across it —
+    * only a full [[write]] re-trains; compaction is small-file
+    * hygiene. A new
     * generation is committed whose codes.parquet is the UNION of the
     * old base and every committed delta, rewritten into clean
     * cell partitions (each append leaves one small file per touched
@@ -298,10 +313,14 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$tmp/codes.parquet")
+    // n grows to the folded union; `trained` is PRESERVED — folding
+    // does not re-train, so the staleness exposure must survive the
+    // compaction in deltaFraction's accounting
     val newMeta = meta.copy(n = nTotal)
     GenDir.writeJson(spark, s"$tmp/meta.json",
       s"""{"format":$Format,"n":${newMeta.n},"cells":${newMeta.cells},""" +
-        s""""dims":${newMeta.dims},"m":${newMeta.m},"k":${newMeta.k}}""")
+        s""""dims":${newMeta.dims},"m":${newMeta.m},"k":${newMeta.k},""" +
+        s""""trained":${newMeta.trainedN}}""")
     GenDir.commit(spark, indexDir, tmp)
     // the mirror of append's post-commit check (ADVICE r11): this
     // compaction folded the delta listing it took AT ENTRY — an append
@@ -410,7 +429,8 @@ object AnnIndex {
     def fld(k: String): Long = readJsonLong(text, k, path)
     validateGeometry(fld("m"), fld("k"), fld("format"), path)
     Meta(fld("n"), fld("cells").toInt, fld("dims").toInt,
-      fld("m").toInt, fld("k").toInt)
+      fld("m").toInt, fld("k").toInt,
+      GenDir.jsonLongOpt(text, "trained").getOrElse(fld("n")))
   }
 
   /** Total indexed vectors across base + the GIVEN committed delta
@@ -587,9 +607,12 @@ object AnnIndex {
     * corpus size. */
   val CompactMaxSegments = 8
 
-  /** The fraction of indexed vectors living in delta segments —
-    * encoded against the FROZEN coarse model, so this is the index's
-    * measured staleness exposure. Read from the markers already on
+  /** The fraction of indexed vectors encoded AFTER the last full
+    * model training — the index's true staleness exposure, which is
+    * why the numerator is `total − meta.trained` rather than "rows
+    * currently in delta segments": a compaction folds segments
+    * without re-training, and an accounting on segment rows would
+    * falsely read 0 right after it. Read from the markers already on
     * disk (one listing + one marker read per segment; no data scan).
     * [[RecallProbe]]'s drift grid measures recall@10 against a full
     * rebuild at increasing delta fractions of a SHIFTED shard — the
@@ -598,17 +621,22 @@ object AnnIndex {
     val gen = resolveGen(spark, indexDir)
     val meta = readMetaAt(spark, gen)
     val total = totalIndexed(spark, GenDir.deltas(spark, gen), meta)
-    if (total == 0L) 0.0 else (total - meta.n).toDouble / total
+    if (total == 0L) 0.0 else (total - meta.trainedN).toDouble / total
   }
 
-  /** Rebuild trigger on [[deltaFraction]]: past this fraction the
-    * frozen coarse model has mis-fit enough of the index that a full
-    * rebuild (re-training centroids/books on the union corpus) is
-    * warranted. The value is justified by RecallProbe's measured
-    * drift grid (SURVEY §2.13): recall on shifted-shard queries stays
-    * at/near the unshifted floor through 20% delta mass and the grid
-    * documents where it degrades — IngestMain surfaces
-    * `should_rebuild` in its status line at this threshold. */
+  /** Rebuild trigger on [[deltaFraction]] — IngestMain surfaces
+    * `should_rebuild` in its status line past it. MEASURED evidence
+    * (RecallProbe `drift:10000`, SURVEY §2.13): a fully SHIFTED shard
+    * (new cluster centers the frozen coarse model never saw) appended
+    * at delta fractions 0.05→0.50 costs 2–4 recall points on shard
+    * queries vs a full rebuild (0.96–0.98 appended vs 1.000 rebuilt,
+    * flat across the grid) — the corpus-scaled probe widths and the
+    * exact-rerank tail absorb coarse mis-cellings, so the frozen
+    * model's penalty is BOUNDED, not a cliff. The 0.2 default is
+    * therefore an operational staleness budget (bound the fraction of
+    * the index paying the measured penalty, and the compaction debt
+    * with it), not a measured recall cliff; SimilaritySpec gates the
+    * measured floor at exactly this fraction. */
   val RebuildDeltaFraction = 0.2
 
   /** Should the ingest job fold this index's deltas? True when the

@@ -22,6 +22,70 @@ import org.apache.spark.sql.functions._
   * corpus, not just the driver scales).
   */
 object RecallProbe {
+
+  /** One RECALL-UNDER-DRIFT case (VERDICT r11 #3) — the scenario the
+    * append path's frozen-model bound actually meets: the standing
+    * index was built (centroids/books trained) on the BASE
+    * distribution, then a SHIFTED shard arrives — [[graft.tools
+    * .SynthCorpus.clusteredEmbeddings]] with a different seed, i.e.
+    * entirely NEW cluster centers the frozen coarse model never saw —
+    * and lands through [[AnnIndex.append]]. Shard queries (the new
+    * distribution querying itself, the worst case for a stale
+    * quantizer) are scored against the brute-force truth for both the
+    * appended index and a full rebuild over the union.
+    *
+    * Layout puts nQ SHARD rows at ids [0, nQ) — so every existing
+    * entry point's `vec_id < nQueries` convention makes the queries
+    * shard queries — the base at [nQ, nQ + nBase), and the rest of
+    * the shard above (the coarse trainer's centroid init samples ids
+    * from the bottom of the range, so the base block must start near
+    * 0 for the base-only model to train at full cell count). Returns
+    * (recall of the appended index, recall of the full rebuild,
+    * measured [[AnnIndex.deltaFraction]]). The measured grid (SURVEY
+    * §2.13) is what justifies [[AnnIndex.RebuildDeltaFraction]];
+    * SimilaritySpec gates a floor at that threshold. */
+  private[llmdata] def driftCase(spark: SparkSession, nBase: Long,
+                                 fraction: Double, nQ: Int, k: Int,
+                                 shiftSeed: Long = 91L)
+      : (Double, Double, Double) = {
+    val nShard = math.round(nBase * fraction / (1.0 - fraction))
+    require(nShard >= nQ, s"shard $nShard smaller than the query batch $nQ")
+    def temp(p: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-drift-$p").toString
+    val (baseDir, combDir, idxA, idxR) =
+      (temp("base"), temp("comb"), temp("idxa"), temp("idxr"))
+    val shard0 = graft.tools.SynthCorpus
+      .clusteredEmbeddings(spark, nShard, seed = shiftSeed)
+    val shardLow = shard0.filter(col("vec_id") < nQ)
+    val shardHigh = shard0.filter(col("vec_id") >= nQ)
+      .withColumn("vec_id", col("vec_id") + lit(nBase))
+    val base = graft.tools.SynthCorpus
+      .clusteredEmbeddings(spark, nBase)
+      .withColumn("vec_id", col("vec_id") + lit(nQ.toLong))
+    val shard = shardLow.unionByName(shardHigh)
+    base.write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    base.unionByName(shard).write.mode("overwrite")
+      .parquet(s"$combDir/embeddings.parquet")
+    // standing index: model trained on the BASE distribution only;
+    // the shifted shard encodes against that frozen model
+    AnnIndex.write(spark, baseDir, idxA)
+    AnnIndex.append(spark, idxA,
+      shard.select(col("vec_id"), col("embedding")))
+    // the comparison point: a full rebuild re-trains on the union
+    AnnIndex.write(spark, combDir, idxR)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(spark, combDir, nQ, k))
+    def recall(df: DataFrame): Double =
+      (exact & pairs(df)).size.toDouble / exact.size
+    val r = (recall(AnnIndex.ivfPqTopK(spark, combDir, idxA, nQ, k)),
+      recall(AnnIndex.ivfPqTopK(spark, combDir, idxR, nQ, k)),
+      AnnIndex.deltaFraction(spark, idxA))
+    Similarity.releaseCaches() // per-case temp corpora must not pin memos
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val spec = args.headOption.getOrElse("/root/testdata/sf0.001")
     val (nQ, k) = (args.lift(1).map(_.toInt).getOrElse(5),
@@ -36,6 +100,23 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (spec.startsWith("drift:")) {
+      // recall-under-drift grid (VERDICT r11 #3): appended-vs-rebuilt
+      // recall on shard queries at growing delta fractions of a
+      // SHIFTED shard — the evidence behind AnnIndex
+      // .RebuildDeltaFraction. `drift:<nBase>`.
+      val nBase = spec.stripPrefix("drift:").toLong
+      println(f"drift grid: nBase=$nBase nQ=$nQ k=$k shifted shard " +
+        "(new cluster centers) appended against the frozen base model")
+      println("| delta fraction | recall appended | recall rebuilt | gap |")
+      println("|---|---|---|---|")
+      for (f <- Seq(0.05, 0.10, 0.20, 0.35, 0.50)) {
+        val (ra, rr, df) = driftCase(spark, nBase, f, nQ, k)
+        println(f"| $df%.3f | $ra%.3f | $rr%.3f | ${rr - ra}%.3f |")
+      }
+      spark.stop()
+      return
+    }
     val dir =
       if (spec.startsWith("synth:")) {
         val n = spec.stripPrefix("synth:").toLong

@@ -221,6 +221,15 @@ object GenDir {
           s""""$key" missing from: $text"""))
   }
 
+  /** Optional integer field from a marker — for fields added after an
+    * artifact format's first release, where absence means "older
+    * marker, use the documented default" rather than corruption. */
+  def jsonLongOpt(text: String, key: String): Option[Long] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*(-?[0-9]+)").r
+    re.findFirstMatchIn(text).map(_.group(1).toLong)
+  }
+
   /** Optional string field from a marker — the shard-key stamp the
     * idempotent append paths scan for (a replayed ingest of the same
     * shard must find its own prior delta and no-op instead of

@@ -153,6 +153,14 @@ class IngestMainSpec extends SparkSpec {
     assert(AnnIndex.ivfPqTopK(spark, sf, d, 5, 10).collect().toSeq === before,
       "auto-compaction must not change any row")
     assert(!AnnIndex.shouldCompact(spark, d))
+    // compaction folds segments, it does NOT re-train: the staleness
+    // exposure must SURVIVE it (the `trained` meta field), so the
+    // rebuild trigger can't be silenced by small-file hygiene
+    val fracAfter = AnnIndex.deltaFraction(spark, d)
+    assert(fracAfter > 0.0,
+      s"drift accounting must survive compaction, got $fracAfter")
+    // and a FULL rebuild (re-train) is what retires it
+    AnnIndex.write(spark, sf, d)
     assert(AnnIndex.deltaFraction(spark, d) === 0.0)
   }
 

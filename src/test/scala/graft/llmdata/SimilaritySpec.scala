@@ -627,4 +627,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cross.filter(col("sab") =!= col("sba")).count() === 0)
     assert(cross.filter(col("ia") === col("ib") && col("sab") =!= 1.0).count() === 0)
   }
+
+  test("recall under drift: a SHIFTED shard appended at the rebuild threshold holds the measured floor (r11 #3)") {
+    // the RecallProbe drift grid's case at AnnIndex.RebuildDeltaFraction,
+    // scaled down for the suite (nBase 2000; the full grid at 10k is
+    // recorded in SURVEY §2.13: appended 0.96–0.98 vs rebuilt 1.000
+    // across fractions 0.05–0.50). The frozen-model penalty must stay
+    // bounded at the fraction the trigger fires at — 0.85 is the
+    // measured small-scale value minus margin.
+    val (appended, rebuilt, frac) = RecallProbe.driftCase(
+      spark, nBase = 2000, fraction = AnnIndex.RebuildDeltaFraction,
+      nQ = 10, k = 10)
+    assert(math.abs(frac - AnnIndex.RebuildDeltaFraction) < 0.01,
+      s"delta fraction off: $frac")
+    assert(rebuilt >= 0.9, s"rebuilt index recall collapsed: $rebuilt")
+    assert(appended >= 0.85,
+      s"appended-index recall under drift fell through the floor: " +
+        s"$appended (rebuilt: $rebuilt)")
+  }
 }
