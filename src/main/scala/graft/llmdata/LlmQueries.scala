@@ -869,7 +869,14 @@ object LlmQueries {
     * [[TextAnalysis.PublicSuffixes]] constant the engine evaluates),
     * binary-collation list_sort matching Spark's array_sort. */
   private val pslInList: String =
-    TextAnalysis.PublicSuffixes.map(s => s"'$s'").mkString(", ")
+    (TextAnalysis.PublicSuffixes ++ TextAnalysis.PrivateSuffixes)
+      .map(s => s"'$s'").mkString(", ")
+  private val pslWildList: String =
+    TextAnalysis.WildcardSuffixParents.map(s => s"'$s'").mkString(", ")
+  private val pslExcList: String =
+    TextAnalysis.ExceptionSuffixes.map(s => s"'$s'").mkString(", ")
+  private val pslPriv3List: String =
+    TextAnalysis.PrivateSuffixes3.map(s => s"'$s'").mkString(", ")
 
   private val urlCanonCte: String =
     s"""u AS (
@@ -880,7 +887,12 @@ object LlmQueries {
       |    || (CASE WHEN doc_id % 11 = 0 THEN 'User:Pw@' ELSE '' END)
       |    || 'WWW.'
       |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
-      |    || (CASE WHEN doc_id % 9 = 0 THEN '.Co.UK' ELSE '.CoM' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN '.Co.UK'
+      |             WHEN doc_id % 9 = 1 THEN '.BlogSpot.CoM'
+      |             WHEN doc_id % 9 = 2 THEN '.Shop.CK'
+      |             WHEN doc_id % 9 = 3 THEN '.WwW.Ck'
+      |             WHEN doc_id % 9 = 4 THEN '.S3.AmazonAWS.Com'
+      |             ELSE '.CoM' END)
       |    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
       |             WHEN doc_id % 4 = 1 THEN ':443'
       |             WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
@@ -911,8 +923,11 @@ object LlmQueries {
       |      '^([^:]*)', 1)) AS host
       |  FROM p),
       |d AS (
-      |  SELECT *, regexp_extract(host, '([^.]+[.][^.]+)${"$"}', 1) AS last2,
-      |    regexp_extract(host, '([^.]+[.][^.]+[.][^.]+)${"$"}', 1) AS last3
+      |  SELECT *, regexp_extract(host, '([^.]+)${"$"}', 1) AS last1,
+      |    regexp_extract(host, '([^.]+[.][^.]+)${"$"}', 1) AS last2,
+      |    regexp_extract(host, '([^.]+[.][^.]+[.][^.]+)${"$"}', 1) AS last3,
+      |    regexp_extract(host,
+      |      '([^.]+[.][^.]+[.][^.]+[.][^.]+)${"$"}', 1) AS last4
       |  FROM h),
       |c AS (
       |  SELECT doc_id, text, url,
@@ -932,6 +947,11 @@ object LlmQueries {
       |    CASE WHEN starts_with(after_user, '[')
       |           THEN (CASE WHEN brkt <> '' THEN brkt ELSE after_user END)
       |         WHEN last2 = '' THEN host
+      |         WHEN last2 IN ($pslExcList) THEN last2
+      |         WHEN last1 IN ($pslWildList)
+      |           THEN (CASE WHEN last3 <> '' THEN last3 ELSE last2 END)
+      |         WHEN last3 IN ($pslPriv3List)
+      |           THEN (CASE WHEN last4 <> '' THEN last4 ELSE last3 END)
       |         WHEN last2 IN ($pslInList) AND last3 <> '' THEN last3
       |         ELSE last2
       |    END AS domain
@@ -971,6 +991,51 @@ object LlmQueries {
       |  md5(regexp_replace(after_email,
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_md5
       |FROM s2 ORDER BY doc_id""".stripMargin
+
+  /** Mirror of [[TextAnalysis.syntheticHtml]] + [[TextAnalysis
+    * .htmlExtractedText]] — the IDENTICAL `(?is)` lazy-body
+    * script/style strips, tag strip, literal entity decodes in the
+    * same order (`&amp;` last), and the same explicit-whitespace
+    * collapse; ratio_ppm is integer floor division on both engines. */
+  val txtHtmlExtractSql: String =
+    s"""WITH hh AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>doc ' || doc_id || '</title>'
+      |    || (CASE WHEN doc_id % 4 = 0
+      |             THEN '<STYLE media="all">body { color: #000; }</STYLE>'
+      |             ELSE '' END)
+      |    || '</head><body><div class="nav"><a href="/">Home</a> '
+      |    || '<a href="/about">About</a></div>'
+      |    || (CASE WHEN doc_id % 3 = 0
+      |             THEN '<script type="text/javascript">var ok = 1 < 2;'
+      |                  || chr(10) || 'track("x");</script>'
+      |             ELSE '' END)
+      |    || '<h1>Doc ' || (doc_id % 100) || '</h1><p>' || text
+      |    || (CASE WHEN doc_id % 5 = 0
+      |             THEN ' Fish &amp; Chips &lt;fresh&gt;&nbsp;&quot;daily&quot; &#39;now&#39;'
+      |             ELSE '' END)
+      |    || '</p><footer>&copy; 2026</footer></body></html>' AS html
+      |  FROM documents),
+      |xx AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(html,
+      |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |          '<[^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |      '[ \t\n\f\r]+', ' ', 'g')) AS xt
+      |  FROM hh)
+      |SELECT doc_id,
+      |  CAST(len(html) AS BIGINT) AS html_chars,
+      |  CAST(len(xt) AS BIGINT) AS text_chars,
+      |  CAST((len(xt) * 1000000) // len(html) AS BIGINT) AS ratio_ppm,
+      |  md5(xt) AS clean_md5
+      |FROM xx ORDER BY doc_id""".stripMargin
 
   /** Mirror of [[TextAnalysis.passageChunks]] (c=32, s=24): same
     * start-grid (`0..n−c+s−1 step s`, always ≥ one chunk) and the same
@@ -1478,6 +1543,10 @@ object LlmQueries {
     "txt_chunks" -> ((s, d) => TextAnalysis.passageChunks(s, d)
       .orderBy("doc_id", "chunk_idx")),
     "txt_redact" -> TextAnalysis.redactPii _,
+    // HTML main-content extraction (r11 #7): strip script/style WITH
+    // bodies, strip tags, decode entities, text-to-markup ratio —
+    // the stage a crawl pipeline runs before every filter above
+    "txt_html_extract" -> TextAnalysis.htmlExtract _,
     "txt_url_canon" -> ((s, d) => TextAnalysis.canonicalUrls(s, d)),
     "txt_domain_rollup" -> ((s, d) => TextAnalysis.domainRollup(s, d)),
     "txt_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
@@ -1585,6 +1654,7 @@ object LlmQueries {
     "txt_doc_index_delta" -> txtDocIndexDeltaSql,
     "txt_chunks" -> txtChunksSql,
     "txt_redact" -> txtRedactSql,
+    "txt_html_extract" -> txtHtmlExtractSql,
     "txt_url_canon" -> txtUrlCanonSql,
     "txt_domain_rollup" -> txtDomainRollupSql,
     "txt_chunk_dedup" -> txtChunkDedupSql,

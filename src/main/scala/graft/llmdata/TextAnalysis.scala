@@ -273,14 +273,71 @@ object TextAnalysis {
     "com.es", "nom.es", "org.es", "gob.es", "edu.es",
     "co.it", "gov.it", "edu.it")
 
-  /** Registrable domain (eTLD+1) against the bundled
-    * [[PublicSuffixes]] snapshot: lowercased host (userinfo and port
-    * stripped), last THREE labels when the last two are a listed
-    * public suffix (`a.b.example.co.uk` → `example.co.uk`), last two
-    * otherwise (`a.b.example.com` → `example.com`) — the out-of-table
-    * FALLBACK rule, still an approximation for suffixes the snapshot
-    * omits (documented above). A host with fewer than two labels
-    * returns as-is; a host that IS a bare listed suffix (`co.uk`)
+  /** PSL WILDCARD rule parents (r12, VERDICT r11 #5) — the `*.X`
+    * rules from the ICANN section (`*.ck`, `*.bd`, …): EVERY
+    * two-label name directly under a listed parent is itself a public
+    * suffix, so a host under one registers at the THIRD label
+    * (`shop.example.shop.ck` → `example.shop.ck`) without the parent
+    * needing to enumerate its second-level registries. Same
+    * constant-size IN-list discipline as [[PublicSuffixes]]; the
+    * oracle's list is generated from this value. */
+  val WildcardSuffixParents: Seq[String] =
+    Seq("bd", "ck", "er", "fj", "fk", "kh", "mm", "np", "pg")
+
+  /** PSL EXCEPTION rules — the `!X` entries that carve a registrable
+    * name back OUT of a wildcard (`!www.ck`: `www.ck` is registrable
+    * even though `*.ck` makes its siblings public suffixes). An
+    * exception beats the wildcard it punctures, so it is tested
+    * FIRST. The PSL's remaining exceptions are 3-label city domains
+    * under `*.kawasaki.jp`-class wildcards this snapshot does not
+    * carry; `www.ck` is the complete set for the carried parents. */
+  val ExceptionSuffixes: Seq[String] = Seq("www.ck")
+
+  /** PSL PRIVATE-SECTION two-label suffixes — hosting platforms where
+    * every subdomain is an INDEPENDENT site (`github.io`,
+    * `blogspot.com`): for crawl weighting this is the rule class that
+    * bites — without it every `*.blogspot.com` blog rolls up as ONE
+    * domain and a per-domain cap throttles millions of independent
+    * sites as one. Registrable = private suffix + 1, exactly the
+    * two-label mechanism [[PublicSuffixes]] already uses, so the two
+    * lists share one branch. Snapshot of the highest-traffic entries
+    * (public data, publicsuffix.org private section). */
+  val PrivateSuffixes: Seq[String] = Seq(
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "appspot.com", "azurewebsites.net",
+    "cloudfront.net", "workers.dev", "pages.dev", "tumblr.com",
+    "weebly.com", "wixsite.com", "neocities.org", "readthedocs.io",
+    "surge.sh")
+
+  /** PSL private-section THREE-label suffixes (`s3.amazonaws.com`
+    * class): registrable = last FOUR labels. Longest-match
+    * precedence: tested before the two-label lists. */
+  val PrivateSuffixes3: Seq[String] = Seq(
+    "s3.amazonaws.com", "elb.amazonaws.com", "compute.amazonaws.com")
+
+  /** Registrable domain (eTLD+1) against the bundled PSL snapshot,
+    * ALL FOUR rule classes (r12, VERDICT r11 #5), longest/most-
+    * specific match first exactly as the PSL algorithm orders them:
+    *
+    *  1. EXCEPTION (`!www.ck`): the name is registrable itself even
+    *     though a wildcard covers its siblings → the listed name.
+    *  2. WILDCARD (`*.ck`): any 2-label name under the parent is a
+    *     public suffix → last THREE labels
+    *     (`a.example.shop.ck` → `example.shop.ck`).
+    *  3. THREE-label private suffix (`s3.amazonaws.com`) → last FOUR
+    *     labels (the bucket subdomain).
+    *  4. TWO-label suffix — ICANN [[PublicSuffixes]] and private
+    *     [[PrivateSuffixes]] share the branch → last THREE labels
+    *     (`a.b.example.co.uk` → `example.co.uk`,
+    *     `alice.blogspot.com` → `alice.blogspot.com` stays the FULL
+    *     subdomain — each blog its own domain).
+    *  5. Fallback: last two labels (`a.b.example.com` →
+    *     `example.com`) — still an approximation for suffixes the
+    *     snapshot omits (documented above).
+    *
+    * A host with fewer than two labels returns as-is; a host that IS
+    * a bare listed suffix (`co.uk`, `shop.ck`, `s3.amazonaws.com`)
     * returns itself (no registrable name exists). A bracketed IPv6
     * authority returns the bracketed address verbatim (ADVICE r10 —
     * an IP has no registrable domain; the bracket form is the
@@ -290,12 +347,21 @@ object TextAnalysis {
     val afterUser = regexp_extract(auth, "([^@]*)$", 1)
     val bracket = regexp_extract(afterUser, "^(\\[[^\\]]*\\])", 1)
     val host = lower(regexp_extract(afterUser, "^([^:]*)", 1))
+    val lastOne = regexp_extract(host, "([^.]+)$", 1)
     val lastTwo = regexp_extract(host, "([^.]+[.][^.]+)$", 1)
     val lastThree = regexp_extract(host, "([^.]+[.][^.]+[.][^.]+)$", 1)
+    val lastFour =
+      regexp_extract(host, "([^.]+[.][^.]+[.][^.]+[.][^.]+)$", 1)
     when(afterUser.startsWith("["),
       when(bracket =!= "", bracket).otherwise(afterUser))
       .when(lastTwo === "", host)
-      .when(lastTwo.isin(PublicSuffixes: _*) && lastThree =!= "", lastThree)
+      .when(lastTwo.isin(ExceptionSuffixes: _*), lastTwo)
+      .when(lastOne.isin(WildcardSuffixParents: _*),
+        when(lastThree =!= "", lastThree).otherwise(lastTwo))
+      .when(lastThree.isin(PrivateSuffixes3: _*),
+        when(lastFour =!= "", lastFour).otherwise(lastThree))
+      .when(lastTwo.isin((PublicSuffixes ++ PrivateSuffixes): _*)
+          && lastThree =!= "", lastThree)
       .otherwise(lastTwo)
   }
 
@@ -322,10 +388,19 @@ object TextAnalysis {
         lit("&a="), (id % 5).cast("string")))
     val frag = when(id % 2 === 0, concat(lit("#s"), (id % 3).cast("string")))
       .otherwise(lit(""))
-    // a .Co.UK class (id % 9) exercises the PUBLIC-SUFFIX path: its
-    // registrable domain must be the last THREE labels — oracle-checked
-    // at every scale, so the PSL rule is never vacuous
-    val tld = when(id % 9 === 0, lit(".Co.UK")).otherwise(lit(".CoM"))
+    // PSL rule-class planting (id % 9): every rule class the engine
+    // carries appears in the corpus at every scale, so none is
+    // oracle-vacuous — 0: ICANN multi-label (.co.uk → last THREE
+    // labels); 1: PRIVATE section (.blogspot.com → the FULL subdomain,
+    // each blog its own domain); 2: WILDCARD (*.ck ⇒ .shop.ck → last
+    // three); 3: EXCEPTION (!www.ck → the exception name itself);
+    // 4: 3-label private (.s3.amazonaws.com → last FOUR labels)
+    val tld = when(id % 9 === 0, lit(".Co.UK"))
+      .when(id % 9 === 1, lit(".BlogSpot.CoM"))
+      .when(id % 9 === 2, lit(".Shop.CK"))
+      .when(id % 9 === 3, lit(".WwW.Ck"))
+      .when(id % 9 === 4, lit(".S3.AmazonAWS.Com"))
+      .otherwise(lit(".CoM"))
     concat(scheme, lit("://"), user, lit("WWW."), src, tld,
       port, path, query, frag)
   }
@@ -385,6 +460,96 @@ object TextAnalysis {
         countDistinct(col("canon_url")).as("n_urls"),
         sum(size(toks(col("text"))).cast("long")).as("tot_tokens"))
       .orderBy(col("domain"))
+
+  // ------------------------------------ HTML text extraction (r12)
+  /** HTML strip regexes — Java∩RE2-identical like every pattern in
+    * this file: `(?is)` case-fold + dotall with LAZY bodies for the
+    * two container elements whose CONTENT must go with the tags
+    * (script/style — a naive tag-strip would leak `var ok = 1 < 2;`
+    * into the "text"), then a plain matcher for every remaining tag.
+    * No lookaround, no backrefs, so the DuckDB oracle runs the very
+    * same expressions. */
+  val HtmlScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style[^>]*>.*?</style>"
+  val HtmlTagRe = "<[^>]*>"
+  /** Explicit whitespace class (no `\s` — the Java/RE2 divergence
+    * documented at [[UrlRe]]). */
+  val HtmlWsRe = "[ \\t\\n\\f\\r]+"
+
+  /** MAIN-CONTENT TEXT from an HTML payload (VERDICT r11 #7 — the
+    * trafilatura-class extraction a crawl pipeline runs BEFORE every
+    * filter this engine has): strip script/style elements WITH their
+    * bodies, strip all remaining markup, decode the five ubiquitous
+    * character entities, collapse whitespace. Decode order is
+    * semantic and fixed: entities decode AFTER the tag strip (a
+    * decoded `<` must never become a tag — the classic mXSS-shaped
+    * extraction bug) and `&amp;` decodes LAST (`&amp;lt;` is the
+    * literal four-glyph text `&lt;`, not a bracket). Entities outside
+    * the decoded five (`&copy;`, numeric refs) pass through verbatim
+    * — documented, spec-pinned. Pure row-local codegen'd Column
+    * algebra: zero shuffle, linear in corpus bytes — the shape a
+    * 100 TB extraction pass must have. */
+  def htmlExtractedText(html: Column): Column = {
+    val noScript = regexp_replace(html, HtmlScriptRe, " ")
+    val noStyle = regexp_replace(noScript, HtmlStyleRe, " ")
+    val noTags = regexp_replace(noStyle, HtmlTagRe, " ")
+    val ent = replace(replace(replace(replace(replace(
+      noTags, lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" "))
+    val dec = replace(ent, lit("&amp;"), lit("&"))
+    trim(regexp_replace(dec, HtmlWsRe, " "))
+  }
+
+  /** Deterministic HTML-WRAPPED corpus column — the test tables carry
+    * no markup, so the extraction entry derives a page per document
+    * whose classes exercise every strip rule at every scale: an
+    * UPPERCASE style element with a body (id%4 — the `(?i)` fold), a
+    * multi-line script whose body contains a bare `<` (id%3 — content
+    * removal, not just tags), the five decoded entities (id%5), nav/
+    * footer boilerplate with an UNdecoded `&copy;` on every row, and
+    * the document text as the main content. Mirrored expression-for-
+    * expression by the DuckDB oracle. */
+  private[llmdata] def syntheticHtml: Column = {
+    val id = col("doc_id")
+    val style = when(id % 4 === 0,
+      lit("<STYLE media=\"all\">body { color: #000; }</STYLE>"))
+      .otherwise(lit(""))
+    val script = when(id % 3 === 0,
+      lit("<script type=\"text/javascript\">var ok = 1 < 2;\n" +
+        "track(\"x\");</script>")).otherwise(lit(""))
+    val ents = when(id % 5 === 0,
+      lit(" Fish &amp; Chips &lt;fresh&gt;&nbsp;&quot;daily&quot;" +
+        " &#39;now&#39;")).otherwise(lit(""))
+    concat(lit("<html><head><title>doc "), id.cast("string"),
+      lit("</title>"), style,
+      lit("</head><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About</a></div>"), script,
+      lit("<h1>Doc "), (id % 100).cast("string"), lit("</h1><p>"),
+      col("text"), ents,
+      lit("</p><footer>&copy; 2026</footer></body></html>"))
+  }
+
+  /** HTML EXTRACTION REPORT — per doc: raw markup size, extracted
+    * text size, the TEXT-TO-MARKUP RATIO in exact ppm (boilerplate /
+    * link-farm pages score low — the standard crawl quality signal
+    * extraction emits for free), and the extracted text's md5 so the
+    * artifact stays O(docs). `ratio_ppm` is exact integer floor
+    * division on both engines (quotient ≤ 1e6 ⇒ the double path would
+    * also be exact, but the integer form makes that a theorem, not an
+    * analysis). */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), syntheticHtml.as("html"))
+      .select(col("doc_id"), col("html"),
+        htmlExtractedText(col("html")).as("xt"))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("html_chars"),
+        length(col("xt")).cast("long").as("text_chars"),
+        floor(length(col("xt")).cast("long") * lit(1000000L) /
+          length(col("html"))).cast("long").as("ratio_ppm"),
+        md5(col("xt").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
 
   /** The scrubbed text column (URL → EMAIL → IP order, see above). */
   def redactedText(text: Column): Column =

@@ -593,7 +593,24 @@ class TextAnalysisSpec extends SparkSpec {
       // bracketed IPv6 authority: verbatim pass-through in the canon
       // (ADVICE r10), bracketed address as the "domain"
       (9L, "http://[::1]:8080/p?b=2&a=1#f"),
-      (10L, "https://shop.example.com.au")
+      (10L, "https://shop.example.com.au"),
+      // WILDCARD rule (r12, r11 #5): *.ck makes shop.ck a public
+      // suffix -> eTLD+1 is the last THREE labels
+      (11L, "https://A.B.Example.Shop.CK/x"),
+      // EXCEPTION rule: !www.ck punctures the wildcard -> www.ck is
+      // itself the registrable name, for itself and any subdomain
+      (12L, "http://Sub.WWW.CK"),
+      // a BARE wildcard-covered suffix has no registrable name
+      (13L, "https://Shop.CK"),
+      // PRIVATE section: each github.io / blogspot.com subdomain is
+      // an independent site -> the FULL subdomain is the domain
+      (14L, "https://Alice.GitHub.IO"),
+      (15L, "http://My-Blog.BlogSpot.Com/post/1"),
+      // 3-label private suffix -> last FOUR labels (the bucket)
+      (16L, "http://Bucket.S3.AmazonAWS.com/key"),
+      (17L, "https://Deep.Bucket.S3.AmazonAWS.com"),
+      // bare 3-label private suffix -> itself
+      (18L, "http://S3.AmazonAWS.com")
     ).toDF("doc_id", "url")
     val got = urls.select(col("doc_id"),
         TextAnalysis.canonicalUrl(col("url")).as("c"),
@@ -611,21 +628,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(8L) === (("http://co.uk/", "co.uk")))
     assert(got(9L) === (("http://[::1]:8080/p?a=1&b=2", "[::1]")))
     assert(got(10L) === (("https://shop.example.com.au/", "example.com.au")))
+    assert(got(11L) === (("https://a.b.example.shop.ck/x", "example.shop.ck")))
+    assert(got(12L) === (("http://sub.www.ck/", "www.ck")))
+    assert(got(13L) === (("https://shop.ck/", "shop.ck")))
+    assert(got(14L) === (("https://alice.github.io/", "alice.github.io")))
+    assert(got(15L) ===
+      (("http://my-blog.blogspot.com/post/1", "my-blog.blogspot.com")))
+    assert(got(16L) ===
+      (("http://bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com")))
+    assert(got(17L) === (("https://deep.bucket.s3.amazonaws.com/",
+      "bucket.s3.amazonaws.com")))
+    assert(got(18L) === (("http://s3.amazonaws.com/", "s3.amazonaws.com")))
     // idempotence: canonicalizing a canonical URL is a fixed point
     val canon = urls.select(TextAnalysis.canonicalUrl(col("url")).as("c"))
     val twice = canon.select(col("c"),
       TextAnalysis.canonicalUrl(col("c")).as("cc"))
     assert(twice.filter(col("c") =!= col("cc")).count() === 0)
     // the registered rollup partitions the corpus: doc counts sum to
-    // the corpus size and every domain is a lowercased source under
-    // .com or (the PSL class, doc_id % 9) .co.uk — both present, so
-    // the three-label rule is non-vacuous in the oracle-checked entry
+    // the corpus size and every domain resolves through one of the
+    // planted PSL rule classes (doc_id % 9) — ALL FIVE present, so no
+    // rule class is vacuous in the oracle-checked entry
     val roll = TextAnalysis.domainRollup(spark, sf).collect()
     assert(roll.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sf).count())
     val domains = roll.map(_.getAs[String]("domain"))
-    assert(domains.forall(_.matches("src[0-9]+\\.(com|co\\.uk)")))
-    assert(domains.exists(_.endsWith(".co.uk")),
-      "the public-suffix class must appear in the rollup")
+    assert(domains.forall(d => d === "www.ck" ||
+      d.matches("src[0-9]+\\.(com|co\\.uk|blogspot\\.com|shop\\.ck|" +
+        "s3\\.amazonaws\\.com)")), domains.mkString(", "))
+    for (cls <- Seq(".co.uk", ".blogspot.com", ".shop.ck",
+        ".s3.amazonaws.com"))
+      assert(domains.exists(_.endsWith(cls)),
+        s"the $cls rule class must appear in the rollup")
+    assert(domains.contains("www.ck"),
+      "the exception rule class must appear in the rollup")
+  }
+
+  test("HTML extraction edges: script/style bodies go, nested tags, entity order, unknown entities pass through (r11 #7)") {
+    import spark.implicits._
+    def xt(html: String): String = Seq(html).toDF("h")
+      .select(TextAnalysis.htmlExtractedText(col("h"))).head.getString(0)
+    // script CONTENT is removed, not just the tags — a bare '<' in a
+    // comparison must never leak into the text; (?i) covers SCRIPT
+    assert(xt("a<SCRIPT>var x = 1 < 2; s(\"q\");</SCRIPT>b") === "a b")
+    // multi-line script body ((?s) dotall)
+    assert(xt("a<script>\nline1();\nline2();\n</script>b") === "a b")
+    // style with attributes and a CSS body
+    assert(xt("x<style media=\"all\">p { color: red; }</style>y") === "x y")
+    // nested/sibling tags all strip; whitespace collapses
+    assert(xt("<div><p>one <b>two</b></p>\n<p>three</p></div>")
+      === "one two three")
+    // entity decode AFTER tag strip: a decoded '<' does not start a
+    // tag; '&amp;' decodes LAST so '&amp;lt;' is the literal '&lt;'
+    assert(xt("<p>&lt;b&gt;not a tag&lt;/b&gt;</p>") === "<b>not a tag</b>")
+    assert(xt("<p>&amp;lt;escaped&amp;gt;</p>") === "&lt;escaped&gt;")
+    assert(xt("<p>fish &amp; chips&nbsp;&quot;hot&quot; &#39;now&#39;</p>")
+      === "fish & chips \"hot\" 'now'")
+    // entities OUTSIDE the decoded five pass through verbatim
+    assert(xt("<footer>&copy; 2026 &hellip;</footer>") === "&copy; 2026 &hellip;")
+    // a tagless payload is just whitespace-collapsed + trimmed
+    assert(xt("  plain   text  ") === "plain text")
+    // the registered report: ratio is exact integer ppm and the
+    // extracted text is never longer than the markup
+    val rep = TextAnalysis.htmlExtract(spark, sf).collect()
+    assert(rep.nonEmpty)
+    assert(rep.forall { r =>
+      val (h, t, p) = (r.getAs[Long]("html_chars"),
+        r.getAs[Long]("text_chars"), r.getAs[Long]("ratio_ppm"))
+      t <= h && p === t * 1000000L / h
+    })
   }
 }
