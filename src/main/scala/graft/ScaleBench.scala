@@ -54,12 +54,136 @@ object ScaleBench {
     "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_frame", "ann_ivfpq_stored",
     "ann_ivfpq_append",
     "ann_pca_topk", "ann_hybrid_rrf", "ann_hybrid_rrf_ivfpq",
-    "ann_hybrid_rrf_stored", "dd_url_dedup",
+    // the fully-stored serving stack (r12, VERDICT r11 #6): cold pass
+    // carries BOTH artifact builds, min-of-2 reports the two-disk-scan
+    // steady state — the per-pass JSON keeps the split visible
+    "ann_hybrid_rrf_stored", "ann_hybrid_rrf_stored_stack",
+    "dd_url_dedup", "txt_html_extract",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
     // top-k, the capstone composition, and the span-marking semi join
     "txt_contamination", "txt_curation_report", "txt_bm25_topk",
     "txt_final_corpus", "txt_span_removal", "txt_dsir_weights")
+
+  /** The synth100x + size-triggered-two-level pass (r12, VERDICT r11
+    * #2): the standing gap was that the 1M+ envelope rows were pure
+    * arithmetic — `cells = 142` at synth10x sits a factor 7 below
+    * `IvfFlatMaxCells = 1024`, so the two-level coarse model and the
+    * log-growth probe ceiling had only ever been exercised by
+    * `forceTable` seams, never by SIZE. Two measured points close it:
+    *
+    *  - `synth100x` (500k docs / 200k vectors — 100× synth1x): the
+    *    verdict's requested family subset, min-of-2 + executed-plan
+    *    lint like the main curve. HONEST NOTE the table also prints:
+    *    at 200k vectors `cells = ⌈√N⌉ = 448` is STILL under the 1024
+    *    flat cap — the threshold binds at ~1.05M vectors, which is
+    *    why the second point exists.
+    *  - `synth1m` (1.2M vectors, doc tables small — the ANN paths
+    *    read only embeddings): `ivfDefaultCells(1.2e6) = 1096 > 1024`,
+    *    so the NATURAL dispatcher (no forcing seam anywhere) takes
+    *    the two-level table path for the first time by size; the
+    *    printed `actual cells` comes from the materialized model
+    *    (`ivfIndexStatsActual` — ground truth, not projection) and
+    *    the first projected envelope row (1M) becomes a measurement.
+    */
+  private def run100x(spark: SparkSession): Unit = {
+    val synthDir = java.nio.file.Files
+      .createTempDirectory("graft-synth100x").toString
+    tools.SynthCorpus.writeCorpus(spark, synthDir,
+      nDocs = 500000L, nVecs = 200000L)
+    val queries = SparkEntry.queries
+    var failed = List.empty[String]
+    var lint = List.empty[String]
+    def sweep(label: String, dir: String, fams: Seq[String])
+        : Seq[(String, Double, Long, Seq[Double])] = fams.map { name =>
+      var lastRun: Option[org.apache.spark.sql.DataFrame] = None
+      def onePass(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          val df = queries(name)(spark, dir)
+          df.queryExecution.toRdd.foreach(_ => ())
+          lastRun = Some(df)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name@$label FAILED: ${e.getMessage}")
+          None
+        }
+      }
+      val p1 = onePass()
+      val p2 = p1.flatMap(_ => onePass())
+      val t = for (a <- p1; b <- p2) yield math.min(a, b)
+      if (t.isEmpty) failed ::= s"$name@$label"
+      lastRun.foreach { df =>
+        plans.RegistryAudit.unexempt(name, df).foreach { f =>
+          System.err.println(s"[scalebench] $name@$label LINT: $f")
+          lint ::= s"$name@$label: $f"
+        }
+      }
+      val n = if (t.isEmpty) -1L
+        else try queries(name)(spark, dir).count()
+        catch { case _: Throwable => -1L }
+      (name, t.getOrElse(0.0), n, Seq(p1, p2).flatten)
+    }
+    val fams100 = Seq("dd_exact", "dd_semdedup_2l", "dd_embed_gate_shuffle",
+      "ann_ivf_topk", "ann_ivfpq_topk", "ann_ivfpq_stored",
+      "ann_ivfpq_frame", "ann_ivfpq_append")
+    val r100 = sweep("synth100x", synthDir, fams100)
+    println("| query | synth100x s (min of 2) | passes | out rows |")
+    println("|---|---|---|---|")
+    r100.foreach { case (name, t, n, ps) =>
+      println(f"| $name | $t%.2f | ${ps.map(p => f"$p%.2f").mkString(", ")} | $n |")
+    }
+    val (c100, p100, pq100) =
+      llmdata.Similarity.ivfIndexStatsActual(spark, synthDir)
+    println(f"| synth100x ivf stats (ACTUAL model) | cells=$c100 " +
+      f"| ivf probes=$p100 (${p100.toDouble / c100}%.3f) " +
+      f"| ivfpq probes=$pq100 (${pq100.toDouble / c100}%.3f) |")
+    println(s"NOTE: 200k vectors -> target cells = ${
+      llmdata.Similarity.ivfIndexStatsAt(200000L)._1} <= 1024 flat cap:" +
+      " the two-level threshold does NOT bind at synth100x (it binds" +
+      " at ~1.05M vectors) — the synth1m point below size-triggers it.")
+
+    // the size-trigger point: ANN families read only embeddings, so
+    // the doc side stays small and 1.2M vectors fit the sandbox
+    llmdata.Similarity.releaseCaches()
+    llmdata.AnnIndex.releaseCaches()
+    val dir1m = java.nio.file.Files
+      .createTempDirectory("graft-synth1m").toString
+    tools.SynthCorpus.writeCorpus(spark, dir1m,
+      nDocs = 2000L, nVecs = 1200000L)
+    val r1m = sweep("synth1m", dir1m, Seq("ann_ivf_topk", "ann_ivfpq_topk"))
+    println("| query | synth1m (1.2M vecs) s (min of 2) | passes | out rows |")
+    println("|---|---|---|---|")
+    r1m.foreach { case (name, t, n, ps) =>
+      println(f"| $name | $t%.2f | ${ps.map(p => f"$p%.2f").mkString(", ")} | $n |")
+    }
+    val (c1m, p1m, pq1m) =
+      llmdata.Similarity.ivfIndexStatsActual(spark, dir1m)
+    val (cProj, _, _) = llmdata.Similarity.ivfIndexStatsAt(1200000L)
+    println(f"| synth1m ivf stats (ACTUAL materialized model) | cells=$c1m " +
+      f"| ivf probes=$p1m (${p1m.toDouble / c1m}%.3f) " +
+      f"| ivfpq probes=$pq1m (${pq1m.toDouble / c1m}%.3f) |")
+    println(s"size-trigger: target cells = $cProj > 1024 flat cap -> " +
+      s"NATURAL two-level dispatch (no forcing seam); actual model " +
+      s"cells = $c1m (per-coarse-cell rounding above the target, as " +
+      s"documented at ivfIndexStats).")
+    val twoLevel = cProj > llmdata.Similarity.IvfFlatMaxCells
+    val rows = (r100.map(("synth100x", _)) ++ r1m.map(("synth1m", _)))
+      .map { case (l, (name, t, n, ps)) =>
+        "\"" + l + ":" + name + "\":{\"sec\":" + t + ",\"rows\":" + n +
+          ",\"passes\":" + ps.mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}")
+    val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ls = lint.sorted.map("\"" + _.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"scale_100x","queries":$rows,"failed":$fs,""" +
+      s""""lint_clean":${lint.isEmpty},"lint":$ls,""" +
+      s""""ivf_synth100x":{"cells":$c100,"ivf_probes":$p100,"ivfpq_probes":$pq100},""" +
+      s""""ivf_synth1m":{"cells":$c1m,"ivf_probes":$p1m,"ivfpq_probes":$pq1m,""" +
+      s""""target_cells":$cProj,"two_level_by_size":$twoLevel}}""")
+    spark.stop()
+    if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -74,6 +198,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
+    if (args.headOption.contains("100x")) { run100x(spark); return }
 
     val synth1xDir = java.nio.file.Files
       .createTempDirectory("graft-synth1x").toString

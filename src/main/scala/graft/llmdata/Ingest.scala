@@ -220,10 +220,10 @@ object Ingest {
         throw new IllegalStateException(
           s"ingest crash seam: killed after step '$step'")
 
-    def artifactCounts(): (Double, Boolean) =
-      (AnnIndex.deltaFraction(spark, dirs.annDir),
-        AnnIndex.deltaFraction(spark, dirs.annDir) >=
-          AnnIndex.RebuildDeltaFraction)
+    def artifactCounts(): (Double, Boolean) = {
+      val frac = AnnIndex.deltaFraction(spark, dirs.annDir)
+      (frac, frac >= AnnIndex.RebuildDeltaFraction)
+    }
 
     // replay short-circuit: a done-sealed shard mutated every
     // artifact already (and may have been compacted since — its
