@@ -293,12 +293,25 @@ object Dedup {
     * family — shared by the batch pair kernel ([[embedPairsOf]]) and
     * the streaming gate below so their candidate structures are the
     * SAME keying: expected bucket width ≈ n/2^bits aimed at half the
-    * tile bound. */
+    * tile bound, which holds the PER-ROW candidate load (≈ 8 bands ×
+    * width/2) CONSTANT as the corpus grows. UNCAPPED since r12
+    * (measured at the synth100x point): the old `min(8, …)` cap bound
+    * buckets at 256/band, so past ~524k vectors width — and with it
+    * both the gate's per-row cost and the pair kernel's total
+    * candidate count — grew linearly with N (candidate work
+    * quadratic). The only remaining ceiling is the plane pool /
+    * exact-Int bucket bound (30 bits/band ⇒ binds at ~2^30·width ≈
+    * 2×10^12 vectors — no corpus). The DOCUMENTED trade: hyperplane
+    * collision probability per band is p^bits (p = 1 − θ/π), so at
+    * fixed similarity more bits cost gate recall — near-IDENTICAL
+    * re-posts (p → 1, the gate's target class) survive every realistic
+    * width, while loose-threshold semantic dedup at corpus scale
+    * belongs to the SemDeDup / IVF families, not a band gate. */
   private[llmdata] def embedBandBits(n: Long,
                                      maxBucketWidth: Int = EmbedMaxBucketWidth): Int = {
     def ceilLog2(x: Long): Int =
       if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
-    math.max(2, math.min(8, ceilLog2(2L * n / maxBucketWidth)))
+    math.max(2, math.min(30, ceilLog2(2L * n / maxBucketWidth)))
   }
 
   /** The banding the embedding gate pair below must agree on — derive
@@ -964,9 +977,10 @@ object Dedup {
   /** Bounded LSH pair kernel over an arbitrary (vec_id, embedding)
     * frame. Three scale defenses, in order:
     *
-    *  1. `bitsPerBand` GROWS with the corpus (2 at toy scale, up to 8 —
-    *     the plane pool holds 8 bands × 8 bits) so the EXPECTED bucket
-    *     width stays ≤ `maxBucketWidth` regardless of N;
+    *  1. `bitsPerBand` GROWS with the corpus (2 at toy scale,
+    *     UNCAPPED to 30 since r12 — the plane pool holds 8 bands ×
+    *     30 bits) so the EXPECTED bucket width stays ≤
+    *     `maxBucketWidth` regardless of N;
     *  2. buckets that are still oversized (skewed dense regions — no
     *     hyperplane count fixes adversarial skew) are decomposed into
     *     chunk-pair TILES: members hash into `ceil(w / maxBucketWidth)`

@@ -992,6 +992,20 @@ object LlmQueries {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_md5
       |FROM s2 ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[TextAnalysis.domainCap]] — reuses the url/domain CTE
+    * (same generated IN lists, same CASE chain) + the identical
+    * deterministic window. */
+  val txtDomainCapSql: String =
+    "WITH " + urlCanonCte +
+      """
+      |SELECT doc_id, domain, domain_rank,
+      |  CASE WHEN domain_rank <= 3 THEN 1 ELSE 0 END AS kept
+      |FROM (SELECT doc_id, domain,
+      |        CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+      |             AS BIGINT) AS domain_rank
+      |      FROM c)
+      |ORDER BY doc_id""".stripMargin
+
   /** Mirror of [[TextAnalysis.syntheticHtml]] + [[TextAnalysis
     * .htmlExtractedText]] — the IDENTICAL `(?is)` lazy-body
     * script/style strips, tag strip, literal entity decodes in the
@@ -1549,6 +1563,10 @@ object LlmQueries {
     "txt_html_extract" -> TextAnalysis.htmlExtract _,
     "txt_url_canon" -> ((s, d) => TextAnalysis.canonicalUrls(s, d)),
     "txt_domain_rollup" -> ((s, d) => TextAnalysis.domainRollup(s, d)),
+    // per-domain cap (r12): the curation stage the PSL private
+    // section exists for — deterministic keep-first-K per registrable
+    // domain, per-doc verdicts so the decision is auditable
+    "txt_domain_cap" -> ((s, d) => TextAnalysis.domainCap(s, d)),
     "txt_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
     "txt_term_topk" -> ((s, d) => TextAnalysis.termTopK(s, d, 20)),
     "txt_ngram_topk" -> ((s, d) => TextAnalysis.ngramTopK(s, d, 3, 20)),
@@ -1657,6 +1675,7 @@ object LlmQueries {
     "txt_html_extract" -> txtHtmlExtractSql,
     "txt_url_canon" -> txtUrlCanonSql,
     "txt_domain_rollup" -> txtDomainRollupSql,
+    "txt_domain_cap" -> txtDomainCapSql,
     "txt_chunk_dedup" -> txtChunkDedupSql,
     "txt_source_stats" -> txtSourceStatsSql,
     "txt_langid_profile" -> txtLangIdSql,

@@ -91,11 +91,17 @@ object Similarity {
 
   /** Full deterministic plane pool. The first [[NumPlanes]] entries are
     * the legacy 16 (the SplitMix64 stream is sequential, so growing the
-    * pool is prefix-stable — every existing 16-plane banding hashes to
-    * byte-identical buckets); the tail exists so corpus-scaled bandings
-    * (up to 8 bands × 8 bits in [[Dedup.embedPairsOf]]) never reuse a
-    * plane within a band. */
-  private[llmdata] val MaxPlanes = 64
+    * pool is prefix-stable — every existing banding hashes to
+    * byte-identical buckets; r12 grew 64 → 240 with zero output change
+    * at every verified scale for exactly this reason); the pool bounds
+    * corpus-scaled bandings at 8 bands × 30 bits in
+    * [[Dedup.embedPairsOf]] — 30 so the bucket stays an exact Int
+    * (`1 << r` and the bit sum both fit) — which un-caps
+    * [[Dedup.embedBandBits]] until ~2^30·width vectors (≫ any corpus)
+    * instead of the old 8-bit cap that went candidate-quadratic past
+    * ~524k vectors (measured at the r12 synth100x point). 240 planes
+    * × 64 dims ≈ 120 KiB of constants — bounded, never corpus-scaled. */
+  private[llmdata] val MaxPlanes = 240
 
   private[llmdata] val hyperplanes: Array[Array[Double]] = {
     var state = 42L

@@ -461,6 +461,34 @@ object TextAnalysis {
         sum(size(toks(col("text"))).cast("long")).as("tot_tokens"))
       .orderBy(col("domain"))
 
+  /** PER-DOMAIN CAP (r12 — the curation stage the PSL work exists
+    * for): crawl-weighting pipelines cap how many documents any one
+    * registrable domain contributes before mixture sampling, so one
+    * boilerplate-heavy site cannot dominate a source's token budget —
+    * and the cap is only fair if the domain key resolves the PSL
+    * private section (each `*.blogspot.com` blog is its own domain,
+    * not one two-million-doc mega-site; [[registrableDomain]]). Keeps
+    * the CAP-FIRST docs per domain in stable doc_id order
+    * (deterministic across engines and re-runs — no sampling state)
+    * and emits the per-doc verdict (domain, in-domain rank, kept
+    * 0/1) so the artifact stays O(docs) and the decision is
+    * auditable. ONE hash-partitioned shuffle on the domain key; at
+    * corpus scale domains are numerous (millions) so window groups
+    * stay small — the skew risk is exactly the mega-domain the
+    * private-section rules dissolve. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), syntheticUrl.as("url"))
+      .select(col("doc_id"), registrableDomain(col("url")).as("domain"))
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("domain"),
+        col("domain_rank").cast("long").as("domain_rank"),
+        when(col("domain_rank") <= cap, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------ HTML text extraction (r12)
   /** HTML strip regexes — Java∩RE2-identical like every pattern in
     * this file: `(?is)` case-fold + dotall with LAZY bodies for the

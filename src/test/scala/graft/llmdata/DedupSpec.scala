@@ -599,6 +599,29 @@ class DedupSpec extends SparkSpec {
     assert(aFlat === aTable)
   }
 
+  test("embed band bits: the bucket-width envelope holds uncapped past the old 8-bit ceiling (r12)") {
+    // verified scales unchanged — the retired cap never bound below
+    // ~524k vectors, so every recorded output stays byte-identical
+    assert(Dedup.embedBandBits(2000L) === 2)
+    assert(Dedup.embedBandBits(20000L) === 4)
+    assert(Dedup.embedBandBits(200000L) === 7)
+    // past the old cap the EXPECTED width (per-row candidate load)
+    // stays inside the tile bound instead of growing linearly with N
+    for (n <- Seq(1000000L, 100000000L, 1000000000L, 1000000000000L)) {
+      val bits = Dedup.embedBandBits(n)
+      val width = n.toDouble / (1L << bits)
+      assert(width <= Dedup.EmbedMaxBucketWidth,
+        s"n=$n bits=$bits width=$width blows the tile bound")
+      assert(bits <= 30, s"n=$n bits=$bits exceeds the exact-Int bucket bound")
+    }
+    // monotone: a bigger corpus never keys coarser
+    val seq = Seq(1000L, 100000L, 10000000L, 1000000000L)
+      .map(Dedup.embedBandBits(_))
+    assert(seq === seq.sorted)
+    // the plane pool actually covers the uncapped banding
+    assert(8 * 30 <= Similarity.MaxPlanes)
+  }
+
   test("embedding gate collisions contain every verified near-dup pair (keying agreement)") {
     // the gate and the batch pair kernel must share ONE keying
     // (hyperplanes, band count, corpus-adaptive bit width): every

@@ -663,6 +663,24 @@ class TextAnalysisSpec extends SparkSpec {
       "the exception rule class must appear in the rollup")
   }
 
+  test("per-domain cap: keep-first-K by doc id, exact per-domain counts, binds non-vacuously (r12)") {
+    val cap = TextAnalysis.domainCap(spark, sf).collect()
+    assert(cap.length === Tables.documents(spark, sf).count().toInt,
+      "the verdict table must cover every document")
+    cap.groupBy(_.getAs[String]("domain")).foreach { case (d, rows) =>
+      val kept = rows.count(_.getAs[Long]("kept") == 1L)
+      assert(kept === math.min(3, rows.length), s"domain $d keeps min(3, n)")
+      // the kept set is exactly the first K in stable doc_id order
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.take(kept).forall(_.getAs[Long]("kept") == 1L),
+        s"domain $d kept set must be the doc_id-first block")
+      assert(sorted.drop(kept).forall(_.getAs[Long]("kept") == 0L),
+        s"domain $d overflow must be dropped")
+    }
+    assert(cap.exists(_.getAs[Long]("kept") == 0L),
+      "the cap must bind at the gate scale (otherwise the test is vacuous)")
+  }
+
   test("HTML extraction edges: script/style bodies go, nested tags, entity order, unknown entities pass through (r11 #7)") {
     import spark.implicits._
     def xt(html: String): String = Seq(html).toDF("h")
