@@ -58,7 +58,7 @@ object ScaleBench {
     // carries BOTH artifact builds, min-of-2 reports the two-disk-scan
     // steady state — the per-pass JSON keeps the split visible
     "ann_hybrid_rrf_stored", "ann_hybrid_rrf_stored_stack",
-    "dd_url_dedup", "txt_html_extract",
+    "dd_url_dedup", "txt_html_extract", "txt_domain_cap",
     // text/retrieval family (VERDICT r6 #2): the posting-list pair
     // explode (contamination), the multi-filter curation rollup, BM25
     // top-k, the capstone composition, and the span-marking semi join
