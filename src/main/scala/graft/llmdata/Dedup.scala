@@ -577,6 +577,79 @@ object Dedup {
     withGateDeltas(spark, gen)
   }
 
+  /** COMPACT a persisted gate index (either kind — the embed meta
+    * carries `bits`, the shingle meta does not; both are preserved
+    * verbatim): fold the base + committed delta key segments into ONE
+    * clean generation (r12 — the [[graft.llmdata.LexStore.compact]]
+    * sibling; under continuous ingest every shard lands one delta and
+    * every gate reload pays a listing + marker read per segment).
+    * Keys are copied, never re-keyed — the carried bit width cannot
+    * drift — so the folded index is row-identical to the pre-fold
+    * union (DedupSpec pins it). Returns the folded key count. */
+  def compactGateIndex(spark: SparkSession, idxDir: String): Long =
+    compactGateIndexWithSeam(spark, idxDir, () => ())
+
+  /** [[compactGateIndex]] with the family's post-entry-listing test
+    * seam ([[graft.llmdata.AnnIndex.compactWithSeam]] discipline). */
+  private[llmdata] def compactGateIndexWithSeam(spark: SparkSession,
+                                                idxDir: String,
+                                                afterListing: () => Unit): Long = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed gate-index generation under $idxDir - " +
+          "run writeBandIndex/writeEmbedBandIndex"))
+    val metaPath = s"$gen/meta.json"
+    val text = GenDir.readJson(spark, metaPath, "gate index meta.json")
+    if (GenDir.jsonLong(text, "format", metaPath) != GateIndexFormat)
+      throw new IllegalStateException(
+        s"gate index $metaPath has an unreadable format - rebuild")
+    val entry = GenDir.deltas(spark, gen)
+    afterListing()
+    if (entry.isEmpty) return GenDir.jsonLong(text, "n_keys", metaPath)
+    val tmp = GenDir.stage(spark, idxDir)
+    withGateDeltas(spark, gen)
+      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    val n = spark.read.parquet(s"$tmp/keys.parquet").count()
+    // the embed meta's `bits` keying constant survives verbatim; the
+    // shingle meta has none and gets none
+    val bits = GenDir.jsonLongOpt(text, "bits")
+      .map(b => s""","bits":$b""").getOrElse("")
+    GenDir.writeJson(spark, s"$tmp/meta.json",
+      s"""{"format":$GateIndexFormat$bits,"n_keys":$n}""")
+    GenDir.commit(spark, idxDir, tmp)
+    // post-commit re-list of the OLD generation (the family's ADVICE
+    // r11 mirror): a key segment appended after the entry listing is
+    // MISSING from the folded generation — a silently narrower gate —
+    // so fail loudly naming the segments to re-append.
+    val now = GenDir.deltas(spark, gen)
+    if (now.map(_._1).toSet != entry.map(_._1).toSet)
+      throw new IllegalStateException(
+        s"gate index compaction folded ${entry.length} delta segments " +
+          s"of $gen but the generation now holds ${now.length} - a " +
+          "concurrent append landed after the entry listing and its " +
+          "keys are MISSING from the committed compacted generation; " +
+          "re-append " +
+          s"(${now.map(_._1).toSet.diff(entry.map(_._1).toSet).toSeq.sorted.mkString(", ")}) " +
+          "against the new generation")
+    n
+  }
+
+  /** Segment-budget trigger + auto-fold for the gate indexes — the
+    * [[graft.llmdata.AnnIndex.maybeCompact]] convention the ingest
+    * job's maintenance step calls per gate dir. */
+  def maybeCompactGateIndex(spark: SparkSession, idxDir: String,
+                            maxSegments: Int = AnnIndex.CompactMaxSegments): Boolean = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed gate-index generation under $idxDir - " +
+          "run writeBandIndex/writeEmbedBandIndex"))
+    val go = GenDir.deltas(spark, gen).length > maxSegments
+    if (go) compactGateIndex(spark, idxDir)
+    go
+  }
+
   /** Bits per existing key for auto-sized Bloom filters: ~10 bits/key
     * with k = 7 probes is the textbook ~1% false-positive point. */
   val BloomBitsPerKey = 10L

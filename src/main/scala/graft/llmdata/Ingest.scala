@@ -280,9 +280,15 @@ object Ingest {
     // already hold the short-circuit)
     ManifestStore.sealEmpty(spark, dirs.ledgerDir, doneBatch(shardId))
 
-    // 6. maintenance: fold ANN deltas past the segment budget (r11
-    // #8); surface the drift trigger for the out-of-band full rebuild
-    val compacted = AnnIndex.maybeCompact(spark, dirs.annDir)
+    // 6. maintenance: fold deltas past the segment budget (r11 #8;
+    // r12 extends the fold to the postings artifact — the lexical
+    // segments accumulate at the same per-shard rate and their fold
+    // is pure small-file hygiene, bit-identical scores); surface the
+    // drift trigger for the out-of-band full rebuild
+    val compacted = AnnIndex.maybeCompact(spark, dirs.annDir) |
+      LexStore.maybeCompact(spark, dirs.lexDir) |
+      Dedup.maybeCompactGateIndex(spark, dirs.shingleGateDir) |
+      Dedup.maybeCompactGateIndex(spark, dirs.embedGateDir)
     val (frac, rebuild) = artifactCounts()
     Status(shardId, replayed = false, fateCounts.values.sum, fateCounts,
       lexDocs, annRows, shingleKeys, embedKeys, frac, compacted, rebuild)

@@ -159,6 +159,91 @@ object LexStore {
     (n, sumDl)
   }
 
+  /** COMPACT the newest generation's delta postings back into clean
+    * term-bucket partitions as a new generation (r12 — the
+    * [[AnnIndex.compact]] twin this artifact was missing: under
+    * continuous ingest every shard lands one small segment per
+    * touched bucket, and each query's union pays a listing + marker
+    * read per segment; [[graft.llmdata.Ingest]] auto-folds past
+    * [[AnnIndex.CompactMaxSegments]]). Unlike the ANN fold there is
+    * NO staleness accounting to carry: BM25 stats are exactly
+    * additive, so the compacted base (rows = base ∪ deltas,
+    * scalars = exact sums) is bit-for-bit the index a full rebuild
+    * produces — compaction here is pure small-file hygiene, and
+    * scores are pinned identical across it (LexStoreSpec). Returns
+    * the folded (n_docs, sum_dl). */
+  def compact(spark: SparkSession, lexDir: String): (Long, Long) =
+    compactWithSeam(spark, lexDir, () => ())
+
+  /** [[compact]] with the [[AnnIndex.compactWithSeam]] test seam:
+    * invoked right after the entry delta listing — the window the
+    * post-commit re-list check closes. */
+  private[llmdata] def compactWithSeam(spark: SparkSession, lexDir: String,
+                                       afterListing: () => Unit): (Long, Long) = {
+    val gen = resolveGen(spark, lexDir)
+    val (nBase, sumBase) = readStats(spark, gen)
+    val entry = GenDir.deltas(spark, gen)
+    afterListing()
+    if (entry.isEmpty) return (nBase, sumBase)
+    val scalars = entry.map { case (_, d) =>
+      val path = s"$d/delta.json"
+      val text = GenDir.readJson(spark, path, "BM25 postings delta.json")
+      val fmt = GenDir.jsonLong(text, "format", path)
+      if (fmt != Format)
+        throw new IllegalStateException(
+          s"BM25 postings delta $path has format $fmt; this compactor " +
+            s"understands format $Format - rebuild the index")
+      (GenDir.jsonLong(text, "n_docs", path),
+        GenDir.jsonLong(text, "sum_dl", path))
+    }
+    val (n, sumDl) = (nBase + scalars.map(_._1).sum,
+      sumBase + scalars.map(_._2).sum)
+    val tmp = GenDir.stage(spark, lexDir)
+    entry.map { case (_, d) => spark.read.parquet(s"$d/postings.parquet") }
+      .foldLeft(spark.read.parquet(s"$gen/postings.parquet"))(
+        (acc, d) => acc.unionByName(d))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/postings.parquet")
+    writeJson(spark, s"$tmp/stats.json",
+      s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl}""")
+    GenDir.commit(spark, lexDir, tmp)
+    // post-commit re-list of the OLD generation (the ADVICE r11
+    // mirror shared by the artifact family): an append that committed
+    // a segment after this compaction's entry listing is MISSING from
+    // the new generation — and for BM25 that is silent tf/df/dl
+    // undercounting, so fail loudly naming the segments to re-append.
+    // Best-effort under the family's single-maintainer contract.
+    val now = GenDir.deltas(spark, gen)
+    if (now.map(_._1).toSet != entry.map(_._1).toSet)
+      throw new IllegalStateException(
+        s"BM25 postings compaction folded ${entry.length} delta " +
+          s"segments of $gen but the generation now holds " +
+          s"${now.length} - a concurrent append landed after the " +
+          "entry listing and its postings are MISSING from the " +
+          "committed compacted generation; re-append " +
+          s"(${now.map(_._1).toSet.diff(entry.map(_._1).toSet).toSeq.sorted.mkString(", ")}) " +
+          "against the new generation")
+    (n, sumDl)
+  }
+
+  /** [[AnnIndex.shouldCompact]] for the postings artifact — same
+    * segment budget, read from the markers already on disk. */
+  def shouldCompact(spark: SparkSession, lexDir: String,
+                    maxSegments: Int = AnnIndex.CompactMaxSegments): Boolean =
+    GenDir.deltas(spark, resolveGen(spark, lexDir)).length > maxSegments
+
+  /** Auto-compaction twin of [[AnnIndex.maybeCompact]] — the ingest
+    * job's per-shard maintenance call. Returns whether a fold ran. */
+  def maybeCompact(spark: SparkSession, lexDir: String,
+                   maxSegments: Int = AnnIndex.CompactMaxSegments): Boolean = {
+    val go = shouldCompact(spark, lexDir, maxSegments)
+    if (go) compact(spark, lexDir)
+    go
+  }
+
   /** Resolve the newest committed generation, loudly ([[AnnIndex
     * .resolveGen]] discipline). */
   def resolveGen(spark: SparkSession, lexDir: String): String =

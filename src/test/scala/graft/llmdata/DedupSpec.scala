@@ -622,6 +622,59 @@ class DedupSpec extends SparkSpec {
     assert(8 * 30 <= Similarity.MaxPlanes)
   }
 
+  test("gate-index compaction folds key segments row-identically, preserves the carried width, and races loudly (r12)") {
+    import graft.sync.GenDir
+    import java.nio.file.Files
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select(col("corpus_id"), col("band"),
+          col("bucket").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // EMBED kind (meta carries bits)
+    val ed = Files.createTempDirectory("graft-gatecompact-embed").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    Dedup.writeEmbedBandIndexBase(spark, sf, ed, col("corpus_id") % 10 =!= 7)
+    (0 until 2).foreach { i =>
+      Dedup.appendEmbedBandIndex(spark, ed,
+        emb.filter(col("vec_id") % 20 === (10 * i + 7)), Some(s"s$i"))
+    }
+    val before = Dedup.loadEmbedBandIndex(spark, ed)
+    val beforeKeys = keySet(before.keys)
+    val n = Dedup.compactGateIndex(spark, ed)
+    val gen = GenDir.newest(spark, ed).map(_._2).get
+    assert(GenDir.deltas(spark, gen).isEmpty, "every segment folded")
+    val after = Dedup.loadEmbedBandIndex(spark, ed)
+    assert(after.bitsPerBand === before.bitsPerBand,
+      "the carried keying width must survive the fold verbatim")
+    assert(keySet(after.keys) === beforeKeys)
+    assert(n === beforeKeys.size.toLong)
+    // SHINGLE kind (no bits in the meta)
+    val sd = Files.createTempDirectory("graft-gatecompact-shingle").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    Dedup.writeBandIndexBase(spark, sf, sd, col("corpus_id") % 10 =!= 7)
+    Dedup.appendBandIndex(spark, sd,
+      docs.filter(col("doc_id") % 10 === 7), Some("s0"))
+    def shingleKeys(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("corpus_id"), col("band"), col("sig"))
+        .collect().map(_.toSeq).toSet
+    val sBefore = shingleKeys(Dedup.loadBandIndex(spark, sd))
+    Dedup.compactGateIndex(spark, sd)
+    assert(GenDir.deltas(spark,
+      GenDir.newest(spark, sd).map(_._2).get).isEmpty)
+    assert(shingleKeys(Dedup.loadBandIndex(spark, sd)) === sBefore)
+    // the listing-window race fails loudly, never a narrower gate
+    val rd = Files.createTempDirectory("graft-gatecompact-race").toString
+    Dedup.writeEmbedBandIndexBase(spark, sf, rd, col("corpus_id") % 10 =!= 7)
+    Dedup.appendEmbedBandIndex(spark, rd,
+      emb.filter(col("vec_id") % 20 === 7), Some("s0"))
+    val e = intercept[IllegalStateException] {
+      Dedup.compactGateIndexWithSeam(spark, rd, () =>
+        { Dedup.appendEmbedBandIndex(spark, rd,
+            emb.filter(col("vec_id") % 20 === 17), Some("racer")); () })
+    }
+    assert(e.getMessage.contains("MISSING"), e.getMessage)
+  }
+
   test("embedding gate collisions contain every verified near-dup pair (keying agreement)") {
     // the gate and the batch pair kernel must share ONE keying
     // (hyperplanes, band count, corpus-adaptive bit width): every

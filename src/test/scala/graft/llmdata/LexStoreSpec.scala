@@ -88,6 +88,57 @@ class LexStoreSpec extends SparkSpec {
     assert(new java.io.File(s"$gen/delta-0".stripPrefix("file:")).exists())
   }
 
+  test("compaction folds the delta segments into one clean generation, bit-identical to the full rebuild (r12)") {
+    val d = Files.createTempDirectory("graft-lexcompact").toString
+    val isShard = col("doc_id") % 10 === 7
+    LexStore.writeBase(spark, sf, d, !isShard)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(isShard)
+    // three disjoint micro-segments partitioning the held-out shard
+    (0 until 3).foreach { i =>
+      LexStore.append(spark, d,
+        docs.filter(col("doc_id") % 30 === (10 * i + 7)), Some(s"s$i"))
+    }
+    val genBefore = LexStore.resolveGen(spark, d)
+    assert(graft.sync.GenDir.deltas(spark, genBefore).length === 3)
+    val (n, sumDl) = LexStore.compact(spark, d)
+    val gen = LexStore.resolveGen(spark, d)
+    assert(gen !== genBefore, "compaction must commit a NEW generation")
+    assert(graft.sync.GenDir.deltas(spark, gen).isEmpty,
+      "compaction must fold every segment")
+    // the folded artifact is bit-for-bit the full rebuild's index:
+    // rows AND scalars (BM25 stats are exactly additive)
+    val full = Similarity.lexIndexFor(spark, sf)
+    val allTerms = full.post.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val folded = LexStore.load(spark, d, allTerms)
+    assert(folded.n === full.n)
+    assert(folded.avgdl === full.avgdl)
+    assert(n.toDouble === full.n)
+    assert(sumDl.toDouble / n === full.avgdl)
+    assert(folded.post.count() === full.post.count())
+    assert(folded.post.exceptAll(full.post).count() === 0)
+    assert(!LexStore.shouldCompact(spark, d))
+  }
+
+  test("a segment appended inside compaction's listing window fails loudly, never silently dropped (r12)") {
+    val d = Files.createTempDirectory("graft-lexcompact-race").toString
+    val isShard = col("doc_id") % 10 === 7
+    LexStore.writeBase(spark, sf, d, !isShard)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(isShard)
+    LexStore.append(spark, d,
+      docs.filter(col("doc_id") % 30 === 7), Some("s0"))
+    val e = intercept[IllegalStateException] {
+      LexStore.compactWithSeam(spark, d, () =>
+        // the racing append lands AFTER the compactor's entry listing
+        { LexStore.append(spark, d,
+            docs.filter(col("doc_id") % 30 === 17), Some("racer")); () })
+    }
+    assert(e.getMessage.contains("MISSING"),
+      s"the race must surface as a loud missing-segment error: $e")
+  }
+
   test("fully-persisted serving stack (stored ANN + stored BM25) ≡ the memoized hybrid row-for-row") {
     val memo = Similarity.hybridRrfIvfPqTopK(spark, sf, 5, 10).collect().toSeq
     val stack = Similarity.hybridRrfStoredStackTopK(spark, sf, 5, 10)
