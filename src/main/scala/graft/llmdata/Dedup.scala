@@ -481,6 +481,67 @@ object Dedup {
       GenDir.jsonLong(text, "bits", path).toInt)
   }
 
+  /** VACUUM-SAFE gate-index load for a LONG-LIVED serving gate (r12 —
+    * the [[AnnIndex.servingTopK]] / `ManifestStore.withStore` one-shot
+    * retry stance ported to the last GenDir reader without it):
+    * resolves the newest committed generation and MATERIALIZES the key
+    * frame eagerly (`localCheckpoint`) — load-bearing twice over for a
+    * gate, because a stream-static join re-reads its static side every
+    * micro-batch, so even a lazy load that survived batch 0 would
+    * re-read reclaimed files at batch N after a concurrent
+    * rebuild×2 + vacuum. If the materialization itself dies because a
+    * vacuum reclaimed the resolved generation's files inside the
+    * resolve-to-scan window, retry ONCE onto a freshly resolved
+    * generation (vacuum never deletes the newest committed one, so the
+    * retry cannot hit the same race); any other failure propagates.
+    * Cost: one extra cluster copy of the key frame (n_keys rows,
+    * 8/doc), the copy a production gate keeps hot anyway instead of
+    * re-listing the artifact per micro-batch. Short-lived
+    * maintainer-owned reads ([[graft.llmdata.Ingest.run]]'s
+    * classification) keep using the lazy loads — the maintainer never
+    * races itself. */
+  def servingEmbedBandIndex(spark: SparkSession,
+                            idxDir: String): EmbedBandIndex =
+    servingEmbedBandIndexWithSeam(spark, idxDir, () => ())
+
+  /** [[servingEmbedBandIndex]] with the family's test seam between the
+    * generation resolve and the materializing scan. */
+  private[llmdata] def servingEmbedBandIndexWithSeam(
+      spark: SparkSession, idxDir: String,
+      afterResolve: () => Unit): EmbedBandIndex = {
+    def once(seam: () => Unit): EmbedBandIndex = {
+      val idx = loadEmbedBandIndex(spark, idxDir)
+      seam()
+      EmbedBandIndex(idx.keys.localCheckpoint(true), idx.bitsPerBand)
+    }
+    try once(afterResolve)
+    catch {
+      case e: Throwable if graft.sync.ManifestStore.isFileNotFound(e) =>
+        once(() => ())
+    }
+  }
+
+  /** The shingle twin of [[servingEmbedBandIndex]] — same eager
+    * materialization + one-shot retry contract. */
+  def servingBandIndex(spark: SparkSession, idxDir: String): DataFrame =
+    servingBandIndexWithSeam(spark, idxDir, () => ())
+
+  /** [[servingBandIndex]] with the resolve-to-scan test seam. */
+  private[llmdata] def servingBandIndexWithSeam(
+      spark: SparkSession, idxDir: String,
+      afterResolve: () => Unit): DataFrame = {
+    def once(seam: () => Unit): DataFrame = {
+      val keys = loadBandIndex(spark, idxDir)
+      seam()
+      keys.localCheckpoint(true)
+    }
+    try once(afterResolve)
+    catch {
+      case e: Throwable if graft.sync.ManifestStore.isFileNotFound(e) =>
+        once(() => ())
+    }
+  }
+
   /** A gate generation's full key scan: base keys unioned with every
     * committed delta segment ([[appendEmbedBandIndex]]/
     * [[appendBandIndex]]) — zero deltas reads exactly the base, so

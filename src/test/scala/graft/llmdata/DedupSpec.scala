@@ -622,6 +622,40 @@ class DedupSpec extends SparkSpec {
     assert(8 * 30 <= Similarity.MaxPlanes)
   }
 
+  test("uncapped banding holds recall ≈1 for the near-identical class at extreme bit widths (r12)") {
+    // the measured half of the r12 uncap's documented trade: per-band
+    // collision probability is p^bits, so wider keys cost recall at
+    // FIXED similarity — but the gate's target class (near-identical
+    // re-posts, p → 1) must survive every realistic width. 25
+    // bits/band is the ~1e11-vector keying, far past the retired
+    // 8-bit cap; the exact reference is driver all-pairs cosine over
+    // the synthetic corpus (its twins plant cos ≈ 0.995 — the driver
+    // testdata embeddings are twin-free at this sf, verified: the
+    // vacuity guard below is load-bearing).
+    val corpus = graft.tools.SynthCorpus.embeddings(spark, 2000L)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val nearIdentical = (for {
+      a <- vecs; b <- vecs
+      if a._1 < b._1 && Similarity.cosine6(a._2, b._2) >= 0.99
+    } yield (a._1, b._1)).toSet
+    assert(nearIdentical.size >= 30,
+      s"vacuous: only ${nearIdentical.size} twin pairs planted")
+    val wide = pairKey(Dedup.embedPairsOf(spark, corpus,
+      threshold = 0.99, bitsPerBand = Some(25)))
+    // verification is exact, so wide ⊆ nearIdentical and the ratio IS
+    // band recall; at cos 0.995 the all-8-bands miss probability is
+    // (1 − 0.968^25)^8 ≈ 1%, and the keying is deterministic (fixed
+    // SplitMix planes) — the measured value is reproducible, not a
+    // flake surface
+    val recall = (wide & nearIdentical).size.toDouble / nearIdentical.size
+    assert(recall >= 0.9,
+      s"near-identical recall $recall collapsed at 25 bits/band " +
+        s"(${wide.size}/${nearIdentical.size})")
+    Dedup.releaseCaches()
+  }
+
   test("gate-index compaction folds key segments row-identically, preserves the carried width, and races loudly (r12)") {
     import graft.sync.GenDir
     import java.nio.file.Files
@@ -673,6 +707,53 @@ class DedupSpec extends SparkSpec {
             emb.filter(col("vec_id") % 20 === 17), Some("racer")); () })
     }
     assert(e.getMessage.contains("MISSING"), e.getMessage)
+  }
+
+  test("serving gate loads survive a vacuum reclaiming the resolved generation, and stay consumable after later vacuums (r12)") {
+    import graft.sync.GenDir
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-gateserve").toString
+    Dedup.writeEmbedBandIndex(spark, sf, d) // gen-0
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("corpus_id"), col("band"),
+          col("bucket").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = keySet(Dedup.loadEmbedBandIndex(spark, d).keys)
+    // a gate loaded BEFORE any vacuum must stay consumable after one —
+    // a stream-static join re-reads its static side per micro-batch,
+    // so eager materialization is load-bearing even without the race
+    val early = Dedup.servingEmbedBandIndex(spark, d)
+    // the race: resolve gen-0, then a rebuild + vacuum reclaim gen-0's
+    // files inside the resolve-to-scan window — the one-shot retry
+    // must land on the newest committed generation, never die mid-scan
+    val served = Dedup.servingEmbedBandIndexWithSeam(spark, d, () => {
+      Dedup.writeEmbedBandIndex(spark, sf, d) // gen-1 supersedes
+      GenDir.vacuum(spark, d)                 // gen-0's files are gone
+    })
+    assert(keySet(served.keys) === expected)
+    assert(served.bitsPerBand === early.bitsPerBand)
+    assert(keySet(early.keys) === expected,
+      "a materialized serving gate must survive later vacuums")
+    // the UNWRAPPED lazy load does die on the same race — the serving
+    // form's retry is load-bearing, not decorative
+    val lazyIdx = Dedup.loadEmbedBandIndex(spark, d)
+    Dedup.writeEmbedBandIndex(spark, sf, d)
+    GenDir.vacuum(spark, d)
+    val e = intercept[Throwable] { lazyIdx.keys.collect() }
+    assert(graft.sync.ManifestStore.isFileNotFound(e),
+      s"expected a vanished-file failure, got: $e")
+    // shingle twin: same contract through the shared seam shape
+    val sd = Files.createTempDirectory("graft-gateserve-shingle").toString
+    Dedup.writeBandIndex(spark, sf, sd)
+    def sKeys(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("corpus_id"), col("band"), col("sig"))
+        .collect().map(_.toSeq).toSet
+    val sExpected = sKeys(Dedup.loadBandIndex(spark, sd))
+    val sServed = Dedup.servingBandIndexWithSeam(spark, sd, () => {
+      Dedup.writeBandIndex(spark, sf, sd)
+      GenDir.vacuum(spark, sd)
+    })
+    assert(sKeys(sServed) === sExpected)
   }
 
   test("embedding gate collisions contain every verified near-dup pair (keying agreement)") {
