@@ -185,6 +185,124 @@ object ScaleBench {
     if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }
 
+  /** Streaming-vs-batch composed-ingest overhead (r12): the
+    * [[graft.llmdata.Ingest.streamIngest]] scaladoc claims the stream
+    * adds SCHEDULING, not new data movement — this pass measures it
+    * instead of asserting it. One synthetic corpus, the held-out 10%
+    * split into four equal sub-shards, ingested twice from identical
+    * bootstraps: once as four [[graft.llmdata.Ingest.run]] calls
+    * (batch arm, per-shard timed) and once as four parquet files
+    * drained by `streamIngest` under `maxFilesPerTrigger = 1` (four
+    * micro-batches, batchId = shard id). A warm-up shard on scratch
+    * dirs runs FIRST through both code paths so JIT/codegen warmth
+    * doesn't flatter whichever arm runs second. The printed ratio is
+    * the whole claim: stream per-shard ≈ batch per-shard. */
+  private def runIngestBench(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llmdata.Ingest
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-ingestbench-corpus").toString
+    tools.SynthCorpus.writeCorpus(spark, corpus,
+      nDocs = 20000L, nVecs = 8000L)
+    val docs = Tables.documents(spark, corpus)
+    val emb = Tables.embeddings(spark, corpus)
+      .select(col("vec_id"), col("embedding"))
+    val baseDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val shardRows = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"), col("source"))
+      .join(emb.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
+      .localCheckpoint()
+    val subRems = Seq(7L, 17L, 27L, 37L)
+    def subShard(rem: Long) = shardRows.filter(col("doc_id") % 40 === rem)
+    def freshDirs(tag: String): Ingest.Dirs = {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestbench-$tag").toString
+      val dirs = Ingest.dirsUnder(work)
+      Ingest.bootstrap(spark, corpus, dirs, 10, 7)
+      dirs
+    }
+    // verification threshold 0.8: the synthetic 31-word vocabulary
+    // makes organic docs Jaccard-overlap far above the real corpus's
+    // 0.2 default, which would classify nearly the whole shard
+    // near-dup and leave the append stages unmeasured — at 0.8 only
+    // the planted near-identical class drops, so every stage of both
+    // arms does real work
+    val VerifyThreshold = 0.8
+    // a crawl-realistic url column: 3 hex digits of page space per
+    // source (the default generator's 1-digit space is built to
+    // saturate — every doc a url_dup past ~320 docs — which would
+    // no-op the very append stages this bench measures)
+    val benchUrl = concat(lit("https://www."), col("source"),
+      lit(".com/p/"),
+      substring(md5(concat(col("doc_id").cast("string"), lit(":u"))), 1, 3))
+    def runShard(dirs: Ingest.Dirs, rem: Long, id: Long): Ingest.Status = {
+      val sub = subShard(rem)
+      Ingest.run(spark, dirs, baseDocs, sub.drop("embedding"),
+        sub.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")), id,
+        threshold = VerifyThreshold, rawUrl = benchUrl)
+    }
+    def drainStream(dirs: Ingest.Dirs, src: String): Double = {
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-ingestbench-cp").toString
+      val t0 = System.nanoTime()
+      val q = Ingest.streamIngest(spark, dirs, baseDocs,
+        spark.readStream.schema(shardRows.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        cp, threshold = VerifyThreshold, onStatus = _ => (),
+        rawUrl = benchUrl)
+      q.processAllAvailable()
+      q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up: both code paths end-to-end on scratch dirs
+    runShard(freshDirs("warm-b"), subRems.head, 0L)
+    val warmSrc = java.nio.file.Files
+      .createTempDirectory("graft-ingestbench-warmsrc").toString
+    subShard(subRems.head).coalesce(1).write.mode("append").parquet(warmSrc)
+    drainStream(freshDirs("warm-s"), warmSrc)
+
+    // batch arm
+    val bDirs = freshDirs("batch")
+    val bTimes = subRems.zipWithIndex.map { case (rem, i) =>
+      val t0 = System.nanoTime()
+      runShard(bDirs, rem, i.toLong)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // stream arm: four files, one micro-batch each
+    val src = java.nio.file.Files
+      .createTempDirectory("graft-ingestbench-src").toString
+    subRems.foreach(rem =>
+      subShard(rem).coalesce(1).write.mode("append").parquet(src))
+    val sDirs = freshDirs("stream")
+    val sTotal = drainStream(sDirs, src)
+    // the two compositions must agree before their times are compared
+    def fates(dirs: Ingest.Dirs): Map[String, Long] =
+      graft.sync.ManifestStore.readStore(spark, dirs.ledgerDir).get
+        .groupBy(col("fate")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (bFates, sFates) = (fates(bDirs), fates(sDirs))
+    require(bFates == sFates,
+      s"arms diverged: batch $bFates vs stream $sFates")
+    val bTotal = bTimes.sum
+    val nShards = subRems.size
+    println("| arm | shards | total s | per-shard s | per-shard passes |")
+    println("|---|---|---|---|---|")
+    println(f"| batch (Ingest.run ×$nShards) | $nShards | $bTotal%.2f " +
+      f"| ${bTotal / nShards}%.2f | ${bTimes.map(t => f"$t%.2f").mkString(", ")} |")
+    println(f"| stream (streamIngest, 4 micro-batches) | $nShards " +
+      f"| $sTotal%.2f | ${sTotal / nShards}%.2f | (one drain) |")
+    println(f"| stream/batch per-shard ratio | | | ${sTotal / bTotal}%.2f | |")
+    println(s"""{"metric":"ingest_stream_overhead","shards":$nShards,""" +
+      s""""batch_total_s":$bTotal,"stream_total_s":$sTotal,""" +
+      s""""batch_per_shard":${bTotal / nShards},""" +
+      s""""stream_per_shard":${sTotal / nShards},""" +
+      s""""ratio":${sTotal / bTotal},""" +
+      s""""fates":${bFates.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -199,6 +317,7 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
     if (args.headOption.contains("100x")) { run100x(spark); return }
+    if (args.headOption.contains("ingest")) { runIngestBench(spark); return }
 
     val synth1xDir = java.nio.file.Files
       .createTempDirectory("graft-synth1x").toString

@@ -226,6 +226,14 @@ object AnnIndex {
           "n", s"$d/delta.json")
       case None => ()
     }
+    // an EMPTY shard (every vector dropped upstream — an
+    // all-duplicate crawl re-fetch is a legitimate, common case) is a
+    // clean no-op, never a committed segment: an empty partitioned
+    // parquet write emits NO files, so the read-back below would die
+    // on schema inference and a committed empty delta would poison
+    // every later scan the same way. Replays converge trivially —
+    // re-deciding the same empty shard is 0 again.
+    if (incoming.isEmpty) return 0L
     val (cents, books, rot) = loadModel(spark, gen)
     val tmp = GenDir.stage(spark, gen)
     Similarity.encodeIvfPq(spark, incoming, cents, books, rot)

@@ -445,6 +445,12 @@ object Dedup {
             "embed band index delta.json"), "n_keys", s"$d/delta.json")
       case None => ()
     }
+    // empty shard → clean no-op, no committed segment (the
+    // [[graft.llmdata.AnnIndex.append]] stance; here an empty delta
+    // is merely useless, not poisonous — the keys write is
+    // unpartitioned — but a no-op shard must not grow the listing
+    // cost of every later load)
+    if (incoming.isEmpty) return 0L
     val tmp = GenDir.stage(spark, gen)
     Similarity.lshKeys(incoming.select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", numBands = 8, bitsPerBand = bits)
@@ -607,6 +613,9 @@ object Dedup {
           "n_keys", s"$d/delta.json")
       case None => ()
     }
+    // empty shard → clean no-op, no committed segment (see the
+    // embed twin above)
+    if (incoming.isEmpty) return 0L
     val tmp = GenDir.stage(spark, gen)
     lshBandsRowLocal(incoming.select(col("doc_id"), col("text")))
       .withColumnRenamed("doc_id", "corpus_id")

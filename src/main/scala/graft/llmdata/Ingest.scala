@@ -60,13 +60,22 @@ import org.apache.spark.sql.functions._
   * job serves the engine's LLM-data charter. */
 object Ingest {
 
-  /** The five artifact roots one ingest deployment maintains. */
+  /** The artifact roots one ingest deployment maintains: the shard
+    * ledger, the four derived indexes, and — r12 — the CORPUS STORES,
+    * the raw kept documents/embeddings themselves (ManifestStore
+    * append mode). The corpus stores are the pipeline's actual
+    * product AND the source a full rebuild retrains from: without
+    * them, `should_rebuild` fires with nothing to rebuild FROM — the
+    * original corpus dir doesn't contain the ingested shards, and the
+    * derived indexes hold postings/codes, not raw rows. */
   final case class Dirs(ledgerDir: String, lexDir: String, annDir: String,
-                        shingleGateDir: String, embedGateDir: String)
+                        shingleGateDir: String, embedGateDir: String,
+                        corpusDocsDir: String, corpusEmbDir: String)
 
   def dirsUnder(workDir: String): Dirs =
     Dirs(s"$workDir/ledger", s"$workDir/lex", s"$workDir/ann",
-      s"$workDir/gate-shingle", s"$workDir/gate-embed")
+      s"$workDir/gate-shingle", s"$workDir/gate-embed",
+      s"$workDir/corpus-docs", s"$workDir/corpus-emb")
 
   /** Row-local quality gate — the corpus-independent half of
     * [[TextAnalysis.curationVerdicts]]'s thresholds (min tokens,
@@ -101,8 +110,16 @@ object Ingest {
     * land, so only a persisted decision replays identically. */
   def classifyShard(spark: SparkSession, baseDocs: DataFrame,
                     shard: DataFrame, shingleGate: DataFrame,
-                    threshold: Double = NearDupThreshold): DataFrame = {
-    val urlOf = TextAnalysis.canonicalUrl(TextAnalysis.syntheticCrawlUrl)
+                    threshold: Double = NearDupThreshold,
+                    rawUrl: Column = TextAnalysis.syntheticCrawlUrl)
+      : DataFrame = {
+    // rawUrl: a real crawl carries each document's fetch URL as a
+    // column — pass it here; the default is the synthetic generator
+    // the driver test corpora pair with (whose canonical space is
+    // deliberately SMALL, 16 pages per source, to make collisions
+    // non-vacuous at test scale — at larger corpora it saturates to
+    // all-url_dup, which is the generator's trait, not the stage's)
+    val urlOf = TextAnalysis.canonicalUrl(rawUrl)
     val toks = split(col("text"), " ")
     val s = shard.select(col("doc_id"), col("text"),
       md5(col("text").cast("binary")).as("h"), urlOf.as("cu"),
@@ -178,6 +195,36 @@ object Ingest {
       notShard(col("corpus_id")))
     Dedup.writeEmbedBandIndexBase(spark, corpusDir, dirs.embedGateDir,
       notShard(col("corpus_id")))
+    // the corpus stores' batch 0 = the base split itself, so the
+    // store is SELF-CONTAINED from day one: readStore(corpus-*) IS
+    // the current corpus, never "the original dir plus a filter the
+    // Dirs no longer remember"
+    sinkCorpus(spark, dirs,
+      Tables.documents(spark, corpusDir)
+        .filter(notShard(col("doc_id")))
+        .select(col("doc_id"), col("text"), col("source")),
+      Tables.embeddings(spark, corpusDir)
+        .filter(notShard(col("vec_id")))
+        .select(col("vec_id"), col("embedding")),
+      batchId = 0L)
+  }
+
+  /** Commit one batch of kept rows into both corpus stores —
+    * idempotent per batch id (the stores are the raw-row siblings of
+    * the ledger; append mode, so batches accumulate and a replay that
+    * finds its seal no-ops). Batch 0 is the bootstrap's base split;
+    * shard S lands as batch S+1. */
+  private def sinkCorpus(spark: SparkSession, dirs: Dirs,
+                         docs: DataFrame, emb: DataFrame,
+                         batchId: Long): Unit = {
+    if (!ManifestStore.committed(spark, dirs.corpusDocsDir, batchId))
+      ManifestStore.commit(
+        docs.withColumn("part", pmod(col("doc_id"), lit(8))),
+        dirs.corpusDocsDir, batchId, "part", append = true)
+    if (!ManifestStore.committed(spark, dirs.corpusEmbDir, batchId))
+      ManifestStore.commit(
+        emb.withColumn("part", pmod(col("vec_id"), lit(8))),
+        dirs.corpusEmbDir, batchId, "part", append = true)
   }
 
   /** One shard's outcome — everything the status line reports. */
@@ -213,7 +260,8 @@ object Ingest {
   def run(spark: SparkSession, dirs: Dirs, baseDocs: DataFrame,
           shard: DataFrame, shardEmb: DataFrame, shardId: Long,
           threshold: Double = NearDupThreshold,
-          crashAfter: Option[String] = None): Status = {
+          crashAfter: Option[String] = None,
+          rawUrl: Column = TextAnalysis.syntheticCrawlUrl): Status = {
     val key = s"shard-$shardId"
     def crashpoint(step: String): Unit =
       if (crashAfter.contains(step))
@@ -242,7 +290,7 @@ object Ingest {
     val cb = classifyBatch(shardId)
     if (!ManifestStore.committed(spark, dirs.ledgerDir, cb)) {
       val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
-      val f = classifyShard(spark, baseDocs, shard, gate, threshold)
+      val f = classifyShard(spark, baseDocs, shard, gate, threshold, rawUrl)
         .withColumn("shard_id", lit(shardId))
       ManifestStore.writeBatchData(f, dirs.ledgerDir, cb, "fate")
       ManifestStore.seal(spark, dirs.ledgerDir, cb, append = true)
@@ -258,6 +306,15 @@ object Ingest {
     val keptEmb = shardEmb
       .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
       .select(col("vec_id"), col("embedding"))
+
+    // 1.5 corpus sink — the raw kept rows land in the corpus stores
+    // (the pipeline's product and [[rebuild]]'s training source);
+    // sealed per batch like every other step, so a replay no-ops
+    sinkCorpus(spark, dirs,
+      shard.join(kept, "doc_id")
+        .select(col("doc_id"), col("text"), col("source")),
+      keptEmb, batchId = shardId + 1L)
+    crashpoint("corpus")
 
     // 2–3. the two index appends — the kill window the verdict names.
     // Each is idempotent per shard key; a replay that finds its stamp
@@ -329,7 +386,8 @@ object Ingest {
                    stream: DataFrame, checkpoint: String,
                    threshold: Double = NearDupThreshold,
                    onStatus: Status => Unit = s => println(s.json),
-                   crashAfterAt: Map[Long, String] = Map.empty)
+                   crashAfterAt: Map[Long, String] = Map.empty,
+                   rawUrl: Column = TextAnalysis.syntheticCrawlUrl)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -345,11 +403,57 @@ object Ingest {
           batch.select(col("doc_id").as("vec_id"), col("embedding"))
             .filter(col("embedding").isNotNull),
           shardId = batchId, threshold = threshold,
-          crashAfter = crashAfterAt.get(batchId))
+          crashAfter = crashAfterAt.get(batchId), rawUrl = rawUrl)
         onStatus(st)
         ()
       }
       .start()
+
+  /** Materialize the corpus stores as a standard Tables-layout
+    * directory (`documents.parquet` + `embeddings.parquet`) — the
+    * retraining input for [[rebuild]]. `outDir` must be FRESH per
+    * snapshot: every model builder memoizes per corpus dir, so
+    * reusing a path would serve a stale model. Returns
+    * (nDocs, nVecs). */
+  def snapshotCorpus(spark: SparkSession, dirs: Dirs,
+                     outDir: String): (Long, Long) = {
+    def store(dir: String): DataFrame =
+      ManifestStore.readStore(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"corpus store $dir has no committed batches - run bootstrap " +
+            "first; a rebuild cannot invent the corpus it retrains from"))
+    store(dirs.corpusDocsDir).select("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    store(dirs.corpusEmbDir).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    (spark.read.parquet(s"$outDir/documents.parquet").count(),
+      spark.read.parquet(s"$outDir/embeddings.parquet").count())
+  }
+
+  /** FULL REBUILD of the drift-prone artifacts from the corpus
+    * stores — the action [[Status]]'s `should_rebuild` calls for and
+    * the only retirement [[AnnIndex.deltaFraction]] has: snapshot the
+    * current corpus, RE-TRAIN the ANN index as a new generation
+    * (frozen-model drift returns to 0), and re-key the embedding gate
+    * at the width the GROWN corpus demands (`embedBandBits` is
+    * corpus-adaptive; appends inherit the base generation's width, so
+    * only a rebuild can widen it). The postings and shingle artifacts
+    * are row-local — drift-free by construction — so they are FOLDED
+    * (compacted), never rebuilt. Out-of-band by design: O(corpus)
+    * work that must not ride the O(shard) ingest hot path, run under
+    * the artifact family's single-maintainer contract (stop the
+    * ingest stream, or run it from the same maintainer between
+    * shards). Returns (nDocs, nVecs, embed-gate keys). */
+  def rebuild(spark: SparkSession, dirs: Dirs,
+              snapDir: String): (Long, Long, Long) = {
+    val (nDocs, nVecs) = snapshotCorpus(spark, dirs, snapDir)
+    AnnIndex.write(spark, snapDir, dirs.annDir)
+    val gateKeys = Dedup.writeEmbedBandIndex(spark, snapDir,
+      dirs.embedGateDir)
+    LexStore.maybeCompact(spark, dirs.lexDir)
+    Dedup.maybeCompactGateIndex(spark, dirs.shingleGateDir)
+    (nDocs, nVecs, gateKeys)
+  }
 
   // ----------------------------------------------------- registry memo
   private val ingestMemo =
@@ -425,5 +529,30 @@ object IngestMain {
         st.nRaw == 0L
       } finally spark.stop()
     if (empty) sys.exit(2)
+  }
+}
+
+/** `spark-submit` twin of [[Ingest.rebuild]] — run OUT-OF-BAND when
+  * [[IngestMain]]'s status line reports `should_rebuild` (the drift
+  * trigger [[AnnIndex.RebuildDeltaFraction]] justifies from the
+  * measured recall-under-drift grid). The snapshot dir must be fresh
+  * per run (model memos are per corpus dir). */
+object RebuildMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RebuildMain <workDir> <snapDir>")
+    val spark = SparkSession.builder()
+      .appName("graft-ingest-rebuild")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    try {
+      val dirs = Ingest.dirsUnder(args(0))
+      val before = AnnIndex.deltaFraction(spark, dirs.annDir)
+      val (nDocs, nVecs, gateKeys) = Ingest.rebuild(spark, dirs, args(1))
+      val after = AnnIndex.deltaFraction(spark, dirs.annDir)
+      println(f"""{"job":"ingest_rebuild","docs":$nDocs,"vecs":$nVecs,""" +
+        f""""gate_keys":$gateKeys,"delta_fraction_before":$before%.4f,""" +
+        f""""delta_fraction_after":$after%.4f}""")
+    } finally spark.stop()
   }
 }

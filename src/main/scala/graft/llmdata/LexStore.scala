@@ -125,6 +125,13 @@ object LexStore {
           GenDir.jsonLong(text, "sum_dl", s"$d/delta.json"))
       case None => ()
     }
+    // an EMPTY shard is a clean no-op, never a committed segment
+    // (the [[AnnIndex.append]] stance): an empty partitioned postings
+    // write emits NO files, so a committed empty delta would fail
+    // schema inference on EVERY later load — a poison segment, worse
+    // than the crash the ANN twin had. BM25 scalars are additive, so
+    // skipping an empty delta changes nothing.
+    if (incoming.isEmpty) return (0L, 0L)
     val toks = split(col("text"), " ")
     val dl = incoming.select(col("doc_id"), size(toks).as("dl"))
     val post = incoming

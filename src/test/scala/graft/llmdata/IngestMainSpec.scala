@@ -37,7 +37,7 @@ class IngestMainSpec extends SparkSpec {
     * key sets, per-artifact delta counts, and the ledger fates. */
   private def stateOf(dirs: Ingest.Dirs): (Set[String], (Long, Long),
       Seq[String], Set[String], Set[String], (Int, Int, Int),
-      Map[String, Long]) = {
+      Map[String, Long], (Set[Long], Set[Long])) = {
     val h = LexStore.open(spark, dirs.lexDir)
     val post = LexStore.loadAt(spark, h,
       Seq("vector", "window", "merge", "spark"))
@@ -50,12 +50,21 @@ class IngestMainSpec extends SparkSpec {
     val embKeys = embIdx.keys.collect().map(_.toString).toSet
     def nDeltas(root: String): Int =
       GenDir.deltas(spark, GenDir.newest(spark, root).get._2).length
-    val fates = ManifestStore.readStore(spark, dirs.ledgerDir).get
-      .groupBy(col("fate")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fates = ManifestStore.readStore(spark, dirs.ledgerDir)
+      .map(_.groupBy(col("fate")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty[String, Long]) // pre-run dirs: empty ledger
+    // the corpus stores joined the convergence surface in r12 — a
+    // crash between the sink and an append must converge them too
+    def idsOf(dir: String, idCol: String): Set[Long] =
+      ManifestStore.readStore(spark, dir)
+        .map(_.select(col(idCol)).collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
     (postRows, (h.n, h.sumDl), ann, shingle, embKeys,
       (nDeltas(dirs.lexDir), nDeltas(dirs.shingleGateDir),
-        nDeltas(dirs.embedGateDir)), fates)
+        nDeltas(dirs.embedGateDir)), fates,
+      (idsOf(dirs.corpusDocsDir, "doc_id"),
+        idsOf(dirs.corpusEmbDir, "vec_id")))
   }
 
   private lazy val unbroken: (Ingest.Dirs, Ingest.Status) = {
@@ -83,6 +92,36 @@ class IngestMainSpec extends SparkSpec {
       Ingest.classifyBatch(0L)))
     assert(ManifestStore.committed(spark, dirs.ledgerDir,
       Ingest.doneBatch(0L)))
+  }
+
+  test("an all-duplicate shard no-ops every append cleanly and the artifacts stay loadable (r12)") {
+    // a crawl re-fetch shard where EVERY doc is already in the corpus
+    // is a legitimate, common case: kept = ∅, so all four appends see
+    // an EMPTY frame. The contract: clean no-op, NO committed segment
+    // (an empty partitioned delta is unreadable — a poison segment —
+    // and even a readable empty one grows every later load's listing
+    // cost), artifacts byte-identical, ledger still advances.
+    val dirs = freshDirs()
+    val before = stateOf(dirs)
+    val dupShard = baseDocs.limit(40)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val noEmb = emb.filter(lit(false))
+    val st = Ingest.run(spark, dirs, baseDocs, dupShard, noEmb, 0L)
+    assert(!st.replayed)
+    assert(st.nRaw === 40L)
+    assert(st.fates.getOrElse("kept", 0L) === 0L, s"fates: ${st.fates}")
+    assert(st.fates.values.sum === 40L)
+    assert(st.lexDocs === 0L && st.annRows === 0L)
+    assert(st.shingleKeys === 0L && st.embedKeys === 0L)
+    val after = stateOf(dirs)
+    // stateOf LOADING without error IS the no-poison-delta proof; the
+    // delta counts pin that no empty segment was committed either
+    assert(after.copy(_7 = before._7) === before,
+      "an all-duplicate shard must leave every artifact untouched")
+    assert(ManifestStore.committed(spark, dirs.ledgerDir,
+      Ingest.doneBatch(0L)))
+    val st2 = Ingest.run(spark, dirs, baseDocs, dupShard, noEmb, 0L)
+    assert(st2.replayed, "the done seal must still short-circuit")
   }
 
   test("a replayed completed shard short-circuits on the ledger and mutates nothing") {
@@ -121,7 +160,7 @@ class IngestMainSpec extends SparkSpec {
 
   test("killed at every other seam, the re-run converges identically (classify / ann / gates)") {
     val wantState = stateOf(unbroken._1)
-    Seq("classify", "ann", "gates").foreach { seam =>
+    Seq("classify", "corpus", "ann", "gates").foreach { seam =>
       val dirs = freshDirs()
       intercept[IllegalStateException] {
         Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L,
@@ -132,6 +171,68 @@ class IngestMainSpec extends SparkSpec {
       assert(stateOf(dirs) === wantState,
         s"artifacts diverged after a crash at seam '$seam'")
     }
+  }
+
+  test("the corpus stores accumulate base + kept rows exactly, and rebuild retires drift + re-keys the gate (r12)") {
+    val dirs = freshDirs()
+    Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    // 1. the corpus stores ARE the current corpus: base ∪ kept, no
+    // dropped doc, no duplicate row
+    val keptIds = ManifestStore.readStore(spark, dirs.ledgerDir).get
+      .filter(col("fate") === "kept").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty)
+    val baseIds = baseDocs.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val storeDocs = ManifestStore.readStore(spark, dirs.corpusDocsDir).get
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(storeDocs.length === storeDocs.distinct.length,
+      "corpus store must hold each doc once")
+    assert(storeDocs.toSet === baseIds ++ keptIds)
+    val baseVecs = emb.filter(col("vec_id") % shardMod =!= shardRem)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val shardVecs = shardEmb.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val storeVecs = ManifestStore.readStore(spark, dirs.corpusEmbDir).get
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(storeVecs === baseVecs ++ (keptIds & shardVecs))
+    // 2. rebuild: drift present before, zero after, counts exact
+    assert(AnnIndex.deltaFraction(spark, dirs.annDir) > 0.0)
+    val snap = Files.createTempDirectory("graft-ingest-snap").toString
+    val (nDocs, nVecs, gateKeys) = Ingest.rebuild(spark, dirs, snap)
+    assert(nDocs === storeDocs.length.toLong)
+    assert(nVecs === storeVecs.size.toLong)
+    assert(AnnIndex.deltaFraction(spark, dirs.annDir) === 0.0,
+      "a full re-train must retire the frozen-model drift")
+    assert(GenDir.deltas(spark,
+      GenDir.newest(spark, dirs.annDir).get._2).isEmpty,
+      "the rebuilt generation starts clean")
+    // 3. the rebuilt artifact answers ≡ the memoized path over the
+    // same snapshot (the family's stored ≡ memoized identity)
+    val stored = AnnIndex.ivfPqTopK(spark, snap, dirs.annDir, 5, 10)
+      .collect().map(_.toString).toSeq
+    val memo = Similarity.ivfPqTopK(spark, snap, 5, 10)
+      .collect().map(_.toString).toSeq
+    assert(stored === memo)
+    // 4. the embed gate was re-keyed at the GROWN corpus's width —
+    // the corpus-adaptive parameter only a rebuild can move
+    val gate = Dedup.loadEmbedBandIndex(spark, dirs.embedGateDir)
+    assert(gate.bitsPerBand === Dedup.embedBandBits(nVecs))
+    assert(gateKeys === 8L * nVecs, "8 band keys per corpus vector")
+    // 5. ingestion continues on the rebuilt artifacts: a further
+    // shard (fresh ids, perturbed text) lands against the new
+    // generations without error and seals its ledger entries
+    val next = shard.limit(30)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+      .withColumn("text", concat(col("text"), lit(" zweiundvierzig")))
+      .localCheckpoint()
+    val st2 = Ingest.run(spark, dirs, baseDocs, next,
+      emb.filter(lit(false)), 1L)
+    assert(!st2.replayed && st2.nRaw === 30L)
+    assert(st2.fates.values.sum === 30L)
+    assert(ManifestStore.committed(spark, dirs.ledgerDir,
+      Ingest.doneBatch(1L)))
+    Similarity.releaseCaches()
   }
 
   test("N appends past the segment budget auto-compact into one clean generation with pinned answers (r11 #8)") {

@@ -54,7 +54,8 @@ class StreamingIngestSpec extends SparkSpec {
     * tuple): postings rows + scalars, ANN answers, both gates' key
     * sets, and the ledger's aggregate fates. */
   private def stateOf(dirs: Ingest.Dirs): (Set[String], (Long, Long),
-      Seq[String], Set[String], Set[String], Map[String, Long]) = {
+      Seq[String], Set[String], Set[String], Map[String, Long],
+      (Set[Long], Set[Long])) = {
     val h = LexStore.open(spark, dirs.lexDir)
     val post = LexStore.loadAt(spark, h,
       Seq("vector", "window", "merge", "spark"))
@@ -67,8 +68,15 @@ class StreamingIngestSpec extends SparkSpec {
     val fates = ManifestStore.readStore(spark, dirs.ledgerDir).get
       .groupBy(col("fate")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the corpus stores joined the convergence surface in r12
+    def idsOf(dir: String, idCol: String): Set[Long] =
+      ManifestStore.readStore(spark, dir)
+        .map(_.select(col(idCol)).collect().map(_.getLong(0)).toSet)
+        .getOrElse(Set.empty[Long])
     (post.post.collect().map(_.toString).toSet, (h.n, h.sumDl),
-      ann, shingle, embKeys, fates)
+      ann, shingle, embKeys, fates,
+      (idsOf(dirs.corpusDocsDir, "doc_id"),
+        idsOf(dirs.corpusEmbDir, "vec_id")))
   }
 
   private def startStream(dirs: Ingest.Dirs, src: String, cp: String,
