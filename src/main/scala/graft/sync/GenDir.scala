@@ -62,7 +62,16 @@ object GenDir {
     val (f, r) = fsOf(spark, root)
     val entries =
       try f.listStatus(r)
-      catch { case _: java.io.FileNotFoundException => Array.empty }
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // the element type must be EXPLICIT: a bare Array.empty
+          // infers Array[Nothing] backed by Object[], and the
+          // checkcast to FileStatus[] on the merged branch dies at
+          // runtime (it surfaced only under spark-submit — sbt runs
+          // happened to never take this branch on a virgin root
+          // because the suite bootstraps before its virgin cases)
+          Array.empty[org.apache.hadoop.fs.FileStatus]
+      }
     entries.toSeq
       .filter(_.isDirectory)
       .flatMap(st => st.getPath.getName match {
@@ -86,7 +95,8 @@ object GenDir {
     val (f, p) = fsOf(spark, gen)
     val entries =
       try f.listStatus(p)
-      catch { case _: java.io.FileNotFoundException => Array.empty }
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] } // typed: see generations
     entries.toSeq.filter(_.isDirectory)
       .flatMap(st => st.getPath.getName match {
         case DeltaRe(id) => Some((id.toLong, st.getPath.toString))
@@ -275,7 +285,8 @@ object GenDir {
     def reapTmp(dir: Path, depth: Int): Unit = {
       val entries =
         try f.listStatus(dir)
-        catch { case _: java.io.FileNotFoundException => Array.empty }
+        catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] } // typed: see generations
       entries.foreach { st =>
         if (st.isDirectory) {
           if (st.getPath.getName.startsWith(".tmp-"))
