@@ -63,7 +63,10 @@ object ScaleBench {
     // explode (contamination), the multi-filter curation rollup, BM25
     // top-k, the capstone composition, and the span-marking semi join
     "txt_contamination", "txt_curation_report", "txt_bm25_topk",
-    "txt_final_corpus", "txt_span_removal", "txt_dsir_weights")
+    "txt_final_corpus", "txt_span_removal", "txt_dsir_weights",
+    // seeded training-order shuffle (r12): the two-level bucket rank
+    // must scale like a hash aggregate, never like a one-task sort
+    "txt_train_order")
 
   /** The synth100x + size-triggered-two-level pass (r12, VERDICT r11
     * #2): the standing gap was that the 1M+ envelope rows were pure

@@ -794,6 +794,28 @@ object LlmQueries {
       |  FROM f)
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** Training-order mirror of [[TextAnalysis.trainOrder]]: the same
+    * md5 keying, 2-hex-digit bucketing, exclusive bucket-count prefix
+    * offsets, and within-bucket ranks — integer-exact, so the global
+    * permutation matches position-for-position. */
+  val txtTrainOrderSql: String =
+    """WITH k AS (SELECT doc_id,
+      |             md5(concat('7:', CAST(doc_id AS VARCHAR))) AS key
+      |           FROM documents),
+      |b AS (SELECT doc_id, key, substring(key, 1, 2) AS bucket FROM k),
+      |o AS (SELECT bucket,
+      |        CAST(COALESCE(SUM(n) OVER (ORDER BY bucket
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS off
+      |      FROM (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)),
+      |r AS (SELECT doc_id, key, bucket,
+      |        row_number() OVER (PARTITION BY bucket
+      |                           ORDER BY key, doc_id) - 1 AS ir
+      |      FROM b)
+      |SELECT r.doc_id, r.key, CAST(o.off + r.ir AS BIGINT) AS ord,
+      |  CAST((o.off + r.ir) % 16 AS BIGINT) AS shard
+      |FROM r JOIN o USING (bucket) ORDER BY ord""".stripMargin
+
   /** Shard-packing mirror of [[TextAnalysis.shardAssign]]: identical
     * exclusive prefix sum per source and integer-exact arithmetic. */
   val txtShardAssignSql: String =
@@ -1538,6 +1560,7 @@ object LlmQueries {
     "emb_diversity" -> ((s, d) => Similarity.labelDiversity(s, d)),
     "emb_pca_project" -> ((s, d) => Similarity.pcaProject(s, d)),
     "txt_shard_assign" -> ((s, d) => TextAnalysis.shardAssignBlocked(s, d)),
+    "txt_train_order" -> ((s, d) => TextAnalysis.trainOrder(s, d)),
     "txt_pack_assign" -> ((s, d) => TextAnalysis.packAssignBlocked(s, d)),
     "dd_bloom_delta" -> ((s, d) => Dedup.bloomDelta(s, d)),
     "dd_semantic_contamination" -> ((s, d) => Dedup.semanticContamination(s, d)),
@@ -1662,6 +1685,7 @@ object LlmQueries {
     "txt_mixture_weights" -> txtMixtureWeightsSql,
     "emb_diversity" -> embDiversitySql,
     "txt_shard_assign" -> txtShardAssignSql,
+    "txt_train_order" -> txtTrainOrderSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "txt_bigram_logprob" -> txtBigramLogprobSql,
     "txt_weighted_sample" -> txtWeightedSampleSql,

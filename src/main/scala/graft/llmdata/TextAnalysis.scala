@@ -844,6 +844,41 @@ object TextAnalysis {
     * implementation the blocked plan is spec-proven equal to.
     * Rolled up per (source, shard): doc count,
     * token total, id range. Exact integer arithmetic end to end. */
+  /** SEEDED DETERMINISTIC TRAINING ORDER (r12) — the global shuffle a
+    * pretraining loader applies BEFORE the shard/pack handoff: every
+    * document's position in the `md5(seed:doc_id)` order plus its
+    * round-robin shard, reproducible across runs AND engines (md5 is
+    * the cross-engine key; Spark's shuffle-with-a-seed RNGs are not
+    * portable). Computed WITHOUT the classic global `row_number`
+    * single-partition exchange: global rank = bucket offset + rank
+    * WITHIN the key's 2-hex-digit bucket — the offset table is a
+    * window over the CONSTANT 256-bucket rollup (dimension-sized by
+    * construction, never corpus-scaled) and the per-bucket ranks run
+    * 256-way parallel, so the plan scales like a hash aggregate, not
+    * like a sort through one task. AQE broadcasts the ≤256-row offset
+    * side of the join on its own. */
+  def trainOrder(spark: SparkSession, dir: String, seed: Long = 7L,
+                 nShards: Int = 16): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wb = W.orderBy(col("bucket"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wb), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val ww = W.partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
+    keyed.join(offsets, "bucket")
+      .withColumn("ord",
+        col("off") + row_number().over(ww).cast("long") - lit(1L))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .select(col("doc_id"), col("key"), col("ord"), col("shard"))
+      .orderBy(col("ord"))
+  }
+
   def shardAssign(spark: SparkSession, dir: String,
                   shardTokens: Long = 2000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -62,7 +62,10 @@ object RegistryAudit {
     "tx11_vnd_asof_gapfill" -> "ignoreNulls last() window over the O(#days) rate dimension",
     "tx13_rate_intervals" -> "lead() window over the O(#publications) rate dimension",
     "tx14_interval_join" -> "inherits tx13's dimension-sized interval build",
-    "tx16_bucketed_interval" -> "inherits tx13's dimension-sized interval build")
+    "tx16_bucketed_interval" -> "inherits tx13's dimension-sized interval build",
+    "txt_train_order" -> ("bucket-offset window over the CONSTANT 256-row " +
+      "2-hex-digit bucket rollup - dimension-sized by construction, never " +
+      "corpus-scaled; the corpus-sized ranks run partitioned by bucket"))
 
   /** Queries whose registered frame is a DRIVER-LOCAL result — the
     * distributed work runs during construction (BPE training's

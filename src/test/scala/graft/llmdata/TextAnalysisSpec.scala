@@ -553,6 +553,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_._6 > 1L))
   }
 
+  test("train order: a seeded md5 permutation, exact vs driver sort, seed-sensitive, shards balanced (r12)") {
+    val rows = TextAnalysis.trainOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(n > 0)
+    // ord is a permutation of 0..N-1
+    assert(rows.map(_._3).toSet === (0L until n.toLong).toSet)
+    // the two-level rank (bucket offsets + within-bucket ranks) equals
+    // ONE driver-side global sort of the same keys, position for
+    // position — the mechanism swap changes no math
+    val ref = rows.map(r => (r._2, r._1)).sorted.map(_._2).toSeq
+    assert(rows.sortBy(_._3).map(_._1).toSeq === ref)
+    // round-robin shards, balanced within one doc
+    assert(rows.forall(r => r._4 === r._3 % 16))
+    val sizes = rows.groupBy(_._4).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+    // reproducible; a different seed is a DIFFERENT permutation (the
+    // seed is load-bearing, not decorative)
+    val byDoc = rows.map(r => (r._1, r._3)).sortBy(_._1).toSeq
+    val again = TextAnalysis.trainOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(again === byDoc)
+    val other = TextAnalysis.trainOrder(spark, sf, seed = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(other !== byDoc)
+  }
+
   test("blocked two-level shard and pack assignment equal the single-level references exactly") {
     val shardRef = TextAnalysis.shardAssign(spark, sf).collect().toSeq
     val packRef = TextAnalysis.packAssign(spark, sf).collect().toSeq
