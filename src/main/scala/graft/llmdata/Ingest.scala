@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * engine already ships in pipeline order:
   *
   *   classify (URL → exact → near-dup → quality, cheapest signal
-  *   first) → append kept docs to the BM25 postings
-  *   ([[LexStore.append]]) → append kept embeddings to the ANN index
-  *   ([[AnnIndex.append]]) → extend both streaming-gate indexes
+  *   first) → land the kept RAW rows in the corpus stores (r12 — the
+  *   pipeline's product and [[rebuild]]'s training source) → append
+  *   kept docs to the BM25 postings ([[LexStore.append]]) → append
+  *   kept embeddings to the ANN index ([[AnnIndex.append]]) → extend
+  *   both streaming-gate indexes
   *   ([[Dedup.appendBandIndex]]/[[Dedup.appendEmbedBandIndex]]) →
   *   maintenance ([[AnnIndex.maybeCompact]], r11 #8) → ONE JSON
   *   status line.
@@ -256,12 +258,14 @@ object Ingest {
   /** Ingest one shard. `crashAfter` is the IngestMainSpec seam: the
     * named step completes — including its commit — and the job dies
     * BEFORE the next one, the exact window cross-artifact convergence
-    * must survive. Steps: `classify`, `lex`, `ann`, `gates`. */
+    * must survive. Steps: `classify`, `corpus`, `lex`, `ann`,
+    * `gates`. */
   def run(spark: SparkSession, dirs: Dirs, baseDocs: DataFrame,
           shard: DataFrame, shardEmb: DataFrame, shardId: Long,
           threshold: Double = NearDupThreshold,
           crashAfter: Option[String] = None,
-          rawUrl: Column = TextAnalysis.syntheticCrawlUrl): Status = {
+          rawUrl: Column = TextAnalysis.syntheticCrawlUrl,
+          rebuildAt: Double = AnnIndex.RebuildDeltaFraction): Status = {
     val key = s"shard-$shardId"
     def crashpoint(step: String): Unit =
       if (crashAfter.contains(step))
@@ -270,7 +274,7 @@ object Ingest {
 
     def artifactCounts(): (Double, Boolean) = {
       val frac = AnnIndex.deltaFraction(spark, dirs.annDir)
-      (frac, frac >= AnnIndex.RebuildDeltaFraction)
+      (frac, frac >= rebuildAt)
     }
 
     // replay short-circuit: a done-sealed shard mutated every
@@ -387,7 +391,9 @@ object Ingest {
                    threshold: Double = NearDupThreshold,
                    onStatus: Status => Unit = s => println(s.json),
                    crashAfterAt: Map[Long, String] = Map.empty,
-                   rawUrl: Column = TextAnalysis.syntheticCrawlUrl)
+                   rawUrl: Column = TextAnalysis.syntheticCrawlUrl,
+                   autoRebuild: Boolean = false,
+                   rebuildAt: Double = AnnIndex.RebuildDeltaFraction)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -403,8 +409,25 @@ object Ingest {
           batch.select(col("doc_id").as("vec_id"), col("embedding"))
             .filter(col("embedding").isNotNull),
           shardId = batchId, threshold = threshold,
-          crashAfter = crashAfterAt.get(batchId), rawUrl = rawUrl)
+          crashAfter = crashAfterAt.get(batchId), rawUrl = rawUrl,
+          rebuildAt = rebuildAt)
         onStatus(st)
+        // autoRebuild: the stream IS the artifact family's single
+        // maintainer, so BETWEEN its own epochs is the one place the
+        // O(corpus) rebuild can run live without violating the
+        // maintenance contract (the epoch stalls while it runs — the
+        // deliberate trade; a deployment that can't stall hands the
+        // trigger to an out-of-band RebuildMain instead). The snapshot
+        // dir is unique per batch id (model memos are per corpus dir).
+        // NO replayed-guard: shouldRebuild is computed FRESH even on a
+        // short-circuited replay, so a crash between the done seal and
+        // the rebuild self-corrects here (drift still present → rebuild
+        // runs now), while a replay of an epoch that DID rebuild sees
+        // drift 0 and no-ops — self-correcting in both directions.
+        if (autoRebuild && st.shouldRebuild) {
+          rebuild(spark, dirs, s"$checkpoint/rebuild-snap-$batchId")
+          ()
+        }
         ()
       }
       .start()

@@ -122,6 +122,40 @@ class StreamingIngestSpec extends SparkSpec {
       "the streaming composition must equal the batch composition")
   }
 
+  test("autoRebuild executes the drift trigger between epochs: drift retired, index covers the full corpus stores (r12)") {
+    // the stream is the artifact family's single maintainer, so
+    // between its own epochs is the one place the O(corpus) rebuild
+    // can run live; rebuildAt is forced below any real drift so the
+    // trigger fires deterministically on BOTH batches
+    val src = writeSource()
+    val dirs = freshDirs()
+    val cp = Files.createTempDirectory("graft-streamingest-rbcp").toString
+    val buf = ArrayBuffer.empty[Ingest.Status]
+    val q = Ingest.streamIngest(spark, dirs, baseDocs,
+      spark.readStream.schema(shardRows.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      cp, onStatus = st => buf.synchronized { buf += st },
+      autoRebuild = true, rebuildAt = 1e-4)
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.map(_.shardId).sorted === Seq(0L, 1L))
+    assert(buf.forall(_.shouldRebuild),
+      "the forced budget must trip the trigger in every status")
+    // the last rebuild retired all drift and the index covers exactly
+    // the corpus stores' vectors (base + both batches' kept)
+    assert(AnnIndex.deltaFraction(spark, dirs.annDir) === 0.0)
+    val h = AnnIndex.open(spark, dirs.annDir)
+    assert(h.deltas.isEmpty, "the rebuilt generation starts clean")
+    val nVecs = ManifestStore.readStore(spark, dirs.corpusEmbDir).get.count()
+    assert(h.nTotal === nVecs,
+      s"index holds ${h.nTotal} vectors, corpus stores hold $nVecs")
+    // the embed gate was re-keyed to the grown corpus's width and its
+    // keys cover the same vector set
+    val gate = Dedup.loadEmbedBandIndex(spark, dirs.embedGateDir)
+    assert(gate.bitsPerBand === Dedup.embedBandBits(nVecs))
+    assert(gate.keys.select(col("corpus_id")).distinct().count() === nVecs)
+  }
+
   test("killed INSIDE a micro-batch, the restarted stream replays the same batchId and converges every artifact") {
     val src = writeSource()
     // unbroken reference over the same source
