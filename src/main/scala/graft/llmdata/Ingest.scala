@@ -350,6 +350,20 @@ object Ingest {
       LexStore.maybeCompact(spark, dirs.lexDir) |
       Dedup.maybeCompactGateIndex(spark, dirs.shingleGateDir) |
       Dedup.maybeCompactGateIndex(spark, dirs.embedGateDir)
+    // ...and the SAME hygiene for the three ManifestStores, which
+    // accumulate one manifest per shard under continuous ingest (read
+    // composition replays every manifest since the last fold — the
+    // streaming pipeline's SnapshotEvery=16 cadence, r12): fold, then
+    // reclaim superseded manifests. Append-mode vacuum never touches
+    // data files, so this is pure metadata hygiene; this job is the
+    // stores' single writer, the lease-holding contract both calls
+    // assume.
+    Seq(dirs.ledgerDir, dirs.corpusDocsDir, dirs.corpusEmbDir)
+      .foreach { store =>
+        if (ManifestStore.maybeSnapshot(spark, store,
+            graft.streaming.Pipeline.SnapshotEvery).nonEmpty)
+          ManifestStore.vacuum(spark, store)
+      }
     val (frac, rebuild) = artifactCounts()
     Status(shardId, replayed = false, fateCounts.values.sum, fateCounts,
       lexDocs, annRows, shingleKeys, embedKeys, frac, compacted, rebuild)
@@ -577,5 +591,59 @@ object RebuildMain {
         f""""gate_keys":$gateKeys,"delta_fraction_before":$before%.4f,""" +
         f""""delta_fraction_after":$after%.4f}""")
     } finally spark.stop()
+  }
+}
+
+/** `spark-submit` twin of [[Ingest.streamIngest]] — drain a document
+  * shard stream (parquet file source: each arriving file is one
+  * micro-batch, i.e. one shard) into a standing artifact deployment.
+  * Bootstraps a virgin deployment exactly like [[IngestMain]], drains
+  * everything available, prints ONE JSON line per shard plus a
+  * summary, and exits 2 when the drain processed no batches (the
+  * SyncMain empty contract). A restart with the same checkpoint picks
+  * up only files it has not seen — the exactly-once composition
+  * StreamingIngestSpec pins, now runnable as a job.
+  *
+  * usage: IngestStreamMain <corpusDir> <workDir> <srcDir> <checkpoint>
+  *        [shardMod shardRem] [autoRebuild] */
+object IngestStreamMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: IngestStreamMain <corpusDir> <workDir> <srcDir> " +
+        "<checkpoint> [shardMod shardRem] [autoRebuild]")
+    val (corpusDir, workDir, srcDir, checkpoint) =
+      (args(0), args(1), args(2), args(3))
+    val shardMod = if (args.length > 4) args(4).toInt else 10
+    val shardRem = if (args.length > 5) args(5).toInt else 7
+    val autoRebuild = args.length > 6 && args(6).toBoolean
+    val spark = SparkSession.builder()
+      .appName("graft-ingest-stream")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val empty =
+      try {
+        val dirs = Ingest.dirsUnder(workDir)
+        if (GenDir.newest(spark, dirs.lexDir).isEmpty)
+          Ingest.bootstrap(spark, corpusDir, dirs, shardMod, shardRem)
+        val schema = Tables.documents(spark, corpusDir)
+          .select(col("doc_id"), col("text"), col("source")).schema
+          .add("embedding", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))
+        val n = new java.util.concurrent.atomic.AtomicLong
+        val q = Ingest.streamIngest(spark, dirs,
+          Tables.documents(spark, corpusDir)
+            .filter(col("doc_id") % shardMod =!= shardRem),
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir),
+          checkpoint,
+          onStatus = st => { n.incrementAndGet(); println(st.json) },
+          autoRebuild = autoRebuild)
+        q.processAllAvailable()
+        q.stop()
+        println(s"""{"job":"ingest_stream","batches":${n.get}}""")
+        n.get == 0L
+      } finally spark.stop()
+    if (empty) sys.exit(2)
   }
 }

@@ -265,6 +265,38 @@ class IngestMainSpec extends SparkSpec {
     assert(AnnIndex.deltaFraction(spark, d) === 0.0)
   }
 
+  test("continuous ingest folds its ManifestStore ledgers: manifests bounded, reads unchanged (r12)") {
+    // 8 shards × 2 seals each = 16 ledger manifests — exactly the
+    // SnapshotEvery cadence; without the fold+vacuum in run()'s
+    // maintenance step, every later read replays ALL of them (one
+    // listing + parse per shard forever — the small-file trap the
+    // derived indexes already compact away)
+    val dirs = freshDirs()
+    (0 until 8).foreach { i =>
+      val sub = shard.filter(col("doc_id") % 80 === (10L * i + 7L))
+      Ingest.run(spark, dirs, baseDocs, sub,
+        shardEmb.join(sub.select(col("doc_id").as("vec_id")), "vec_id"),
+        i.toLong)
+    }
+    // every shard's fates still read back exactly (the fold may not
+    // change composition)
+    val fates = ManifestStore.readStore(spark, dirs.ledgerDir).get
+    assert(fates.select(col("shard_id")).distinct().count() === 8L)
+    assert(fates.count() === shard.count(),
+      "folding must not lose or duplicate one fate row")
+    // and the ledger's manifest count is BOUNDED: a snapshot folded
+    // the history and vacuum reclaimed the superseded manifests
+    val mdir = new java.io.File(
+      s"${dirs.ledgerDir.stripPrefix("file:")}/_manifest")
+    val manifests = mdir.listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(manifests.exists(_.endsWith(".snap")),
+      s"expected a fold snapshot, got ${manifests.mkString(", ")}")
+    assert(manifests.length < 16,
+      s"16 commits must fold + vacuum, got ${manifests.length} " +
+        s"manifests: ${manifests.mkString(", ")}")
+  }
+
   test("registered entries: ingest fates roll up the ledger; stored-append BM25 ≡ the full-corpus scan bit-for-bit") {
     val fates = Ingest.ingestFates(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
