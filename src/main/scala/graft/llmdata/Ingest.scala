@@ -290,11 +290,21 @@ object Ingest {
     }
 
     // 1. classification — decided ONCE, sealed to the ledger before
-    // any artifact mutation; replays re-read the decision
+    // any artifact mutation; replays re-read the decision. The dedup
+    // REFERENCE for the url/exact arms is the CORPUS STORE (base +
+    // every previously kept shard), not the caller's bootstrap base:
+    // a URL re-fetch or exact duplicate of a doc ingested N shards
+    // ago must classify as the duplicate it is — the near-dup gate
+    // (which IS shard-extended) would otherwise catch only the
+    // same-text half, mislabeled near_dup, and miss same-URL
+    // re-fetches entirely. `baseDocs` remains the fallback for a
+    // store-less (pre-bootstrap) call.
     val cb = classifyBatch(shardId)
     if (!ManifestStore.committed(spark, dirs.ledgerDir, cb)) {
       val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
-      val f = classifyShard(spark, baseDocs, shard, gate, threshold, rawUrl)
+      val corpusRef = ManifestStore.readStore(spark, dirs.corpusDocsDir)
+        .getOrElse(baseDocs)
+      val f = classifyShard(spark, corpusRef, shard, gate, threshold, rawUrl)
         .withColumn("shard_id", lit(shardId))
       ManifestStore.writeBatchData(f, dirs.ledgerDir, cb, "fate")
       ManifestStore.seal(spark, dirs.ledgerDir, cb, append = true)

@@ -265,6 +265,47 @@ class IngestMainSpec extends SparkSpec {
     assert(AnnIndex.deltaFraction(spark, d) === 0.0)
   }
 
+  test("the dedup reference is the STANDING corpus: url/exact duplicates of PRIOR shards classify as duplicates (r12)") {
+    import spark.implicits._
+    val dirs = freshDirs()
+    val st0 = Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    assert(st0.fates.getOrElse("kept", 0L) > 0)
+    // a doc KEPT in shard 0 — present in the corpus store only, never
+    // in any bootstrap base
+    val keptId = ManifestStore.readStore(spark, dirs.ledgerDir).get
+      .filter(col("fate") === "kept")
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val keptText = docs.filter(col("doc_id") === keptId)
+      .select(col("text")).head.getString(0)
+    val noEmb = emb.filter(lit(false))
+    // shard 1: one EXACT duplicate (same text, fresh id, fresh url).
+    // Against the bootstrap base alone this is at best a gate
+    // candidate (identical shingles → near_dup); against the standing
+    // corpus it is the exact_dup it really is.
+    val dup = Seq((keptId + 7000000L, keptText, "srcx"))
+      .toDF("doc_id", "text", "source")
+    val st1 = Ingest.run(spark, dirs, baseDocs, dup, noEmb, 1L)
+    assert(st1.fates.getOrElse("exact_dup", 0L) === 1L,
+      s"a text duplicate of a PRIOR SHARD's doc must be exact_dup: ${st1.fates}")
+    // shard 2: a FRESH text re-fetched from the kept doc's URL (the
+    // kept doc's canon url is in no base keeper — being kept means
+    // the url arm did not fire for it). Against the bootstrap base
+    // this doc would be KEPT; against the standing corpus it is the
+    // url re-fetch it really is.
+    val keptUrl = docs.filter(col("doc_id") === keptId)
+      .select(TextAnalysis.syntheticCrawlUrl.as("u")).head.getString(0)
+    val urlDup = Seq((keptId + 8000000L,
+      "wholly original words never before committed anywhere in this " +
+        "corpus repeated nowhere alpha beta gamma delta epsilon zeta " +
+        "eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau",
+      "srcy")).toDF("doc_id", "text", "source")
+    val st2 = Ingest.run(spark, dirs, baseDocs, urlDup, noEmb, 2L,
+      rawUrl = when(col("doc_id") >= 8000000L, lit(keptUrl))
+        .otherwise(TextAnalysis.syntheticCrawlUrl))
+    assert(st2.fates.getOrElse("url_dup", 0L) === 1L,
+      s"a re-fetch of a PRIOR SHARD's url must be url_dup: ${st2.fates}")
+  }
+
   test("continuous ingest folds its ManifestStore ledgers: manifests bounded, reads unchanged (r12)") {
     // 8 shards × 2 seals each = 16 ledger manifests — exactly the
     // SnapshotEvery cadence; without the fold+vacuum in run()'s
