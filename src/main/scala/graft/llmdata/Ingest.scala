@@ -91,6 +91,18 @@ object Ingest {
     * the batch dedup family uses on these corpora. */
   val NearDupThreshold = 0.2
 
+  /** The null-safe CANONICAL-URL key for a document frame: canon of
+    * the caller's raw url column, with a per-doc sentinel for null
+    * urls (so the url arm never fires on a url-less doc). Shared by
+    * classification AND the corpus sink — the store PERSISTS each
+    * doc's `cu` at ingest time, because the raw url expression may
+    * reference shard-only columns (a crawl's `url` field) that the
+    * store does not carry; the standing-corpus dedup reference then
+    * reads the stored key instead of re-deriving it. */
+  private[llmdata] def safeCuOf(rawUrl: Column): Column =
+    coalesce(TextAnalysis.canonicalUrl(rawUrl),
+      concat(lit("missing-url:"), col("doc_id").cast("string")))
+
   /** Ledger batch ids: two per shard, in commit order. Classification
     * seals first (the decided fates a replay re-reads); `done` seals
     * after every artifact append (the replay short-circuit). */
@@ -121,15 +133,31 @@ object Ingest {
     // deliberately SMALL, 16 pages per source, to make collisions
     // non-vacuous at test scale — at larger corpora it saturates to
     // all-url_dup, which is the generator's trait, not the stage's)
-    val urlOf = TextAnalysis.canonicalUrl(rawUrl)
-    val toks = split(col("text"), " ")
-    val s = shard.select(col("doc_id"), col("text"),
-      md5(col("text").cast("binary")).as("h"), urlOf.as("cu"),
+    // NULL-SAFE keying (review r12): real crawl rows arrive with null
+    // text (failed fetch) or a null url column, and a null key would
+    // silently DROP the row at the inner intra-shard keeper joins —
+    // no fate, no error, an undercounted status line. Null text keys
+    // as the empty document (same-fate siblings dedup together, the
+    // survivor quality-filters out at n_tok < MinTokens); a null url
+    // gets a PER-DOC sentinel so the url arm never fires on it.
+    val safeText = coalesce(col("text"), lit(""))
+    val safeCu = safeCuOf(rawUrl)
+    val toks = split(safeText, " ")
+    val s = shard.select(col("doc_id"), safeText.as("text"),
+      md5(safeText.cast("binary")).as("h"), safeCu.as("cu"),
       size(toks).as("n_tok"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
       .localCheckpoint() // shard-sized; feeds four arms below
+    // base-side url key: the corpus store PERSISTS each doc's `cu`
+    // (the raw url expression may reference shard-only columns the
+    // store does not carry — evaluating it on the store would fail or,
+    // worse, silently key differently); a store-less base falls back
+    // to deriving it here
+    val baseCu0 =
+      if (baseDocs.columns.contains("cu")) col("cu") else safeCu
     val baseKeyed = baseDocs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("h"), urlOf.as("cu"))
+      md5(coalesce(col("text"), lit("")).cast("binary")).as("h"),
+      baseCu0.as("cu"))
     // corpus-side keeper tables: one-column aggregates on the two
     // cheap keys (a deployment maintains these incrementally)
     val baseCu = baseKeyed.groupBy(col("cu"))
@@ -143,15 +171,33 @@ object Ingest {
     // Jaccard verification over the CANDIDATE pairs only — corpus
     // text is joined for candidate ids alone, so the verify cost is
     // gate-selectivity-bounded, never |shard|×|corpus|
-    val cands = Dedup.streamingNearDupGate(
+    val gateCands = Dedup.streamingNearDupGate(
       s.select(col("doc_id"), col("text")), shingleGate)
       .select(col("doc_id"), col("corpus_id")).distinct()
+    // INTRA-SHARD near-dup candidates (review r12): the gate holds
+    // only the standing corpus, so two near-dup docs arriving in the
+    // SAME shard would both pass it — the url/exact arms already
+    // handle intra-shard (cu_min/h_min), and urlDedupCorpus (the
+    // stated reference semantics) drops intra-batch near pairs too.
+    // Same banding as the gate; oriented later-id-matches-earlier so
+    // first-seen keeps the lower id, like the other two arms.
+    val shardKeys = Dedup.lshBandsRowLocal(
+      s.select(col("doc_id"), col("text")))
+    val intraCands = shardKeys
+      .join(shardKeys.withColumnRenamed("doc_id", "corpus_id"),
+        Seq("band", "sig"))
+      .filter(col("doc_id") > col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val cands = gateCands.unionByName(intraCands).distinct()
     val sSh = s.select(col("doc_id"), split(col("text"), " ").as("t0"))
       .filter(size(col("t0")) >= 3)
       .select(col("doc_id"), Dedup.shingleSetExpr.as("sa"))
+    // verification text for a candidate's reference side: the standing
+    // corpus for gate candidates, the shard itself for intra-shard ids
+    val refText = baseDocs.select(col("doc_id").as("corpus_id"), col("text"))
+      .unionByName(s.select(col("doc_id").as("corpus_id"), col("text")))
     val bSh = cands.select(col("corpus_id")).distinct()
-      .join(baseDocs.select(col("doc_id").as("corpus_id"), col("text")),
-        "corpus_id")
+      .join(refText, "corpus_id")
       .select(col("corpus_id"), split(col("text"), " ").as("t0"))
       .filter(size(col("t0")) >= 3)
       .select(col("corpus_id"), Dedup.shingleSetExpr.as("sb"))
@@ -187,16 +233,30 @@ object Ingest {
     * job, gathered for [[IngestMain]]'s self-contained twin). The
     * shard slice is `id % shardMod == shardRem` on each table's id. */
   def bootstrap(spark: SparkSession, corpusDir: String, dirs: Dirs,
-                shardMod: Int, shardRem: Int): Unit = {
+                shardMod: Int, shardRem: Int,
+                rawUrl: Column = TextAnalysis.syntheticCrawlUrl): Unit = {
     def notShard(c: Column): Column = c % shardMod =!= shardRem
-    LexStore.writeBase(spark, corpusDir, dirs.lexDir,
-      notShard(col("doc_id")))
-    AnnIndex.writeBase(spark, corpusDir, dirs.annDir,
-      notShard(col("vec_id")))
-    Dedup.writeBandIndexBase(spark, corpusDir, dirs.shingleGateDir,
-      notShard(col("corpus_id")))
-    Dedup.writeEmbedBandIndexBase(spark, corpusDir, dirs.embedGateDir,
-      notShard(col("corpus_id")))
+    // PER-ARTIFACT idempotence (review r12): five sequential builds
+    // with one all-or-nothing entry check would let a bootstrap
+    // killed midway permanently skip the remaining artifacts — the
+    // Mains' old lexDir-only probe saw the FIRST artifact present and
+    // declared the whole deployment bootstrapped. Each build now
+    // no-ops when its artifact already has a committed generation
+    // (never rebuilt — a fresh generation would orphan the standing
+    // one's deltas), so the Mains call this unconditionally and a
+    // killed bootstrap RESUMES on re-run.
+    if (GenDir.newest(spark, dirs.lexDir).isEmpty)
+      LexStore.writeBase(spark, corpusDir, dirs.lexDir,
+        notShard(col("doc_id")))
+    if (GenDir.newest(spark, dirs.annDir).isEmpty)
+      AnnIndex.writeBase(spark, corpusDir, dirs.annDir,
+        notShard(col("vec_id")))
+    if (GenDir.newest(spark, dirs.shingleGateDir).isEmpty)
+      Dedup.writeBandIndexBase(spark, corpusDir, dirs.shingleGateDir,
+        notShard(col("corpus_id")))
+    if (GenDir.newest(spark, dirs.embedGateDir).isEmpty)
+      Dedup.writeEmbedBandIndexBase(spark, corpusDir, dirs.embedGateDir,
+        notShard(col("corpus_id")))
     // the corpus stores' batch 0 = the base split itself, so the
     // store is SELF-CONTAINED from day one: readStore(corpus-*) IS
     // the current corpus, never "the original dir plus a filter the
@@ -204,7 +264,8 @@ object Ingest {
     sinkCorpus(spark, dirs,
       Tables.documents(spark, corpusDir)
         .filter(notShard(col("doc_id")))
-        .select(col("doc_id"), col("text"), col("source")),
+        .select(col("doc_id"), col("text"), col("source"),
+          safeCuOf(rawUrl).as("cu")),
       Tables.embeddings(spark, corpusDir)
         .filter(notShard(col("vec_id")))
         .select(col("vec_id"), col("embedding")),
@@ -281,11 +342,43 @@ object Ingest {
     // artifact already (and may have been compacted since — its
     // stamps can be gone, so the ledger is the authority here)
     if (ManifestStore.committed(spark, dirs.ledgerDir, doneBatch(shardId))) {
-      val f = fatesOf(spark, dirs.ledgerDir, shardId)
-        .groupBy(col("fate")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val f = ManifestStore.readStore(spark, dirs.ledgerDir)
+        .map(_.filter(col("shard_id") === shardId)
+          .groupBy(col("fate")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty[String, Long])
+      // MONOTONE shard ids are the deployment contract (the stream
+      // twin's batch ids are monotone by construction; IngestMain
+      // operators own theirs): the ledger folds its history every
+      // SnapshotEvery commits, and a folded append store answers
+      // "committed" for EVERY id at or below the fold — so a
+      // never-ingested LOW id would short-circuit here as a replay
+      // and silently drop its documents. Fate DATA rows survive every
+      // fold (append-mode vacuum reclaims only manifests), and empty
+      // shards leave no ledger trace at all (below), so a done seal
+      // with ZERO fate rows is unambiguously that violation.
+      if (f.isEmpty)
+        throw new IllegalStateException(
+          s"shard $shardId reads as committed only through a ledger " +
+            s"fold yet has NO classification rows in ${dirs.ledgerDir} " +
+            "- shard ids must be MONOTONE per deployment (a folded " +
+            "ledger cannot distinguish a new low id from an old " +
+            "replay); re-run this shard under a fresh id above the fold")
       val (frac, rebuild) = artifactCounts()
       return Status(shardId, replayed = true, f.values.sum, f,
+        0L, 0L, 0L, 0L, frac, compacted = false, rebuild)
+    }
+
+    // an EMPTY shard is a complete no-op and leaves NO ledger trace:
+    // re-running it converges trivially (every stage no-ops on empty
+    // input), sealing nothing keeps zero-fates-under-a-done-seal as
+    // the unambiguous monotonicity signal above, and a sealed empty
+    // classification would otherwise wedge the deployment — an empty
+    // manifest composes to a None store, which the old fatesOf
+    // mis-diagnosed as "classification was never sealed" forever.
+    if (shard.isEmpty) {
+      val (frac, rebuild) = artifactCounts()
+      return Status(shardId, replayed = false, 0L, Map.empty,
         0L, 0L, 0L, 0L, frac, compacted = false, rebuild)
     }
 
@@ -312,6 +405,16 @@ object Ingest {
     val fates = fatesOf(spark, dirs.ledgerDir, shardId).localCheckpoint()
     val fateCounts = fates.groupBy(col("fate")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the one-id-wide edge of the monotonicity trap above: a fold
+    // landing EXACTLY on this shard's classify id makes committed(cb)
+    // true with no rows ever written — the shard is non-empty here,
+    // so zero fates can only be that violation
+    if (fateCounts.isEmpty)
+      throw new IllegalStateException(
+        s"shard $shardId's classification reads as committed only " +
+          s"through a ledger fold yet wrote NO rows to " +
+          s"${dirs.ledgerDir} - shard ids must be MONOTONE per " +
+          "deployment; re-run this shard under a fresh id above the fold")
     crashpoint("classify")
 
     val kept = fates.filter(col("fate") === "kept").select(col("doc_id"))
@@ -326,7 +429,8 @@ object Ingest {
     // sealed per batch like every other step, so a replay no-ops
     sinkCorpus(spark, dirs,
       shard.join(kept, "doc_id")
-        .select(col("doc_id"), col("text"), col("source")),
+        .select(col("doc_id"), col("text"), col("source"),
+          safeCuOf(rawUrl).as("cu")),
       keptEmb, batchId = shardId + 1L)
     crashpoint("corpus")
 
@@ -449,7 +553,20 @@ object Ingest {
         // runs now), while a replay of an epoch that DID rebuild sees
         // drift 0 and no-ops — self-correcting in both directions.
         if (autoRebuild && st.shouldRebuild) {
-          rebuild(spark, dirs, s"$checkpoint/rebuild-snap-$batchId")
+          val snap = s"$checkpoint/rebuild-snap-$batchId"
+          rebuild(spark, dirs, snap)
+          // the snapshot is TRAINING INPUT only — the committed
+          // generation carries everything it needs — so reclaim the
+          // corpus-sized copy and the session model memos before the
+          // next epoch (review r12: a long-lived stream crossing the
+          // threshold repeatedly would otherwise grow checkpoint disk
+          // and driver memory by one corpus copy + one model set per
+          // rebuild). Dropping ALL memos is safe here: the per-shard
+          // hot path reads its models and gates from the persisted
+          // artifacts, never from session memos.
+          val (f, p) = GenDir.fsOf(spark, snap)
+          f.delete(p, true)
+          Similarity.releaseCaches()
           ()
         }
         ()
@@ -563,8 +680,10 @@ object IngestMain {
     val empty =
       try {
         val dirs = Ingest.dirsUnder(workDir)
-        if (GenDir.newest(spark, dirs.lexDir).isEmpty)
-          Ingest.bootstrap(spark, corpusDir, dirs, shardMod, shardRem)
+        // unconditional: bootstrap no-ops per already-built artifact,
+        // so a bootstrap killed midway RESUMES here (a lexDir-only
+        // probe would have declared it complete)
+        Ingest.bootstrap(spark, corpusDir, dirs, shardMod, shardRem)
         val docs = Tables.documents(spark, corpusDir)
         val emb = Tables.embeddings(spark, corpusDir)
           .select(col("vec_id"), col("embedding"))
@@ -634,8 +753,10 @@ object IngestStreamMain {
     val empty =
       try {
         val dirs = Ingest.dirsUnder(workDir)
-        if (GenDir.newest(spark, dirs.lexDir).isEmpty)
-          Ingest.bootstrap(spark, corpusDir, dirs, shardMod, shardRem)
+        // unconditional: bootstrap no-ops per already-built artifact,
+        // so a bootstrap killed midway RESUMES here (a lexDir-only
+        // probe would have declared it complete)
+        Ingest.bootstrap(spark, corpusDir, dirs, shardMod, shardRem)
         val schema = Tables.documents(spark, corpusDir)
           .select(col("doc_id"), col("text"), col("source")).schema
           .add("embedding", org.apache.spark.sql.types.ArrayType(

@@ -265,6 +265,84 @@ class IngestMainSpec extends SparkSpec {
     assert(AnnIndex.deltaFraction(spark, d) === 0.0)
   }
 
+  test("a bootstrap killed midway RESUMES: per-artifact no-ops, standing generations untouched (review r12)") {
+    val work = Files.createTempDirectory("graft-ingest-partialboot").toString
+    val dirs = Ingest.dirsUnder(work)
+    // the "crashed" state: only the first two artifacts built (the
+    // old all-or-nothing probe saw lexDir and skipped the rest)
+    LexStore.writeBase(spark, sf, dirs.lexDir,
+      col("doc_id") % shardMod =!= shardRem)
+    AnnIndex.writeBase(spark, sf, dirs.annDir,
+      col("vec_id") % shardMod =!= shardRem)
+    val lexGen = GenDir.newest(spark, dirs.lexDir).get
+    val annGen = GenDir.newest(spark, dirs.annDir).get
+    // re-run completes the remaining three artifacts...
+    Ingest.bootstrap(spark, sf, dirs, shardMod, shardRem)
+    assert(GenDir.newest(spark, dirs.shingleGateDir).nonEmpty)
+    assert(GenDir.newest(spark, dirs.embedGateDir).nonEmpty)
+    assert(ManifestStore.committed(spark, dirs.corpusDocsDir, 0L))
+    assert(ManifestStore.committed(spark, dirs.corpusEmbDir, 0L))
+    // ...and trusts the standing ones (no fresh generation)
+    assert(GenDir.newest(spark, dirs.lexDir).get === lexGen)
+    assert(GenDir.newest(spark, dirs.annDir).get === annGen)
+    // the resumed deployment ingests normally
+    val st = Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    assert(st.fates.getOrElse("kept", 0L) > 0)
+  }
+
+  test("an empty shard is a traceless no-op; the id stays usable; a folded-away low id fails LOUDLY, never a silent drop (review r12)") {
+    val dirs = freshDirs()
+    val empty = docs.filter(lit(false))
+    val st = Ingest.run(spark, dirs, baseDocs, empty,
+      emb.filter(lit(false)), 0L)
+    assert(!st.replayed && st.nRaw === 0L && st.fates.isEmpty)
+    // no ledger trace — the old empty-manifest seal wedged the
+    // deployment forever ("classification was never sealed")
+    assert(!ManifestStore.committed(spark, dirs.ledgerDir,
+      Ingest.classifyBatch(0L)))
+    // the re-run converges and the id is still usable for real data
+    assert(Ingest.run(spark, dirs, baseDocs, empty,
+      emb.filter(lit(false)), 0L).nRaw === 0L)
+    val real = Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    assert(!real.replayed && real.nRaw === shard.count())
+  }
+
+  test("intra-shard near-dup pairs resolve first-seen; null text/url rows get fates instead of vanishing (review r12)") {
+    import spark.implicits._
+    val dirs = freshDirs()
+    val freshText = "completely novel sentence with uncommon vocabulary " +
+      "zirconium praseodymium molybdenum ytterbium neodymium gadolinium " +
+      "dysprosium holmium erbium thulium lutetium scandium vanadium " +
+      "rhenium osmium iridium platinum palladium rhodium ruthenium"
+    val nearText = freshText.replace("zirconium", "zyrconium")
+    val rows = Seq(
+      (9000001L, freshText, "srcz", "https://fresh.example/a"),
+      (9000002L, nearText, "srcz", "https://fresh.example/b"), // near dup of ...01
+      (9000003L, null.asInstanceOf[String], "srcz",
+        "https://fresh.example/c"),                            // null text
+      (9000004L, freshText + " unique tail here", "srcz",
+        null.asInstanceOf[String]))                            // null url
+      .toDF("doc_id", "text", "source", "url")
+    val st = Ingest.run(spark, dirs, baseDocs, rows,
+      emb.filter(lit(false)), 0L, rawUrl = col("url"))
+    // every row got a fate — the null-keyed rows used to vanish at
+    // the intra-shard keeper joins
+    assert(st.nRaw === 4L, s"fates: ${st.fates}")
+    assert(st.fates.values.sum === 4L)
+    val fates = ManifestStore.readStore(spark, dirs.ledgerDir).get
+      .select(col("doc_id"), col("fate")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the SAME-SHARD near pair resolves first-seen: the earlier doc
+    // keeps, the later classifies near_dup (the gate holds only the
+    // standing corpus, so this is the intra-shard arm's catch)
+    assert(fates(9000001L) === "kept", s"fates: $fates")
+    assert(fates(9000002L) === "near_dup", s"fates: $fates")
+    // null text quality-filters; null url never fires the url arm
+    assert(fates(9000003L) === "filtered", s"fates: $fates")
+    assert(fates(9000004L) === "near_dup" || fates(9000004L) === "kept",
+      s"fates: $fates") // near ...01 by shingles; either arm is sound
+  }
+
   test("the dedup reference is the STANDING corpus: url/exact duplicates of PRIOR shards classify as duplicates (r12)") {
     import spark.implicits._
     val dirs = freshDirs()
@@ -313,12 +391,23 @@ class IngestMainSpec extends SparkSpec {
     // listing + parse per shard forever — the small-file trap the
     // derived indexes already compact away)
     val dirs = freshDirs()
-    (0 until 8).foreach { i =>
-      val sub = shard.filter(col("doc_id") % 80 === (10L * i + 7L))
+    // shard ids skip 7 — the gap proves the monotonicity guard below
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L)
+    ids.zipWithIndex.foreach { case (id, j) =>
+      val sub = shard.filter(col("doc_id") % 80 === (10L * j + 7L))
       Ingest.run(spark, dirs, baseDocs, sub,
         shardEmb.join(sub.select(col("doc_id").as("vec_id")), "vec_id"),
-        i.toLong)
+        id)
     }
+    // a NEVER-ingested id below the fold must fail loudly — the
+    // folded append ledger answers "committed" for every id under the
+    // fold, and without the zero-fates guard this run would silently
+    // drop its documents as a phantom replay (review r12)
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, dirs, baseDocs,
+        shard.limit(5), emb.filter(lit(false)), 7L)
+    }
+    assert(e.getMessage.contains("MONOTONE"), e.getMessage)
     // every shard's fates still read back exactly (the fold may not
     // change composition)
     val fates = ManifestStore.readStore(spark, dirs.ledgerDir).get

@@ -154,6 +154,12 @@ class StreamingIngestSpec extends SparkSpec {
     val gate = Dedup.loadEmbedBandIndex(spark, dirs.embedGateDir)
     assert(gate.bitsPerBand === Dedup.embedBandBits(nVecs))
     assert(gate.keys.select(col("corpus_id")).distinct().count() === nVecs)
+    // the training snapshots are reclaimed epoch-by-epoch — a
+    // long-lived stream must not grow checkpoint disk by one corpus
+    // copy per rebuild (review r12)
+    val snaps = new java.io.File(cp).listFiles()
+      .map(_.getName).filter(_.startsWith("rebuild-snap-"))
+    assert(snaps.isEmpty, s"leaked snapshots: ${snaps.mkString(", ")}")
   }
 
   test("killed INSIDE a micro-batch, the restarted stream replays the same batchId and converges every artifact") {
