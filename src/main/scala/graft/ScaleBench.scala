@@ -282,6 +282,7 @@ object ScaleBench {
     // the two compositions must agree before their times are compared
     def fates(dirs: Ingest.Dirs): Map[String, Long] =
       graft.sync.ManifestStore.readStore(spark, dirs.ledgerDir).get
+        .filter(col("fate") =!= Ingest.DoneFate) // completion markers
         .groupBy(col("fate")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val (bFates, sFates) = (fates(bDirs), fates(sDirs))

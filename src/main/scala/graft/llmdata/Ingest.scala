@@ -109,6 +109,15 @@ object Ingest {
   private[llmdata] def classifyBatch(shardId: Long): Long = 2L * shardId
   private[llmdata] def doneBatch(shardId: Long): Long = 2L * shardId + 1L
 
+  /** The done-marker fate value: completion is recorded as a DATA row
+    * in the ledger (review r12), not just a manifest, because ledger
+    * FOLDS delete manifests while preserving data — an empty done
+    * manifest's existence is unrecoverable after a fold, and a shard
+    * that crashed after its classify seal would then read as
+    * completed (fold-implied `committed`) with its kept docs in no
+    * artifact. [[fatesOf]] and every fate consumer filter it out. */
+  private[graft] val DoneFate = "__done__"
+
   /** Classify an incoming shard against the standing corpus —
     * (doc_id, fate, match_id), fates attributed cheapest-signal-first
     * exactly like [[Dedup.urlDedupCorpus]]: `url_dup` (canonical URL
@@ -153,8 +162,15 @@ object Ingest {
     // store does not carry — evaluating it on the store would fail or,
     // worse, silently key differently); a store-less base falls back
     // to deriving it here
+    // a legacy store row written before the cu column existed reads
+    // back null — key it with the per-doc sentinel (it can never
+    // url-match: conservative degradation, never a silently dead arm
+    // grouping all legacy rows under one null key)
     val baseCu0 =
-      if (baseDocs.columns.contains("cu")) col("cu") else safeCu
+      if (baseDocs.columns.contains("cu"))
+        coalesce(col("cu"),
+          concat(lit("missing-url:"), col("doc_id").cast("string")))
+      else safeCu
     val baseKeyed = baseDocs.select(col("doc_id"),
       md5(coalesce(col("text"), lit("")).cast("binary")).as("h"),
       baseCu0.as("cu"))
@@ -167,12 +183,30 @@ object Ingest {
     // intra-shard first-seen keepers on the same keys
     val shardCuMin = s.groupBy(col("cu")).agg(min(col("doc_id")).as("cu_min"))
     val shardHMin = s.groupBy(col("h")).agg(min(col("doc_id")).as("h_min"))
+    // the cheap arms decide FIRST so the near arm only pays for their
+    // SURVIVORS (the cheapest-signal-first cost contract): keyed is
+    // shard-sized and feeds both the survivor set and the final fates
+    val keyed = s.join(baseCu, Seq("cu"), "left")
+      .join(baseH, Seq("h"), "left")
+      .join(shardCuMin, "cu")
+      .join(shardHMin, "h")
+      .localCheckpoint()
+    val survivors = keyed
+      .filter(col("url_match").isNull && col("doc_id") === col("cu_min") &&
+        col("exact_match").isNull && col("doc_id") === col("h_min"))
+      .select(col("doc_id"), col("text"))
     // near-dup: gate candidates (persisted band index), then exact
     // Jaccard verification over the CANDIDATE pairs only — corpus
     // text is joined for candidate ids alone, so the verify cost is
-    // gate-selectivity-bounded, never |shard|×|corpus|
-    val gateCands = Dedup.streamingNearDupGate(
-      s.select(col("doc_id"), col("text")), shingleGate)
+    // gate-selectivity-bounded, never |shard|×|corpus|. Only the
+    // url/exact SURVIVORS enter (review r12): an all-duplicate
+    // re-fetch shard would otherwise collide quadratically in the
+    // intra-shard banding below for pairs the h_min arm already
+    // decided — restricting to survivors collapses every duplicate
+    // group to its representative before any pairwise work, and is
+    // fate-preserving because near_dup only ever applies to docs the
+    // cheaper arms passed.
+    val gateCands = Dedup.streamingNearDupGate(survivors, shingleGate)
       .select(col("doc_id"), col("corpus_id")).distinct()
     // INTRA-SHARD near-dup candidates (review r12): the gate holds
     // only the standing corpus, so two near-dup docs arriving in the
@@ -181,15 +215,17 @@ object Ingest {
     // stated reference semantics) drops intra-batch near pairs too.
     // Same banding as the gate; oriented later-id-matches-earlier so
     // first-seen keeps the lower id, like the other two arms.
-    val shardKeys = Dedup.lshBandsRowLocal(
-      s.select(col("doc_id"), col("text")))
+    val shardKeys = Dedup.lshBandsRowLocal(survivors)
     val intraCands = shardKeys
       .join(shardKeys.withColumnRenamed("doc_id", "corpus_id"),
         Seq("band", "sig"))
       .filter(col("doc_id") > col("corpus_id"))
       .select(col("doc_id"), col("corpus_id")).distinct()
-    val cands = gateCands.unionByName(intraCands).distinct()
-    val sSh = s.select(col("doc_id"), split(col("text"), " ").as("t0"))
+    // no outer distinct: the two sides are each distinct and DISJOINT
+    // on corpus_id (standing-corpus ids vs this shard's new ids)
+    val cands = gateCands.unionByName(intraCands)
+    val sSh = survivors
+      .select(col("doc_id"), split(col("text"), " ").as("t0"))
       .filter(size(col("t0")) >= 3)
       .select(col("doc_id"), Dedup.shingleSetExpr.as("sa"))
     // verification text for a candidate's reference side: the standing
@@ -207,11 +243,7 @@ object Ingest {
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jac") >= threshold)
       .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("near_match"))
-    s.join(baseCu, Seq("cu"), "left")
-      .join(baseH, Seq("h"), "left")
-      .join(shardCuMin, "cu")
-      .join(shardHMin, "h")
-      .join(near, Seq("doc_id"), "left")
+    keyed.join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("url_match").isNotNull || col("doc_id") =!= col("cu_min"),
           "url_dup")
@@ -314,7 +346,7 @@ object Ingest {
       throw new IllegalStateException(
         s"ingest ledger $ledgerDir has no committed batches - " +
           "classification was never sealed"))
-      .filter(col("shard_id") === shardId)
+      .filter(col("shard_id") === shardId && col("fate") =!= DoneFate)
 
   /** Ingest one shard. `crashAfter` is the IngestMainSpec seam: the
     * named step completes — including its commit — and the job dies
@@ -338,32 +370,24 @@ object Ingest {
       (frac, frac >= rebuildAt)
     }
 
-    // replay short-circuit: a done-sealed shard mutated every
-    // artifact already (and may have been compacted since — its
-    // stamps can be gone, so the ledger is the authority here)
-    if (ManifestStore.committed(spark, dirs.ledgerDir, doneBatch(shardId))) {
-      val f = ManifestStore.readStore(spark, dirs.ledgerDir)
-        .map(_.filter(col("shard_id") === shardId)
-          .groupBy(col("fate")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-        .getOrElse(Map.empty[String, Long])
-      // MONOTONE shard ids are the deployment contract (the stream
-      // twin's batch ids are monotone by construction; IngestMain
-      // operators own theirs): the ledger folds its history every
-      // SnapshotEvery commits, and a folded append store answers
-      // "committed" for EVERY id at or below the fold — so a
-      // never-ingested LOW id would short-circuit here as a replay
-      // and silently drop its documents. Fate DATA rows survive every
-      // fold (append-mode vacuum reclaims only manifests), and empty
-      // shards leave no ledger trace at all (below), so a done seal
-      // with ZERO fate rows is unambiguously that violation.
-      if (f.isEmpty)
-        throw new IllegalStateException(
-          s"shard $shardId reads as committed only through a ledger " +
-            s"fold yet has NO classification rows in ${dirs.ledgerDir} " +
-            "- shard ids must be MONOTONE per deployment (a folded " +
-            "ledger cannot distinguish a new low id from an old " +
-            "replay); re-run this shard under a fresh id above the fold")
+    // replay short-circuit: a DONE shard mutated every artifact
+    // already (and may have been compacted since — its stamps can be
+    // gone, so the ledger is the authority here). Done-ness is the
+    // DATA marker, never the manifest alone (review r12): the ledger
+    // folds its history every SnapshotEvery commits, folds delete
+    // manifests, and a folded append store answers "committed" for
+    // EVERY id at or below the fold — a shard that crashed after its
+    // classify seal (fates present, done never sealed) would
+    // otherwise read as a completed replay once the fold passed it,
+    // its kept docs in no artifact; with the marker it falls through
+    // to the normal path and the idempotent appends RESUME it.
+    if (ManifestStore.committed(spark, dirs.ledgerDir, doneBatch(shardId)) &&
+        ManifestStore.readStore(spark, dirs.ledgerDir).exists(
+          _.filter(col("shard_id") === shardId &&
+            col("fate") === DoneFate).limit(1).count() > 0L)) {
+      val f = fatesOf(spark, dirs.ledgerDir, shardId)
+        .groupBy(col("fate")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val (frac, rebuild) = artifactCounts()
       return Status(shardId, replayed = true, f.values.sum, f,
         0L, 0L, 0L, 0L, frac, compacted = false, rebuild)
@@ -452,8 +476,16 @@ object Ingest {
 
     // 5. done seal BEFORE maintenance (the ordering invariant in the
     // scaladoc: compaction erases shard stamps, so the ledger must
-    // already hold the short-circuit)
-    ManifestStore.sealEmpty(spark, dirs.ledgerDir, doneBatch(shardId))
+    // already hold the short-circuit). The seal carries the DATA
+    // marker row — completion must survive ledger folds (see the
+    // replay branch above).
+    {
+      import spark.implicits._
+      ManifestStore.commit(
+        Seq((-1L, DoneFate, Option.empty[Long], shardId))
+          .toDF("doc_id", "fate", "match_id", "shard_id"),
+        dirs.ledgerDir, doneBatch(shardId), "fate", append = true)
+    }
 
     // 6. maintenance: fold deltas past the segment budget (r11 #8;
     // r12 extends the fold to the postings artifact — the lexical
@@ -553,20 +585,28 @@ object Ingest {
         // runs now), while a replay of an epoch that DID rebuild sees
         // drift 0 and no-ops — self-correcting in both directions.
         if (autoRebuild && st.shouldRebuild) {
+          // sweep any STALE snapshot first: a crash between a prior
+          // rebuild's commit and its delete below leaves exactly one
+          // (the replayed epoch sees drift 0 and skips this branch, so
+          // nothing else ever reclaims it) — every rebuild-snap-* is a
+          // disposable training input of a completed or dead rebuild
+          val (cf, cpPath) = GenDir.fsOf(spark, checkpoint)
+          try cf.listStatus(cpPath).toSeq
+            .filter(_.getPath.getName.startsWith("rebuild-snap-"))
+            .foreach(old => cf.delete(old.getPath, true))
+          catch { case _: java.io.FileNotFoundException => () }
           val snap = s"$checkpoint/rebuild-snap-$batchId"
           rebuild(spark, dirs, snap)
           // the snapshot is TRAINING INPUT only — the committed
           // generation carries everything it needs — so reclaim the
-          // corpus-sized copy and the session model memos before the
-          // next epoch (review r12: a long-lived stream crossing the
-          // threshold repeatedly would otherwise grow checkpoint disk
-          // and driver memory by one corpus copy + one model set per
-          // rebuild). Dropping ALL memos is safe here: the per-shard
-          // hot path reads its models and gates from the persisted
-          // artifacts, never from session memos.
+          // corpus-sized copy and EVERY session memo keyed by it,
+          // model arrays included (review r12: releaseCaches keeps
+          // model memos by design for dirs that get revisited; a
+          // rebuild snapshot never is, so one model set per rebuild
+          // is pure leak over the stream's lifetime)
           val (f, p) = GenDir.fsOf(spark, snap)
           f.delete(p, true)
-          Similarity.releaseCaches()
+          Similarity.releaseDir(snap)
           ()
         }
         ()

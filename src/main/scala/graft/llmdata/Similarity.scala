@@ -1336,6 +1336,22 @@ object Similarity {
     lexMemo.clear()
   }
 
+  /** Drop EVERY memo entry — model memos included — for one corpus
+    * dir (review r12): [[releaseCaches]]' keep-the-model-arrays stance
+    * is right for benches that revisit a dir, but a rebuild SNAPSHOT
+    * dir is never visited again, so its centroids/codebooks/rotation
+    * are pure leak — one retained model set per rebuild for the
+    * stream's lifetime. All memos share the (session, dir) key. */
+  def releaseDir(dir: String): Unit = {
+    def drop[V](m: java.util.concurrent.ConcurrentHashMap[
+        (SparkSession, String), V]): Unit =
+      m.keySet.removeIf(_._2 == dir)
+    drop(countMemo); drop(centroidMemo); drop(pqMemo); drop(ivfPqMemo)
+    drop(pcaMemo); drop(semCentroidMemo); drop(lexMemo)
+    drop(ivfAssignMemo); drop(ivfTableMemo); drop(ivfPqCodesMemo)
+    drop(semTableMemo)
+  }
+
   /** Deterministic residual-PQ training: stride-sample the corpus
     * ([[pqCodebooks]] pattern), subtract each sample's coarse-cell
     * centroid, ROTATE the residual into the memoized OPQ eigenbasis

@@ -409,8 +409,10 @@ class IngestMainSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("MONOTONE"), e.getMessage)
     // every shard's fates still read back exactly (the fold may not
-    // change composition)
+    // change composition); done markers ride the same store as DATA
+    // rows (fold-proof completion) and are excluded from fate math
     val fates = ManifestStore.readStore(spark, dirs.ledgerDir).get
+      .filter(col("fate") =!= Ingest.DoneFate)
     assert(fates.select(col("shard_id")).distinct().count() === 8L)
     assert(fates.count() === shard.count(),
       "folding must not lose or duplicate one fate row")
