@@ -90,6 +90,7 @@ object Bench {
     graft.llmdata.Similarity.releaseCaches()
     graft.llmdata.AnnIndex.releaseCaches()
     graft.llmdata.LexStore.releaseCaches()
+    graft.llmdata.LmStore.releaseCaches()
     graft.llmdata.Ingest.releaseCaches()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -307,6 +307,85 @@ object ScaleBench {
     spark.stop()
   }
 
+  /** Per-shard ingest cost vs CORPUS size (r13, VERDICT r12 #4): the
+    * SAME 500-doc shard ingested into bootstrapped deployments over
+    * 1×/10×/100× document corpora, per-stage wall seconds from
+    * [[graft.llmdata.Ingest.run]]'s `onStage` hook. Before r13 the
+    * classify stage re-aggregated the full corpus store per shard —
+    * a cost this table would show growing ~linearly in the corpus;
+    * with the keeper tables + bucket-pruned lookups it must stay
+    * near-flat (the residual slope is the narrow keeper scan, ~24 B/
+    * key, the honest note below). The embedding side is held at 4k
+    * vectors across points: the corpus axis under test is the DOC
+    * corpus (the classification reference); growing the ANN artifact
+    * too would bury a classification measurement under one-time
+    * index training ([[run100x]] already measures that axis). */
+  private def runIngestScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llmdata.Ingest
+    val stageNames = Seq("classify", "corpus", "keepers", "lex", "ann", "gates")
+    // crawl-realistic url space + the 0.8 verify threshold, exactly
+    // like runIngestBench (the synthetic vocabulary's organic overlap
+    // would otherwise drown the stages under all-near-dup shards)
+    val benchUrl = concat(lit("https://www."), col("source"),
+      lit(".com/p/"),
+      substring(md5(concat(col("doc_id").cast("string"), lit(":u"))), 1, 3))
+    // ONE fixed shard for every scale point: ids far above any corpus,
+    // text perturbed so no row is an exact duplicate of a corpus doc
+    val shard = tools.SynthCorpus.documents(spark, 500L, seed = 137L)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" ingestscale"),
+          (col("doc_id") % 97).cast("string")).as("text"),
+        col("source"))
+      .localCheckpoint()
+    val shardEmb = tools.SynthCorpus.embeddings(spark, 500L, seed = 139L)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint()
+    def point(label: String, nDocs: Long): (Long, Map[String, Double], Double) = {
+      val corpus = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestscale-$label").toString
+      tools.SynthCorpus.writeCorpus(spark, corpus, nDocs, 4000L)
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-ingestscale-work-$label").toString
+      val dirs = Ingest.dirsUnder(work)
+      // shardRem ≥ shardMod never matches: the FULL corpus is the base
+      Ingest.bootstrap(spark, corpus, dirs, 10, 11, rawUrl = benchUrl)
+      val stages = scala.collection.mutable.Map.empty[String, Double]
+      val t0 = System.nanoTime()
+      val st = Ingest.run(spark, dirs, Tables.documents(spark, corpus),
+        shard, shardEmb, 0L, threshold = 0.8, rawUrl = benchUrl,
+        onStage = (s, t) => stages(s) = t)
+      val total = (System.nanoTime() - t0) / 1e9
+      require(st.fates.values.sum == 500L, s"$label lost rows: ${st.fates}")
+      (nDocs, stages.toMap, total)
+    }
+    point("warm", 20000L) // JIT/codegen warm-up through the full path
+    val rows = Seq(("1x", 20000L), ("10x", 200000L), ("100x", 2000000L))
+      .map { case (l, n) => (l, point(l, n)) }
+    println("| corpus docs | " + stageNames.mkString(" s | ") +
+      " s | total s |")
+    println("|" + ("---|" * (stageNames.size + 2)))
+    rows.foreach { case (l, (n, st, tot)) =>
+      println(s"| $l ($n) | " + stageNames.map(k =>
+        f"${st.getOrElse(k, 0.0)}%.2f").mkString(" | ") + f" | $tot%.2f |")
+    }
+    println("NOTE: classify's residual slope is the pruned keeper scan " +
+      "(2 narrow columns; a 500-doc shard touches all " +
+      s"${Ingest.KeeperParts} buckets, so the scan is O(corpus keys) " +
+      "bytes at ~24 B/key with zero corpus-text read or hashing — the " +
+      "bucket count is the point-lookup knob) plus the gate probe, " +
+      "which switches from broadcast to shuffle past " +
+      s"${Ingest.GateBroadcastMaxKeys} persisted keys.")
+    val js = rows.map { case (l, (n, st, tot)) =>
+      "\"" + l + "\":{\"docs\":" + n + "," +
+        stageNames.map(k => "\"" + k + "\":" + st.getOrElse(k, 0.0))
+          .mkString(",") + ",\"total\":" + tot + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"ingest_scale","points":$js}""")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -322,6 +401,7 @@ object ScaleBench {
       .write.format("noop").mode("overwrite").save()
     if (args.headOption.contains("100x")) { run100x(spark); return }
     if (args.headOption.contains("ingest")) { runIngestBench(spark); return }
+    if (args.headOption.contains("ingestscale")) { runIngestScale(spark); return }
 
     val synth1xDir = java.nio.file.Files
       .createTempDirectory("graft-synth1x").toString
@@ -413,7 +493,19 @@ object ScaleBench {
     llmdata.Similarity.releaseCaches()
     llmdata.AnnIndex.releaseCaches()
     llmdata.LexStore.releaseCaches()
+    llmdata.LmStore.releaseCaches()
     llmdata.Ingest.releaseCaches()
+
+    // drift regression rows (r13, VERDICT r12 #9): one ANN-drift point
+    // and one gate-drift point, both at the 0.2 rebuild threshold,
+    // ride the per-round JSON — an append-recall regression surfaces
+    // round-over-round without re-running the full grids by hand.
+    // The gate point sits at nBase = 28k so the re-key genuinely
+    // MOVES the width (35k total crosses the 32k bit boundary).
+    val (driftApp, driftReb, driftFrac) =
+      llmdata.RecallProbe.driftCase(spark, 2000L, 0.2, 5, 10)
+    val (gRecA, gRecR, gLoadA, gLoadR, gBitsA, gBitsR) =
+      llmdata.RecallProbe.gateDriftCase(spark, 28000L, 0.2, 40)
 
     // markdown table: times, output rows, and the 10x-step ratios
     // (synth10x / synth1x — the SAME generator at both ends, so the
@@ -458,6 +550,14 @@ object ScaleBench {
     qBatch.foreach { case (mode, q, t) =>
       println(f"| $mode@$q | $t%.2f | ${t / q}%.4f |")
     }
+    println("| drift@0.2 | appended | rebuilt/re-keyed | note |")
+    println("|---|---|---|---|")
+    println(f"| ann recall (2k base) | $driftApp%.3f | $driftReb%.3f " +
+      f"| measured delta $driftFrac%.3f |")
+    println(f"| gate recall (28k base) | $gRecA%.3f | $gRecR%.3f " +
+      f"| bits $gBitsA -> $gBitsR |")
+    println(f"| gate cand/probe (28k base) | $gLoadA%.1f | $gLoadR%.1f " +
+      "| frozen width carries the load |")
     val qs = rows.map { case (n, ts) =>
       "\"" + n + "\":{" + ts.map { case (l, t, c, passes) =>
         "\"" + l + "\":{\"sec\":" + t + ",\"rows\":" + c +
@@ -475,7 +575,12 @@ object ScaleBench {
       "\"" + mode + "@" + q + "\":{\"sec\":" + t +
         ",\"sec_per_query\":" + (t / q) + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"ivf_scan":$sc,"q_batch":$qb}""")
+    val drift = s""""drift_recall@0.2":{"ann_appended":$driftApp,""" +
+      s""""ann_rebuilt":$driftReb,"ann_delta_fraction":$driftFrac,""" +
+      s""""gate_frozen":$gRecA,"gate_rekeyed":$gRecR,""" +
+      s""""gate_load_frozen":$gLoadA,"gate_load_rekeyed":$gLoadR,""" +
+      s""""gate_bits_frozen":$gBitsA,"gate_bits_rekeyed":$gBitsR}"""
+    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"ivf_scan":$sc,"q_batch":$qb,$drift}""")
     spark.stop()
     if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }

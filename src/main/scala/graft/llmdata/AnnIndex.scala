@@ -240,7 +240,7 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$tmp/codes.parquet")
     val n = spark.read.parquet(s"$tmp/codes.parquet").count()
-    val stamp = shardKey.map(k => s""","shard":"$k"""").getOrElse("")
+    val stamp = GenDir.shardStamp(shardKey)
     writeJson(spark, s"$tmp/delta.json",
       s"""{"format":$Format,"n":$n,"m":${meta.m},"k":${meta.k}$stamp}""")
     GenDir.commit(spark, gen, tmp,

@@ -284,10 +284,37 @@ object Dedup {
     * Works identically on a batch frame (DedupSpec proves stream ≡
     * batch ≡ the aggregate-form candidates). */
   def streamingNearDupGate(incoming: DataFrame,
-                           corpusIndex: DataFrame): DataFrame =
+                           corpusIndex: DataFrame,
+                           broadcastIndex: Boolean = true): DataFrame = {
+    // broadcastIndex mirrors [[streamingEmbedGate]] (r13): the default
+    // pins the hot-cache deployment, but a corpus-sized index must be
+    // allowed to equi-join by shuffle instead — [[graft.llmdata
+    // .Ingest]] flips it from the PERSISTED key count
+    // ([[bandIndexKeyCount]]) so a per-shard classify never broadcasts
+    // an index that outgrew the driver
+    val right = if (broadcastIndex) broadcast(corpusIndex) else corpusIndex
     lshBandsRowLocal(incoming)
-      .join(broadcast(corpusIndex), Seq("band", "sig"))
+      .join(right, Seq("band", "sig"))
       .select(col("doc_id"), col("corpus_id"), col("band"))
+  }
+
+  /** Total persisted key count of a gate index (base meta + delta
+    * markers — marker reads only, no data scan): the cheap input to
+    * the broadcast-vs-shuffle decision above. Works for both gate
+    * kinds (their markers share the n_keys field). */
+  def bandIndexKeyCount(spark: SparkSession, idxDir: String): Long = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed band-index generation under $idxDir"))
+    val metaPath = s"$gen/meta.json"
+    val base = GenDir.jsonLong(GenDir.readJson(spark, metaPath,
+      "band index meta.json"), "n_keys", metaPath)
+    base + GenDir.deltas(spark, gen).map { case (_, d) =>
+      GenDir.jsonLong(GenDir.readJson(spark, s"$d/delta.json",
+        "band index delta.json"), "n_keys", s"$d/delta.json")
+    }.sum
+  }
 
   /** Corpus-adaptive hyperplane bits per band for the embedding-LSH
     * family — shared by the batch pair kernel ([[embedPairsOf]]) and
@@ -457,7 +484,7 @@ object Dedup {
       .select(col("vec_id").as("corpus_id"), col("band"), col("bucket"))
       .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
-    val stamp = shardKey.map(k => s""","shard":"$k"""").getOrElse("")
+    val stamp = GenDir.shardStamp(shardKey)
     GenDir.writeJson(spark, s"$tmp/delta.json",
       s"""{"format":$GateIndexFormat,"bits":$bits,"n_keys":$n$stamp}""")
     GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))
@@ -621,7 +648,7 @@ object Dedup {
       .withColumnRenamed("doc_id", "corpus_id")
       .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
-    val stamp = shardKey.map(k => s""","shard":"$k"""").getOrElse("")
+    val stamp = GenDir.shardStamp(shardKey)
     GenDir.writeJson(spark, s"$tmp/delta.json",
       s"""{"format":$GateIndexFormat,"n_keys":$n$stamp}""")
     GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))

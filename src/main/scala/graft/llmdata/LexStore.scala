@@ -145,7 +145,7 @@ object LexStore {
       .parquet(s"$tmp/postings.parquet")
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head
     val (n, sumDl) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
-    val stamp = shardKey.map(k => s""","shard":"$k"""").getOrElse("")
+    val stamp = GenDir.shardStamp(shardKey)
     GenDir.writeJson(spark, s"$tmp/delta.json",
       s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl$stamp}""")
     GenDir.commit(spark, gen, tmp,

@@ -469,6 +469,38 @@ object LlmQueries {
       |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_logprob
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mirror of [[Ingest.ingestLmGate]] — the base LM (corpus MINUS
+    * the doc_id % 10 == 7 shard) recomputed from the raw tables, the
+    * identical OOV floor (COALESCE(cnt, 1)), per-token micro
+    * quantization, and the same threshold order — a hash match proves
+    * the persisted-artifact-served gate ≡ batch curation semantics. */
+  val ingestLmGateSql: String =
+    """WITH btok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 10 <> 7),
+      |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM btok),
+      |freq AS (SELECT term, COUNT(*) AS cnt FROM btok GROUP BY term),
+      |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |m AS (SELECT doc_id,
+      |        CAST(floor(ln(COALESCE(cnt, 1)::DOUBLE / tot) * 1000000.0 + 0.5)
+      |          AS BIGINT) AS micro
+      |      FROM stok LEFT JOIN freq USING (term) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |          CAST(SUM(micro) AS BIGINT) AS micro_sum
+      |        FROM m GROUP BY doc_id),
+      |sig AS (SELECT doc_id,
+      |          len(string_split(text, ' ')) AS n_tok,
+      |          len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |            / len(string_split(text, ' ')) AS ttr
+      |        FROM documents WHERE doc_id % 10 = 7)
+      |SELECT agg.doc_id, agg.n_tokens, agg.micro_sum,
+      |  CASE WHEN sig.n_tok < 20 THEN 'too_short'
+      |       WHEN sig.ttr < 0.30 THEN 'low_diversity'
+      |       WHEN CAST(agg.micro_sum AS DOUBLE) / 1000000.0 / agg.n_tokens
+      |            < -3.43 THEN 'rare_tokens'
+      |       ELSE 'kept' END AS verdict
+      |FROM agg JOIN sig USING (doc_id) ORDER BY agg.doc_id""".stripMargin
+
   /** Mirror of [[TextAnalysis.dsirWeights]]: identical md5 bucket hash,
     * add-one smoothing, and per-ln micro-quantization. */
   val txtDsirWeightsSql: String =
@@ -885,20 +917,53 @@ object LlmQueries {
     * global by default). */
   /** DuckDB mirror of [[TextAnalysis.syntheticUrl]] +
     * [[TextAnalysis.canonicalUrl]] / registrableDomain — the same
-    * Java∩RE2-safe regexes, the same CASE structure (including the
-    * IPv6-bracket pass-through and the PUBLIC-SUFFIX three-label
-    * rule, whose IN list is generated from the very
-    * [[TextAnalysis.PublicSuffixes]] constant the engine evaluates),
-    * binary-collation list_sort matching Spark's array_sort. */
-  private val pslInList: String =
-    (TextAnalysis.PublicSuffixes ++ TextAnalysis.PrivateSuffixes)
-      .map(s => s"'$s'").mkString(", ")
-  private val pslWildList: String =
-    TextAnalysis.WildcardSuffixParents.map(s => s"'$s'").mkString(", ")
-  private val pslExcList: String =
-    TextAnalysis.ExceptionSuffixes.map(s => s"'$s'").mkString(", ")
-  private val pslPriv3List: String =
-    TextAnalysis.PrivateSuffixes3.map(s => s"'$s'").mkString(", ")
+    * Java∩RE2-safe regexes and the same CASE structure (including
+    * the IPv6-bracket pass-through and the FULL-PSL longest-match
+    * chain, whose IN lists are generated from the very [[Psl.rules]]
+    * value the engine evaluates), binary-collation list_sort
+    * matching Spark's array_sort. */
+  /** IN-list / last-K-labels / domain-CASE SQL fragments GENERATED
+    * from [[Psl.rules]] — the same value [[TextAnalysis
+    * .registrableDomain]] evaluates, so the two engines' lookups can
+    * never drift (r13: the full ~9.5k-rule bundled list replaced the
+    * hand-curated snapshots; the oracle grew with it mechanically). */
+  private def sqlIn(vs: Seq[String]): String =
+    vs.map(v => s"'$v'").mkString(", ")
+
+  /** `lastK` SQL columns for the `d` CTE, 1..maxSuffixLen+1, from the
+    * SAME pattern generator as the Column side. */
+  private val pslLastCols: String = {
+    val maxL = Psl.rules.maxSuffixLen
+    (1 to maxL + 1).map { k =>
+      "    regexp_extract(host, '" + Psl.lastKPattern(k) +
+        s"', 1) AS last$k"
+    }.mkString(",\n")
+  }
+
+  /** The registrable-domain CASE chain, mirrored branch-for-branch
+    * (exceptions longest-first, then suffix length descending with
+    * normal-OR-wildcard arms, bare-suffix-returns-itself, default
+    * last-two fallback). */
+  private val pslDomainCase: String = {
+    val R = Psl.rules
+    val sb = new StringBuilder
+    sb ++= "CASE WHEN starts_with(after_user, '[')\n"
+    sb ++= "           THEN (CASE WHEN brkt <> '' THEN brkt ELSE after_user END)\n"
+    sb ++= "         WHEN last2 = '' THEN host\n"
+    for (e <- R.exc.keys.toSeq.sorted.reverse)
+      sb ++= s"         WHEN last$e IN (${sqlIn(R.exc(e))}) THEN last$e\n"
+    for (l <- (2 to R.maxSuffixLen).reverse) {
+      val conds = R.norm.get(l).map(vs => s"last$l IN (${sqlIn(vs)})").toSeq ++
+        R.wild.get(l - 1).map(vs =>
+          s"(last$l <> '' AND last${l - 1} IN (${sqlIn(vs)}))").toSeq
+      if (conds.nonEmpty)
+        sb ++= s"         WHEN ${conds.mkString("\n           OR ")}\n" +
+          s"           THEN (CASE WHEN last${l + 1} <> '' THEN last${l + 1} " +
+          s"ELSE last$l END)\n"
+    }
+    sb ++= "         ELSE last2\n    END"
+    sb.toString
+  }
 
   private val urlCanonCte: String =
     s"""u AS (
@@ -909,11 +974,17 @@ object LlmQueries {
       |    || (CASE WHEN doc_id % 11 = 0 THEN 'User:Pw@' ELSE '' END)
       |    || 'WWW.'
       |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
-      |    || (CASE WHEN doc_id % 9 = 0 THEN '.Co.UK'
-      |             WHEN doc_id % 9 = 1 THEN '.BlogSpot.CoM'
-      |             WHEN doc_id % 9 = 2 THEN '.Shop.CK'
-      |             WHEN doc_id % 9 = 3 THEN '.WwW.Ck'
-      |             WHEN doc_id % 9 = 4 THEN '.S3.AmazonAWS.Com'
+      |    || (CASE WHEN doc_id % 12 = 0 THEN '.Co.UK'
+      |             WHEN doc_id % 12 = 1 THEN '.BlogSpot.CoM'
+      |             WHEN doc_id % 12 = 2 THEN '.Shop.CK'
+      |             WHEN doc_id % 12 = 3 THEN '.WwW.Ck'
+      |             WHEN doc_id % 12 = 4 THEN '.S3.AmazonAWS.Com'
+      |             WHEN doc_id % 12 = 5 THEN '.Kawasaki.JP'
+      |             WHEN doc_id % 12 = 6 THEN '.City.Kawasaki.JP'
+      |             WHEN doc_id % 12 = 7 THEN '.S3.AP-South-1.AmazonAWS.Com'
+      |             WHEN doc_id % 12 = 8 THEN '.VFS.Cloud9.EU-West-2.AmazonAWS.Com'
+      |             WHEN doc_id % 12 = 9 THEN '.CNS.Joyent.Com'
+      |             WHEN doc_id % 12 = 10 THEN '.Compute.AmazonAWS.Com.CN'
       |             ELSE '.CoM' END)
       |    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
       |             WHEN doc_id % 4 = 1 THEN ':443'
@@ -945,11 +1016,8 @@ object LlmQueries {
       |      '^([^:]*)', 1)) AS host
       |  FROM p),
       |d AS (
-      |  SELECT *, regexp_extract(host, '([^.]+)${"$"}', 1) AS last1,
-      |    regexp_extract(host, '([^.]+[.][^.]+)${"$"}', 1) AS last2,
-      |    regexp_extract(host, '([^.]+[.][^.]+[.][^.]+)${"$"}', 1) AS last3,
-      |    regexp_extract(host,
-      |      '([^.]+[.][^.]+[.][^.]+[.][^.]+)${"$"}', 1) AS last4
+      |  SELECT *,
+$pslLastCols
       |  FROM h),
       |c AS (
       |  SELECT doc_id, text, url,
@@ -966,17 +1034,7 @@ object LlmQueries {
       |      (CASE WHEN query = '' THEN ''
       |            ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
       |    END AS canon_url,
-      |    CASE WHEN starts_with(after_user, '[')
-      |           THEN (CASE WHEN brkt <> '' THEN brkt ELSE after_user END)
-      |         WHEN last2 = '' THEN host
-      |         WHEN last2 IN ($pslExcList) THEN last2
-      |         WHEN last1 IN ($pslWildList)
-      |           THEN (CASE WHEN last3 <> '' THEN last3 ELSE last2 END)
-      |         WHEN last3 IN ($pslPriv3List)
-      |           THEN (CASE WHEN last4 <> '' THEN last4 ELSE last3 END)
-      |         WHEN last2 IN ($pslInList) AND last3 <> '' THEN last3
-      |         ELSE last2
-      |    END AS domain
+      |    $pslDomainCase AS domain
       |  FROM d)""".stripMargin
 
   // plain concatenation, NOT an outer stripMargin: the CTE's `||`
@@ -1571,6 +1629,9 @@ object LlmQueries {
     // takes it past SemFlatMaxK, which no test corpus reaches)
     "dd_semdedup_2l" -> ((s, d) => Dedup.semDedup(s, d, 0.4, twoLevel = true)),
     "txt_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
+    // ingest quality gate from the PERSISTED unigram LM (r13): the
+    // held-out shard scored against the standing-corpus generation
+    "ingest_lm_gate" -> ((s, d) => Ingest.ingestLmGate(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "txt_final_corpus" -> ((s, d) =>
@@ -1687,6 +1748,7 @@ object LlmQueries {
     "txt_shard_assign" -> txtShardAssignSql,
     "txt_train_order" -> txtTrainOrderSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
+    "ingest_lm_gate" -> ingestLmGateSql,
     "txt_bigram_logprob" -> txtBigramLogprobSql,
     "txt_weighted_sample" -> txtWeightedSampleSql,
     "txt_final_corpus" -> txtFinalCorpusSql,

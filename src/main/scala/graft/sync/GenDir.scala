@@ -251,6 +251,26 @@ object GenDir {
     re.findFirstMatchIn(text).map(_.group(1))
   }
 
+  /** The delta-marker shard-stamp JSON fragment (`,"shard":"<key>"`,
+    * or "" for an unstamped append) — the ONE place every artifact
+    * family's append builds it, and the place the key is VALIDATED
+    * (ADVICE r12): the stamp is interpolated into the marker JSON
+    * unescaped, so a caller-supplied key containing a quote or
+    * backslash would corrupt the marker and break every subsequent
+    * [[readJson]]/[[findDeltaByKey]] on that delta. Shard keys are
+    * engine-generated names, not free text — restricting them to a
+    * safe character set fails the bad key loudly at write time
+    * instead of poisoning the artifact. */
+  def shardStamp(key: Option[String]): String = key match {
+    case None => ""
+    case Some(k) =>
+      require(k.nonEmpty && k.length <= 128 &&
+        k.forall(c => c.isLetterOrDigit || "._:/-".contains(c)),
+        s"shard key '$k' is unsafe for the delta marker JSON " +
+          "(allowed: 1-128 chars of letters, digits, . _ : / -)")
+      s""","shard":"$k""""
+  }
+
   /** Scan a generation's committed delta markers for one stamped with
     * shard key `key` — the idempotence probe every artifact family's
     * append runs before staging: present means THIS shard already

@@ -298,6 +298,20 @@ object ManifestStore {
                                          storeDir: String)(body: => T): T =
     withWriterLease(spark, storeDir)(body)
 
+  /** DEPLOYMENT-LEVEL maintainer lease (r13, VERDICT r12 #5): the
+    * same owner-nonce writer lock, held across a caller's WHOLE
+    * multi-store mutation ([[graft.llmdata.Ingest.run]]/`rebuild`)
+    * rather than one commit — the artifact family's single-maintainer
+    * contract enforced by mechanism. Same-thread nesting means every
+    * inner commit/fold/vacuum on `storeDir` re-enters instead of
+    * deadlocking; commits on OTHER stores take their own per-store
+    * leases underneath as usual. A second concurrent maintainer fails
+    * loudly at entry naming the lock; a crashed holder's corpse is
+    * broken by the staleness bound. */
+  private[graft] def withMaintainerLease[T](spark: SparkSession,
+                                            storeDir: String)(body: => T): T =
+    withWriterLease(spark, storeDir)(body)
+
   // -------------------------------------- snapshot-cadence bookkeeping
   /** Manifests committed since the newest fold, per (session, store) —
     * the O(1) cadence probe (VERDICT r8 #8): [[maybeSnapshot]]

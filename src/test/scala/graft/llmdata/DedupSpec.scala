@@ -656,6 +656,30 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("embed-gate drift at the rebuild threshold: recall holds at the frozen width; the re-key restores the width envelope (r13)") {
+    // nBase = 28k + a 0.2-fraction shifted shard = 35k total, which
+    // crosses the 32k bit boundary — so the re-key genuinely MOVES
+    // the width and the comparison is non-vacuous
+    val (ra, rr, la, lr, ba, br) =
+      RecallProbe.gateDriftCase(spark, 28000L, 0.2, 40)
+    assert(ba === Dedup.embedBandBits(28000L), s"frozen width $ba")
+    assert(br === Dedup.embedBandBits(35000L) && br > ba,
+      s"the re-key must move the width past the boundary: $ba -> $br")
+    // recall floor at exactly AnnIndex.RebuildDeltaFraction: angle-only
+    // collision physics — the frozen width must NOT cost the gate its
+    // near-identical target class
+    assert(ra >= 0.9,
+      s"frozen-width gate recall $ra collapsed at the 0.2 threshold")
+    assert(rr >= 0.9, s"re-keyed gate recall $rr collapsed")
+    // the drift axis the rebuild actually retires: per-probe candidate
+    // load — coarser frozen keys collide MORE as the corpus grows
+    assert(la > lr,
+      s"frozen width must carry the higher candidate load, got " +
+        s"frozen=$la re-keyed=$lr")
+    Dedup.releaseCaches()
+    Similarity.releaseCaches()
+  }
+
   test("gate-index compaction folds key segments row-identically, preserves the carried width, and races loudly (r12)") {
     import graft.sync.GenDir
     import java.nio.file.Files

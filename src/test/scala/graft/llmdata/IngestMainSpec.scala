@@ -37,7 +37,8 @@ class IngestMainSpec extends SparkSpec {
     * key sets, per-artifact delta counts, and the ledger fates. */
   private def stateOf(dirs: Ingest.Dirs): (Set[String], (Long, Long),
       Seq[String], Set[String], Set[String], (Int, Int, Int),
-      Map[String, Long], (Set[Long], Set[Long])) = {
+      Map[String, Long], (Set[Long], Set[Long]),
+      (Set[String], Set[String])) = {
     val h = LexStore.open(spark, dirs.lexDir)
     val post = LexStore.loadAt(spark, h,
       Seq("vector", "window", "merge", "spark"))
@@ -60,11 +61,19 @@ class IngestMainSpec extends SparkSpec {
       ManifestStore.readStore(spark, dir)
         .map(_.select(col(idCol)).collect().map(_.getLong(0)).toSet)
         .getOrElse(Set.empty[Long])
+    // the keeper tables joined the convergence surface in r13 — a
+    // crash between the keeper appends and an index append must
+    // converge them too
+    def keeperRows(dir: String): Set[String] =
+      ManifestStore.readStore(spark, dir)
+        .map(_.drop("kpart").collect().map(_.toString).toSet)
+        .getOrElse(Set.empty[String])
     (postRows, (h.n, h.sumDl), ann, shingle, embKeys,
       (nDeltas(dirs.lexDir), nDeltas(dirs.shingleGateDir),
         nDeltas(dirs.embedGateDir)), fates,
       (idsOf(dirs.corpusDocsDir, "doc_id"),
-        idsOf(dirs.corpusEmbDir, "vec_id")))
+        idsOf(dirs.corpusEmbDir, "vec_id")),
+      (keeperRows(dirs.urlKeeperDir), keeperRows(dirs.hashKeeperDir)))
   }
 
   private lazy val unbroken: (Ingest.Dirs, Ingest.Status) = {
@@ -160,7 +169,7 @@ class IngestMainSpec extends SparkSpec {
 
   test("killed at every other seam, the re-run converges identically (classify / ann / gates)") {
     val wantState = stateOf(unbroken._1)
-    Seq("classify", "corpus", "ann", "gates").foreach { seam =>
+    Seq("classify", "corpus", "keepers", "ann", "gates").foreach { seam =>
       val dirs = freshDirs()
       intercept[IllegalStateException] {
         Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L,
@@ -427,6 +436,223 @@ class IngestMainSpec extends SparkSpec {
     assert(manifests.length < 16,
       s"16 commits must fold + vacuum, got ${manifests.length} " +
         s"manifests: ${manifests.mkString(", ")}")
+  }
+
+  test("keeper tables ARE the corpus aggregates: maintained per shard, bit-equal to the store-scan reference (r13 #1)") {
+    val (dirs, _) = unbroken
+    // bootstrapped at batch 0, extended by the shard as batch 1
+    assert(ManifestStore.committed(spark, dirs.urlKeeperDir, 0L))
+    assert(ManifestStore.committed(spark, dirs.hashKeeperDir, 0L))
+    assert(ManifestStore.committed(spark, dirs.urlKeeperDir, 1L))
+    // the keepers must equal what the legacy path would re-aggregate
+    // from the corpus store on every shard — same keys, same min ids
+    val store = ManifestStore.readStore(spark, dirs.corpusDocsDir).get
+    val wantUrl = store.groupBy(col("cu"))
+      .agg(min(col("doc_id")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotUrl = ManifestStore.readStore(spark, dirs.urlKeeperDir).get
+      .select(col("cu"), col("url_match")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotUrl === wantUrl)
+    val wantH = store
+      .select(md5(coalesce(col("text"), lit("")).cast("binary")).as("h"),
+        col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotH = ManifestStore.readStore(spark, dirs.hashKeeperDir).get
+      .select(col("h"), col("exact_match")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotH === wantH)
+    // keys are UNIQUE by construction (kept keys are proven absent
+    // before they append) — the property that makes appends pure
+    // accumulation, never a re-aggregation
+    assert(gotUrl.size.toLong ===
+      ManifestStore.readStore(spark, dirs.urlKeeperDir).get.count())
+  }
+
+  test("keeper-classified fates ≡ store-scan fates shard by shard, across the keeper crash seam (r13 #1)") {
+    val dirs = freshDirs()
+    (0 until 3).foreach { j =>
+      val sub = shard.filter(col("doc_id") % 40 === (10L * j + 7L))
+        .localCheckpoint()
+      // the LEGACY reference decision, computed against the exact
+      // standing state (corpus store + gate) this shard will land on
+      val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
+      val store = ManifestStore.readStore(spark, dirs.corpusDocsDir).get
+      val want = Ingest.classifyShard(spark, store, sub, gate)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      // the middle shard crashes at the NEW keeper seam first
+      if (j == 1) {
+        val e = intercept[IllegalStateException] {
+          Ingest.run(spark, dirs, baseDocs, sub,
+            shardEmb.join(sub.select(col("doc_id").as("vec_id")), "vec_id"),
+            j, crashAfter = Some("keepers"))
+        }
+        assert(e.getMessage.contains("keepers"))
+      }
+      Ingest.run(spark, dirs, baseDocs, sub,
+        shardEmb.join(sub.select(col("doc_id").as("vec_id")), "vec_id"), j)
+      val got = ManifestStore.readStore(spark, dirs.ledgerDir).get
+        .filter(col("shard_id") === j && col("fate") =!= Ingest.DoneFate)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("fate"),
+          Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)
+            .getOrElse(-1L))).toMap
+      assert(got === want,
+        s"shard $j: keeper classification diverged from the store scan")
+      assert(want.nonEmpty, s"shard $j vacuous")
+    }
+  }
+
+  test("per-shard reads PRUNE: ledger to the shard bucket, keepers and candidate text to their key buckets (r13 #2/#3)") {
+    val (dirs, _) = unbroken
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // ledger: fatesOf carries the sb partition filter
+    val lp = planOf(Ingest.fatesOf(spark, dirs.ledgerDir, 0L))
+    assert(lp.contains("PartitionFilters:") && lp.contains("sb#"),
+      s"ledger read not shard-bucket-pruned:\n$lp")
+    // keepers: a bounded bucket list partition-prunes the scan AND
+    // returns exactly the full read restricted to those buckets
+    val somePart = Ingest.kpartOf(lit("probe-key"))
+    val parts = Seq(spark.range(1).select(somePart).head.getInt(0))
+    val kp = planOf(Ingest.prunedKeeperRead(spark, dirs.urlKeeperDir, parts))
+    assert(kp.contains("PartitionFilters:") && kp.contains("kpart#"),
+      s"keeper read not bucket-pruned:\n$kp")
+    val full = ManifestStore.readStore(spark, dirs.urlKeeperDir).get
+    val nAll = full.count()
+    val nPart = Ingest.prunedKeeperRead(spark, dirs.urlKeeperDir, parts).count()
+    assert(nPart > 0L && nPart < nAll,
+      s"expected a real restriction, got $nPart of $nAll")
+    assert(nPart === full.filter(
+      Ingest.kpartOf(col("cu")).isin(parts: _*)).count())
+    // candidate text: same mechanics on the corpus store's part column
+    val cp = planOf(Ingest.prunedCorpusText(spark, dirs.corpusDocsDir, Seq(3)))
+    assert(cp.contains("PartitionFilters:") && cp.contains("part#"),
+      s"candidate-text read not bucket-pruned:\n$cp")
+    val ct = Ingest.prunedCorpusText(spark, dirs.corpusDocsDir, Seq(3))
+      .select(col("corpus_id")).collect().map(_.getLong(0))
+    assert(ct.nonEmpty && ct.forall(_ % 8 === 3),
+      "bucket 3 must contain exactly the doc_id % 8 == 3 rows")
+  }
+
+  test("a second concurrent maintainer fails LOUDLY at entry; the survivor's artifacts equal a winner-only run (r13 #5)") {
+    val wantState = stateOf(unbroken._1)
+    val dirs = freshDirs()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderErr: Option[Throwable] = None
+    val holder = new Thread(() =>
+      try ManifestStore.withLeaseForTest(spark, dirs.ledgerDir) {
+        started.countDown()
+        release.await()
+      } catch { case t: Throwable => holderErr = Some(t); started.countDown() })
+    holder.start()
+    started.await()
+    assert(holderErr.isEmpty, s"holder failed to claim: $holderErr")
+    // the second maintainer dies loudly WITHOUT mutating anything
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    }
+    assert(e.getMessage.contains("held by another writer"), e.getMessage)
+    release.countDown()
+    holder.join()
+    // the winner (re-)runs cleanly and the artifacts equal a
+    // single-maintainer run's — the loser left no trace
+    val st = Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    assert(!st.replayed)
+    assert(stateOf(dirs) === wantState)
+  }
+
+  test("ADVICE r12 hardening: unsafe shard keys refuse at write; negative shard ids refuse at entry; source is optional") {
+    import spark.implicits._
+    // a quote in a shard key would corrupt the delta marker JSON —
+    // the stamp builder refuses it before any staging
+    val bad = intercept[IllegalArgumentException] {
+      GenDir.shardStamp(Some("""sh"ard"""))
+    }
+    assert(bad.getMessage.contains("unsafe"))
+    assert(GenDir.shardStamp(Some("shard-3")) === ""","shard":"shard-3"""")
+    assert(GenDir.shardStamp(None) === "")
+    // shardId = -1 would collide sinkCorpus's batch 0 with bootstrap's
+    val dirs = freshDirs()
+    val neg = intercept[IllegalArgumentException] {
+      Ingest.run(spark, dirs, baseDocs, shard, shardEmb, -1L)
+    }
+    assert(neg.getMessage.contains("non-negative"))
+    // a source-less shard (the streamIngest row shape) ingests and
+    // stores the documented literal instead of failing post-seal
+    val bare = Seq((7100001L,
+      "an entirely sourceless document with plenty of distinct novel " +
+        "tokens aardvark binturong capybara dugong echidna fossa gerenuk " +
+        "hoatzin ibex jerboa kinkajou lemming markhor numbat okapi pangolin"))
+      .toDF("doc_id", "text")
+    val st = Ingest.run(spark, dirs, baseDocs, bare,
+      emb.filter(lit(false)), 0L)
+    assert(st.fates.getOrElse("kept", 0L) === 1L, s"fates: ${st.fates}")
+    val srcOf = ManifestStore.readStore(spark, dirs.corpusDocsDir).get
+      .filter(col("doc_id") === 7100001L)
+      .select(col("source")).head.getString(0)
+    assert(srcOf === "stream")
+  }
+
+  test("the persisted unigram LM serves the fifth fate signal: artifact-served scores decide rare_tokens exactly (r13 #8)") {
+    import spark.implicits._
+    val dirs = freshDirs()
+    // bootstrap built the model artifact next to the others
+    assert(GenDir.newest(spark, dirs.lmDir).nonEmpty)
+    // two fresh docs: one OOV-gibberish (every token absent from the
+    // standing corpus -> the ln(1/total) floor => avg far below any
+    // threshold), one recombined from a real base doc's own tokens
+    // (in-vocabulary, reversed order so no exact/near arm fires)
+    val baseTokens = baseDocs.orderBy(col("doc_id"))
+      .select(col("text")).head.getString(0).split(" ")
+    val inVocab = baseTokens.reverse.mkString(" ")
+    val oov = (1 to 30).map(i => s"zq${i}xv").mkString(" ")
+    val rows = Seq((8100001L, oov, "srcz"),
+      (8100002L, inVocab, "srcz")).toDF("doc_id", "text", "source")
+    // the EXPECTED fates derive from the artifact-served scores — the
+    // parity claim is exactly "classification applies the persisted
+    // model's verdicts", not a hand-picked outcome
+    val scores = LmStore.avgLogprob(spark, dirs.lmDir,
+      rows.select(col("doc_id"), col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logprob")).toMap
+    assert(scores(8100001L) < -3.43,
+      s"OOV doc must score under the threshold: ${scores(8100001L)}")
+    val st = Ingest.run(spark, dirs, baseDocs, rows,
+      emb.filter(lit(false)), 0L, lmMinAvgLogprob = Some(-3.43))
+    assert(st.nRaw === 2L)
+    val fates = ManifestStore.readStore(spark, dirs.ledgerDir).get
+      .filter(col("fate") =!= Ingest.DoneFate)
+      .select(col("doc_id"), col("fate")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates(8100001L) === "filtered",
+      s"the LM gate must filter the OOV doc: $fates")
+    val expect2 = if (scores(8100002L) < -3.43) "filtered" else "kept"
+    assert(fates(8100002L) === expect2,
+      s"fate must follow the artifact score ${scores(8100002L)}: $fates")
+    // knob OFF (the default): the same OOV doc is KEPT — the LM gate
+    // is the deployment's choice, never an implicit behavior change
+    val dirs2 = freshDirs()
+    val st2 = Ingest.run(spark, dirs2, baseDocs,
+      rows.filter(col("doc_id") === 8100001L), emb.filter(lit(false)), 0L)
+    assert(st2.fates.getOrElse("kept", 0L) === 1L, s"fates: ${st2.fates}")
+    // serving-shape identity: the bucket-pruned score path equals the
+    // full-vocabulary scan bit-for-bit
+    val pruned = LmStore.avgLogprob(spark, dirs.lmDir,
+      rows.select(col("doc_id"), col("text"))).collect().map(_.toString).toSet
+    val full = LmStore.avgLogprob(spark, dirs.lmDir,
+      rows.select(col("doc_id"), col("text")), pruneTerms = false)
+      .collect().map(_.toString).toSet
+    assert(pruned === full)
+    // and the registered entry is non-vacuous: kept AND at least one
+    // filter arm fire on the driver corpus
+    val verdicts = Ingest.ingestLmGate(spark, sf).collect()
+      .map(_.getAs[String]("verdict")).toSeq
+    assert(verdicts.contains("kept"), "gate entry: no kept docs")
+    assert(verdicts.exists(_ != "kept"), "gate entry: no filtered docs")
   }
 
   test("registered entries: ingest fates roll up the ledger; stored-append BM25 ≡ the full-corpus scan bit-for-bit") {

@@ -637,7 +637,24 @@ class TextAnalysisSpec extends SparkSpec {
       (16L, "http://Bucket.S3.AmazonAWS.com/key"),
       (17L, "https://Deep.Bucket.S3.AmazonAWS.com"),
       // bare 3-label private suffix -> itself
-      (18L, "http://S3.AmazonAWS.com")
+      (18L, "http://S3.AmazonAWS.com"),
+      // FULL-LIST rule classes (r13): 2-label wildcard parent
+      // (*.kawasaki.jp) -> suffix is <x>.kawasaki.jp, registrable one
+      // label above it
+      (19L, "https://A.B.Host.Kawasaki.JP"),
+      // ...which the 3-label exception !city.kawasaki.jp punctures
+      (20L, "http://www.City.Kawasaki.JP/x"),
+      // a wildcard-covered bare suffix has no registrable name
+      (21L, "https://bare.kawasaki.jp"),
+      // the wildcard does NOT cover the bare parent itself: kawasaki.jp
+      // registers under jp like any other name
+      (22L, "http://kawasaki.jp"),
+      // 3-label wildcard parent from the private section
+      (23L, "http://x.B.CNS.Joyent.Com"),
+      // 4-label normal private rule -> registrable = last FIVE labels
+      (24L, "https://Data.Bucket.S3.AP-South-1.AmazonAWS.Com/key"),
+      // 4-label wildcard parent (*.compute.amazonaws.com.cn)
+      (25L, "http://y.VM.Compute.AmazonAWS.Com.CN")
     ).toDF("doc_id", "url")
     val got = urls.select(col("doc_id"),
         TextAnalysis.canonicalUrl(col("url")).as("c"),
@@ -666,6 +683,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(17L) === (("https://deep.bucket.s3.amazonaws.com/",
       "bucket.s3.amazonaws.com")))
     assert(got(18L) === (("http://s3.amazonaws.com/", "s3.amazonaws.com")))
+    assert(got(19L)._2 === "b.host.kawasaki.jp")
+    assert(got(20L)._2 === "city.kawasaki.jp")
+    assert(got(21L)._2 === "bare.kawasaki.jp")
+    assert(got(22L)._2 === "kawasaki.jp")
+    assert(got(23L)._2 === "x.b.cns.joyent.com")
+    assert(got(24L)._2 === "bucket.s3.ap-south-1.amazonaws.com")
+    assert(got(25L)._2 === "y.vm.compute.amazonaws.com.cn")
     // idempotence: canonicalizing a canonical URL is a fixed point
     val canon = urls.select(TextAnalysis.canonicalUrl(col("url")).as("c"))
     val twice = canon.select(col("c"),
@@ -673,21 +697,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice.filter(col("c") =!= col("cc")).count() === 0)
     // the registered rollup partitions the corpus: doc counts sum to
     // the corpus size and every domain resolves through one of the
-    // planted PSL rule classes (doc_id % 9) — ALL FIVE present, so no
-    // rule class is vacuous in the oracle-checked entry
+    // planted PSL rule classes (doc_id % 12, r13: every rule class of
+    // the FULL bundled list) — ALL present, so none is oracle-vacuous
     val roll = TextAnalysis.domainRollup(spark, sf).collect()
     assert(roll.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sf).count())
     val domains = roll.map(_.getAs[String]("domain"))
-    assert(domains.forall(d => d === "www.ck" ||
+    val exactOk = Set("www.ck", "city.kawasaki.jp")
+    assert(domains.forall(d => exactOk(d) ||
       d.matches("src[0-9]+\\.(com|co\\.uk|blogspot\\.com|shop\\.ck|" +
-        "s3\\.amazonaws\\.com)")), domains.mkString(", "))
+        "s3\\.amazonaws\\.com|s3\\.ap-south-1\\.amazonaws\\.com|" +
+        "vfs\\.cloud9\\.eu-west-2\\.amazonaws\\.com)") ||
+      d.matches("www\\.src[0-9]+\\.(kawasaki\\.jp|cns\\.joyent\\.com|" +
+        "compute\\.amazonaws\\.com\\.cn)")),
+      domains.mkString(", "))
     for (cls <- Seq(".co.uk", ".blogspot.com", ".shop.ck",
-        ".s3.amazonaws.com"))
+        ".s3.amazonaws.com", ".kawasaki.jp",
+        ".s3.ap-south-1.amazonaws.com",
+        ".vfs.cloud9.eu-west-2.amazonaws.com", ".cns.joyent.com",
+        ".compute.amazonaws.com.cn"))
       assert(domains.exists(_.endsWith(cls)),
         s"the $cls rule class must appear in the rollup")
-    assert(domains.contains("www.ck"),
-      "the exception rule class must appear in the rollup")
+    assert(domains.contains("www.ck") &&
+      domains.contains("city.kawasaki.jp"),
+      "both exception rule classes must appear in the rollup")
   }
 
   test("per-domain cap: keep-first-K by doc id, exact per-domain counts, binds non-vacuously (r12)") {
