@@ -66,7 +66,10 @@ object ScaleBench {
     "txt_final_corpus", "txt_span_removal", "txt_dsir_weights",
     // seeded training-order shuffle (r12): the two-level bucket rank
     // must scale like a hash aggregate, never like a one-task sort
-    "txt_train_order")
+    "txt_train_order",
+    // persisted-LM ingest quality gate (r13): vocabulary-sized freq
+    // join behind a bucket-pruned artifact read
+    "ingest_lm_gate")
 
   /** The synth100x + size-triggered-two-level pass (r12, VERDICT r11
     * #2): the standing gap was that the 1M+ envelope rows were pure

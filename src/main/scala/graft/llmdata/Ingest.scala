@@ -482,12 +482,27 @@ object Ingest {
         .filter(notShard(col("vec_id")))
         .select(col("vec_id"), col("embedding")),
       batchId = 0L)
-    // keeper batch 0 = the base split's per-key first-seen aggregates
-    // (the base is RAW — it can carry duplicate keys, so batch 0 is
-    // the one keeper commit that genuinely aggregates; every shard
-    // append after it adds only keys proven absent by classification)
-    sinkKeepers(spark, dirs, baseDocsKeyed.select("doc_id", "cu", "h"),
-      batchId = 0L)
+    // keeper batch 0 = the per-key first-seen aggregate of the CORPUS
+    // STORE (which at this point always exists — the sink above just
+    // ensured batch 0). For a fresh deployment the store IS the base
+    // split, so the seed is identical to aggregating the base; for a
+    // deployment UPGRADED from the pre-keeper layout (review r13) the
+    // store additionally holds every previously kept shard — seeding
+    // from it makes the upgrade bootstrap-and-go, where a base-split
+    // seed would silently mis-classify re-fetches of pre-upgrade
+    // shards as fresh. (The base is RAW — it can carry duplicate
+    // keys — so batch 0 is the one keeper commit that genuinely
+    // aggregates; every shard append after it adds only keys proven
+    // absent by classification. A replay of a shard that was mid-
+    // flight at upgrade time can re-append keys the seed already
+    // holds — the keeper read's groupBy-min dedups that benignly.)
+    val storeKeyed = ManifestStore.readStore(spark, dirs.corpusDocsDir)
+      .map(st => st.select(col("doc_id"),
+        coalesce(col("cu"),
+          concat(lit("missing-url:"), col("doc_id").cast("string"))).as("cu"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("h")))
+      .getOrElse(baseDocsKeyed.select("doc_id", "cu", "h"))
+    sinkKeepers(spark, dirs, storeKeyed, batchId = 0L)
   }
 
   /** Commit one batch of kept rows into both corpus stores —

@@ -598,6 +598,41 @@ class IngestMainSpec extends SparkSpec {
     assert(srcOf === "stream")
   }
 
+  test("upgrading a pre-keeper deployment is bootstrap-and-go: keepers seed from the standing corpus store (review r13)") {
+    import spark.implicits._
+    val dirs = freshDirs()
+    val st0 = Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    assert(st0.fates.getOrElse("kept", 0L) > 0)
+    // simulate the pre-keeper (r12) on-disk layout: the keeper stores
+    // never existed, but the corpus store holds base + shard 0
+    def rmrf(p: String): Unit = {
+      val _ = new scala.reflect.io.Directory(new java.io.File(p))
+        .deleteRecursively()
+    }
+    rmrf(dirs.urlKeeperDir)
+    rmrf(dirs.hashKeeperDir)
+    // re-bootstrap: every other artifact no-ops; the keeper seed
+    // aggregates the CORPUS STORE, so prior shards' kept keys are in
+    assert(!ManifestStore.committed(spark, dirs.urlKeeperDir, 0L))
+    Ingest.bootstrap(spark, sf, dirs, shardMod, shardRem)
+    assert(ManifestStore.committed(spark, dirs.urlKeeperDir, 0L) &&
+      ManifestStore.committed(spark, dirs.hashKeeperDir, 0L))
+    // a text duplicate of a PRE-UPGRADE shard's kept doc must
+    // classify exact_dup through the rebuilt keepers — a base-split
+    // seed would have silently kept it
+    val keptId = ManifestStore.readStore(spark, dirs.ledgerDir).get
+      .filter(col("fate") === "kept")
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val keptText = docs.filter(col("doc_id") === keptId)
+      .select(col("text")).head.getString(0)
+    val dup = Seq((keptId + 7200000L, keptText, "srcx"))
+      .toDF("doc_id", "text", "source")
+    val st1 = Ingest.run(spark, dirs, baseDocs, dup,
+      emb.filter(lit(false)), 1L)
+    assert(st1.fates.getOrElse("exact_dup", 0L) === 1L,
+      s"pre-upgrade kept doc must stay the dedup reference: ${st1.fates}")
+  }
+
   test("the persisted unigram LM serves the fifth fate signal: artifact-served scores decide rare_tokens exactly (r13 #8)") {
     import spark.implicits._
     val dirs = freshDirs()
