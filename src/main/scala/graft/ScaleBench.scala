@@ -327,12 +327,15 @@ object ScaleBench {
     import org.apache.spark.sql.functions._
     import graft.llmdata.Ingest
     val stageNames = Seq("classify", "corpus", "keepers", "lex", "ann", "gates")
-    // crawl-realistic url space + the 0.8 verify threshold, exactly
-    // like runIngestBench (the synthetic vocabulary's organic overlap
-    // would otherwise drown the stages under all-near-dup shards)
+    // crawl-realistic url space + the 0.8 verify threshold, like
+    // runIngestBench but with a FIVE-hex page space (1M pages/source):
+    // the 3-hex space saturates by 2M docs — every shard url taken,
+    // all 500 docs url_dup, append stages idle — which would compare
+    // a working shard at 1x against a no-op shard at 100x; at 5 hex
+    // the collision rate stays single-digit-percent at every point
     val benchUrl = concat(lit("https://www."), col("source"),
       lit(".com/p/"),
-      substring(md5(concat(col("doc_id").cast("string"), lit(":u"))), 1, 3))
+      substring(md5(concat(col("doc_id").cast("string"), lit(":u"))), 1, 5))
     // ONE fixed shard for every scale point: ids far above any corpus,
     // text perturbed so no row is an exact duplicate of a corpus doc
     val shard = tools.SynthCorpus.documents(spark, 500L, seed = 137L)
@@ -345,7 +348,8 @@ object ScaleBench {
       .select((col("vec_id") + lit(10000000L)).as("vec_id"),
         col("embedding"))
       .localCheckpoint()
-    def point(label: String, nDocs: Long): (Long, Map[String, Double], Double) = {
+    def point(label: String, nDocs: Long)
+        : (Long, Map[String, Double], Double, Long) = {
       val corpus = java.nio.file.Files
         .createTempDirectory(s"graft-ingestscale-$label").toString
       tools.SynthCorpus.writeCorpus(spark, corpus, nDocs, 4000L)
@@ -361,17 +365,18 @@ object ScaleBench {
         onStage = (s, t) => stages(s) = t)
       val total = (System.nanoTime() - t0) / 1e9
       require(st.fates.values.sum == 500L, s"$label lost rows: ${st.fates}")
-      (nDocs, stages.toMap, total)
+      (nDocs, stages.toMap, total, st.fates.getOrElse("kept", 0L))
     }
     point("warm", 20000L) // JIT/codegen warm-up through the full path
     val rows = Seq(("1x", 20000L), ("10x", 200000L), ("100x", 2000000L))
       .map { case (l, n) => (l, point(l, n)) }
     println("| corpus docs | " + stageNames.mkString(" s | ") +
-      " s | total s |")
-    println("|" + ("---|" * (stageNames.size + 2)))
-    rows.foreach { case (l, (n, st, tot)) =>
+      " s | total s | kept/500 |")
+    println("|" + ("---|" * (stageNames.size + 3)))
+    rows.foreach { case (l, (n, st, tot, kept)) =>
       println(s"| $l ($n) | " + stageNames.map(k =>
-        f"${st.getOrElse(k, 0.0)}%.2f").mkString(" | ") + f" | $tot%.2f |")
+        f"${st.getOrElse(k, 0.0)}%.2f").mkString(" | ") +
+        f" | $tot%.2f | $kept |")
     }
     println("NOTE: classify's residual slope is the pruned keeper scan " +
       "(2 narrow columns; a 500-doc shard touches all " +
@@ -380,10 +385,11 @@ object ScaleBench {
       "bucket count is the point-lookup knob) plus the gate probe, " +
       "which switches from broadcast to shuffle past " +
       s"${Ingest.GateBroadcastMaxKeys} persisted keys.")
-    val js = rows.map { case (l, (n, st, tot)) =>
+    val js = rows.map { case (l, (n, st, tot, kept)) =>
       "\"" + l + "\":{\"docs\":" + n + "," +
         stageNames.map(k => "\"" + k + "\":" + st.getOrElse(k, 0.0))
-          .mkString(",") + ",\"total\":" + tot + "}"
+          .mkString(",") + ",\"total\":" + tot +
+        ",\"kept\":" + kept + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"ingest_scale","points":$js}""")
     spark.stop()

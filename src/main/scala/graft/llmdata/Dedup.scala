@@ -285,17 +285,27 @@ object Dedup {
     * batch ≡ the aggregate-form candidates). */
   def streamingNearDupGate(incoming: DataFrame,
                            corpusIndex: DataFrame,
-                           broadcastIndex: Boolean = true): DataFrame = {
-    // broadcastIndex mirrors [[streamingEmbedGate]] (r13): the default
-    // pins the hot-cache deployment, but a corpus-sized index must be
-    // allowed to equi-join by shuffle instead — [[graft.llmdata
-    // .Ingest]] flips it from the PERSISTED key count
-    // ([[bandIndexKeyCount]]) so a per-shard classify never broadcasts
-    // an index that outgrew the driver
-    val right = if (broadcastIndex) broadcast(corpusIndex) else corpusIndex
-    lshBandsRowLocal(incoming)
-      .join(right, Seq("band", "sig"))
-      .select(col("doc_id"), col("corpus_id"), col("band"))
+                           broadcastIndex: Boolean = true,
+                           broadcastIncoming: Boolean = false): DataFrame = {
+    // join-shape knobs (r13, mirroring [[streamingEmbedGate]]'s
+    // stance): the DEFAULT broadcasts the index — the hot-cache
+    // deployment at test scales. A corpus-sized index must not ride
+    // the driver, so [[graft.llmdata.Ingest]] flips broadcastIndex
+    // off from the PERSISTED key count ([[bandIndexKeyCount]]); the
+    // usual production shape is then `broadcastIncoming` — a bounded
+    // shard's bands broadcast INTO a streamed scan of the big index
+    // (zero shuffle of the corpus side; measured at the 2M-doc
+    // ingest-scale point, where the plain join's static planner saw
+    // a stats-free checkpointed shard side and shuffled all 16M gate
+    // keys instead). Neither flag = plain equi-join on (band, sig) —
+    // the both-sides-huge fallback, one shuffle each.
+    val bands = lshBandsRowLocal(incoming)
+    val joined =
+      if (broadcastIndex) bands.join(broadcast(corpusIndex), Seq("band", "sig"))
+      else if (broadcastIncoming)
+        corpusIndex.join(broadcast(bands), Seq("band", "sig"))
+      else bands.join(corpusIndex, Seq("band", "sig"))
+    joined.select(col("doc_id"), col("corpus_id"), col("band"))
   }
 
   /** Total persisted key count of a gate index (base meta + delta

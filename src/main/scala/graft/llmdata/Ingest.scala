@@ -370,8 +370,19 @@ object Ingest {
     // group to its representative before any pairwise work, and is
     // fate-preserving because near_dup only ever applies to docs the
     // cheaper arms passed.
+    // join shape when the index outgrew the driver (broadcastGate
+    // false): a bounded shard broadcasts its OWN bands into a
+    // streamed scan of the index — zero shuffle of the corpus side
+    // (the static planner sees a stats-free checkpointed shard and
+    // would otherwise shuffle every gate key); only a shard whose
+    // band set itself exceeds the ceiling falls back to the
+    // both-sides shuffle. survivors ⊆ the checkpointed keyed frame,
+    // so the count is one cheap local action.
+    val shardBandsSmall = !broadcastGate &&
+      survivors.count() * Dedup.NumBands <= GateBroadcastMaxKeys
     val gateCands = Dedup.streamingNearDupGate(survivors, shingleGate,
-        broadcastIndex = broadcastGate)
+        broadcastIndex = broadcastGate,
+        broadcastIncoming = shardBandsSmall)
       .select(col("doc_id"), col("corpus_id")).distinct()
       .localCheckpoint() // gate-selectivity-bounded; feeds the bucket
                          // collect AND the verify join below
