@@ -138,6 +138,13 @@ object Ingest {
     * the batch dedup family uses on these corpora. */
   val NearDupThreshold = 0.2
 
+  /** The rare-token LM threshold — the batch curation default
+    * ([[TextAnalysis.curationReport]]'s minAvgLogprob); the
+    * registered `ingest_lm_gate` oracle SQL is GENERATED from this
+    * constant, so a caller-supplied override is a non-registry knob
+    * by construction. */
+  val LmMinAvgLogprob = -3.43
+
   /** The null-safe CANONICAL-URL key for a document frame: canon of
     * the caller's raw url column, with a per-doc sentinel for null
     * urls (so the url arm never fires on a url-less doc). Shared by
@@ -182,7 +189,8 @@ object Ingest {
                     shard: DataFrame, shingleGate: DataFrame,
                     threshold: Double = NearDupThreshold,
                     rawUrl: Column = TextAnalysis.syntheticCrawlUrl,
-                    lmGate: Option[(DataFrame, Double)] = None)
+                    lmGate: Option[(DataFrame, Double)] = None,
+                    broadcastGate: Boolean = true)
       : DataFrame = {
     val s = keyedShard(shard, rawUrl)
     // base-side url key: the corpus store PERSISTS each doc's `cu`
@@ -211,7 +219,7 @@ object Ingest {
       baseKeyed.groupBy(col("cu")).agg(min(col("doc_id")).as("url_match")),
       baseKeyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match")),
       _ => baseDocs.select(col("doc_id").as("corpus_id"), col("text")),
-      broadcastGate = true, lmGate = lmGate)
+      broadcastGate = broadcastGate, lmGate = lmGate)
   }
 
   /** The O(SHARD) classification (r13, VERDICT r12 #1 — the round's
@@ -753,7 +761,12 @@ object Ingest {
           classifyShard(spark,
             ManifestStore.readStore(spark, dirs.corpusDocsDir)
               .getOrElse(baseDocs),
-            shardN, gate, threshold, rawUrl, lmGate))
+            shardN, gate, threshold, rawUrl, lmGate,
+            // the key-count join decision applies to the legacy path
+            // too (review r13): a pre-keeper deployment past the
+            // ceiling must not broadcast O(corpus) gate keys either
+            broadcastGate = Dedup.bandIndexKeyCount(spark,
+              dirs.shingleGateDir) <= GateBroadcastMaxKeys))
           .withColumn("shard_id", lit(shardId))
           .withColumn("sb", lit(sbOf(shardId)))
       ManifestStore.writeBatchData(f, dirs.ledgerDir, cb, "sb")
@@ -775,14 +788,8 @@ object Ingest {
     crashpoint("classify")
 
     val kept = fates.filter(col("fate") === "kept").select(col("doc_id"))
-    // source is optional (ADVICE r12): a stream of bare (doc_id,
-    // text, embedding) rows stores the literal below instead of
-    // failing post-seal inside the sink's analysis
-    val srcCol =
-      if (shard.columns.contains("source")) col("source")
-      else lit("stream")
     val keptKeyed = shardN.join(kept, "doc_id")
-      .select(col("doc_id"), col("text"), srcCol.as("source"),
+      .select(col("doc_id"), col("text"), col("source"),
         safeCuOf(rawUrl).as("cu"),
         md5(coalesce(col("text"), lit("")).cast("binary")).as("h"))
       .localCheckpoint() // shard-sized; feeds the sink, both keepers,
@@ -792,7 +799,28 @@ object Ingest {
       .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
       .select(col("vec_id"), col("embedding"))
 
-    // 1.5 corpus sink — the raw kept rows land in the corpus stores
+    // 1.5 keeper appends FIRST (review r13): the kept docs' (cu, h)
+    // keys extend the persisted url/hash dedup references — kept keys
+    // are proven absent from the standing keepers by this very
+    // classification, so the append is pure accumulation, idempotent
+    // per batch id. Keepers land BEFORE the corpus sink because the
+    // two crash windows are not symmetric: with keepers ahead, a
+    // shard ingested after a crash in this window still classifies
+    // re-fetches of the crashed shard's kept docs as the duplicates
+    // they are (at worst its match_id points at a doc whose raw row
+    // lands on replay — transient metadata lag); corpus-first would
+    // let that next shard KEEP a permanent duplicate, a recall
+    // regression the pre-r13 store-scan reference did not have. The
+    // near arm never needs the lagging corpus text: gate candidates
+    // only exist for docs whose GATE append ran, which is ordered
+    // after both.
+    timed("keepers") {
+      sinkKeepers(spark, dirs, keptKeyed.select("doc_id", "cu", "h"),
+        batchId = shardId + 1L)
+    }
+    crashpoint("keepers")
+
+    // 1.6 corpus sink — the raw kept rows land in the corpus stores
     // (the pipeline's product and [[rebuild]]'s training source);
     // sealed per batch like every other step, so a replay no-ops
     timed("corpus") {
@@ -800,18 +828,6 @@ object Ingest {
         batchId = shardId + 1L)
     }
     crashpoint("corpus")
-
-    // 1.6 keeper appends — the kept docs' (cu, h) keys extend the
-    // persisted url/hash dedup references (r13): kept keys are proven
-    // absent from the standing keepers by this very classification,
-    // so the append is pure accumulation, idempotent per batch id
-    // like the corpus sink. MUST land before the done seal (a done
-    // shard's keys must be visible to the next shard's classify).
-    timed("keepers") {
-      sinkKeepers(spark, dirs, keptKeyed.select("doc_id", "cu", "h"),
-        batchId = shardId + 1L)
-    }
-    crashpoint("keepers")
 
     // 2–3. the two index appends — the kill window the verdict names.
     // Each is idempotent per shard key; a replay that finds its stamp
@@ -1018,13 +1034,24 @@ object Ingest {
     // a live ingest run fails loudly here instead of publishing a
     // generation that orphans the run's in-flight deltas
     ManifestStore.withMaintainerLease(spark, dirs.ledgerDir) {
+      // a rebuild can outlive the lock staleness bound, and unlike
+      // [[run]] it never mutates the ledger again — re-verify the
+      // lease before EACH artifact publish (review r13) so a stolen
+      // lease aborts loudly instead of committing generations that
+      // orphan the thief's in-flight deltas
+      def held(): Unit =
+        ManifestStore.verifyMaintainerLease(spark, dirs.ledgerDir)
       val (nDocs, nVecs) = snapshotCorpus(spark, dirs, snapDir)
+      held()
       AnnIndex.write(spark, snapDir, dirs.annDir)
+      held()
       val gateKeys = Dedup.writeEmbedBandIndex(spark, snapDir,
         dirs.embedGateDir)
       // the unigram LM is frozen-model like the coarse quantizer —
       // the SAME rebuild that retires the ANN drift re-trains it
+      held()
       LmStore.write(spark, snapDir, dirs.lmDir)
+      held()
       LexStore.maybeCompact(spark, dirs.lexDir)
       Dedup.maybeCompactGateIndex(spark, dirs.shingleGateDir)
       (nDocs, nVecs, gateKeys)
@@ -1067,7 +1094,7 @@ object Ingest {
     * artifact-served verdicts ≡ the from-scratch batch semantics —
     * "ingest-filtered ≡ batch-curation" by mechanism, not assertion. */
   def ingestLmGate(spark: SparkSession, corpusDir: String,
-                   minAvgLogprob: Double = -3.43): DataFrame = {
+                   minAvgLogprob: Double = LmMinAvgLogprob): DataFrame = {
     val lmDir = LmStore.baseLmFor(spark, corpusDir)
     val shard = Tables.documents(spark, corpusDir)
       .filter(col("doc_id") % 10 === 7)

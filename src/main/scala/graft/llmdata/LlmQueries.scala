@@ -475,7 +475,7 @@ object LlmQueries {
     * quantization, and the same threshold order — a hash match proves
     * the persisted-artifact-served gate ≡ batch curation semantics. */
   val ingestLmGateSql: String =
-    """WITH btok AS (SELECT unnest(string_split(text, ' ')) AS term
+    s"""WITH btok AS (SELECT unnest(string_split(text, ' ')) AS term
       |  FROM documents WHERE doc_id % 10 <> 7),
       |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM btok),
       |freq AS (SELECT term, COUNT(*) AS cnt FROM btok GROUP BY term),
@@ -494,10 +494,10 @@ object LlmQueries {
       |            / len(string_split(text, ' ')) AS ttr
       |        FROM documents WHERE doc_id % 10 = 7)
       |SELECT agg.doc_id, agg.n_tokens, agg.micro_sum,
-      |  CASE WHEN sig.n_tok < 20 THEN 'too_short'
-      |       WHEN sig.ttr < 0.30 THEN 'low_diversity'
+      |  CASE WHEN sig.n_tok < ${Ingest.MinTokens} THEN 'too_short'
+      |       WHEN sig.ttr < ${Ingest.MinTypeTokenRatio} THEN 'low_diversity'
       |       WHEN CAST(agg.micro_sum AS DOUBLE) / 1000000.0 / agg.n_tokens
-      |            < -3.43 THEN 'rare_tokens'
+      |            < ${Ingest.LmMinAvgLogprob} THEN 'rare_tokens'
       |       ELSE 'kept' END AS verdict
       |FROM agg JOIN sig USING (doc_id) ORDER BY agg.doc_id""".stripMargin
 

@@ -55,21 +55,32 @@ object LmStore {
 
   private[llmdata] def writeBase(spark: SparkSession, corpusDir: String,
                                  lmDir: String, keep: Column): (Long, Long) = {
-    val freq = Tables.documents(spark, corpusDir).filter(keep)
+    // ONE corpus pass (review r13): write the narrow (term, cnt) file
+    // first, then derive the scalars from the materialized parquet —
+    // the family's writer shape (gate indexes, LexStore deltas); the
+    // old pre-aggregation for the scalars tokenized the whole corpus
+    // a second time, doubling the most expensive stage of rebuild
+    val tmp = GenDir.stage(spark, lmDir)
+    Tables.documents(spark, corpusDir).filter(keep)
       .select(explode(TextAnalysis.toks(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val st = freq.agg(count(lit(1)).as("v"), sum(col("cnt")).as("tot")).head
+      .withColumn("bucket", LexStore.bucketOf(col("term")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/freq.parquet")
+    val st = spark.read.parquet(s"$tmp/freq.parquet")
+      .agg(count(lit(1)).as("v"), sum(col("cnt")).as("tot")).head
     val (vocab, total) =
       (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
-    if (total == 0L)
+    if (total == 0L) {
+      // refuse BEFORE commit; reclaim the staged empty write so the
+      // refusal leaves no corpse for vacuum to explain
+      val (f, t) = GenDir.fsOf(spark, tmp)
+      f.delete(t, true)
       throw new IllegalStateException(
         s"refusing to commit an EMPTY unigram LM to $lmDir: the corpus " +
           s"under $corpusDir has no tokens (after the keep filter) - " +
           "every score would be ln(x/0); fix the corpus path and re-run")
-    val tmp = GenDir.stage(spark, lmDir)
-    freq.withColumn("bucket", LexStore.bucketOf(col("term")))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$tmp/freq.parquet")
+    }
     GenDir.writeJson(spark, s"$tmp/stats.json",
       s"""{"format":$Format,"vocab":$vocab,"total_tokens":$total}""")
     GenDir.commit(spark, lmDir, tmp)

@@ -312,6 +312,23 @@ object ManifestStore {
                                             storeDir: String)(body: => T): T =
     withWriterLease(spark, storeDir)(body)
 
+  /** Re-verify a maintainer lease MID-BODY (review r13): the staleness
+    * bound is sized for manifest mutations, and a long maintainer body
+    * (a full-corpus rebuild) can outlive it — a stale-breaker then
+    * claims the "corpse" of a LIVE maintainer. Ledger mutations catch
+    * that at their own commit points via [[verifyHeld]], but a
+    * maintainer whose body publishes NON-ledger artifacts (GenDir
+    * generations) never touches the ledger again — it must call this
+    * before each publish so a stolen lease aborts loudly instead of
+    * committing artifacts that orphan the thief's in-flight deltas.
+    * Same read-only, no-re-stamp stance (and the same documented
+    * milliseconds-wide residual window) as the commit-point check;
+    * the operator raises `graft.manifest.lockStaleMs` for genuinely
+    * long maintenance. */
+  private[graft] def verifyMaintainerLease(spark: SparkSession,
+                                           storeDir: String): Unit =
+    verifyHeld(spark, storeDir)
+
   // -------------------------------------- snapshot-cadence bookkeeping
   /** Manifests committed since the newest fold, per (session, store) —
     * the O(1) cadence probe (VERDICT r8 #8): [[maybeSnapshot]]

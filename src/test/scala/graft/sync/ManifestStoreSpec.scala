@@ -405,4 +405,25 @@ class ManifestStoreSpec extends SparkSpec {
     assert(readSet(store) ===
       (0 to 5).map(i => (s"d$i", i)).toSet)
   }
+
+  test("a maintainer lease stolen mid-body aborts loudly at the next verify point (review r13)") {
+    // the long-maintainer scenario: the body outlives the staleness
+    // bound and a breaker claims the "corpse" of the LIVE holder —
+    // the holder's next verifyMaintainerLease must throw, never let
+    // it publish over the thief (Ingest.rebuild calls it before each
+    // artifact publish because rebuild never re-touches the ledger)
+    val dir = Files.createTempDirectory("graft-lease-verify").toString
+    ManifestStore.withLeaseForTest(spark, dir) {
+      // inside a healthy lease the verify is a clean no-op
+      ManifestStore.verifyMaintainerLease(spark, dir)
+      // simulate the theft: a breaker replaced the stamp with its own
+      val lock = java.nio.file.Paths.get(s"$dir/_manifest/.writer.lock")
+      java.nio.file.Files.writeString(lock, "thief-nonce")
+      val e = intercept[IllegalStateException] {
+        ManifestStore.verifyMaintainerLease(spark, dir)
+      }
+      assert(e.getMessage.contains("lost mid-mutation"), e.getMessage)
+    } // release is conditional on still owning the nonce - no throw here
+  }
+
 }
