@@ -532,14 +532,55 @@ object Ingest {
   private def sinkCorpus(spark: SparkSession, dirs: Dirs,
                          docs: DataFrame, emb: DataFrame,
                          batchId: Long): Unit = {
-    if (!ManifestStore.committed(spark, dirs.corpusDocsDir, batchId))
-      ManifestStore.commit(
-        docs.withColumn("part", corpusPartOf(col("doc_id"))),
-        dirs.corpusDocsDir, batchId, "part", append = true)
-    if (!ManifestStore.committed(spark, dirs.corpusEmbDir, batchId))
-      ManifestStore.commit(
-        emb.withColumn("part", corpusPartOf(col("vec_id"))),
-        dirs.corpusEmbDir, batchId, "part", append = true)
+    appendFoldProof(spark, dirs.corpusDocsDir, batchId,
+      docs.withColumn("part", corpusPartOf(col("doc_id"))), "part",
+      "doc_id", "doc_id")
+    appendFoldProof(spark, dirs.corpusEmbDir, batchId,
+      emb.withColumn("part", corpusPartOf(col("vec_id"))), "part",
+      "vec_id", "vec_id")
+  }
+
+  /** FOLD-PROOF append idempotence for the shard-id-keyed sinks (r13
+    * — the `__done__` data-marker discipline extended to the corpus
+    * and keeper stores): `ManifestStore.committed` answers true for
+    * EVERY id at or below a fold, so a shard replayed after the
+    * maintenance fold+vacuum passed its batch id looked "already
+    * sunk" and SILENTLY skipped — its kept rows in no store, a later
+    * rebuild dropping them. The discriminator is the batch's OWN
+    * ROWS: a manifest-witnessed commit no-ops as before; a
+    * fold-implied id no-ops only if the store actually HOLDS one of
+    * this batch's rows (folds preserve data, so a genuine replay
+    * whose manifest was vacuumed still passes); fold-implied with
+    * the rows ABSENT is the deployment folding past a mid-flight
+    * shard — fail loudly (sealing the batch now would be
+    * reader-invisible: readers compose from the newest snapshot
+    * up). The probe is one bucket-pruned point lookup on the batch's
+    * FIRST row, paid only in the rare already-committed branch; an
+    * empty batch has nothing to lose and no-ops. */
+  private def appendFoldProof(spark: SparkSession, dir: String,
+                              batchId: Long, df: DataFrame,
+                              partCol: String, idCol: String,
+                              storeIdCol: String): Unit = {
+    if (!ManifestStore.committed(spark, dir, batchId)) {
+      ManifestStore.commit(df, dir, batchId, partCol, append = true)
+      return
+    }
+    if (ManifestStore.committedExplicitly(spark, dir, batchId)) return
+    val first = df.select(col(idCol)).limit(1).collect()
+    if (first.isEmpty) return // nothing this batch could have lost
+    val id = first(0).getLong(0)
+    val present = ManifestStore.readStore(spark, dir).exists(
+      _.filter(col(partCol) === corpusPartOf(lit(id)) &&
+        col(storeIdCol) === id).limit(1).count() > 0L)
+    if (!present)
+      throw new IllegalStateException(
+        s"batch $batchId of $dir reads as committed only through a " +
+          s"store fold yet holds none of the batch's rows (probe id " +
+          s"$id) - the deployment folded past a MID-FLIGHT shard " +
+          "(crashed shards must replay before later shards run and " +
+          "fold the stores); the batch cannot be sealed retroactively " +
+          "(readers compose from the newest snapshot up) - re-ingest " +
+          "these documents under a fresh shard id above the fold")
   }
 
   /** Commit one batch of first-seen keys into both KEEPER TABLES —
@@ -554,16 +595,40 @@ object Ingest {
     * Idempotent per batch id like [[sinkCorpus]]. */
   private def sinkKeepers(spark: SparkSession, dirs: Dirs,
                           keyed: DataFrame, batchId: Long): Unit = {
-    if (!ManifestStore.committed(spark, dirs.urlKeeperDir, batchId))
-      ManifestStore.commit(
-        keyed.groupBy(col("cu")).agg(min(col("doc_id")).as("url_match"))
-          .withColumn("kpart", kpartOf(col("cu"))),
-        dirs.urlKeeperDir, batchId, "kpart", append = true)
-    if (!ManifestStore.committed(spark, dirs.hashKeeperDir, batchId))
-      ManifestStore.commit(
-        keyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match"))
-          .withColumn("kpart", kpartOf(col("h"))),
-        dirs.hashKeeperDir, batchId, "kpart", append = true)
+    appendKeeperFoldProof(spark, dirs.urlKeeperDir, batchId,
+      keyed.groupBy(col("cu")).agg(min(col("doc_id")).as("url_match"))
+        .withColumn("kpart", kpartOf(col("cu"))), "cu", "url_match")
+    appendKeeperFoldProof(spark, dirs.hashKeeperDir, batchId,
+      keyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match"))
+        .withColumn("kpart", kpartOf(col("h"))), "h", "exact_match")
+  }
+
+  /** [[appendFoldProof]] for the keeper stores — same discipline, the
+    * probe keys on the keeper's own (key → min_id) shape. */
+  private def appendKeeperFoldProof(spark: SparkSession, dir: String,
+                                    batchId: Long, df: DataFrame,
+                                    keyCol: String,
+                                    matchCol: String): Unit = {
+    if (!ManifestStore.committed(spark, dir, batchId)) {
+      ManifestStore.commit(df, dir, batchId, "kpart", append = true)
+      return
+    }
+    if (ManifestStore.committedExplicitly(spark, dir, batchId)) return
+    val first = df.select(col(keyCol)).limit(1).collect()
+    if (first.isEmpty) return
+    val key = first(0).getString(0)
+    val present = ManifestStore.readStore(spark, dir).exists(
+      _.filter((col("kpart") === kpartOf(lit(key)) ||
+          col("kpart").isNull) && col(keyCol) === key)
+        .limit(1).count() > 0L)
+    if (!present)
+      throw new IllegalStateException(
+        s"batch $batchId of keeper $dir reads as committed only " +
+          s"through a store fold yet holds none of the batch's keys " +
+          s"(probe '$key') - the deployment folded past a MID-FLIGHT " +
+          "shard (crashed shards must replay before later shards run " +
+          "and fold the stores); re-ingest these documents under a " +
+          "fresh shard id above the fold")
   }
 
   /** Are the keeper tables (and the corpus store the near arm's text

@@ -368,6 +368,21 @@ object ManifestStore {
     PartitionedStore.exists(spark, s"$storeDir/_manifest/$batchId") ||
       newestSnapId(spark, storeDir).exists(batchId <= _)
 
+  /** `batchId`'s own manifest file exists — commitment WITNESSED, not
+    * merely fold-implied (r13): [[committed]] answers true for EVERY
+    * id at or below a fold, so an append-store consumer with
+    * free-form ids (the ingest family's shard-derived batch ids)
+    * cannot tell "this batch ran" from "a fold passed this id". The
+    * ingest sinks use this to distinguish a genuine replay (manifest
+    * present, or fold-implied WITH the batch's rows present) from a
+    * monotonicity violation (fold-implied, rows absent — the batch
+    * never ran and sealing it now would be reader-invisible), which
+    * must fail loudly instead of silently dropping the rows. */
+  private[graft] def committedExplicitly(spark: SparkSession,
+                                         storeDir: String,
+                                         batchId: Long): Boolean =
+    PartitionedStore.exists(spark, s"$storeDir/_manifest/$batchId")
+
   /** The composition ledger as read from disk: the newest snapshot
     * (if any) plus every numeric manifest ABOVE its id, ascending. */
   private case class Ledger(

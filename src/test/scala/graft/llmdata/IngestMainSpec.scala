@@ -690,6 +690,53 @@ class IngestMainSpec extends SparkSpec {
     assert(verdicts.exists(_ != "kept"), "gate entry: no filtered docs")
   }
 
+  test("store folds vs mid-flight shards: a fold past an unsunk batch fails LOUDLY on replay; a fold past a SUNK batch still no-ops (r13)") {
+    // THE HAZARD: ManifestStore.committed is fold-implied for every
+    // id at or below a snapshot, so a shard replayed after the
+    // maintenance fold+vacuum passed its batch id used to look
+    // "already sunk" and silently skip — kept rows in no store, a
+    // later rebuild dropping them (the same class the r12 __done__
+    // data marker fixed for the ledger).
+    val dirs = freshDirs()
+    // crash AFTER keepers, BEFORE the corpus sink: corpus batch 1
+    // never written, keeper batch 1 witnessed by its own manifest
+    intercept[IllegalStateException] {
+      Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L,
+        crashAfter = Some("keepers"))
+    }
+    // the deployment (wrongly) moves on: shard 1 lands, then the
+    // maintenance-equivalent fold+vacuum passes corpus batch 1
+    val next = shard.limit(5)
+      .withColumn("doc_id", col("doc_id") + 9100000L)
+      .withColumn("text", concat(col("text"), lit(" frisch")))
+      .localCheckpoint()
+    Ingest.run(spark, dirs, baseDocs, next, emb.filter(lit(false)), 1L)
+    graft.sync.ManifestStore.snapshot(spark, dirs.corpusDocsDir)
+    graft.sync.ManifestStore.vacuum(spark, dirs.corpusDocsDir)
+    assert(ManifestStore.committed(spark, dirs.corpusDocsDir, 1L),
+      "batch 1 must read fold-implied committed")
+    // replay of shard 0 must fail LOUDLY at the corpus sink — never
+    // silently drop the kept rows
+    val e = intercept[IllegalStateException] {
+      Ingest.run(spark, dirs, baseDocs, shard, shardEmb, 0L)
+    }
+    assert(e.getMessage.contains("MID-FLIGHT"), e.getMessage)
+
+    // THE LEGITIMATE TWIN: a batch whose rows DID land but whose
+    // manifest was folded+vacuumed must keep no-opping quietly
+    val dirs2 = freshDirs()
+    intercept[IllegalStateException] {
+      Ingest.run(spark, dirs2, baseDocs, shard, shardEmb, 0L,
+        crashAfter = Some("lex")) // corpus batch 1 fully committed
+    }
+    graft.sync.ManifestStore.snapshot(spark, dirs2.corpusDocsDir)
+    graft.sync.ManifestStore.vacuum(spark, dirs2.corpusDocsDir)
+    val st = Ingest.run(spark, dirs2, baseDocs, shard, shardEmb, 0L)
+    assert(!st.replayed && st.fates.getOrElse("kept", 0L) > 0)
+    assert(stateOf(dirs2) === stateOf(unbroken._1),
+      "the folded-manifest replay must converge like any other")
+  }
+
   test("registered entries: ingest fates roll up the ledger; stored-append BM25 ≡ the full-corpus scan bit-for-bit") {
     val fates = Ingest.ingestFates(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
