@@ -164,3 +164,24 @@ object LmStore {
 
   def releaseCaches(): Unit = baseMemo.clear()
 }
+
+/** `spark-submit`-able unigram-LM build job (the LexMain/GateMain
+  * convention): persist the corpus LM as the next committed
+  * generation of `lmDir`, print ONE JSON status line. An empty
+  * corpus fails loudly inside [[LmStore.write]] (non-zero exit) —
+  * the artifact family refuses to create the every-score-NaN hazard. */
+object LmMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: LmMain <corpusDir> <lmDir>")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-lm-build")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    try {
+      val (vocab, total) = LmStore.write(spark, args(0), args(1))
+      println(s"""{"job":"lm_build","vocab":$vocab,""" +
+        s""""total_tokens":$total,"format":${LmStore.Format}}""")
+    } finally spark.stop()
+  }
+}
