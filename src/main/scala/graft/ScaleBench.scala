@@ -323,41 +323,86 @@ object ScaleBench {
     * corpus (the classification reference); growing the ANN artifact
     * too would bury a classification measurement under one-time
     * index training ([[run100x]] already measures that axis). */
-  private def runIngestScale(spark: SparkSession): Unit = {
+  /** The ingest-scale fixtures shared by `ingestscale` and
+    * `classifyprofile`: crawl-realistic url space + the 0.8 verify
+    * threshold, like runIngestBench but with a FIVE-hex page space
+    * (1M pages/source) — the 3-hex space saturates by 2M docs (every
+    * shard url taken, all 500 docs url_dup, append stages idle),
+    * which would compare a working shard at 1x against a no-op shard
+    * at 100x; at 5 hex the collision rate stays single-digit-percent
+    * at every point. */
+  private def ingestScaleUrl: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    import graft.llmdata.Ingest
-    val stageNames = Seq("classify", "corpus", "keepers", "lex", "ann", "gates")
-    // crawl-realistic url space + the 0.8 verify threshold, like
-    // runIngestBench but with a FIVE-hex page space (1M pages/source):
-    // the 3-hex space saturates by 2M docs — every shard url taken,
-    // all 500 docs url_dup, append stages idle — which would compare
-    // a working shard at 1x against a no-op shard at 100x; at 5 hex
-    // the collision rate stays single-digit-percent at every point
-    val benchUrl = concat(lit("https://www."), col("source"),
-      lit(".com/p/"),
+    concat(lit("https://www."), col("source"), lit(".com/p/"),
       substring(md5(concat(col("doc_id").cast("string"), lit(":u"))), 1, 5))
-    // ONE fixed shard for every scale point: ids far above any corpus,
-    // text perturbed so no row is an exact duplicate of a corpus doc
-    val shard = tools.SynthCorpus.documents(spark, 500L, seed = 137L)
+  }
+
+  /** ONE fixed 500-doc shard for every scale point: ids far above any
+    * corpus, text perturbed so no row is an exact corpus duplicate. */
+  private def ingestScaleShard(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    tools.SynthCorpus.documents(spark, 500L, seed = 137L)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
         concat(col("text"), lit(" ingestscale"),
           (col("doc_id") % 97).cast("string")).as("text"),
         col("source"))
       .localCheckpoint()
+  }
+
+  /** A bootstrapped deployment over an nDocs-doc synthetic corpus
+    * (embeddings held at 4k — the corpus axis under test is the DOC
+    * corpus); returns (corpusDir, dirs). */
+  private def ingestScaleDeployment(spark: SparkSession, label: String,
+                                    nDocs: Long)
+      : (String, graft.llmdata.Ingest.Dirs) = {
+    import graft.llmdata.Ingest
+    val corpus = java.nio.file.Files
+      .createTempDirectory(s"graft-ingestscale-$label").toString
+    tools.SynthCorpus.writeCorpus(spark, corpus, nDocs, 4000L)
+    val work = java.nio.file.Files
+      .createTempDirectory(s"graft-ingestscale-work-$label").toString
+    val dirs = Ingest.dirsUnder(work)
+    // shardRem ≥ shardMod never matches: the FULL corpus is the base
+    Ingest.bootstrap(spark, corpus, dirs, 10, 11, rawUrl = ingestScaleUrl)
+    (corpus, dirs)
+  }
+
+  /** Per-ARM classify attribution at the ingest-scale corpus points
+    * (the measurement tool behind the classify column): forces each
+    * cascade arm with a timed count via Ingest.profileClassify. */
+  private def runClassifyProfile(spark: SparkSession): Unit = {
+    import graft.llmdata.Ingest
+    val shard = ingestScaleShard(spark)
+    def point(label: String, nDocs: Long): Unit = {
+      val (_, dirs) = ingestScaleDeployment(spark, label, nDocs)
+      val (t, c) = Ingest.profileClassify(spark, dirs, shard, 0.8,
+        ingestScaleUrl)
+      println(s"classifyprofile $label docs=$nDocs " +
+        t.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }
+          .mkString(" ") + " | " +
+        c.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString(" "))
+    }
+    point("warm", 20000L)
+    Seq(("1x", 20000L), ("10x", 200000L), ("100x", 2000000L))
+      .foreach { case (l, n) => point(l, n) }
+    spark.stop()
+  }
+
+  private def runIngestScale(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llmdata.Ingest
+    val stageNames = Seq("classify", "corpus", "keepers", "lex", "ann", "gates")
+    val benchUrl = ingestScaleUrl
+    val shard = ingestScaleShard(spark)
     val shardEmb = tools.SynthCorpus.embeddings(spark, 500L, seed = 139L)
       .select((col("vec_id") + lit(10000000L)).as("vec_id"),
         col("embedding"))
       .localCheckpoint()
     def point(label: String, nDocs: Long)
-        : (Long, Map[String, Double], Double, Long) = {
-      val corpus = java.nio.file.Files
-        .createTempDirectory(s"graft-ingestscale-$label").toString
-      tools.SynthCorpus.writeCorpus(spark, corpus, nDocs, 4000L)
-      val work = java.nio.file.Files
-        .createTempDirectory(s"graft-ingestscale-work-$label").toString
-      val dirs = Ingest.dirsUnder(work)
-      // shardRem ≥ shardMod never matches: the FULL corpus is the base
-      Ingest.bootstrap(spark, corpus, dirs, 10, 11, rawUrl = benchUrl)
+        : (Long, Map[String, Double], Double, Long, (Int, Int)) = {
+      val (corpus, dirs) = ingestScaleDeployment(spark, label, nDocs)
       val stages = scala.collection.mutable.Map.empty[String, Double]
       val t0 = System.nanoTime()
       val st = Ingest.run(spark, dirs, Tables.documents(spark, corpus),
@@ -365,7 +410,8 @@ object ScaleBench {
         onStage = (s, t) => stages(s) = t)
       val total = (System.nanoTime() - t0) / 1e9
       require(st.fates.values.sum == 500L, s"$label lost rows: ${st.fates}")
-      (nDocs, stages.toMap, total, st.fates.getOrElse("kept", 0L))
+      (nDocs, stages.toMap, total, st.fates.getOrElse("kept", 0L),
+        graft.llmdata.Dedup.gateBandParams(spark, dirs.shingleGateDir))
     }
     point("warm", 20000L) // JIT/codegen warm-up through the full path
     val rows = Seq(("1x", 20000L), ("10x", 200000L), ("100x", 2000000L))
@@ -373,23 +419,25 @@ object ScaleBench {
     println("| corpus docs | " + stageNames.mkString(" s | ") +
       " s | total s | kept/500 |")
     println("|" + ("---|" * (stageNames.size + 3)))
-    rows.foreach { case (l, (n, st, tot, kept)) =>
+    rows.foreach { case (l, (n, st, tot, kept, (gb, gr))) =>
       println(s"| $l ($n) | " + stageNames.map(k =>
         f"${st.getOrElse(k, 0.0)}%.2f").mkString(" | ") +
-        f" | $tot%.2f | $kept |")
+        f" | $tot%.2f | $kept | gate ${gb}x$gr |")
     }
-    println("NOTE: classify's residual slope is the pruned keeper scan " +
-      "(2 narrow columns; a 500-doc shard touches all " +
-      s"${Ingest.KeeperParts} buckets, so the scan is O(corpus keys) " +
-      "bytes at ~24 B/key with zero corpus-text read or hashing — the " +
-      "bucket count is the point-lookup knob) plus the gate probe, " +
-      "which switches from broadcast to shuffle past " +
-      s"${Ingest.GateBroadcastMaxKeys} persisted keys.")
-    val js = rows.map { case (l, (n, st, tot, kept)) =>
+    println("NOTE: classify is corpus-flat by mechanism since the " +
+      "adaptive gate banding (Dedup.GateBandLadder bounds the " +
+      "per-probe candidate mass at build; candidate ids push into " +
+      "the corpus-text scan as parquet equality filters under " +
+      s"CandIdPushdownMax=${Ingest.CandIdPushdownMax}); the residual " +
+      "narrow terms are the pruned keeper scan (~24 B/key) and the " +
+      "gate key scan, which switches from broadcast to a streamed " +
+      s"scan past ${Ingest.GateBroadcastMaxKeys} persisted keys.")
+    val js = rows.map { case (l, (n, st, tot, kept, (gb, gr))) =>
       "\"" + l + "\":{\"docs\":" + n + "," +
         stageNames.map(k => "\"" + k + "\":" + st.getOrElse(k, 0.0))
           .mkString(",") + ",\"total\":" + tot +
-        ",\"kept\":" + kept + "}"
+        ",\"kept\":" + kept +
+        ",\"gate_bands\":" + gb + ",\"gate_rows\":" + gr + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"ingest_scale","points":$js}""")
     spark.stop()
@@ -411,6 +459,7 @@ object ScaleBench {
     if (args.headOption.contains("100x")) { run100x(spark); return }
     if (args.headOption.contains("ingest")) { runIngestBench(spark); return }
     if (args.headOption.contains("ingestscale")) { runIngestScale(spark); return }
+    if (args.headOption.contains("classifyprofile")) { runClassifyProfile(spark); return }
 
     val synth1xDir = java.nio.file.Files
       .createTempDirectory("graft-synth1x").toString

@@ -209,13 +209,17 @@ object Dedup {
     * in this corpus sit near J≈0.9 where it is ~0. */
   val NumHashes = 32
   val NumBands = 16
-  private val RowsPerBand = NumHashes / NumBands
+  private[llmdata] val RowsPerBand = NumHashes / NumBands
 
   /** (doc_id, band, sig) — banded LSH keys; candidate pairs are docs
-    * agreeing on (band, sig), i.e. an equi-join key, never all-pairs. */
-  def lshBands(signatures: DataFrame): DataFrame = {
-    val bandCols = (0 until NumBands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+    * agreeing on (band, sig), i.e. an equi-join key, never all-pairs.
+    * `bands`/`rows` parameterize the banding for the ADAPTIVE gate
+    * keyings ([[GateBandLadder]]); the defaults are the fixed batch
+    * keying every registered pair family pins. */
+  def lshBands(signatures: DataFrame, bands: Int = NumBands,
+               rows: Int = RowsPerBand): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("sig"))
     }
     signatures
@@ -235,15 +239,16 @@ object Dedup {
     * the shingle lambda and emit no keys, matching the postings form —
     * the filter must come first because Spark's `sequence(0, -1)` is the
     * descending [0, -1], not empty, and would index element_at(t0, 0). */
-  def lshBandsRowLocal(docs: DataFrame): DataFrame = {
+  def lshBandsRowLocal(docs: DataFrame, bands: Int = NumBands,
+                       rows: Int = RowsPerBand): DataFrame = {
     val sh = shingleSetExpr
-    val mh = (0 until NumHashes).map(j =>
+    val mh = (0 until bands * rows).map(j =>
       array_min(transform(col("sh"), g => xxhash64(lit(j), g))).as(s"mh$j"))
     lshBands(docs
       .select(col("doc_id"), split(col("text"), " ").as("t0"))
       .filter(size(col("t0")) >= 3)
       .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id") +: mh: _*))
+      .select(col("doc_id") +: mh: _*), bands, rows)
   }
 
   /** The row-local distinct-3-shingle set over a tokenized `t0` array
@@ -259,8 +264,9 @@ object Dedup {
   /** (doc_id, mh0..mh31) MinHash signature table from the shingle
     * postings — shared by [[minhashNearDup]] and [[corpusBandIndex]] so
     * the signature definition lives in exactly one place. */
-  private def minhashSignatures(posting: DataFrame): DataFrame = {
-    val sigAggs = (0 until NumHashes).map(j =>
+  private def minhashSignatures(posting: DataFrame,
+                                nHashes: Int = NumHashes): DataFrame = {
+    val sigAggs = (0 until nHashes).map(j =>
       min(xxhash64(lit(j), col("g"))).as(s"mh$j"))
     posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
   }
@@ -268,8 +274,11 @@ object Dedup {
   /** The corpus-side LSH band index — the artifact a production gate
     * keeps hot (rebuilt per corpus compaction, broadcast to the
     * ingestion stream). */
-  def corpusBandIndex(spark: SparkSession, dir: String): DataFrame =
-    lshBands(minhashSignatures(shinglePostings(spark, dir)))
+  def corpusBandIndex(spark: SparkSession, dir: String,
+                      bands: Int = NumBands,
+                      rows: Int = RowsPerBand): DataFrame =
+    lshBands(minhashSignatures(shinglePostings(spark, dir), bands * rows),
+        bands, rows)
       .withColumnRenamed("doc_id", "corpus_id")
 
   /** STREAMING NEAR-DUP GATE — the live ingestion filter: incoming
@@ -286,7 +295,9 @@ object Dedup {
   def streamingNearDupGate(incoming: DataFrame,
                            corpusIndex: DataFrame,
                            broadcastIndex: Boolean = true,
-                           broadcastIncoming: Boolean = false): DataFrame = {
+                           broadcastIncoming: Boolean = false,
+                           bands: Int = NumBands,
+                           rows: Int = RowsPerBand): DataFrame = {
     // join-shape knobs (r13, mirroring [[streamingEmbedGate]]'s
     // stance): the DEFAULT broadcasts the index — the hot-cache
     // deployment at test scales. A corpus-sized index must not ride
@@ -299,12 +310,14 @@ object Dedup {
     // a stats-free checkpointed shard side and shuffled all 16M gate
     // keys instead). Neither flag = plain equi-join on (band, sig) —
     // the both-sides-huge fallback, one shuffle each.
-    val bands = lshBandsRowLocal(incoming)
+    // the incoming side MUST band at the index's own keying
+    // ([[gateBandParams]]) — a probe banded differently never joins
+    val bkeys = lshBandsRowLocal(incoming, bands, rows)
     val joined =
-      if (broadcastIndex) bands.join(broadcast(corpusIndex), Seq("band", "sig"))
+      if (broadcastIndex) bkeys.join(broadcast(corpusIndex), Seq("band", "sig"))
       else if (broadcastIncoming)
-        corpusIndex.join(broadcast(bands), Seq("band", "sig"))
-      else bands.join(corpusIndex, Seq("band", "sig"))
+        corpusIndex.join(broadcast(bkeys), Seq("band", "sig"))
+      else bkeys.join(corpusIndex, Seq("band", "sig"))
     joined.select(col("doc_id"), col("corpus_id"), col("band"))
   }
 
@@ -605,21 +618,101 @@ object Dedup {
                      idxDir: String): Long =
     writeBandIndexBase(spark, corpusDir, idxDir, lit(true))
 
+  /** CORPUS-ADAPTIVE gate banding ladder (r13) — the minhash twin of
+    * the embed gate's corpus-adaptive bit width: each step re-spends
+    * the same MinHash budget as fewer, LONGER bands, which drives the
+    * chance-collision probability per corpus doc (≈ bands × J_bg^rows)
+    * down geometrically while costing recall only at LOW Jaccard. At
+    * the fixed (16, 2) keying the per-probe candidate load grows
+    * linearly with the corpus (every pair's collision probability is
+    * a constant, so candidates = N × P_bg — measured 1.6k → 138k
+    * candidates per 500-doc shard across a 100× corpus growth); each
+    * ladder step squares-then-squares P_bg back down. The DOCUMENTED
+    * recall trade at the top step (5 bands × 8 rows): a J = 0.9 pair
+    * collides with p = 1 − (1 − 0.9^8)^5 ≈ 0.94, J = 0.95 ≈ 0.997,
+    * J → 1 (the gate's target class: re-posts and boilerplate
+    * re-fetches) ≈ 1; loose-threshold semantic dedup belongs to the
+    * batch pair families, not a streaming gate — the same stance the
+    * embed gate's width took in r12. Appends INHERIT the built
+    * keying (frozen-model stance); [[graft.llmdata.Ingest.rebuild]]
+    * re-keys at the width the grown corpus demands. */
+  private[llmdata] val GateBandLadder: Seq[(Int, Int)] =
+    Seq((NumBands, RowsPerBand), (8, 4), (5, 8))
+
+  /** Max MinHash functions any ladder step consumes — the signature
+    * width built once per keying pass (hash j is `xxhash64(j, g)`, so
+    * signatures are PREFIX-STABLE: step (b, r) reads the first b×r). */
+  private[llmdata] val GateMaxHashes: Int =
+    GateBandLadder.map { case (b, r) => b * r }.max
+
+  /** Ladder target: expected gate candidates PER PROBE DOC against
+    * the standing corpus (Σ df·(df−1) / N over the key buckets — the
+    * exact quantity the per-shard classify pays per survivor). The
+    * build walks the ladder and keeps the first keying at or under
+    * it, so the per-shard candidate load is corpus-bounded BY
+    * MECHANISM, not by hoping the corpus is diverse. */
+  private[llmdata] val GateCandPerDocTarget = 8.0
+
   /** [[writeBandIndex]] restricted to keys passing `keep` (a Column
     * over `corpus_id`) — IngestMain's bootstrap seam, like
-    * [[writeEmbedBandIndexBase]]. */
+    * [[writeEmbedBandIndexBase]]. Picks the banding adaptively from
+    * the ladder above and records it in the meta (legacy metas
+    * without the fields read as the fixed (16, 2) keying). */
   private[llmdata] def writeBandIndexBase(spark: SparkSession,
                                           corpusDir: String, idxDir: String,
                                           keep: Column): Long = {
     import graft.sync.GenDir
     val tmp = GenDir.stage(spark, idxDir)
-    corpusBandIndex(spark, corpusDir).filter(keep)
-      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
-    val n = spark.read.parquet(s"$tmp/keys.parquet").count()
-    GenDir.writeJson(spark, s"$tmp/meta.json",
-      s"""{"format":$GateIndexFormat,"n_keys":$n}""")
-    GenDir.commit(spark, idxDir, tmp)
-    n
+    // one signature pass at the ladder's max width; each step bands a
+    // prefix of it. persist + RELEASE (not localCheckpoint — an
+    // unreleasable signature block set per bootstrap accumulated
+    // into real memory pressure at the 2M-doc ingest-scale point):
+    // the ladder walk aggregates it once per step, the chosen step
+    // writes from it, and the finally returns the memory.
+    val sigs = minhashSignatures(shinglePostings(spark, corpusDir),
+        GateMaxHashes)
+      .withColumnRenamed("doc_id", "corpus_id").filter(keep)
+      .withColumnRenamed("corpus_id", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = sigs.count()
+      def candPerDoc(keys: DataFrame): Double = {
+        if (nDocs == 0L) return 0.0
+        val s = keys.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("df"))
+          .agg(sum(col("df") * (col("df") - lit(1L)))).head
+        if (s.isNullAt(0)) 0.0 else s.getLong(0).toDouble / nDocs
+      }
+      val (b, r) = GateBandLadder.find { case (bb, rr) =>
+        candPerDoc(lshBands(sigs, bb, rr)) <= GateCandPerDocTarget
+      }.getOrElse(GateBandLadder.last)
+      lshBands(sigs, b, r).withColumnRenamed("doc_id", "corpus_id")
+        .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+      val n = spark.read.parquet(s"$tmp/keys.parquet").count()
+      GenDir.writeJson(spark, s"$tmp/meta.json",
+        s"""{"format":$GateIndexFormat,"n_keys":$n,"bands":$b,"rows":$r}""")
+      GenDir.commit(spark, idxDir, tmp)
+      n
+    } finally {
+      sigs.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The banding a persisted shingle gate index was KEYED with —
+    * probes must band their own side identically or the equi-join is
+    * meaningless. Legacy metas (pre-adaptive) read as the fixed
+    * batch keying. */
+  def gateBandParams(spark: SparkSession, idxDir: String): (Int, Int) = {
+    import graft.sync.GenDir
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed band-index generation under $idxDir - " +
+          "run writeBandIndex"))
+    val metaPath = s"$gen/meta.json"
+    val text = GenDir.readJson(spark, metaPath, "band index meta.json")
+    (GenDir.jsonLongOpt(text, "bands").map(_.toInt).getOrElse(NumBands),
+      GenDir.jsonLongOpt(text, "rows").map(_.toInt).getOrElse(RowsPerBand))
   }
 
   /** APPEND a delta key segment to the shingle gate index — incoming
@@ -637,8 +730,8 @@ object Dedup {
         s"no committed band-index generation under $idxDir - " +
           "run writeBandIndex"))
     val metaPath = s"$gen/meta.json"
-    if (GenDir.jsonLong(GenDir.readJson(spark, metaPath,
-      "band index meta.json"), "format", metaPath) != GateIndexFormat)
+    val metaText = GenDir.readJson(spark, metaPath, "band index meta.json")
+    if (GenDir.jsonLong(metaText, "format", metaPath) != GateIndexFormat)
       throw new IllegalStateException(
         s"band index $metaPath has an unreadable format - rebuild")
     val existing = GenDir.deltas(spark, gen)
@@ -653,8 +746,14 @@ object Dedup {
     // empty shard → clean no-op, no committed segment (see the
     // embed twin above)
     if (incoming.isEmpty) return 0L
+    // appends INHERIT the base generation's adaptive keying (frozen-
+    // model stance, like the embed gate's bits): a delta keyed at a
+    // different (bands, rows) would never join the base's buckets
+    val (bb, rr) =
+      (GenDir.jsonLongOpt(metaText, "bands").map(_.toInt).getOrElse(NumBands),
+        GenDir.jsonLongOpt(metaText, "rows").map(_.toInt).getOrElse(RowsPerBand))
     val tmp = GenDir.stage(spark, gen)
-    lshBandsRowLocal(incoming.select(col("doc_id"), col("text")))
+    lshBandsRowLocal(incoming.select(col("doc_id"), col("text")), bb, rr)
       .withColumnRenamed("doc_id", "corpus_id")
       .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
@@ -718,12 +817,14 @@ object Dedup {
     withGateDeltas(spark, gen)
       .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
-    // the embed meta's `bits` keying constant survives verbatim; the
-    // shingle meta has none and gets none
-    val bits = GenDir.jsonLongOpt(text, "bits")
-      .map(b => s""","bits":$b""").getOrElse("")
+    // keying constants survive verbatim (keys are copied, never
+    // re-keyed): the embed meta's `bits`, the shingle meta's adaptive
+    // `bands`/`rows`
+    val keying = Seq("bits", "bands", "rows")
+      .flatMap(k => GenDir.jsonLongOpt(text, k).map(v => s""","$k":$v"""))
+      .mkString
     GenDir.writeJson(spark, s"$tmp/meta.json",
-      s"""{"format":$GateIndexFormat$bits,"n_keys":$n}""")
+      s"""{"format":$GateIndexFormat$keying,"n_keys":$n}""")
     GenDir.commit(spark, idxDir, tmp)
     // post-commit re-list of the OLD generation (the family's ADVICE
     // r11 mirror): a key segment appended after the entry listing is

@@ -104,6 +104,16 @@ object Ingest {
     * small shards; fewer = fewer small files per append. */
   val KeeperParts = 16
 
+  /** Candidate-id pushdown ceiling for the near arm's text lookup:
+    * at or under it the candidate ids ride the corpus-store scan as
+    * an OR-of-equalities parquet filter (row-group stats + dictionary
+    * page skipping — a point lookup, not a bucket scan); above it the
+    * bucket pruning alone bounds the read (a candidate set that large
+    * amortizes the scan it pays). The adaptive gate banding
+    * ([[Dedup.GateBandLadder]]) keeps real candidate sets far under
+    * this ceiling by mechanism. */
+  val CandIdPushdownMax = 1024
+
   /** Ledger shard-bucket count (`sb = shard_id % LedgerBuckets`,
     * VERDICT r12 #3): the ledger used to partition by `fate`, which
     * no reader filters on — every [[fatesOf]]/done-check paid a
@@ -113,15 +123,27 @@ object Ingest {
   val LedgerBuckets = 16
 
   /** Broadcast ceiling for the shingle gate's corpus-side keys in
-    * the per-shard classify (8 keys/doc ⇒ ~500k docs; ~24 B/key ⇒
-    * ~100 MB broadcast): under it the gate join pins the hot-cache
-    * broadcast shape, above it the join shuffles on (band, sig) —
-    * the stream-static join stays stateless either way, and the
-    * decision reads only the persisted key-count markers. */
+    * the per-shard classify ([[Dedup.NumBands]] = 16 keys/doc ⇒
+    * ~250k docs; ~24 B/key ⇒ ~100 MB broadcast): under it the gate
+    * join pins the hot-cache broadcast shape, above it the join
+    * shuffles on (band, sig) — the stream-static join stays
+    * stateless either way, and the decision reads only the persisted
+    * key-count markers. */
   val GateBroadcastMaxKeys: Long = 4000000L
 
   private[llmdata] def kpartOf(key: Column): Column =
     pmod(xxhash64(key), lit(KeeperParts.toLong)).cast("int")
+
+  /** Inject the optional `source` column UP FRONT (ADVICE r12): a
+    * stream of bare (doc_id, text, embedding) rows gets the literal —
+    * both the default rawUrl generator and the corpus sink reference
+    * the column, and without this the requirement surfaced only
+    * after the classification seal as an AnalysisException in the
+    * sink. One definition (review r13) so the profiler and the
+    * production path cannot drift. */
+  private[llmdata] def withDefaultSource(shard: DataFrame): DataFrame =
+    if (shard.columns.contains("source")) shard
+    else shard.withColumn("source", lit("stream"))
 
   private[llmdata] def corpusPartOf(id: Column): Column =
     pmod(id, lit(CorpusParts.toLong)).cast("int")
@@ -190,7 +212,9 @@ object Ingest {
                     threshold: Double = NearDupThreshold,
                     rawUrl: Column = TextAnalysis.syntheticCrawlUrl,
                     lmGate: Option[(DataFrame, Double)] = None,
-                    broadcastGate: Boolean = true)
+                    broadcastGate: Boolean = true,
+                    gateBanding: (Int, Int) = (Dedup.NumBands,
+                      Dedup.RowsPerBand))
       : DataFrame = {
     val s = keyedShard(shard, rawUrl)
     // base-side url key: the corpus store PERSISTS each doc's `cu`
@@ -219,7 +243,8 @@ object Ingest {
       baseKeyed.groupBy(col("cu")).agg(min(col("doc_id")).as("url_match")),
       baseKeyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match")),
       _ => baseDocs.select(col("doc_id").as("corpus_id"), col("text")),
-      broadcastGate = broadcastGate, lmGate = lmGate)
+      broadcastGate = broadcastGate, lmGate = lmGate,
+      gateBanding = gateBanding)
   }
 
   /** The O(SHARD) classification (r13, VERDICT r12 #1 — the round's
@@ -237,7 +262,8 @@ object Ingest {
                                            shingleGate: DataFrame,
                                            threshold: Double,
                                            rawUrl: Column,
-                                           lmGate: Option[(DataFrame, Double)] = None)
+                                           lmGate: Option[(DataFrame, Double)] = None,
+                                           armProbe: Option[ClassifyProbe] = None)
       : DataFrame = {
     val s = keyedShard(shard, rawUrl)
     // pruned keeper read: the shard's distinct key BUCKETS (≤
@@ -250,18 +276,48 @@ object Ingest {
     def hits(dir: String, keyName: String, matchName: String): DataFrame = {
       val parts = s.select(kpartOf(col(keyName)).as("p")).distinct()
         .collect().map(_.getInt(0)).toSeq
-      prunedKeeperRead(spark, dir, parts)
-        .join(s.select(col(keyName)).distinct(), keyName)
+      val base = prunedKeeperRead(spark, dir, parts)
+      // a BOUNDED shard's keys ride the keeper scan as an
+      // OR-of-equalities parquet filter (row-group stats + page
+      // skipping over the sorted seed layout — a point lookup with
+      // no join side at all); an unbounded shard keeps the join,
+      // whose scan it amortizes
+      val keys = s.select(col(keyName)).distinct()
+        .limit(CandIdPushdownMax + 1).collect().map(_.getString(0))
+      if (keys.isEmpty) base.filter(lit(false))
+        .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
+      else if (keys.length <= CandIdPushdownMax)
+        base.filter(keys.map(k => col(keyName) === lit(k)).reduce(_ || _))
+          .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
+      else base.join(s.select(col(keyName)).distinct(), keyName)
         .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
     }
     val candText: DataFrame => DataFrame = cands => {
-      // gate candidates are gate-selectivity-bounded; their corpus
-      // BUCKETS (≤ CorpusParts ints) prune the text lookup to the
-      // candidate ids' directories — the store's `part` column is
-      // written by the very same expression (VERDICT r12 #2)
-      val parts = cands.select(corpusPartOf(col("corpus_id")).as("p"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      prunedCorpusText(spark, dirs.corpusDocsDir, parts)
+      // gate candidates are gate-selectivity-bounded (corpus-bounded
+      // since the adaptive banding ladder); their corpus BUCKETS
+      // (≤ CorpusParts ints) prune the text lookup to the candidate
+      // ids' directories — the store's `part` column is written by
+      // the very same expression (VERDICT r12 #2) — and a BOUNDED
+      // candidate set additionally pushes its ids into the scan as
+      // an OR-of-equalities parquet filter (row-group stats +
+      // dictionary skipping: a true point lookup instead of a
+      // bucket scan; at 2M corpus docs the bucket scan was the last
+      // corpus-linear term the classify profiler attributed)
+      val idRows = cands.select(col("corpus_id")).distinct()
+        .limit(CandIdPushdownMax + 1).collect().map(_.getLong(0))
+      if (idRows.length <= CandIdPushdownMax) {
+        val parts = idRows.map(i =>
+          ((i % CorpusParts) + CorpusParts) % CorpusParts)
+          .distinct.map(_.toInt).toSeq
+        val base = prunedCorpusText(spark, dirs.corpusDocsDir, parts)
+        if (idRows.isEmpty) base.filter(lit(false))
+        else base.filter(idRows.map(i => col("corpus_id") === lit(i))
+          .reduce(_ || _))
+      } else {
+        val parts = cands.select(corpusPartOf(col("corpus_id")).as("p"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        prunedCorpusText(spark, dirs.corpusDocsDir, parts)
+      }
     }
     // a gate index that outgrew the driver must equi-join by shuffle
     // instead of broadcasting O(corpus) keys into every shard's
@@ -272,7 +328,49 @@ object Ingest {
     classifyCore(spark, s, shingleGate, threshold,
       hits(dirs.urlKeeperDir, "cu", "url_match"),
       hits(dirs.hashKeeperDir, "h", "exact_match"), candText,
-      broadcastGate, lmGate)
+      broadcastGate, lmGate, armProbe,
+      gateBanding = Dedup.gateBandParams(spark, dirs.shingleGateDir))
+  }
+
+  /** Per-arm wall-clock attribution for the classify cascade — the
+    * measurement tool behind the ingest-scale table's classify
+    * column. FORCES each arm (keeper joins, gate probe, intra-shard
+    * banding, candidate verify) with a timed count, so the reported
+    * total exceeds a production run's (arms recompute once); the
+    * point is attribution, not absolute cost. Profiling only — the
+    * production path never passes a probe. */
+  private[graft] final class ClassifyProbe {
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    private[llmdata] def timedCount(name: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      timings(name) = (System.nanoTime() - t0) / 1e9
+      counts(name) = n
+    }
+    private[llmdata] def add(name: String, s: Double): Unit =
+      timings(name) = s
+  }
+
+  /** Run the keeper-path classification with a [[ClassifyProbe]] and
+    * return (per-arm seconds, per-arm row counts) — ScaleBench's
+    * `classifyprofile` entry. */
+  private[graft] def profileClassify(spark: SparkSession, dirs: Dirs,
+                                     shard: DataFrame, threshold: Double,
+                                     rawUrl: Column)
+      : (Map[String, Double], Map[String, Long]) = {
+    val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
+    val p = new ClassifyProbe
+    val (gb, gr) = Dedup.gateBandParams(spark, dirs.shingleGateDir)
+    p.counts("gate_bands") = gb.toLong
+    p.counts("gate_rows") = gr.toLong
+    val shardN = withDefaultSource(shard)
+    val t0 = System.nanoTime()
+    val f = classifyShardKeeper(spark, dirs, shardN, gate, threshold,
+      rawUrl, None, Some(p))
+    p.counts("fates") = f.count()
+    p.add("total", (System.nanoTime() - t0) / 1e9)
+    (p.timings.toMap, p.counts.toMap)
   }
 
   /** One keeper table restricted to the given key buckets — the
@@ -336,33 +434,47 @@ object Ingest {
                            urlHits: DataFrame, hashHits: DataFrame,
                            corpusTextFor: DataFrame => DataFrame,
                            broadcastGate: Boolean,
-                           lmGate: Option[(DataFrame, Double)] = None)
+                           lmGate: Option[(DataFrame, Double)] = None,
+                           armProbe: Option[ClassifyProbe] = None,
+                           gateBanding: (Int, Int) = (Dedup.NumBands,
+                             Dedup.RowsPerBand))
       : DataFrame = {
+    def timedBarrier[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      armProbe.foreach(_.add(name, (System.nanoTime() - t0) / 1e9))
+      r
+    }
+    armProbe.foreach(_.timedCount("keeper_url", urlHits))
+    armProbe.foreach(_.timedCount("keeper_hash", hashHits))
     // FIFTH fate signal (r13, VERDICT r12 #8): the caller may supply
     // per-doc (doc_id, avg_lp) scores from the PERSISTED unigram LM
     // ([[LmStore.avgLogprob]] against Dirs.lmDir) plus a threshold —
     // the corpus-statistics half of the batch curation filters,
     // served from a standing generation so the hot path never
     // recomputes corpus term frequencies. Absent scores (None, or a
-    // doc the frame misses) leave the row-local gate as-is.
+    // doc the frame misses) leave the row-local gate as-is. The
+    // scores join lands on the FINAL fate projection (review r13):
+    // joined up front it rode `s` into every structural arm
+    // (intra-shard keepers, the keyed join, refText's union), and
+    // since the joined frame is not checkpointed, the whole scoring
+    // subtree (shard re-scan + tokenize + vocabulary join) re-ran
+    // 3-4× per shard — only the fate projection ever reads avg_lp.
     val lmMin = lmGate.map(_._2)
-    val s = lmGate match {
-      case Some((scores, _)) =>
-        s0.join(scores.select(col("doc_id"), col("avg_lp")),
-          Seq("doc_id"), "left")
-      case None => s0.withColumn("avg_lp", lit(null).cast("double"))
-    }
+    val s = s0
     // intra-shard first-seen keepers on the same keys
     val shardCuMin = s.groupBy(col("cu")).agg(min(col("doc_id")).as("cu_min"))
     val shardHMin = s.groupBy(col("h")).agg(min(col("doc_id")).as("h_min"))
     // the cheap arms decide FIRST so the near arm only pays for their
     // SURVIVORS (the cheapest-signal-first cost contract): keyed is
     // shard-sized and feeds both the survivor set and the final fates
-    val keyed = s.join(urlHits, Seq("cu"), "left")
-      .join(hashHits, Seq("h"), "left")
-      .join(shardCuMin, "cu")
-      .join(shardHMin, "h")
-      .localCheckpoint()
+    val keyed = timedBarrier("cheap_arms") {
+      s.join(urlHits, Seq("cu"), "left")
+        .join(hashHits, Seq("h"), "left")
+        .join(shardCuMin, "cu")
+        .join(shardHMin, "h")
+        .localCheckpoint()
+    }
     val survivors = keyed
       .filter(col("url_match").isNull && col("doc_id") === col("cu_min") &&
         col("exact_match").isNull && col("doc_id") === col("h_min"))
@@ -387,13 +499,17 @@ object Ingest {
     // both-sides shuffle. survivors ⊆ the checkpointed keyed frame,
     // so the count is one cheap local action.
     val shardBandsSmall = !broadcastGate &&
-      survivors.count() * Dedup.NumBands <= GateBroadcastMaxKeys
-    val gateCands = Dedup.streamingNearDupGate(survivors, shingleGate,
-        broadcastIndex = broadcastGate,
-        broadcastIncoming = shardBandsSmall)
-      .select(col("doc_id"), col("corpus_id")).distinct()
-      .localCheckpoint() // gate-selectivity-bounded; feeds the bucket
-                         // collect AND the verify join below
+      survivors.count() * gateBanding._1 <= GateBroadcastMaxKeys
+    val gateCands = timedBarrier("gate_probe") {
+      Dedup.streamingNearDupGate(survivors, shingleGate,
+          broadcastIndex = broadcastGate,
+          broadcastIncoming = shardBandsSmall,
+          bands = gateBanding._1, rows = gateBanding._2)
+        .select(col("doc_id"), col("corpus_id")).distinct()
+        .localCheckpoint() // gate-selectivity-bounded; feeds the bucket
+                           // collect AND the verify join below
+    }
+    armProbe.foreach(_.counts("gate_cands") = gateCands.count())
     // INTRA-SHARD near-dup candidates (review r12): the gate holds
     // only the standing corpus, so two near-dup docs arriving in the
     // SAME shard would both pass it — the url/exact arms already
@@ -401,7 +517,8 @@ object Ingest {
     // stated reference semantics) drops intra-batch near pairs too.
     // Same banding as the gate; oriented later-id-matches-earlier so
     // first-seen keeps the lower id, like the other two arms.
-    val shardKeys = Dedup.lshBandsRowLocal(survivors)
+    val shardKeys =
+      Dedup.lshBandsRowLocal(survivors, gateBanding._1, gateBanding._2)
     val intraCands = shardKeys
       .join(shardKeys.withColumnRenamed("doc_id", "corpus_id"),
         Seq("band", "sig"))
@@ -424,13 +541,22 @@ object Ingest {
       .select(col("corpus_id"), split(col("text"), " ").as("t0"))
       .filter(size(col("t0")) >= 3)
       .select(col("corpus_id"), Dedup.shingleSetExpr.as("sb"))
+    armProbe.foreach(_.timedCount("intra_cands", intraCands))
     val near = cands.join(sSh, "doc_id").join(bSh, "corpus_id")
       .withColumn("jac",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jac") >= threshold)
       .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("near_match"))
-    keyed.join(near, Seq("doc_id"), "left")
+    armProbe.foreach(_.timedCount("verify", near))
+    val fated = keyed.join(near, Seq("doc_id"), "left")
+    val withLm = lmGate match {
+      case Some((scores, _)) =>
+        fated.join(scores.select(col("doc_id"), col("avg_lp")),
+          Seq("doc_id"), "left")
+      case None => fated.withColumn("avg_lp", lit(null).cast("double"))
+    }
+    withLm
       .select(col("doc_id"),
         when(col("url_match").isNotNull || col("doc_id") =!= col("cu_min"),
           "url_dup")
@@ -595,20 +721,29 @@ object Ingest {
     * Idempotent per batch id like [[sinkCorpus]]. */
   private def sinkKeepers(spark: SparkSession, dirs: Dirs,
                           keyed: DataFrame, batchId: Long): Unit = {
+    // SORTED-WITHIN-BUCKET layout (r13, second session): each bucket
+    // file's rows are ordered by key, so the bootstrap seed — the
+    // store's bulk — carries tight row-group/page statistics and the
+    // per-shard OR-of-equalities probe (classifyShardKeeper.hits)
+    // skips pages instead of scanning the bucket. One extra shuffle
+    // per batch, on the batch's own (shard-sized, or one-time seed)
+    // rows.
+    def sorted(df: DataFrame, keyName: String): DataFrame =
+      df.repartition(col("kpart"))
+        .sortWithinPartitions(col("kpart"), col(keyName))
     appendKeeperFoldProof(spark, dirs.urlKeeperDir, batchId,
-      keyed.groupBy(col("cu")).agg(min(col("doc_id")).as("url_match"))
-        .withColumn("kpart", kpartOf(col("cu"))), "cu", "url_match")
+      sorted(keyed.groupBy(col("cu")).agg(min(col("doc_id")).as("url_match"))
+        .withColumn("kpart", kpartOf(col("cu"))), "cu"), "cu")
     appendKeeperFoldProof(spark, dirs.hashKeeperDir, batchId,
-      keyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match"))
-        .withColumn("kpart", kpartOf(col("h"))), "h", "exact_match")
+      sorted(keyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match"))
+        .withColumn("kpart", kpartOf(col("h"))), "h"), "h")
   }
 
   /** [[appendFoldProof]] for the keeper stores — same discipline, the
     * probe keys on the keeper's own (key → min_id) shape. */
   private def appendKeeperFoldProof(spark: SparkSession, dir: String,
                                     batchId: Long, df: DataFrame,
-                                    keyCol: String,
-                                    matchCol: String): Unit = {
+                                    keyCol: String): Unit = {
     if (!ManifestStore.committed(spark, dir, batchId)) {
       ManifestStore.commit(df, dir, batchId, "kpart", append = true)
       return
@@ -732,14 +867,7 @@ object Ingest {
     require(shardId >= 0L,
       s"shard ids must be non-negative, got $shardId (shardId + 1 is " +
         "the corpus-store batch id; -1 would collide with bootstrap's 0)")
-    // source is optional (ADVICE r12): a stream of bare (doc_id, text,
-    // embedding) rows gets the literal injected UP FRONT — both the
-    // default rawUrl generator and the corpus sink reference the
-    // column, and without this the requirement surfaced only AFTER
-    // the classification seal as an AnalysisException in the sink
-    val shardN =
-      if (shard.columns.contains("source")) shard
-      else shard.withColumn("source", lit("stream"))
+    val shardN = withDefaultSource(shard)
     val key = s"shard-$shardId"
     def crashpoint(step: String): Unit =
       if (crashAfter.contains(step))
@@ -831,7 +959,9 @@ object Ingest {
             // too (review r13): a pre-keeper deployment past the
             // ceiling must not broadcast O(corpus) gate keys either
             broadcastGate = Dedup.bandIndexKeyCount(spark,
-              dirs.shingleGateDir) <= GateBroadcastMaxKeys))
+              dirs.shingleGateDir) <= GateBroadcastMaxKeys,
+            gateBanding = Dedup.gateBandParams(spark,
+              dirs.shingleGateDir)))
           .withColumn("shard_id", lit(shardId))
           .withColumn("sb", lit(sbOf(shardId)))
       ManifestStore.writeBatchData(f, dirs.ledgerDir, cb, "sb")
@@ -1166,7 +1296,12 @@ object Ingest {
     val t = TextAnalysis.toks(col("text"))
     val sig = shard.select(col("doc_id"), size(t).as("n_tok"),
       (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
-    LmStore.avgLogprob(spark, lmDir, shard.select(col("doc_id"), col("text")))
+    // pruneTerms off (review r13): this registry twin scores a
+    // 1/10-corpus shard whose vocabulary covers every LexStore bucket
+    // anyway — the prune's tokenize + distinct + driver collect would
+    // skip zero files (avgLogprob's own full-table-twin contract)
+    LmStore.avgLogprob(spark, lmDir, shard.select(col("doc_id"), col("text")),
+        pruneTerms = false)
       .join(sig, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("micro_sum"),
         when(col("n_tok") < MinTokens, "too_short")

@@ -67,7 +67,13 @@ object LmStore {
       .withColumn("bucket", LexStore.bucketOf(col("term")))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$tmp/freq.parquet")
-    val st = spark.read.parquet(s"$tmp/freq.parquet")
+    // explicit schema (review r13): a zero-token corpus writes only
+    // _SUCCESS, and schema INFERENCE over the empty directory throws
+    // before the total==0 refusal below could run (leaking the staged
+    // dir); a declared schema reads zero rows instead, so the refusal
+    // is reachable and cleans up after itself
+    val st = spark.read.schema("term STRING, cnt BIGINT, bucket INT")
+      .parquet(s"$tmp/freq.parquet")
       .agg(count(lit(1)).as("v"), sum(col("cnt")).as("tot")).head
     val (vocab, total) =
       (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))

@@ -892,4 +892,77 @@ class DedupSpec extends SparkSpec {
     assert(first === second,
       "retraining the two-level model from scratch must reproduce every verdict")
   }
+
+  test("corpus-adaptive gate banding (r13): collision-heavy corpora escalate the keying, appends inherit it, near-identical recall survives the top step") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // a corpus whose every pair shares the same fixed token runs
+    // (J ≈ 0.16 across ALL pairs): at the fixed (16, 2) keying the
+    // per-probe candidate mass is O(corpus) — the exact linear load
+    // the ladder exists to retire — while no pair is near-identical
+    val docs = (0L until 2000L).map { k =>
+      val toks = (0 until 60).map(i =>
+        if (i % 7 < 4) s"c$i" else s"u${k}_$i")
+      (k, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-adaptive-gate").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idxDir =
+      Files.createTempDirectory("graft-adaptive-idx").toString + "/gate"
+    Dedup.writeBandIndex(spark, dir, idxDir)
+    val (gb, gr) = Dedup.gateBandParams(spark, idxDir)
+    assert((gb, gr) !== ((Dedup.NumBands, Dedup.RowsPerBand)),
+      "a collision-heavy corpus must escalate off the fixed keying")
+    def candPerDoc(b: Int, r: Int): Double =
+      Dedup.corpusBandIndex(spark, dir, b, r)
+        .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - lit(1L)))).head
+        .getLong(0).toDouble / 2000.0
+    assert(candPerDoc(Dedup.NumBands, Dedup.RowsPerBand) >
+      10 * Dedup.GateCandPerDocTarget,
+      "the fixed keying's candidate mass is the reason to escalate")
+    assert(candPerDoc(gb, gr) <= Dedup.GateCandPerDocTarget,
+      "the chosen keying must meet the per-probe target")
+    // appends INHERIT the escalated keying: the delta's keys equal
+    // the row-local form at the PERSISTED params, and the meta
+    // survives the append unchanged
+    val srcText = docs.filter(col("doc_id") === 0L).head.getString(1)
+    val shard = Seq((900001L, "zz1 zz2 " + srcText))
+      .toDF("doc_id", "text")
+    Dedup.appendBandIndex(spark, idxDir, shard, Some("s0"))
+    assert(Dedup.gateBandParams(spark, idxDir) === ((gb, gr)))
+    val appended = Dedup.loadBandIndex(spark, idxDir)
+      .filter(col("corpus_id") === 900001L)
+      .collect().map(_.toSeq).toSet
+    val expect = Dedup.lshBandsRowLocal(shard, gb, gr)
+      .withColumnRenamed("doc_id", "corpus_id")
+      .select(col("corpus_id"), col("band"), col("sig"))
+      .collect().map(_.toSeq).toSet
+    assert(appended === expect,
+      "appended keys must be the row-local keying at the inherited params")
+    // and the appended re-post COLLIDES with its source through the
+    // escalated index — the gate still gates
+    val hit = Dedup.streamingNearDupGate(shard,
+        Dedup.loadBandIndex(spark, idxDir), bands = gb, rows = gr)
+      .filter(col("doc_id") === 900001L && col("corpus_id") === 0L)
+    assert(hit.count() > 0, "near-identical re-post must survive the gate")
+    // recall floor at the TOP ladder step over a planted re-post
+    // class (prefix-noised copies, J ≈ 0.95): ≥ 0.9 measured — the
+    // documented trade (J = 0.9 collides at ≈ 0.94, J → 1 at ≈ 1;
+    // loose-threshold dedup belongs to the batch pair families)
+    val (tb, tr) = Dedup.GateBandLadder.last
+    val srcTexts = docs.filter(col("doc_id") < 20L)
+      .orderBy(col("doc_id")).collect().map(_.getString(1))
+    val reposts = srcTexts.zipWithIndex.map { case (t, i) =>
+      (910000L + i, s"zz$i $t")
+    }.toSeq.toDF("doc_id", "text")
+    val hits = Dedup.streamingNearDupGate(reposts,
+        Dedup.corpusBandIndex(spark, dir, tb, tr), bands = tb, rows = tr)
+      .filter(col("corpus_id") === col("doc_id") - lit(910000L))
+      .select(col("doc_id")).distinct().count()
+    assert(hits >= 18L,
+      s"top-step recall on 20 planted near-identical re-posts: got $hits")
+  }
 }

@@ -479,7 +479,8 @@ class IngestMainSpec extends SparkSpec {
       // standing state (corpus store + gate) this shard will land on
       val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
       val store = ManifestStore.readStore(spark, dirs.corpusDocsDir).get
-      val want = Ingest.classifyShard(spark, store, sub, gate)
+      val want = Ingest.classifyShard(spark, store, sub, gate,
+          gateBanding = Dedup.gateBandParams(spark, dirs.shingleGateDir))
         .collect()
         .map(r => r.getLong(0) -> (r.getString(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
@@ -536,6 +537,26 @@ class IngestMainSpec extends SparkSpec {
       .select(col("corpus_id")).collect().map(_.getLong(0))
     assert(ct.nonEmpty && ct.forall(_ % 8 === 3),
       "bucket 3 must contain exactly the doc_id % 8 == 3 rows")
+    // a BOUNDED candidate set's ids are PUSHED into the parquet scan
+    // (r13, second session — the point-lookup form the classify
+    // profiler motivated): equality filters on doc_id reach
+    // PushedFilters, and the result is exactly those rows
+    val pushed = Ingest.prunedCorpusText(spark, dirs.corpusDocsDir, Seq(3))
+      .filter(Seq(3L, 11L).map(i => col("corpus_id") === lit(i))
+        .reduce(_ || _))
+    val pp = planOf(pushed)
+    assert(pp.contains("PushedFilters:") && pp.contains("EqualTo(doc_id"),
+      s"candidate ids not pushed to the scan:\n$pp")
+    assert(pushed.select(col("corpus_id")).collect().map(_.getLong(0))
+      .toSet === Set(3L, 11L))
+    // keeper point lookup (r13, second session): a bounded shard's
+    // keys ride the keeper scan as pushed equalities the same way
+    val aKey = full.select(col("cu")).head.getString(0)
+    val kPushed = Ingest.prunedKeeperRead(spark, dirs.urlKeeperDir, parts)
+      .filter(col("cu") === lit(aKey) || col("cu") === lit("no-such-key"))
+    val kpp = planOf(kPushed)
+    assert(kpp.contains("PushedFilters:") && kpp.contains("EqualTo(cu"),
+      s"keeper keys not pushed to the scan:\n$kpp")
   }
 
   test("a second concurrent maintainer fails LOUDLY at entry; the survivor's artifacts equal a winner-only run (r13 #5)") {
@@ -747,5 +768,25 @@ class IngestMainSpec extends SparkSpec {
       LexStore.appendLexFor(spark, sf)).collect().toSeq
     assert(composed === full,
       "base + appended shard must score bit-identically to a full build")
+  }
+
+  test("a zero-token corpus refuses the unigram-LM commit LOUDLY and leaves no staged corpse (review r13)") {
+    // the hazard: an empty partitioned write emits only _SUCCESS, and
+    // schema INFERENCE over that directory threw before the loud
+    // total==0 refusal could run — wrong exception, leaked stage dir
+    val lmDir = Files.createTempDirectory("graft-lm-empty").toString + "/lm"
+    val e = intercept[IllegalStateException] {
+      LmStore.writeBase(spark, sf, lmDir, lit(false)) // keep: no docs
+    }
+    assert(e.getMessage.contains("EMPTY unigram LM"),
+      s"must be the documented refusal, got: ${e.getMessage}")
+    assert(GenDir.newest(spark, lmDir).isEmpty,
+      "nothing may commit for an empty corpus")
+    // the refusal reclaimed its staging dir — no .tmp-* corpse for a
+    // later vacuum to explain
+    val root = new java.io.File(lmDir)
+    val leftovers =
+      if (root.exists()) root.listFiles().map(_.getName).toSeq else Seq.empty
+    assert(leftovers.isEmpty, s"staged corpse left behind: $leftovers")
   }
 }

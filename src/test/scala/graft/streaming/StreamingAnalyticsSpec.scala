@@ -278,10 +278,15 @@ class StreamingAnalyticsSpec extends SparkSpec {
     }
     val someDocs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).limit(50)
+    // probe at the PERSISTED index's own keying (adaptive since r13)
+    // and compare against a from-scratch index at the same keying
+    val (gb, gr) = Dedup.gateBandParams(spark, sDir)
     val viaStored = Dedup.streamingNearDupGate(someDocs,
-      Dedup.loadBandIndex(spark, sDir)).collect().toSeq
+      Dedup.loadBandIndex(spark, sDir), bands = gb, rows = gr)
+      .collect().toSeq
     val viaMemo = Dedup.streamingNearDupGate(someDocs,
-      Dedup.corpusBandIndex(spark, sf)).collect().toSeq
+      Dedup.corpusBandIndex(spark, sf, gb, gr), bands = gb, rows = gr)
+      .collect().toSeq
     assert(viaStored.toSet === viaMemo.toSet)
   }
 
