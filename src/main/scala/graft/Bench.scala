@@ -52,7 +52,14 @@ object Bench {
     // can never be mistaken for a measured success alongside them), and a
     // first-pass failure is not re-run.
     var lint = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration subset knob (never set by the driver): a regex
+    // over query names. A filtered run is NOT a contract run — the
+    // JSON line still prints, but with only the matching entries.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.r).map(re => (n: String) => re.findFirstIn(n).isDefined)
+      .getOrElse((_: String) => true)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter(n) }.map { case (name, fn) =>
       var lastRun: Option[org.apache.spark.sql.DataFrame] = None
       def onePass(): Option[Double] = {
         val t0 = System.nanoTime()

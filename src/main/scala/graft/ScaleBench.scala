@@ -368,22 +368,41 @@ object ScaleBench {
     (corpus, dirs)
   }
 
+  /** One classify-profile point in BOTH join-shape modes: `auto`
+    * (the production ceiling decides — broadcast at these corpus
+    * sizes) and `pointlookup` (broadcast ceiling forced to 0, so the
+    * probe exercises the format-3 sorted-index pushdown path — the
+    * shape a past-ceiling 100-TB deployment runs). Returns
+    * mode → (per-arm seconds, per-arm counts). */
+  private def classifyProfilePoint(spark: SparkSession, label: String,
+                                   nDocs: Long,
+                                   shard: org.apache.spark.sql.DataFrame)
+      : Map[String, (Map[String, Double], Map[String, Long])] = {
+    import graft.llmdata.Ingest
+    val (_, dirs) = ingestScaleDeployment(spark, label, nDocs)
+    Map(
+      "auto" -> Ingest.profileClassify(spark, dirs, shard, 0.8,
+        ingestScaleUrl),
+      "pointlookup" -> Ingest.profileClassify(spark, dirs, shard, 0.8,
+        ingestScaleUrl, broadcastCeiling = 0L))
+  }
+
   /** Per-ARM classify attribution at the ingest-scale corpus points
     * (the measurement tool behind the classify column): forces each
-    * cascade arm with a timed count via Ingest.profileClassify. */
+    * cascade arm with a timed count via Ingest.profileClassify, in
+    * both join-shape modes (r14 — the pointlookup rows are the
+    * corpus-flat proof for the past-broadcast-ceiling probe). */
   private def runClassifyProfile(spark: SparkSession): Unit = {
-    import graft.llmdata.Ingest
     val shard = ingestScaleShard(spark)
-    def point(label: String, nDocs: Long): Unit = {
-      val (_, dirs) = ingestScaleDeployment(spark, label, nDocs)
-      val (t, c) = Ingest.profileClassify(spark, dirs, shard, 0.8,
-        ingestScaleUrl)
-      println(s"classifyprofile $label docs=$nDocs " +
-        t.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }
-          .mkString(" ") + " | " +
-        c.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-          .mkString(" "))
-    }
+    def point(label: String, nDocs: Long): Unit =
+      classifyProfilePoint(spark, label, nDocs, shard).toSeq.sortBy(_._1)
+        .foreach { case (mode, (t, c)) =>
+          println(s"classifyprofile $label docs=$nDocs mode=$mode " +
+            t.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }
+              .mkString(" ") + " | " +
+            c.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+              .mkString(" "))
+        }
     point("warm", 20000L)
     Seq(("1x", 20000L), ("10x", 200000L), ("100x", 2000000L))
       .foreach { case (l, n) => point(l, n) }
@@ -416,13 +435,16 @@ object ScaleBench {
     point("warm", 20000L) // JIT/codegen warm-up through the full path
     val rows = Seq(("1x", 20000L), ("10x", 200000L), ("100x", 2000000L))
       .map { case (l, n) => (l, point(l, n)) }
+    // header/separator count = label + stages + total + kept + gate
+    // (ADVICE r13: the r13 rows emitted a 10th `gate NxM` cell the
+    // 9-column header didn't declare, so the table no longer rendered)
     println("| corpus docs | " + stageNames.mkString(" s | ") +
-      " s | total s | kept/500 |")
-    println("|" + ("---|" * (stageNames.size + 3)))
+      " s | total s | kept/500 | gate |")
+    println("|" + ("---|" * (stageNames.size + 4)))
     rows.foreach { case (l, (n, st, tot, kept, (gb, gr))) =>
       println(s"| $l ($n) | " + stageNames.map(k =>
         f"${st.getOrElse(k, 0.0)}%.2f").mkString(" | ") +
-        f" | $tot%.2f | $kept | gate ${gb}x$gr |")
+        f" | $tot%.2f | $kept | ${gb}x$gr |")
     }
     println("NOTE: classify is corpus-flat by mechanism since the " +
       "adaptive gate banding (Dedup.GateBandLadder bounds the " +
@@ -560,10 +582,18 @@ object ScaleBench {
     // round-over-round without re-running the full grids by hand.
     // The gate point sits at nBase = 28k so the re-key genuinely
     // MOVES the width (35k total crosses the 32k bit boundary).
-    val (driftApp, driftReb, driftFrac) =
+    val (driftApp, driftReb, driftFrac, driftBoost) =
       llmdata.RecallProbe.driftCase(spark, 2000L, 0.2, 5, 10)
     val (gRecA, gRecR, gLoadA, gLoadR, gBitsA, gBitsR) =
       llmdata.RecallProbe.gateDriftCase(spark, 28000L, 0.2, 40)
+    // classify-arm regression rows (r14, VERDICT r13 #8): the
+    // profiler's per-arm seconds at the 10x ingest-scale point, both
+    // join-shape modes, ride the per-round JSON so a reappearing
+    // corpus-linear arm surfaces round-over-round without re-running
+    // the manual classifyprofile sweep.
+    val classifyArms =
+      classifyProfilePoint(spark, "curve10x", 200000L,
+        ingestScaleShard(spark))
 
     // markdown table: times, output rows, and the 10x-step ratios
     // (synth10x / synth1x — the SAME generator at both ends, so the
@@ -611,7 +641,8 @@ object ScaleBench {
     println("| drift@0.2 | appended | rebuilt/re-keyed | note |")
     println("|---|---|---|---|")
     println(f"| ann recall (2k base) | $driftApp%.3f | $driftReb%.3f " +
-      f"| measured delta $driftFrac%.3f |")
+      f"| measured delta $driftFrac%.3f; drift-aware probes " +
+      f"$driftBoost%.3f |")
     println(f"| gate recall (28k base) | $gRecA%.3f | $gRecR%.3f " +
       f"| bits $gBitsA -> $gBitsR |")
     println(f"| gate cand/probe (28k base) | $gLoadA%.1f | $gLoadR%.1f " +
@@ -634,11 +665,18 @@ object ScaleBench {
         ",\"sec_per_query\":" + (t / q) + "}"
     }.mkString("{", ",", "}")
     val drift = s""""drift_recall@0.2":{"ann_appended":$driftApp,""" +
+      s""""ann_appended_drift_probes":$driftBoost,""" +
       s""""ann_rebuilt":$driftReb,"ann_delta_fraction":$driftFrac,""" +
       s""""gate_frozen":$gRecA,"gate_rekeyed":$gRecR,""" +
       s""""gate_load_frozen":$gLoadA,"gate_load_rekeyed":$gLoadR,""" +
       s""""gate_bits_frozen":$gBitsA,"gate_bits_rekeyed":$gBitsR}"""
-    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"ivf_scan":$sc,"q_batch":$qb,$drift}""")
+    val ca = classifyArms.toSeq.sortBy(_._1).map { case (mode, (t, c)) =>
+      "\"" + mode + "\":{" +
+        (t.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v } ++
+          c.toSeq.sortBy(_._1).map { case (k, v) => "\"n_" + k + "\":" + v })
+          .mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_curve","queries":$qs,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"ivf_scan":$sc,"q_batch":$qb,"classify_arms@10x":$ca,$drift}""")
     spark.stop()
     if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }

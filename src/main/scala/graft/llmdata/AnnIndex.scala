@@ -547,6 +547,30 @@ object AnnIndex {
       cents, books, rot)
   }
 
+  /** DRIFT-COMPENSATING probe count (r14, VERDICT r13 #7): the
+    * measured drift grid shows appended recall sagging toward the
+    * spec floor as `deltaFraction` approaches the rebuild threshold
+    * (0.920 appended vs 1.000 rebuilt at 0.2) — delta vectors encode
+    * against a coarse model trained before them, so their nearest
+    * cells mis-rank slightly and the default probe budget misses a
+    * few. This knob buys that recall back WITHOUT a rebuild: scale
+    * the corpus-default probe count by the measured staleness,
+    * `probes × (1 + deltaFraction / RebuildDeltaFraction)` — at the
+    * rebuild point itself the scan budget doubles, decaying to the
+    * default as drift → 0. The COST is exactly that scan-fraction
+    * multiplier, recorded next to the drift rows in ScaleBench; a
+    * deployment pays it only between `should_rebuild` firing and the
+    * rebuild landing. */
+  def driftAwareProbes(spark: SparkSession, indexDir: String): Int = {
+    val h = open(spark, indexDir)
+    val (_, _, pqProbes) = Similarity.ivfIndexStatsAt(h.nTotal)
+    val frac =
+      if (h.nTotal == 0L) 0.0
+      else math.max(0.0, (h.nTotal - h.meta.trainedN).toDouble / h.nTotal)
+    math.max(pqProbes,
+      math.ceil(pqProbes * (1.0 + frac / RebuildDeltaFraction)).toInt)
+  }
+
   /** [[ivfPqTopK]] against an already-opened [[Handle]] — no listings,
     * no marker reads, no model load; the pinned generation serves
     * every call. NOTE the returned frame is lazy and the pinned

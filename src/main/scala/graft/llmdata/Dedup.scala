@@ -426,8 +426,61 @@ object Dedup {
   }
 
   // ------------------------------------- persisted gate indexes (r11)
-  /** On-disk format version for the persisted gate indexes. */
-  val GateIndexFormat = 2
+  /** On-disk format version for the persisted gate indexes. Format 3
+    * (r14, VERDICT r13 #1) is the POINT-LOOKUP layout: keys
+    * hash-bucketed by a `gpart` partition column and SORTED within
+    * bucket files by their probe key (`sig` for the shingle gate,
+    * `bucket` for the embed gate), with small pages
+    * ([[GatePageRows]]) so a bounded shard's pushed key equalities
+    * skip row groups and pages instead of streaming the whole index
+    * — the `sinkKeepers` trick applied to the last O(corpus)
+    * per-shard scan. Format-2 indexes fail loudly at load with the
+    * standing "rebuild" remediation. */
+  val GateIndexFormat = 3
+
+  /** Gate-index hash buckets — the `gpart = pmod(xxhash64(band, key),
+    * GateParts)` partition column of the format-3 layout. A constant
+    * like `Ingest.KeeperParts` (same value — the skipping power comes
+    * from the within-bucket SORT + small pages, not the bucket count,
+    * while every extra bucket multiplies the small files each
+    * per-shard delta lands): probes collect their bucket list
+    * driver-side bounded by it, never by the data. */
+  val GateParts = 16
+
+  /** Max rows per parquet page in a gate index file — small pages are
+    * the skip granularity of the point-lookup probe (parquet column
+    * indexes prune at page level): a pushed key equality reads ~this
+    * many rows instead of the bucket, so the per-probe cost is a
+    * PAGE, corpus-independent, no matter how big the bucket grows.
+    * The price is more page headers/stats on a narrow 3-column
+    * table — noise next to the scans it retires. */
+  private[llmdata] val GatePageRows = 2048
+
+  /** The format-3 bucket column over a gate key pair. */
+  private[llmdata] def gpartOf(band: Column, key: Column): Column =
+    pmod(xxhash64(band, key), lit(GateParts.toLong)).cast("int")
+
+  /** Write a gate-index key frame in the format-3 point-lookup
+    * layout: hash-bucketed by `gpart`, sorted within bucket files by
+    * the probe key, small pages. One shuffle over the keys being
+    * written (the base build's own rows, or a shard-sized delta). */
+  private def writeGateKeys(keys: DataFrame, keyCol: String,
+                            path: String): Unit = {
+    val withG = keys.withColumn("gpart", gpartOf(col("band"), col(keyCol)))
+    // an EMPTY key frame must still land a readable schema: dynamic
+    // partitioning writes zero files for zero rows and the read-back
+    // would fail schema inference, so write it unpartitioned (gpart
+    // rides as a plain int column — same schema either way)
+    if (withG.isEmpty)
+      withG.write.mode("overwrite").parquet(path)
+    else withG
+      .repartition(col("gpart"))
+      .sortWithinPartitions(col("gpart"), col(keyCol))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", GatePageRows)
+      .partitionBy("gpart")
+      .parquet(path)
+  }
 
   /** Persist the corpus-side EMBEDDING band index — keys AND the bit
     * width they were keyed at — through the [[graft.sync.GenDir]]
@@ -452,8 +505,7 @@ object Dedup {
     import graft.sync.GenDir
     val idx = corpusEmbedBandIndex(spark, corpusDir)
     val tmp = GenDir.stage(spark, idxDir)
-    idx.keys.filter(keep)
-      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    writeGateKeys(idx.keys.filter(keep), "bucket", s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
     GenDir.writeJson(spark, s"$tmp/meta.json",
       s"""{"format":$GateIndexFormat,"bits":${idx.bitsPerBand},"n_keys":$n}""")
@@ -502,10 +554,11 @@ object Dedup {
     // cost of every later load)
     if (incoming.isEmpty) return 0L
     val tmp = GenDir.stage(spark, gen)
-    Similarity.lshKeys(incoming.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", numBands = 8, bitsPerBand = bits)
-      .select(col("vec_id").as("corpus_id"), col("band"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    writeGateKeys(
+      Similarity.lshKeys(incoming.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", numBands = 8, bitsPerBand = bits)
+        .select(col("vec_id").as("corpus_id"), col("band"), col("bucket")),
+      "bucket", s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
     val stamp = GenDir.shardStamp(shardKey)
     GenDir.writeJson(spark, s"$tmp/delta.json",
@@ -627,15 +680,38 @@ object Dedup {
     * linearly with the corpus (every pair's collision probability is
     * a constant, so candidates = N × P_bg — measured 1.6k → 138k
     * candidates per 500-doc shard across a 100× corpus growth); each
-    * ladder step squares-then-squares P_bg back down. The DOCUMENTED
-    * recall trade at the top step (5 bands × 8 rows): a J = 0.9 pair
-    * collides with p = 1 − (1 − 0.9^8)^5 ≈ 0.94, J = 0.95 ≈ 0.997,
-    * J → 1 (the gate's target class: re-posts and boilerplate
-    * re-fetches) ≈ 1; loose-threshold semantic dedup belongs to the
-    * batch pair families, not a streaming gate — the same stance the
-    * embed gate's width took in r12. Appends INHERIT the built
-    * keying (frozen-model stance); [[graft.llmdata.Ingest.rebuild]]
-    * re-keys at the width the grown corpus demands. */
+    * ladder step squares-then-squares P_bg back down.
+    *
+    * Hash budget: the top step is 5 × 8 = 40 MinHash functions —
+    * WIDER than the fixed keying's [[NumHashes]] = 32 — so the
+    * signature pass is built once at [[GateMaxHashes]] = 40 and each
+    * step bands a prefix of it (ADVICE r13: the steps do not all
+    * spend the same budget; the ladder trades up to 25% more
+    * signature width for geometrically fewer chance candidates).
+    *
+    * The DOCUMENTED recall trade, stated for the whole J range
+    * (ADVICE r13 — not just the target class): the gate's RECALL
+    * class is near-identical re-posts and boilerplate re-fetches
+    * (J ≥ 0.9) at EVERY step — at (5, 8): J = 0.9 collides with
+    * p = 1 − (1 − 0.9^8)^5 ≈ 0.94, J = 0.95 ≈ 0.997, J → 1 ≈ 1.
+    * BELOW that class, escalation surrenders recall fast: at (8, 4)
+    * a J = 0.5 pair collides ≈ 0.40 (vs ≈ 0.99 at (16, 2)) and at
+    * (5, 8) ≈ 0.02; at J = `Ingest.NearDupThreshold` = 0.2 the
+    * numbers are ≈ 0.48 / 0.013 / ~10⁻⁵. The verify threshold is a
+    * PRECISION bar (what a candidate must prove to count as
+    * near_dup), not a recall promise — even the fixed keying was a
+    * coin flip at J = 0.2 — and a corpus-adaptive keying makes a
+    * cross-corpus pair's GATE fate depend on the corpus's collision
+    * statistics (the same documented trade as the embed gate's
+    * adaptive bits; the INTRA-shard arm is pinned to the fixed
+    * keying for exactly this reason — see
+    * [[graft.llmdata.Ingest]]'s classify cascade). Deployments
+    * needing loose-threshold recall at corpus scale belong in the
+    * batch pair families, not a streaming gate. Appends INHERIT the
+    * built keying (frozen-model stance);
+    * [[graft.llmdata.Ingest.rebuild]] re-keys at the banding the
+    * grown corpus demands (r14 — rebuild re-runs the ladder walk;
+    * before that only bootstrap chose). */
   private[llmdata] val GateBandLadder: Seq[(Int, Int)] =
     Seq((NumBands, RowsPerBand), (8, 4), (5, 8))
 
@@ -686,8 +762,9 @@ object Dedup {
       val (b, r) = GateBandLadder.find { case (bb, rr) =>
         candPerDoc(lshBands(sigs, bb, rr)) <= GateCandPerDocTarget
       }.getOrElse(GateBandLadder.last)
-      lshBands(sigs, b, r).withColumnRenamed("doc_id", "corpus_id")
-        .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+      writeGateKeys(lshBands(sigs, b, r)
+        .withColumnRenamed("doc_id", "corpus_id"), "sig",
+        s"$tmp/keys.parquet")
       val n = spark.read.parquet(s"$tmp/keys.parquet").count()
       GenDir.writeJson(spark, s"$tmp/meta.json",
         s"""{"format":$GateIndexFormat,"n_keys":$n,"bands":$b,"rows":$r}""")
@@ -753,9 +830,10 @@ object Dedup {
       (GenDir.jsonLongOpt(metaText, "bands").map(_.toInt).getOrElse(NumBands),
         GenDir.jsonLongOpt(metaText, "rows").map(_.toInt).getOrElse(RowsPerBand))
     val tmp = GenDir.stage(spark, gen)
-    lshBandsRowLocal(incoming.select(col("doc_id"), col("text")), bb, rr)
-      .withColumnRenamed("doc_id", "corpus_id")
-      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    writeGateKeys(
+      lshBandsRowLocal(incoming.select(col("doc_id"), col("text")), bb, rr)
+        .withColumnRenamed("doc_id", "corpus_id"), "sig",
+      s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
     val stamp = GenDir.shardStamp(shardKey)
     GenDir.writeJson(spark, s"$tmp/delta.json",
@@ -814,8 +892,16 @@ object Dedup {
     afterListing()
     if (entry.isEmpty) return GenDir.jsonLong(text, "n_keys", metaPath)
     val tmp = GenDir.stage(spark, idxDir)
-    withGateDeltas(spark, gen)
-      .write.mode("overwrite").parquet(s"$tmp/keys.parquet")
+    // the fold is the format-3 layout's per-bucket MERGE-SORT: each
+    // delta was sorted within its OWN files, so the union's buckets
+    // interleave segments — re-sorting here restores one sorted run
+    // per bucket and the point-lookup page stats stay tight. Keys are
+    // copied, never re-keyed (the carried bit width / banding cannot
+    // drift); gpart is recomputed by the shared writer from the same
+    // expression, so it cannot drift either.
+    val folded = withGateDeltas(spark, gen)
+    val keyCol = if (folded.columns.contains("sig")) "sig" else "bucket"
+    writeGateKeys(folded.drop("gpart"), keyCol, s"$tmp/keys.parquet")
     val n = spark.read.parquet(s"$tmp/keys.parquet").count()
     // keying constants survive verbatim (keys are copied, never
     // re-keyed): the embed meta's `bits`, the shingle meta's adaptive

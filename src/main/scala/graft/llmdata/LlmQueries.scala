@@ -501,6 +501,40 @@ object LlmQueries {
       |       ELSE 'kept' END AS verdict
       |FROM agg JOIN sig USING (doc_id) ORDER BY agg.doc_id""".stripMargin
 
+  /** [[ingestLmGateSql]] with the VOCABULARY CAP (r14, VERDICT r13
+    * #6): the freq CTE keeps only the top-[[Ingest.LmVocabCapK]]
+    * terms at the SAME deterministic (cnt desc, term asc) boundary
+    * the Spark writer cuts ([[LmStore.write]]'s `keepTopK`); the
+    * total stays the FULL token count, so capped-out terms hit the
+    * OOV floor without inflating the kept terms' probabilities. */
+  val ingestLmGateCappedSql: String =
+    s"""WITH btok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 10 <> 7),
+      |tot AS (SELECT COUNT(*)::DOUBLE AS tot FROM btok),
+      |freq AS (SELECT term, COUNT(*) AS cnt FROM btok GROUP BY term
+      |         ORDER BY cnt DESC, term ASC LIMIT ${Ingest.LmVocabCapK}),
+      |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |m AS (SELECT doc_id,
+      |        CAST(floor(ln(COALESCE(cnt, 1)::DOUBLE / tot) * 1000000.0 + 0.5)
+      |          AS BIGINT) AS micro
+      |      FROM stok LEFT JOIN freq USING (term) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |          CAST(SUM(micro) AS BIGINT) AS micro_sum
+      |        FROM m GROUP BY doc_id),
+      |sig AS (SELECT doc_id,
+      |          len(string_split(text, ' ')) AS n_tok,
+      |          len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |            / len(string_split(text, ' ')) AS ttr
+      |        FROM documents WHERE doc_id % 10 = 7)
+      |SELECT agg.doc_id, agg.n_tokens, agg.micro_sum,
+      |  CASE WHEN sig.n_tok < ${Ingest.MinTokens} THEN 'too_short'
+      |       WHEN sig.ttr < ${Ingest.MinTypeTokenRatio} THEN 'low_diversity'
+      |       WHEN CAST(agg.micro_sum AS DOUBLE) / 1000000.0 / agg.n_tokens
+      |            < ${Ingest.LmMinAvgLogprob} THEN 'rare_tokens'
+      |       ELSE 'kept' END AS verdict
+      |FROM agg JOIN sig USING (doc_id) ORDER BY agg.doc_id""".stripMargin
+
   /** Mirror of [[TextAnalysis.dsirWeights]]: identical md5 bucket hash,
     * add-one smoothing, and per-ln micro-quantization. */
   val txtDsirWeightsSql: String =
@@ -1632,6 +1666,7 @@ $pslLastCols
     // ingest quality gate from the PERSISTED unigram LM (r13): the
     // held-out shard scored against the standing-corpus generation
     "ingest_lm_gate" -> ((s, d) => Ingest.ingestLmGate(s, d)),
+    "ingest_lm_gate_capped" -> ((s, d) => Ingest.ingestLmGateCapped(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
     "txt_final_corpus" -> ((s, d) =>
@@ -1749,6 +1784,7 @@ $pslLastCols
     "txt_train_order" -> txtTrainOrderSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "ingest_lm_gate" -> ingestLmGateSql,
+    "ingest_lm_gate_capped" -> ingestLmGateCappedSql,
     "txt_bigram_logprob" -> txtBigramLogprobSql,
     "txt_weighted_sample" -> txtWeightedSampleSql,
     "txt_final_corpus" -> txtFinalCorpusSql,

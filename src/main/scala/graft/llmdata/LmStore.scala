@@ -36,10 +36,12 @@ import org.apache.spark.sql.functions._
   * O(vocabulary) rewrite per shard); [[Ingest.rebuild]] re-trains it
   * from the corpus snapshot on the same
   * [[AnnIndex.RebuildDeltaFraction]] cadence that retires every other
-  * frozen-model staleness. A vocabulary cap for 100 TB corpora
+  * frozen-model staleness. The vocabulary cap for 100 TB corpora
   * (score only the top-K terms, floor the rest — the CCNet shape) is
-  * a one-line `keepTopK` on the freq write; the bundled default is
-  * uncapped so the DuckDB oracle can mirror it exactly. */
+  * the `keepTopK` knob on [[write]] (r14, VERDICT r13 #6): the
+  * default stays uncapped, and the capped form has its own
+  * registered entry whose DuckDB oracle is generated from the SAME K
+  * with the same deterministic (cnt desc, term asc) boundary. */
 object LmStore {
 
   val Format = 1
@@ -48,35 +50,72 @@ object LmStore {
     * (documents passing `keep`) as the next generation of `lmDir`.
     * Refuses an empty corpus loudly ([[LexStore.writeBase]] stance —
     * a zero-token model would NaN every score). Returns
-    * (vocabulary size, total tokens). */
-  def write(spark: SparkSession, corpusDir: String,
-            lmDir: String): (Long, Long) =
-    writeBase(spark, corpusDir, lmDir, lit(true))
+    * (vocabulary size, total tokens).
+    *
+    * `keepTopK` (r14, VERDICT r13 #6) is the 100-TB vocabulary cap —
+    * the CCNet shape: persist only the K most frequent terms
+    * (deterministic cnt-desc, term-asc order so two engines cut the
+    * SAME boundary), every other term scores at the OOV floor.
+    * `total_tokens` stays the FULL corpus count — capping the
+    * vocabulary must not inflate the kept terms' probabilities, it
+    * only coarsens the tail to the floor the ingest gate already
+    * applies to genuinely-unseen tokens. Default uncapped. */
+  def write(spark: SparkSession, corpusDir: String, lmDir: String,
+            keepTopK: Option[Long] = None): (Long, Long) =
+    writeBase(spark, corpusDir, lmDir, lit(true), keepTopK)
 
   private[llmdata] def writeBase(spark: SparkSession, corpusDir: String,
-                                 lmDir: String, keep: Column): (Long, Long) = {
-    // ONE corpus pass (review r13): write the narrow (term, cnt) file
-    // first, then derive the scalars from the materialized parquet —
-    // the family's writer shape (gate indexes, LexStore deltas); the
-    // old pre-aggregation for the scalars tokenized the whole corpus
-    // a second time, doubling the most expensive stage of rebuild
+                                 lmDir: String, keep: Column,
+                                 keepTopK: Option[Long] = None): (Long, Long) = {
+    // ONE corpus pass (review r13): tokenize + aggregate once; the
+    // uncapped path writes the narrow (term, cnt) file first and
+    // derives the scalars from the materialized parquet — the
+    // family's writer shape. The CAPPED path must take the total
+    // over the FULL vocabulary before the cut, so it persists the
+    // aggregated counts, takes the scalars, then writes the top-K
+    // slice (the persist keeps this one corpus pass — only the small
+    // counts frame is re-read, never the corpus).
     val tmp = GenDir.stage(spark, lmDir)
-    Tables.documents(spark, corpusDir).filter(keep)
+    val counts = Tables.documents(spark, corpusDir).filter(keep)
       .select(explode(TextAnalysis.toks(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .withColumn("bucket", LexStore.bucketOf(col("term")))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$tmp/freq.parquet")
-    // explicit schema (review r13): a zero-token corpus writes only
-    // _SUCCESS, and schema INFERENCE over the empty directory throws
-    // before the total==0 refusal below could run (leaking the staged
-    // dir); a declared schema reads zero rows instead, so the refusal
-    // is reachable and cleans up after itself
-    val st = spark.read.schema("term STRING, cnt BIGINT, bucket INT")
-      .parquet(s"$tmp/freq.parquet")
-      .agg(count(lit(1)).as("v"), sum(col("cnt")).as("tot")).head
-    val (vocab, total) =
-      (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    val (vocab, total) = keepTopK match {
+      case None =>
+        counts.withColumn("bucket", LexStore.bucketOf(col("term")))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$tmp/freq.parquet")
+        // explicit schema (review r13): a zero-token corpus writes
+        // only _SUCCESS, and schema INFERENCE over the empty
+        // directory throws before the total==0 refusal below could
+        // run (leaking the staged dir); a declared schema reads zero
+        // rows instead, so the refusal is reachable and cleans up
+        // after itself
+        val st = spark.read.schema("term STRING, cnt BIGINT, bucket INT")
+          .parquet(s"$tmp/freq.parquet")
+          .agg(count(lit(1)).as("v"), sum(col("cnt")).as("tot")).head
+        (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+      case Some(k) =>
+        require(k > 0L, s"keepTopK must be positive, got $k")
+        val pinned = counts
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val st = pinned
+            .agg(count(lit(1)).as("v"), sum(col("cnt")).as("tot")).head
+          val tot = if (st.isNullAt(1)) 0L else st.getLong(1)
+          if (tot > 0L) {
+            val capped = pinned
+              .orderBy(col("cnt").desc, col("term").asc)
+              .limit(if (k > Int.MaxValue) Int.MaxValue else k.toInt)
+            capped.withColumn("bucket", LexStore.bucketOf(col("term")))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$tmp/freq.parquet")
+          }
+          (math.min(st.getLong(0), k), tot)
+        } finally {
+          pinned.unpersist(blocking = false)
+          ()
+        }
+    }
     if (total == 0L) {
       // refuse BEFORE commit; reclaim the staged empty write so the
       // refusal leaves no corpse for vacuum to explain
@@ -168,7 +207,21 @@ object LmStore {
       d
     })
 
-  def releaseCaches(): Unit = baseMemo.clear()
+  private val cappedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), String]
+
+  /** [[baseLmFor]] with the `keepTopK` vocabulary cap — the capped
+    * ingest-gate registry entry's model. */
+  def baseLmCappedFor(spark: SparkSession, corpusDir: String,
+                      k: Long): String =
+    cappedMemo.computeIfAbsent((spark, corpusDir, k), _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-lmstore-cap").toString
+      writeBase(spark, corpusDir, d, col("doc_id") % 10 =!= 7, Some(k))
+      d
+    })
+
+  def releaseCaches(): Unit = { baseMemo.clear(); cappedMemo.clear() }
 }
 
 /** `spark-submit`-able unigram-LM build job (the LexMain/GateMain

@@ -47,7 +47,7 @@ object RecallProbe {
   private[graft] def driftCase(spark: SparkSession, nBase: Long,
                                  fraction: Double, nQ: Int, k: Int,
                                  shiftSeed: Long = 91L)
-      : (Double, Double, Double) = {
+      : (Double, Double, Double, Double) = {
     val nShard = math.round(nBase * fraction / (1.0 - fraction))
     require(nShard >= nQ, s"shard $nShard smaller than the query batch $nQ")
     def temp(p: String) = java.nio.file.Files
@@ -81,7 +81,12 @@ object RecallProbe {
       (exact & pairs(df)).size.toDouble / exact.size
     val r = (recall(AnnIndex.ivfPqTopK(spark, combDir, idxA, nQ, k)),
       recall(AnnIndex.ivfPqTopK(spark, combDir, idxR, nQ, k)),
-      AnnIndex.deltaFraction(spark, idxA))
+      AnnIndex.deltaFraction(spark, idxA),
+      // the drift-compensating probe knob (r14, VERDICT r13 #7): the
+      // SAME appended index queried at the staleness-scaled probe
+      // budget — the recall a deployment buys back without a rebuild
+      recall(AnnIndex.ivfPqTopK(spark, combDir, idxA, nQ, k,
+        probes = AnnIndex.driftAwareProbes(spark, idxA))))
     Similarity.releaseCaches() // per-case temp corpora must not pin memos
     r
   }
@@ -185,11 +190,12 @@ object RecallProbe {
       val nBase = spec.stripPrefix("drift:").toLong
       println(f"drift grid: nBase=$nBase nQ=$nQ k=$k shifted shard " +
         "(new cluster centers) appended against the frozen base model")
-      println("| delta fraction | recall appended | recall rebuilt | gap |")
-      println("|---|---|---|---|")
+      println("| delta fraction | recall appended | drift-aware probes " +
+        "| recall rebuilt | gap |")
+      println("|---|---|---|---|---|")
       for (f <- Seq(0.05, 0.10, 0.20, 0.35, 0.50)) {
-        val (ra, rr, df) = driftCase(spark, nBase, f, nQ, k)
-        println(f"| $df%.3f | $ra%.3f | $rr%.3f | ${rr - ra}%.3f |")
+        val (ra, rr, df, rb) = driftCase(spark, nBase, f, nQ, k)
+        println(f"| $df%.3f | $ra%.3f | $rb%.3f | $rr%.3f | ${rr - ra}%.3f |")
       }
       spark.stop()
       return

@@ -234,12 +234,17 @@ object TextAnalysis {
     * IPv6 authority returns the bracketed address verbatim (ADVICE
     * r10 — an IP has no registrable domain).
     *
-    * Shape: each lookup is a constant-size `isin` the optimizer
-    * turns into an O(1)-per-row `InSet` probe — row-local, zero
-    * shuffle, codegen-friendly; at 9.5k constant entries that beats
-    * the broadcast-join alternative, which only wins past list sizes
-    * the PSL will never reach. The DuckDB oracle generates the SAME
-    * CASE chain and IN lists from the same [[Psl.rules]] value. */
+    * Shape: the REFERENCE single-Column form — each lookup a
+    * constant-size `isin`/`InSet` probe, every last-k its own regex
+    * over the host. Correct and row-local, but the expression tree
+    * carries ~8 × 9.5k literal nodes that every Catalyst rule walks,
+    * so it pays ~0.5 s of PLANNING per query execution (measured
+    * r14) — fine for a long-lived plan or a spec frame, wrong for
+    * the re-planned-per-run registry entries. Production queries use
+    * [[withRegistrableDomain]], the staged broadcast-lookup twin
+    * (spec-pinned equal to this form); the DuckDB oracle generates
+    * the SAME CASE chain and IN lists from the same [[Psl.rules]]
+    * value as this form evaluates. */
   def registrableDomain(url: Column): Column = {
     val auth = regexp_extract(trim(url), UrlPartsRe, 2)
     val afterUser = regexp_extract(auth, "([^@]*)$", 1)
@@ -264,6 +269,86 @@ object TextAnalysis {
       }
     }
     c.otherwise(last(2))
+  }
+
+  /** A set-membership probe as ONE Catalyst node: `InSet` built
+    * directly over a pre-hashed value set, instead of `isin`'s
+    * N-literal `In` the analyzer/optimizer re-walk on every rule
+    * application. Semantically identical (the optimizer's own
+    * In→InSet conversion produces exactly this node); pushdown-
+    * equivalent (both translate to `sources.In`). The 9.5k-entry PSL
+    * probes are the measured motivation: 8 of them as literal Ins
+    * cost ~0.5 s of PLANNING per query run. */
+  private def inSet(c: Column, vs: Seq[String]): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.InSet(
+        GraftColumnBridge.expression(c),
+        vs.map(v => org.apache.spark.unsafe.types.UTF8String
+          .fromString(v): Any).toSet))
+  }
+
+  /** PRODUCTION registrable-domain stage (r14, VERDICT r13 #2 — the
+    * PSL trio's 2–3× bench regression was PLANNING, not execution:
+    * [[registrableDomain]]'s single expression re-walks ~80k InSet
+    * literal nodes per optimizer rule, and every registry run plans
+    * fresh). Same PSL semantics, restructured for the planner:
+    *
+    *  - the authority/host/label-array/last-k strings are computed
+    *    ONCE each as real columns in staged projections (one `split`
+    *    instead of `maxSuffixLen + 1` regex passes over the host;
+    *    the stages don't re-collapse because each output feeds the
+    *    next stage multiple times and CollapseProject declines to
+    *    duplicate non-cheap expressions);
+    *  - every rule lookup is a single-node [[inSet]] hash probe —
+    *    the rules are a prebuilt Set value the optimizer never walks
+    *    as expression nodes;
+    *  - the final CASE chain evaluates cheap attribute refs.
+    *
+    * The last-k slicing guards empty labels so the semantics equal
+    * [[Psl.lastKPattern]]'s `[^.]+` runs exactly (a window touching
+    * an empty label — `a..b`, `b.` — yields `''`, as the regex fails
+    * to match there); TextAnalysisSpec pins this builder ≡ the
+    * reference Column form on the synthetic corpus AND the edge
+    * hosts. Appends `out`; drops every staging column. */
+  private[llmdata] def withRegistrableDomain(df: DataFrame, url: Column,
+                                             out: String): DataFrame = {
+    val R = Psl.rules
+    val maxL = R.maxSuffixLen
+    val s1 = df
+      .withColumn("_psl_au", regexp_extract(
+        regexp_extract(trim(url), UrlPartsRe, 2), "([^@]*)$", 1))
+    val s2 = s1
+      .withColumn("_psl_host",
+        lower(regexp_extract(col("_psl_au"), "^([^:]*)", 1)))
+      .withColumn("_psl_brkt",
+        regexp_extract(col("_psl_au"), "^(\\[[^\\]]*\\])", 1))
+    val s3 = s2.withColumn("_psl_labs", split(col("_psl_host"), "\\."))
+    val lastCols = (1 to maxL + 1).map { k =>
+      val win = slice(col("_psl_labs"), -k, k)
+      when(size(col("_psl_labs")) >= k && !array_contains(win, ""),
+        array_join(win, ".")).otherwise(lit("")).as(s"_psl_last$k")
+    }
+    val s4 = s3.select(s3.columns.map(col) ++ lastCols: _*)
+    def last(k: Int): Column = col(s"_psl_last$k")
+    var c: Column = when(col("_psl_au").startsWith("["),
+      when(col("_psl_brkt") =!= "", col("_psl_brkt"))
+        .otherwise(col("_psl_au")))
+      .when(last(2) === "", col("_psl_host"))
+    for (e <- R.exc.keys.toSeq.sorted.reverse)
+      c = c.when(inSet(last(e), R.exc(e)), last(e))
+    for (l <- (2 to maxL).reverse) {
+      val hit = (R.norm.get(l).map(vs => inSet(last(l), vs)).toSeq ++
+        R.wild.get(l - 1).map(vs =>
+          last(l) =!= "" && inSet(last(l - 1), vs)).toSeq)
+        .reduceOption(_ || _)
+      hit.foreach { h =>
+        c = c.when(h,
+          when(last(l + 1) =!= "", last(l + 1)).otherwise(last(l)))
+      }
+    }
+    val temps = s4.columns.filter(_.startsWith("_psl_"))
+    s4.withColumn(out, c.otherwise(last(2))).drop(temps: _*)
   }
 
   /** Deterministic MESSY url column synthesized from corpus fields —
@@ -357,11 +442,12 @@ object TextAnalysis {
   /** Per-document canonicalized URL view — (doc_id, url, canon_url,
     * domain), the first stage of every URL-keyed crawl dedup. */
   def canonicalUrls(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), syntheticUrl.as("url"))
+    withRegistrableDomain(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), syntheticUrl.as("url")),
+      col("url"), "domain")
       .select(col("doc_id"), col("url"),
-        canonicalUrl(col("url")).as("canon_url"),
-        registrableDomain(col("url")).as("domain"))
+        canonicalUrl(col("url")).as("canon_url"), col("domain"))
       .orderBy(col("doc_id"))
 
   /** Per-DOMAIN curation rollup — docs, distinct canonical URLs, and
@@ -370,10 +456,12 @@ object TextAnalysis {
     * token share dwarfs its URL diversity is boilerplate-heavy).
     * One hash-partitioned aggregation keyed on the domain. */
   def domainRollup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), syntheticUrl.as("url"))
+    withRegistrableDomain(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), syntheticUrl.as("url")),
+      col("url"), "domain")
       .select(col("text"), canonicalUrl(col("url")).as("canon_url"),
-        registrableDomain(col("url")).as("domain"))
+        col("domain"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("canon_url")).as("n_urls"),
@@ -397,9 +485,11 @@ object TextAnalysis {
     * private-section rules dissolve. */
   def domainCap(spark: SparkSession, dir: String, cap: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), syntheticUrl.as("url"))
-      .select(col("doc_id"), registrableDomain(col("url")).as("domain"))
+    withRegistrableDomain(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), syntheticUrl.as("url")),
+      col("url"), "domain")
+      .select(col("doc_id"), col("domain"))
       .withColumn("domain_rank", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
       .select(col("doc_id"), col("domain"),

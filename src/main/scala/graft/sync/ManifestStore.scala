@@ -447,11 +447,12 @@ object ManifestStore {
     catch { case _: java.io.FileNotFoundException => once() }
   }
 
-  /** Batch-dir id a relative file path lives under (`data/b<id>/…`) —
-    * the basePath grouping for reads. Works for folded snapshot
-    * entries too, whose files keep their original batch directories. */
-  private def ownerId(rel: String): Long =
-    rel.stripPrefix("data/b").takeWhile(_ != '/').toLong
+  /** Batch dir a relative file path lives under (`data/b<id>/…`, or a
+    * compaction rewrite's `data/c<id>/…`) — the basePath grouping for
+    * reads. Works for folded snapshot entries too, whose files keep
+    * their original batch directories. */
+  private def ownerDir(rel: String): String =
+    rel.split("/", 3)(1)
 
   /** partition-dir-name → relative file paths after folding the
     * newest snapshot and replaying every later manifest in order —
@@ -477,10 +478,10 @@ object ManifestStore {
                           files: Map[String, Seq[String]]): Option[DataFrame] = {
     val byBatch = files.toSeq
       .flatMap { case (_, rels) => rels }
-      .groupBy(ownerId)
-    byBatch.toSeq.sortBy(_._1).map { case (id, rels) =>
+      .groupBy(ownerDir)
+    byBatch.toSeq.sortBy(_._1).map { case (dir, rels) =>
       spark.read
-        .option("basePath", s"$storeDir/data/b$id")
+        .option("basePath", s"$storeDir/data/$dir")
         .parquet(rels.map(r => s"$storeDir/$r"): _*)
     }
       // allowMissingColumns: batch dirs written before a schema change
@@ -791,6 +792,97 @@ object ManifestStore {
     }
   }
 
+  /** Distinct data batch directories the CURRENT composition reads —
+    * the per-read file-listing obligation an append-mode store
+    * accumulates (one per committed shard until a [[compactData]]):
+    * the cadence input for data compaction, and the spec observable. */
+  def dataSegments(spark: SparkSession, storeDir: String): Int =
+    currentFiles(spark, storeDir).values.flatten.toSeq
+      .map(ownerDir).distinct.size
+
+  /** DATA COMPACTION for an append-mode store (r14, VERDICT r13 #3):
+    * the per-bucket MERGE-SORT of accumulated per-shard deltas.
+    * Append-mode commits only ever ACCUMULATE files — a metadata fold
+    * ([[snapshot]]) bounds the ledger read but never the data files,
+    * so after 10^5 shards every partition holds 10^5 small sorted
+    * deltas and even a page-skipping point lookup pays O(#shards)
+    * file footers. This rewrites the CURRENT composition as ONE
+    * sorted file set per partition under `data/c<head>` (head = the
+    * newest committed version id) and seals a snapshot at that same
+    * id whose entries reference only the rewrite — rows identical by
+    * construction (the rewrite IS the composed read), later manifests
+    * replay on top exactly as over any fold.
+    *
+    * Crash-safe like every commit here: the rewrite lands in its own
+    * never-referenced directory and the snapshot renames in LAST; a
+    * crash in between leaves a manifest-invisible orphan that
+    * [[vacuum]] reaps once superseded. Idempotence rides the head id:
+    * a replayed compaction at the same head overwrites its own
+    * directory and re-seals the same snapshot content. No-ops
+    * (`None`) when the composition already reads from a single data
+    * directory, when nothing has committed, or when a snapshot
+    * already exists at the head id (a metadata fold landed there
+    * first — the next committed batch moves the head and the next
+    * compaction attempt proceeds).
+    *
+    * `sortCols` is the within-partition sort the store's point-lookup
+    * probes rely on (the keeper tables' key column, the corpus
+    * stores' id), re-established over the merged rows; `pageRows`
+    * bounds parquet pages so pushed key equalities skip at page
+    * granularity, like the gate indexes' layout. Fold-proof replay
+    * probes (the callers' `committedExplicitly` discipline) keep
+    * working: a compacted batch's rows are still present in the
+    * composed read, which is exactly what those probes consult. */
+  def compactData(spark: SparkSession, storeDir: String,
+                  partitionCol: String, sortCols: Seq[String],
+                  pageRows: Int = 2048): Option[Long] =
+    withWriterLease(spark, storeDir) {
+      import org.apache.spark.sql.functions.col
+      val ledger = readLedger(spark, storeDir)
+      val files = foldLedger(ledger)
+      val owners = files.values.flatten.toSeq.map(ownerDir).distinct
+      val headOpt = (ledger.snap.map(_._1).toSeq ++
+        ledger.manifests.map(_._1)).maxOption
+      val eligible = owners.size > 1 && headOpt.exists { head =>
+        val (mf, _) = fs(spark, s"$storeDir/_manifest")
+        !mf.exists(new org.apache.hadoop.fs.Path(
+          s"$storeDir/_manifest/$head$SnapSuffix"))
+      }
+      if (!eligible) None
+      else {
+        val head = headOpt.get
+        val rows = composeRead(spark, storeDir, files).get
+        rows.repartition(col(partitionCol))
+          .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+          .write.mode("overwrite")
+          .option("parquet.page.row.count.limit", pageRows)
+          .partitionBy(partitionCol)
+          .parquet(s"$storeDir/data/c$head")
+        val (f, dd) = fs(spark, s"$storeDir/data/c$head")
+        val lines = f.listStatus(dd).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap { partDir =>
+            f.listStatus(partDir.getPath).toSeq
+              .filter(st => st.isFile &&
+                !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith("."))
+              .map(st => s"c$head/${partDir.getPath.getName}\t" +
+                s"data/c$head/${partDir.getPath.getName}/${st.getPath.getName}")
+          }
+        sealLinesLocked(spark, storeDir, s"$head$SnapSuffix", lines)
+        spark.catalog.refreshByPath(storeDir)
+        Some(head)
+      }
+    }
+
+  /** [[compactData]] past a segment budget — the callers' cadence
+    * hook, [[graft.llmdata.LexStore.maybeCompact]] style. */
+  def maybeCompactData(spark: SparkSession, storeDir: String,
+                       partitionCol: String, sortCols: Seq[String],
+                       maxSegments: Int): Option[Long] =
+    if (dataSegments(spark, storeDir) <= maxSegments) None
+    else compactData(spark, storeDir, partitionCol, sortCols)
+
   private def snapLinesOf(ledger: Ledger): Seq[String] =
     foldLedger(ledger).toSeq.sortBy(_._1).flatMap { case (part, rels) =>
       rels.map(rel => s"$part\t$rel")
@@ -941,8 +1033,15 @@ object ManifestStore {
         // re-verify per batch directory: the data loop is the long
         // phase, and deleting from a stolen lease is silent data loss
         verifyHeld(spark, storeDir)
-        scala.util.Try(bdir.getPath.getName.stripPrefix("b").toLong).toOption
-          .filter(_ <= maxCommitted).foreach { bid =>
+        // both batch dirs (`b<id>`) and compaction rewrites (`c<id>`,
+        // [[compactData]]) are reclaimable once no retained
+        // composition references their files
+        val dname = bdir.getPath.getName
+        val idOpt =
+          if (dname.startsWith("b") || dname.startsWith("c"))
+            scala.util.Try(dname.drop(1).toLong).toOption
+          else None
+        idOpt.filter(_ <= maxCommitted).foreach { _ =>
             var keptAny = false
             f.listStatus(bdir.getPath).foreach { entry =>
               val children =
@@ -952,8 +1051,8 @@ object ManifestStore {
               children.foreach { st =>
                 val rel =
                   if (entry.isDirectory)
-                    s"data/b$bid/${entry.getPath.getName}/${st.getPath.getName}"
-                  else s"data/b$bid/${st.getPath.getName}"
+                    s"data/$dname/${entry.getPath.getName}/${st.getPath.getName}"
+                  else s"data/$dname/${st.getPath.getName}"
                 if (referenced(rel)) { keptHere = true; keptAny = true }
                 else if (st.isFile) { f.delete(st.getPath, false); files += 1 }
               }

@@ -438,6 +438,79 @@ class IngestMainSpec extends SparkSpec {
         s"manifests: ${manifests.mkString(", ")}")
   }
 
+  test("keeper/corpus data compaction: one sorted segment per store, contents and fates identical, replay discipline intact (r14 #3)") {
+    val dirs = freshDirs()
+    val subs = (0 until 3).map(j =>
+      shard.filter(col("doc_id") % 40 === (10L * j + 7L)).localCheckpoint())
+    subs.zipWithIndex.foreach { case (sub, j) =>
+      Ingest.run(spark, dirs, baseDocs, sub,
+        shardEmb.join(sub.select(col("doc_id").as("vec_id")), "vec_id"),
+        j.toLong)
+    }
+    val stores = Seq(
+      (dirs.urlKeeperDir, "kpart", Seq("cu")),
+      (dirs.hashKeeperDir, "kpart", Seq("h")),
+      (dirs.corpusDocsDir, "part", Seq("doc_id")),
+      (dirs.corpusEmbDir, "part", Seq("vec_id")))
+    def rowsOf(d: String): Set[String] = {
+      val df = ManifestStore.readStore(spark, d).get
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).toSet
+    }
+    val before = stores.map { case (d, _, _) => d -> rowsOf(d) }.toMap
+    // a probe shard classified against the standing deployment —
+    // its fates must be bit-identical across the rewrite
+    val probeShard = baseDocs.limit(30)
+      .withColumn("doc_id", col("doc_id") + 3000000L)
+      .withColumn("text", concat(col("text"), lit(" qq")))
+      .localCheckpoint()
+    val uniqueUrl =
+      concat(lit("https://cq.example/"), col("doc_id").cast("string"))
+    def classify(): Map[Long, (String, Long)] =
+      Ingest.classifyShardKeeper(spark, dirs,
+          Ingest.withDefaultSource(probeShard),
+          Dedup.loadBandIndex(spark, dirs.shingleGateDir), 0.2, uniqueUrl)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fate"),
+            Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)
+              .getOrElse(-1L)))).toMap
+    val wantFates = classify()
+    assert(wantFates.nonEmpty)
+    stores.foreach { case (d, pcol, sortCols) =>
+      assert(ManifestStore.dataSegments(spark, d) > 1, s"$d pre")
+      assert(ManifestStore.compactData(spark, d, pcol, sortCols).nonEmpty, d)
+      ManifestStore.vacuum(spark, d)
+      assert(ManifestStore.dataSegments(spark, d) === 1, s"$d post")
+      assert(rowsOf(d) === before(d), s"$d rows changed across the rewrite")
+      // idempotent + no-op once compacted: a second call declines
+      assert(ManifestStore.compactData(spark, d, pcol, sortCols).isEmpty, d)
+    }
+    assert(classify() === wantFates,
+      "fates diverged across the keeper/corpus rewrite")
+    // the compacted keeper layout is SORTED within each bucket file —
+    // the property the point-lookup page stats ride
+    val (fsys, dd) = graft.sync.GenDir.fsOf(spark, dirs.urlKeeperDir)
+    val cDirs = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"${dd.toString}/data")).toSeq
+      .filter(_.getPath.getName.startsWith("c"))
+    assert(cDirs.nonEmpty, "no compaction data dir")
+    val aBucket = fsys.listStatus(cDirs.head.getPath).toSeq
+      .filter(_.getPath.getName.contains("=")).head.getPath
+    val cus = spark.read.parquet(aBucket.toString)
+      .select(col("cu")).collect().map(_.getString(0)).toSeq
+    assert(cus === cus.sorted, "bucket file not sorted by key")
+    // replay discipline: shard 0 is done-sealed, so a replay still
+    // short-circuits; and the fold-proof discriminator inputs hold —
+    // batch 1 reads committed only via the fold, NOT explicitly, yet
+    // the composed store still witnesses its rows
+    val st = Ingest.run(spark, dirs, baseDocs, subs(0),
+      shardEmb.join(subs(0).select(col("doc_id").as("vec_id")), "vec_id"),
+      0L)
+    assert(st.replayed)
+    assert(ManifestStore.committed(spark, dirs.urlKeeperDir, 1L))
+    assert(!ManifestStore.committedExplicitly(spark, dirs.urlKeeperDir, 1L))
+  }
+
   test("keeper tables ARE the corpus aggregates: maintained per shard, bit-equal to the store-scan reference (r13 #1)") {
     val (dirs, _) = unbroken
     // bootstrapped at batch 0, extended by the shard as batch 1
@@ -539,24 +612,77 @@ class IngestMainSpec extends SparkSpec {
       "bucket 3 must contain exactly the doc_id % 8 == 3 rows")
     // a BOUNDED candidate set's ids are PUSHED into the parquet scan
     // (r13, second session — the point-lookup form the classify
-    // profiler motivated): equality filters on doc_id reach
+    // profiler motivated; r14 ADVICE: ONE `In` predicate via isin,
+    // not a reduce-built Or tree): the In filter on doc_id reaches
     // PushedFilters, and the result is exactly those rows
     val pushed = Ingest.prunedCorpusText(spark, dirs.corpusDocsDir, Seq(3))
-      .filter(Seq(3L, 11L).map(i => col("corpus_id") === lit(i))
-        .reduce(_ || _))
+      .filter(col("corpus_id").isin(3L, 11L))
     val pp = planOf(pushed)
-    assert(pp.contains("PushedFilters:") && pp.contains("EqualTo(doc_id"),
+    assert(pp.contains("PushedFilters:") && pp.contains("In(doc_id"),
       s"candidate ids not pushed to the scan:\n$pp")
     assert(pushed.select(col("corpus_id")).collect().map(_.getLong(0))
       .toSet === Set(3L, 11L))
     // keeper point lookup (r13, second session): a bounded shard's
-    // keys ride the keeper scan as pushed equalities the same way
+    // keys ride the keeper scan as a pushed In the same way
     val aKey = full.select(col("cu")).head.getString(0)
     val kPushed = Ingest.prunedKeeperRead(spark, dirs.urlKeeperDir, parts)
-      .filter(col("cu") === lit(aKey) || col("cu") === lit("no-such-key"))
+      .filter(col("cu").isin(aKey, "no-such-key"))
     val kpp = planOf(kPushed)
-    assert(kpp.contains("PushedFilters:") && kpp.contains("EqualTo(cu"),
+    assert(kpp.contains("PushedFilters:") && kpp.contains("In(cu"),
       s"keeper keys not pushed to the scan:\n$kpp")
+  }
+
+  test("past-ceiling gate probe: point lookup pushes In(sig) over the sorted format-3 index, prunes gpart, and equals the streamed scan (r14 #1)") {
+    val (dirs, _) = unbroken
+    // the format-3 layout: the persisted index carries the gpart
+    // bucket column and the probe shape below partition-prunes on it
+    // AND pushes the signature set as ONE In predicate
+    val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
+    assert(gate.columns.contains("gpart"), gate.columns.mkString(","))
+    val someSigs = gate.select(col("sig")).limit(64).collect()
+      .map(_.getLong(0)).toSeq
+    assert(someSigs.size > 10) // past the default In-pushdown threshold
+    spark.conf.set("spark.sql.parquet.pushDownInFilterThreshold",
+      Ingest.GateSigPushdownMax + 1)
+    val probePlan = gate
+      .filter(col("gpart").isin(0, 1, 2) && col("sig").isin(someSigs: _*))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters:") &&
+      probePlan.contains("gpart#"),
+      s"gate probe not bucket-pruned:\n$probePlan")
+    assert(probePlan.contains("PushedFilters:") &&
+      probePlan.contains("In(sig"),
+      s"gate sigs not pushed to the scan:\n$probePlan")
+    // classification fates are IDENTICAL across the three join
+    // shapes: broadcast (auto at this scale), forced point lookup
+    // (ceiling 0), and forced streamed scan (ceiling 0 + pushdown 0).
+    // The probe shard is built so the GATE arm decides: corpus texts
+    // perturbed by one token (near-dup Jaccard, distinct hash) under
+    // fresh unique urls (the url arm never fires).
+    val probeShard = baseDocs.limit(40)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .withColumn("text", concat(col("text"), lit(" zz")))
+    val uniqueUrl =
+      concat(lit("https://u.example/"), col("doc_id").cast("string"))
+    def fates(ceiling: Long, push: Int): Map[Long, (String, Long)] =
+      Ingest.classifyShardKeeper(spark, dirs,
+          Ingest.withDefaultSource(probeShard), gate, 0.2,
+          uniqueUrl,
+          broadcastCeiling = ceiling, sigPushdownMax = push)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fate"),
+            Option(r.getAs[java.lang.Long]("match_id")).map(_.toLong)
+              .getOrElse(-1L)))).toMap
+    val viaBroadcast = fates(Long.MaxValue, Ingest.GateSigPushdownMax)
+    val viaPoint = fates(0L, Ingest.GateSigPushdownMax)
+    val viaStream = fates(0L, 0)
+    assert(viaPoint === viaBroadcast,
+      "point-lookup probe diverged from the broadcast shape")
+    assert(viaStream === viaBroadcast,
+      "streamed-scan probe diverged from the broadcast shape")
+    assert(viaBroadcast.nonEmpty &&
+      viaBroadcast.values.exists(_._1 == "near_dup"),
+      s"vacuous: no near_dup fate in ${viaBroadcast.values.map(_._1).toSet}")
   }
 
   test("a second concurrent maintainer fails LOUDLY at entry; the survivor's artifacts equal a winner-only run (r13 #5)") {

@@ -635,7 +635,7 @@ class SimilaritySpec extends SparkSpec {
     // across fractions 0.05–0.50). The frozen-model penalty must stay
     // bounded at the fraction the trigger fires at — 0.85 is the
     // measured small-scale value minus margin.
-    val (appended, rebuilt, frac) = RecallProbe.driftCase(
+    val (appended, rebuilt, frac, boosted) = RecallProbe.driftCase(
       spark, nBase = 2000, fraction = AnnIndex.RebuildDeltaFraction,
       nQ = 10, k = 10)
     assert(math.abs(frac - AnnIndex.RebuildDeltaFraction) < 0.01,
@@ -644,5 +644,13 @@ class SimilaritySpec extends SparkSpec {
     assert(appended >= 0.85,
       s"appended-index recall under drift fell through the floor: " +
         s"$appended (rebuilt: $rebuilt)")
+    // the drift-compensating probe knob buys the margin back without
+    // a rebuild (r14 #7): floor ≥ 0.9 with the knob on, and never
+    // below the default-probe recall
+    assert(boosted >= 0.9,
+      s"drift-aware probes did not restore the appended floor: " +
+        s"$boosted (default-probe appended: $appended)")
+    assert(boosted >= appended,
+      s"drift-aware probes LOWERED recall: $boosted < $appended")
   }
 }

@@ -723,6 +723,36 @@ class TextAnalysisSpec extends SparkSpec {
       "both exception rule classes must appear in the rollup")
   }
 
+  test("staged registrable-domain builder equals the reference Column form on the corpus and on pathological hosts (r14 #2)") {
+    import spark.implicits._
+    // the corpus side: every planted PSL rule class at sf scale
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.syntheticUrl.as("url"))
+    // the pathological side: hosts where the reference form's
+    // `[^.]+` regex runs and the builder's slice+empty-label guard
+    // must agree exactly (empty labels, trailing/leading dots, bare
+    // hosts, brackets, userinfo, no-url rows)
+    val edges = Seq(
+      (100L, "http://a..b/x"), (101L, "http://b./"), (102L, "http://.b"),
+      (103L, "https://x.co.uk."), (104L, "not a url"), (105L, ""),
+      (106L, "http://[::1]:80/"), (107L, "https://u:p@deep.a.co.uk/y"),
+      (108L, "http://..../"), (109L, "https://single"),
+      (110L, "http://trail.example.com.")
+    ).toDF("doc_id", "url")
+    for (frame <- Seq(corpus, edges)) {
+      val both = TextAnalysis
+        .withRegistrableDomain(frame, col("url"), "d_staged")
+        .withColumn("d_ref", TextAnalysis.registrableDomain(col("url")))
+      val diff = both.filter(col("d_staged") =!= col("d_ref") ||
+        col("d_staged").isNull =!= col("d_ref").isNull)
+      assert(diff.count() === 0,
+        diff.collect().take(5).mkString("; "))
+    }
+    // the builder leaves no staging columns behind
+    val out = TextAnalysis.withRegistrableDomain(edges, col("url"), "d")
+    assert(out.columns.toSeq === Seq("doc_id", "url", "d"))
+  }
+
   test("per-domain cap: keep-first-K by doc id, exact per-domain counts, binds non-vacuously (r12)") {
     val cap = TextAnalysis.domainCap(spark, sf).collect()
     assert(cap.length === Tables.documents(spark, sf).count().toInt,
