@@ -268,20 +268,31 @@ object ScaleBench {
     subShard(subRems.head).coalesce(1).write.mode("append").parquet(warmSrc)
     drainStream(freshDirs("warm-s"), warmSrc)
 
-    // batch arm
-    val bDirs = freshDirs("batch")
-    val bTimes = subRems.zipWithIndex.map { case (rem, i) =>
-      val t0 = System.nanoTime()
-      runShard(bDirs, rem, i.toLong)
-      (System.nanoTime() - t0) / 1e9
+    // each arm runs TWICE on fresh deployments and the MIN total is
+    // compared (r14 — the Bench min-of-2 stance: single-shot arm
+    // totals measured 1.1×–2.8× apart across identical-code runs on
+    // this host; the min of two fresh runs is the comparable number)
+    def batchArm(): (Double, Seq[Double], Ingest.Dirs) = {
+      val bDirs = freshDirs("batch")
+      val ts = subRems.zipWithIndex.map { case (rem, i) =>
+        val t0 = System.nanoTime()
+        runShard(bDirs, rem, i.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (ts.sum, ts, bDirs)
     }
+    val (b1, bTimes1, bDirs) = batchArm()
+    val (b2, bTimes2, _) = batchArm()
+    val (bTotal, bTimes) = if (b1 <= b2) (b1, bTimes1) else (b2, bTimes2)
     // stream arm: four files, one micro-batch each
     val src = java.nio.file.Files
       .createTempDirectory("graft-ingestbench-src").toString
     subRems.foreach(rem =>
       subShard(rem).coalesce(1).write.mode("append").parquet(src))
     val sDirs = freshDirs("stream")
-    val sTotal = drainStream(sDirs, src)
+    val s1 = drainStream(sDirs, src)
+    val s2 = drainStream(freshDirs("stream2"), src)
+    val sTotal = math.min(s1, s2)
     // the two compositions must agree before their times are compared
     def fates(dirs: Ingest.Dirs): Map[String, Long] =
       graft.sync.ManifestStore.readStore(spark, dirs.ledgerDir).get
@@ -291,7 +302,6 @@ object ScaleBench {
     val (bFates, sFates) = (fates(bDirs), fates(sDirs))
     require(bFates == sFates,
       s"arms diverged: batch $bFates vs stream $sFates")
-    val bTotal = bTimes.sum
     val nShards = subRems.size
     println("| arm | shards | total s | per-shard s | per-shard passes |")
     println("|---|---|---|---|---|")
@@ -449,11 +459,14 @@ object ScaleBench {
     println("NOTE: classify is corpus-flat by mechanism since the " +
       "adaptive gate banding (Dedup.GateBandLadder bounds the " +
       "per-probe candidate mass at build; candidate ids push into " +
-      "the corpus-text scan as parquet equality filters under " +
-      s"CandIdPushdownMax=${Ingest.CandIdPushdownMax}); the residual " +
-      "narrow terms are the pruned keeper scan (~24 B/key) and the " +
-      "gate key scan, which switches from broadcast to a streamed " +
-      s"scan past ${Ingest.GateBroadcastMaxKeys} persisted keys.")
+      "the corpus-text scan as parquet In filters under " +
+      s"CandIdPushdownMax=${Ingest.CandIdPushdownMax}); past " +
+      s"${Ingest.GateBroadcastMaxKeys} persisted keys the gate probe " +
+      "takes the format-3 POINT-LOOKUP shape (gpart-pruned, " +
+      s"In(sig) pushed under GateSigPushdownMax=${Ingest.GateSigPushdownMax} " +
+      "over the sorted-within-bucket layout) - see classifyprofile's " +
+      "dual-mode rows; the residual narrow term is the pruned keeper " +
+      "scan (~24 B/key).")
     val js = rows.map { case (l, (n, st, tot, kept, (gb, gr))) =>
       "\"" + l + "\":{\"docs\":" + n + "," +
         stageNames.map(k => "\"" + k + "\":" + st.getOrElse(k, 0.0))

@@ -736,7 +736,9 @@ object Dedup {
     * without the fields read as the fixed (16, 2) keying). */
   private[llmdata] def writeBandIndexBase(spark: SparkSession,
                                           corpusDir: String, idxDir: String,
-                                          keep: Column): Long = {
+                                          keep: Column,
+                                          ladder: Seq[(Int, Int)] =
+                                            GateBandLadder): Long = {
     import graft.sync.GenDir
     val tmp = GenDir.stage(spark, idxDir)
     // one signature pass at the ladder's max width; each step bands a
@@ -759,9 +761,12 @@ object Dedup {
           .agg(sum(col("df") * (col("df") - lit(1L)))).head
         if (s.isNullAt(0)) 0.0 else s.getLong(0).toDouble / nDocs
       }
-      val (b, r) = GateBandLadder.find { case (bb, rr) =>
+      // `ladder` is a test seam (default = the real ladder): a spec
+      // pins a single fixed keying to reproduce the grown-deployment
+      // state — bootstrapped small, corpus since outgrown the keying
+      val (b, r) = ladder.find { case (bb, rr) =>
         candPerDoc(lshBands(sigs, bb, rr)) <= GateCandPerDocTarget
-      }.getOrElse(GateBandLadder.last)
+      }.getOrElse(ladder.last)
       writeGateKeys(lshBands(sigs, b, r)
         .withColumnRenamed("doc_id", "corpus_id"), "sig",
         s"$tmp/keys.parquet")

@@ -1350,6 +1350,12 @@ object Ingest {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NOT checkpointed here (measured r14): pinning the epoch
+        // input up front looked symmetric with the batch twin's
+        // checkpointed shards, but the eager materialization job per
+        // epoch cost MORE than the re-reads it saved (ratio 1.13 →
+        // 1.69 on the ingest bench) — [[run]] already checkpoints
+        // the keyed shard once at its first real consumer
         val st = run(spark, dirs,
           baseDocs,
           // doc-side columns pass through as-is (the classifier needs

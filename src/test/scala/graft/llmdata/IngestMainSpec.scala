@@ -511,6 +511,64 @@ class IngestMainSpec extends SparkSpec {
     assert(!ManifestStore.committedExplicitly(spark, dirs.urlKeeperDir, 1L))
   }
 
+  test("should_rebuild fires on the OBSERVED gate candidate load when the corpus outruns the keying, below the delta-fraction trigger (r14 #5)") {
+    // reproduce the grown-deployment state: a deployment bootstrapped
+    // on a 20k-doc corpus whose GATE has since grown to cover 300k
+    // collision-heavy synthetic docs (31-word vocabulary — high
+    // background Jaccard; chance candidates/probe scale ~linearly in
+    // gate size: measured 2.82/doc at a 20k gate, so ~42/doc at
+    // 300k), still keyed at the FIXED (16, 2) banding the small
+    // bootstrap chose (the ladder seam pins it; appends inherit the
+    // keying, so only a rebuild re-keys — exactly the state the
+    // trigger exists for)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-gateload-corpus").toString
+    graft.tools.SynthCorpus.writeCorpus(spark, corpus, 20000L, 400L)
+    val bigCorpus = java.nio.file.Files
+      .createTempDirectory("graft-gateload-big").toString
+    graft.tools.SynthCorpus.documents(spark, 300000L)
+      .write.mode("overwrite").parquet(s"$bigCorpus/documents.parquet")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-gateload-work").toString
+    val dirs = Ingest.dirsUnder(work)
+    Ingest.bootstrap(spark, corpus, dirs, 10, 11) // shard never matches
+    Dedup.writeBandIndexBase(spark, bigCorpus, dirs.shingleGateDir,
+      lit(true), ladder = Seq((Dedup.NumBands, Dedup.RowsPerBand)))
+    assert(Dedup.gateBandParams(spark, dirs.shingleGateDir) ===
+      ((Dedup.NumBands, Dedup.RowsPerBand)))
+    // one 200-doc shard with NO embeddings: the ANN delta fraction
+    // stays ~0, far below RebuildDeltaFraction — the load axis alone
+    // must flip the trigger
+    val gateShard = graft.tools.SynthCorpus.documents(spark, 200L, seed = 431L)
+      .select((col("doc_id") + lit(50000000L)).as("doc_id"), col("text"),
+        col("source"))
+    val st = Ingest.run(spark, dirs, Tables.documents(spark, corpus),
+      gateShard, emb.filter(lit(false)), 0L, threshold = 0.95,
+      rawUrl = concat(lit("https://gl.example/"),
+        col("doc_id").cast("string")))
+    assert(st.deltaFraction < graft.llmdata.AnnIndex.RebuildDeltaFraction,
+      s"ann drift must stay below the fraction trigger: ${st.deltaFraction}")
+    assert(st.gateCandPerDoc.exists(_ > Ingest.GateCandPerDocRebuild),
+      s"expected the chance-collision load to blow the envelope, " +
+        s"got ${st.gateCandPerDoc}")
+    assert(st.shouldRebuild,
+      s"should_rebuild must fire on the load axis: $st")
+    // control: the SAME grown gate re-keyed by the real ladder keeps
+    // the load inside the envelope and the trigger quiet (the
+    // rebuild's re-key is exactly this call)
+    Dedup.writeBandIndexBase(spark, bigCorpus, dirs.shingleGateDir,
+      lit(true))
+    val dirs2 = dirs // fresh ledger so classification re-runs
+    val st2 = Ingest.run(spark, dirs2, Tables.documents(spark, corpus),
+      gateShard.withColumn("doc_id", col("doc_id") + 1000L), emb.filter(lit(false)),
+      1L, threshold = 0.95,
+      rawUrl = concat(lit("https://gl2.example/"),
+        col("doc_id").cast("string")))
+    assert(st2.gateCandPerDoc.exists(_ <= Ingest.GateCandPerDocRebuild),
+      s"re-keyed gate should bound the load: ${st2.gateCandPerDoc}")
+    assert(!st2.shouldRebuild, s"trigger must go quiet after re-key: $st2")
+  }
+
   test("keeper tables ARE the corpus aggregates: maintained per shard, bit-equal to the store-scan reference (r13 #1)") {
     val (dirs, _) = unbroken
     // bootstrapped at batch 0, extended by the shard as batch 1
