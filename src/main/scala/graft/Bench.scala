@@ -25,6 +25,30 @@ import org.apache.spark.sql.SparkSession
   *    exits non-zero: a scale-killer can never bench as a success.
   */
 object Bench {
+
+  /** Host-calibration workload (VERDICT r14 #2): a FIXED, data-free,
+    * CPU-bound aggregate — pinned row count, codegen'd hash+sum over
+    * `spark.range`, no file IO — whose wall seconds measure the HOST,
+    * not the engine. Both bench mains run it first and emit
+    * `calib_sec` (min of 2, like every other entry), so cross-round
+    * comparisons can divide out host drift (the r13/r14 verdicts each
+    * burned a section relitigating morning-vs-afternoon load) instead
+    * of arguing about it in prose. Normalized totals are
+    * `total / calib_sec` — dimensionless, host-independent to first
+    * order. */
+  private[graft] def calibSec(spark: SparkSession): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      // avg (not sum) over the hash: summing 400M raw xxhash64 values
+      // overflows a long under ANSI mode; the hash work is the point
+      spark.range(400000000L)
+        .selectExpr("avg(xxhash64(id) % 1000000) AS h", "sum(id % 97) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(pass(), pass())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,7 +67,30 @@ object Bench {
     // attributed to whichever query sorts first alphabetically.
     spark.range(1000000).selectExpr("sum(id) AS s")
       .write.format("noop").mode("overwrite").save()
+    // host calibration BEFORE the query sweep (VERDICT r14 #2): the
+    // fixed CPU-bound workload's seconds ride the JSON as calib_sec
+    val calib = calibSec(spark)
     var failed = List.empty[String]
+    val nameFilter0 = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.r).map(re => (n: String) => re.findFirstIn(n).isDefined)
+      .getOrElse((_: String) => true)
+    // cold/warm split for deployment-building entries (VERDICT r14
+    // #7): ingest_fates' FIRST pass constructs a whole ingest
+    // deployment (bootstrap + one shard run — ~20 s of fixture work
+    // that is not query cost). Build the memoized fixture BEFORE the
+    // sweep and emit its seconds separately, so both timed passes of
+    // the entry measure pure query cost and the bench total can never
+    // absorb fixture construction.
+    val fixtureSec: Double =
+      if (!nameFilter0("ingest_fates")) 0.0
+      else {
+        val t0 = System.nanoTime()
+        try graft.llmdata.Ingest.ingestArtifactsFor(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ingest fixture build FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
     // Min of 2 passes per query (VERDICT r03 #6): a loaded host inflates
     // single-shot timings ~uniformly; the min of two back-to-back runs is
     // far more robust while keeping the JSON contract unchanged. A query
@@ -55,9 +102,7 @@ object Bench {
     // Local-iteration subset knob (never set by the driver): a regex
     // over query names. A filtered run is NOT a contract run — the
     // JSON line still prints, but with only the matching entries.
-    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-      .map(_.r).map(re => (n: String) => re.findFirstIn(n).isDefined)
-      .getOrElse((_: String) => true)
+    val nameFilter = nameFilter0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter(n) }.map { case (name, fn) =>
       var lastRun: Option[org.apache.spark.sql.DataFrame] = None
@@ -98,6 +143,7 @@ object Bench {
     graft.llmdata.AnnIndex.releaseCaches()
     graft.llmdata.LexStore.releaseCaches()
     graft.llmdata.LmStore.releaseCaches()
+    graft.llmdata.QualityStore.releaseCaches()
     graft.llmdata.Ingest.releaseCaches()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -108,7 +154,12 @@ object Bench {
     val ls = lint.sorted.map("\"" + _.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls,"sf":"$sfDir"}""")
+    // a FILTERED run is not a contract run (ADVICE r14): the marker
+    // makes a partial JSON line impossible to ingest as a full result
+    val filtered = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(re => s""","filtered":"${re.replace("\\", "\\\\")
+        .replace("\"", "'")}"""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calib,"total_calib_norm":${total / calib},"ingest_fixture_sec":$fixtureSec,"queries":$qs,"passes":$ps,"failed":$fs,"lint_clean":${lint.isEmpty},"lint":$ls$filtered,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty || lint.nonEmpty) sys.exit(1)
   }

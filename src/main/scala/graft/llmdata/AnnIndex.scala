@@ -219,11 +219,14 @@ object AnnIndex {
     // the artifact doesn't actually hold.
     shardKey.flatMap(k =>
       GenDir.findDeltaByKey(spark, deltas, "delta.json",
-        "ANN index delta.json", k)) match {
-      case Some(d) =>
-        return readJsonLong(
-          GenDir.readJson(spark, s"$d/delta.json", "ANN index delta.json"),
-          "n", s"$d/delta.json")
+        "ANN index delta.json", k).map((k, _))) match {
+      case Some((k, d)) =>
+        val text = GenDir.readJson(spark, s"$d/delta.json",
+          "ANN index delta.json")
+        // a multi-stamped (batched) delta records per-shard counts —
+        // report THIS shard's, never the union's
+        return GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+          readJsonLong(text, "n", s"$d/delta.json"))
       case None => ()
     }
     // an EMPTY shard (every vector dropped upstream — an
@@ -262,6 +265,69 @@ object AnnIndex {
           "append against it (the superseded delta is inert and " +
           "reclaimed by vacuum)")
     n
+  }
+
+  /** BATCHED delta append (r15, VERDICT r14 #1): N shards' vectors
+    * encode against the generation's frozen model and land as ONE
+    * delta — one encode+write job instead of N — multi-stamped with
+    * every landed shard's key and per-shard row counts, so any single
+    * shard's replay (batch or solo) no-ops with ITS count. Same
+    * frozen-model drift semantics as [[append]]: the union delta's
+    * codes are exactly the concatenation of the per-shard deltas'.
+    * Returns key → delta row count. */
+  def appendBatch(spark: SparkSession, indexDir: String,
+                  incoming: Seq[(String, DataFrame)]): Map[String, Long] = {
+    require(incoming.map(_._1).distinct.size == incoming.size,
+      "batched append shard keys must be distinct")
+    val gen = resolveGen(spark, indexDir)
+    val meta = readMetaAt(spark, gen)
+    val deltas = GenDir.deltas(spark, gen)
+    val (stamped, fresh) = incoming.partition { case (k, _) =>
+      GenDir.findDeltaByKey(spark, deltas, "delta.json",
+        "ANN index delta.json", k).isDefined }
+    val stampedCounts = stamped.map { case (k, _) =>
+      val d = GenDir.findDeltaByKey(spark, deltas, "delta.json",
+        "ANN index delta.json", k).get
+      val text = GenDir.readJson(spark, s"$d/delta.json",
+        "ANN index delta.json")
+      k -> GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+        readJsonLong(text, "n", s"$d/delta.json"))
+    }.toMap
+    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    if (nonEmpty.isEmpty)
+      return stampedCounts ++ fresh.map(_._1 -> 0L)
+    val (cents, books, rot) = loadModel(spark, gen)
+    val vecsAll = nonEmpty.map(_._2.select(col("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_))
+    val tmp = GenDir.stage(spark, gen)
+    Similarity.encodeIvfPq(spark, vecsAll, cents, books, rot)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmp/codes.parquet")
+    val idToKey = nonEmpty.map { case (k, df) =>
+      df.select(col("vec_id")).withColumn("__k", lit(k)) }
+      .reduce(_.unionByName(_))
+    val perKey = spark.read.parquet(s"$tmp/codes.parquet")
+      .select(col("vec_id")).join(idToKey, "vec_id")
+      .groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = nonEmpty.map { case (k, _) =>
+      k -> perKey.getOrElse(k, 0L) }.toMap
+    val n = counts.values.sum
+    val stamp = GenDir.shardsStamp(nonEmpty.map(_._1), counts)
+    writeJson(spark, s"$tmp/delta.json",
+      s"""{"format":$Format,"n":$n,"m":${meta.m},"k":${meta.k}$stamp}""")
+    GenDir.commit(spark, gen, tmp,
+      Some(GenDir.nextDeltaName(deltas)))
+    val genNow = resolveGen(spark, indexDir)
+    if (genNow != gen)
+      throw new IllegalStateException(
+        s"ANN index batched append committed its delta into $gen, but " +
+          s"a full rebuild published $genNow concurrently - the delta " +
+          "is invisible to readers of the new generation; re-run the " +
+          "append against it (the superseded delta is inert and " +
+          "reclaimed by vacuum)")
+    stampedCounts ++ counts ++
+      fresh.filterNot(f => counts.contains(f._1)).map(_._1 -> 0L)
   }
 
   /** Reclaim superseded generations and crash corpses — explicit, per

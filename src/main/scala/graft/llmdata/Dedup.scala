@@ -540,11 +540,12 @@ object Dedup {
     val bits = GenDir.jsonLong(metaText, "bits", metaPath).toInt
     val existing = GenDir.deltas(spark, gen)
     shardKey.flatMap(k => GenDir.findDeltaByKey(spark, existing,
-      "delta.json", "embed band index delta.json", k)) match {
-      case Some(d) =>
-        return GenDir.jsonLong(
-          GenDir.readJson(spark, s"$d/delta.json",
-            "embed band index delta.json"), "n_keys", s"$d/delta.json")
+      "delta.json", "embed band index delta.json", k).map((k, _))) match {
+      case Some((k, d)) =>
+        val text = GenDir.readJson(spark, s"$d/delta.json",
+          "embed band index delta.json")
+        return GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+          GenDir.jsonLong(text, "n_keys", s"$d/delta.json"))
       case None => ()
     }
     // empty shard → clean no-op, no committed segment (the
@@ -818,11 +819,14 @@ object Dedup {
         s"band index $metaPath has an unreadable format - rebuild")
     val existing = GenDir.deltas(spark, gen)
     shardKey.flatMap(k => GenDir.findDeltaByKey(spark, existing,
-      "delta.json", "band index delta.json", k)) match {
-      case Some(d) =>
-        return GenDir.jsonLong(
-          GenDir.readJson(spark, s"$d/delta.json", "band index delta.json"),
-          "n_keys", s"$d/delta.json")
+      "delta.json", "band index delta.json", k).map((k, _))) match {
+      case Some((k, d)) =>
+        val text = GenDir.readJson(spark, s"$d/delta.json",
+          "band index delta.json")
+        // a multi-stamped (batched) delta records per-shard counts —
+        // report THIS shard's, never the union's
+        return GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+          GenDir.jsonLong(text, "n_keys", s"$d/delta.json"))
       case None => ()
     }
     // empty shard → clean no-op, no committed segment (see the
@@ -845,6 +849,134 @@ object Dedup {
       s"""{"format":$GateIndexFormat,"n_keys":$n$stamp}""")
     GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))
     n
+  }
+
+  /** BATCHED delta append for the shingle gate (r15, VERDICT r14 #1):
+    * N shards' keys land as ONE staged+committed delta — one Spark
+    * write instead of N — stamped with EVERY landed shard's key plus
+    * its per-shard key count, so a later replay of any single shard
+    * (batch or solo) finds its stamp and no-ops with ITS count.
+    * Already-stamped shards no-op up front; empty shards contribute
+    * nothing and are never stamped (the single-append stance — their
+    * replay converges trivially). Returns key → delta key count. */
+  def appendBandIndexBatch(spark: SparkSession, idxDir: String,
+                           incoming: Seq[(String, DataFrame)])
+      : Map[String, Long] = {
+    import graft.sync.GenDir
+    require(incoming.map(_._1).distinct.size == incoming.size,
+      "batched append shard keys must be distinct")
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed band-index generation under $idxDir - " +
+          "run writeBandIndex"))
+    val metaPath = s"$gen/meta.json"
+    val metaText = GenDir.readJson(spark, metaPath, "band index meta.json")
+    if (GenDir.jsonLong(metaText, "format", metaPath) != GateIndexFormat)
+      throw new IllegalStateException(
+        s"band index $metaPath has an unreadable format - rebuild")
+    val existing = GenDir.deltas(spark, gen)
+    val (stamped, fresh) = incoming.partition { case (k, _) =>
+      GenDir.findDeltaByKey(spark, existing, "delta.json",
+        "band index delta.json", k).isDefined }
+    val stampedCounts = stamped.map { case (k, _) =>
+      val d = GenDir.findDeltaByKey(spark, existing, "delta.json",
+        "band index delta.json", k).get
+      val text = GenDir.readJson(spark, s"$d/delta.json",
+        "band index delta.json")
+      k -> GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+        GenDir.jsonLong(text, "n_keys", s"$d/delta.json"))
+    }.toMap
+    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    if (nonEmpty.isEmpty)
+      return stampedCounts ++ fresh.map(_._1 -> 0L)
+    val (bb, rr) =
+      (GenDir.jsonLongOpt(metaText, "bands").map(_.toInt).getOrElse(NumBands),
+        GenDir.jsonLongOpt(metaText, "rows").map(_.toInt).getOrElse(RowsPerBand))
+    val keysAll = nonEmpty.map { case (_, df) =>
+      lshBandsRowLocal(df.select(col("doc_id"), col("text")), bb, rr)
+        .withColumnRenamed("doc_id", "corpus_id") }
+      .reduce(_.unionByName(_))
+    val tmp = GenDir.stage(spark, gen)
+    writeGateKeys(keysAll, "sig", s"$tmp/keys.parquet")
+    // per-shard counts from the written rows: the stored schema stays
+    // tag-free (readers union base + deltas), attribution rides a
+    // small (corpus_id -> key) side map
+    val idToKey = nonEmpty.map { case (k, df) =>
+      df.select(col("doc_id").as("corpus_id")).withColumn("__k", lit(k)) }
+      .reduce(_.unionByName(_))
+    val perKey = spark.read.parquet(s"$tmp/keys.parquet")
+      .join(idToKey, "corpus_id")
+      .groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = nonEmpty.map { case (k, _) =>
+      k -> perKey.getOrElse(k, 0L) }.toMap
+    val n = counts.values.sum
+    val stamp = GenDir.shardsStamp(nonEmpty.map(_._1), counts)
+    GenDir.writeJson(spark, s"$tmp/delta.json",
+      s"""{"format":$GateIndexFormat,"n_keys":$n$stamp}""")
+    GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))
+    stampedCounts ++ counts ++
+      fresh.filterNot(f => counts.contains(f._1)).map(_._1 -> 0L)
+  }
+
+  /** [[appendBandIndexBatch]]'s embed-gate twin: N shards' vectors
+    * keyed at the generation's carried bit width, one delta, per-key
+    * stamps/counts. */
+  def appendEmbedBandIndexBatch(spark: SparkSession, idxDir: String,
+                                incoming: Seq[(String, DataFrame)])
+      : Map[String, Long] = {
+    import graft.sync.GenDir
+    require(incoming.map(_._1).distinct.size == incoming.size,
+      "batched append shard keys must be distinct")
+    val gen = GenDir.newest(spark, idxDir).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"no committed embed-band-index generation under $idxDir - " +
+          "run writeEmbedBandIndex"))
+    val metaPath = s"$gen/meta.json"
+    val metaText = GenDir.readJson(spark, metaPath,
+      "embed band index meta.json")
+    if (GenDir.jsonLong(metaText, "format", metaPath) != GateIndexFormat)
+      throw new IllegalStateException(
+        s"embed band index $metaPath has an unreadable format - rebuild")
+    val bits = GenDir.jsonLong(metaText, "bits", metaPath).toInt
+    val existing = GenDir.deltas(spark, gen)
+    val (stamped, fresh) = incoming.partition { case (k, _) =>
+      GenDir.findDeltaByKey(spark, existing, "delta.json",
+        "embed band index delta.json", k).isDefined }
+    val stampedCounts = stamped.map { case (k, _) =>
+      val d = GenDir.findDeltaByKey(spark, existing, "delta.json",
+        "embed band index delta.json", k).get
+      val text = GenDir.readJson(spark, s"$d/delta.json",
+        "embed band index delta.json")
+      k -> GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+        GenDir.jsonLong(text, "n_keys", s"$d/delta.json"))
+    }.toMap
+    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    if (nonEmpty.isEmpty)
+      return stampedCounts ++ fresh.map(_._1 -> 0L)
+    val keysAll = nonEmpty.map { case (_, df) =>
+      Similarity.lshKeys(df.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", numBands = 8, bitsPerBand = bits)
+        .select(col("vec_id").as("corpus_id"), col("band"), col("bucket")) }
+      .reduce(_.unionByName(_))
+    val tmp = GenDir.stage(spark, gen)
+    writeGateKeys(keysAll, "bucket", s"$tmp/keys.parquet")
+    val idToKey = nonEmpty.map { case (k, df) =>
+      df.select(col("vec_id").as("corpus_id")).withColumn("__k", lit(k)) }
+      .reduce(_.unionByName(_))
+    val perKey = spark.read.parquet(s"$tmp/keys.parquet")
+      .join(idToKey, "corpus_id")
+      .groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = nonEmpty.map { case (k, _) =>
+      k -> perKey.getOrElse(k, 0L) }.toMap
+    val n = counts.values.sum
+    val stamp = GenDir.shardsStamp(nonEmpty.map(_._1), counts)
+    GenDir.writeJson(spark, s"$tmp/delta.json",
+      s"""{"format":$GateIndexFormat,"bits":$bits,"n_keys":$n$stamp}""")
+    GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))
+    stampedCounts ++ counts ++
+      fresh.filterNot(f => counts.contains(f._1)).map(_._1 -> 0L)
   }
 
   /** Load a persisted shingle band index (newest committed
@@ -1071,15 +1203,39 @@ object Dedup {
     * distinct pairs → exact Jaccard filter. Output matches
     * [[jaccardPairs]] up to LSH recall (deterministic hashes ⇒
     * deterministic result; DedupSpec measures recall = 1.0 on the
-    * planted dups at sf0.001). */
+    * planted dups at sf0.001).
+    *
+    * Hash family (r15, VERDICT r14 #4 — the oracle restatement): this
+    * REGISTERED form minhashes with `min(md5("<j>:" || g)[1..15])` —
+    * a 60-bit-equivalent hex-string order statistic DuckDB computes
+    * byte-identically — and bands by concatenating the per-band mins,
+    * so the whole operator (banding → candidates → exact verify) is
+    * oracle-checked end-to-end instead of rows-only. Plan shape is
+    * UNCHANGED from the xxhash64 form (same explode → 32 codegen'd
+    * min buffers → band explode → bucket pair-explode → verify
+    * joins); only the hash family differs, and min over fixed-length
+    * lower-hex strings is the same order statistic as min over their
+    * numeric values. The streaming GATE keeps the xxhash64 row-local
+    * family ([[lshBandsRowLocal]]) — hash identity with the persisted
+    * index is its contract, not oracle restatability. */
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val posting = shinglePostings(spark, dir)
     val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val sigs = minhashSignatures(posting)
+    val sigAggs = (0 until NumHashes).map(j =>
+      min(substring(md5(concat(lit(s"$j:"), col("g")).cast("binary")),
+        1, 15)).as(s"mh$j"))
+    val sigs = posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     // Candidates = docs agreeing on a (band, sig) bucket: group the
     // bucket's sorted members and explode pairs locally (pairExplode)
     // instead of self-joining the band table against itself.
-    val cand = lshBands(sigs).groupBy(col("band"), col("sig"))
+    val cand = banded.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairExplode("ids")).as("p"))
@@ -1527,22 +1683,33 @@ object Dedup {
   }
 
   // ----------------------------------------------------------- SimHash
-  /** 64-bit SimHash per document: per-token xxhash64, each bit
-    * contributes ±1, signature bit = sign of the sum. Near-dups have
-    * small Hamming distance. One explode + one group-by on doc_id with
-    * 64 codegen'd sum buffers (partial agg absorbs the token fan-out
-    * map-side before the shuffle). A fully row-local variant via
+  /** 60-bit SimHash per document: per-token hash, each bit contributes
+    * ±1, signature bit = sign of the sum. Near-dups have small Hamming
+    * distance. One explode + one group-by on doc_id with 60 codegen'd
+    * sum buffers (partial agg absorbs the token fan-out map-side
+    * before the shuffle). A fully row-local variant via
     * `aggregate`/`zip_with` was measured 2.5× SLOWER here: higher-order
-    * lambdas run interpreted and allocate a 64-array per token, while
-    * this shape stays inside whole-stage codegen. */
+    * lambdas run interpreted and allocate a per-token array, while
+    * this shape stays inside whole-stage codegen.
+    *
+    * Hash family (r15, VERDICT r14 #4 — the oracle restatement): the
+    * per-token hash is the first 15 hex chars of md5 as a 60-bit
+    * integer (`conv(…, 16, 10)`) — DuckDB recomputes it with identical
+    * digit arithmetic, so the banded pair output is oracle-checked
+    * end-to-end instead of rows-only. 60 bits instead of the xxhash64
+    * form's 64 (the only signed-safe hex width); the Hamming banding
+    * layout is unchanged — [[hammingPairs]]' 8×8-bit bands cover bits
+    * 0..63 and the top 4 bits are constant 0 on every signature. */
   def simhashes(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h",
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val bitSums = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
     }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
+    val sig = (0 until 60).map { j =>
       when(col(s"s$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sig.as("simhash"))

@@ -81,14 +81,14 @@ object Ingest {
                         shingleGateDir: String, embedGateDir: String,
                         corpusDocsDir: String, corpusEmbDir: String,
                         urlKeeperDir: String, hashKeeperDir: String,
-                        lmDir: String)
+                        lmDir: String, qualityDir: String)
 
   def dirsUnder(workDir: String): Dirs =
     Dirs(s"$workDir/ledger", s"$workDir/lex", s"$workDir/ann",
       s"$workDir/gate-shingle", s"$workDir/gate-embed",
       s"$workDir/corpus-docs", s"$workDir/corpus-emb",
       s"$workDir/keeper-url", s"$workDir/keeper-hash",
-      s"$workDir/lm")
+      s"$workDir/lm", s"$workDir/quality")
 
   /** Corpus-store bucket count: the `part = pmod(doc_id, CorpusParts)`
     * partition column every corpus-store commit writes. Readers that
@@ -226,7 +226,8 @@ object Ingest {
                     broadcastGate: Boolean = true,
                     gateBanding: (Int, Int) = (Dedup.NumBands,
                       Dedup.RowsPerBand),
-                    onGateLoad: Double => Unit = _ => ())
+                    onGateLoad: Double => Unit = _ => (),
+                    qualityGate: Option[(DataFrame, Double)] = None)
       : DataFrame = {
     val s = keyedShard(shard, rawUrl)
     // base-side url key: the corpus store PERSISTS each doc's `cu`
@@ -256,7 +257,8 @@ object Ingest {
       baseKeyed.groupBy(col("h")).agg(min(col("doc_id")).as("exact_match")),
       _ => baseDocs.select(col("doc_id").as("corpus_id"), col("text")),
       broadcastGate = broadcastGate, lmGate = lmGate,
-      gateBanding = gateBanding, onGateLoad = onGateLoad)
+      gateBanding = gateBanding, onGateLoad = onGateLoad,
+      qualityGate = qualityGate)
   }
 
   /** The O(SHARD) classification (r13, VERDICT r12 #1 — the round's
@@ -283,20 +285,11 @@ object Ingest {
                                            gateMeta: Option[((Int, Int), Long)] =
                                              None,
                                            onGateLoad: Double => Unit =
-                                             _ => ())
+                                             _ => (),
+                                           qualityGate: Option[(DataFrame, Double)] =
+                                             None)
       : DataFrame = {
     val s = keyedShard(shard, rawUrl)
-    // point-lookup pushdown contract (ADVICE r13): bounded key sets
-    // ride the scans as ONE `In` predicate (`Column.isin` — a single
-    // analyzed node instead of a reduce-built depth-1024 Or tree),
-    // which parquet receives as `sources.In`. Spark only expands an
-    // In into the or-of-equalities form that row-group/page stats can
-    // skip on up to `pushDownInFilterThreshold` (default 10 — past it
-    // the filter degrades to a min/max RANGE check, useless for
-    // uniform hash keys), so the classify raises it to cover the
-    // CandIdPushdownMax-bounded sets this path pushes.
-    spark.conf.set("spark.sql.parquet.pushDownInFilterThreshold",
-      math.max(CandIdPushdownMax + 1, GateSigPushdownMax + 1))
     // pruned keeper read: the shard's distinct key BUCKETS (≤
     // KeeperParts ints, collected driver-side — bounded by the
     // constant, never by the data) partition-prune the keeper scan;
@@ -357,13 +350,48 @@ object Ingest {
       gateMeta.map(_._2).getOrElse(
         Dedup.bandIndexKeyCount(spark, dirs.shingleGateDir)) <=
         broadcastCeiling
-    classifyCore(spark, s, shingleGate, threshold,
-      hits(dirs.urlKeeperDir, "cu", "url_match"),
-      hits(dirs.hashKeeperDir, "h", "exact_match"), candText,
-      broadcastGate, lmGate, armProbe,
-      gateBanding = gateMeta.map(_._1).getOrElse(
-        Dedup.gateBandParams(spark, dirs.shingleGateDir)),
-      sigPushdownMax = sigPushdownMax, onGateLoad = onGateLoad)
+    // SCOPED conf (ADVICE r14): every In-pushdown-dependent scan this
+    // cascade builds MATERIALIZES inside classifyCore (keyed /
+    // shardKeys / gateCands / near are all localCheckpointed), so the
+    // raised threshold can be restored before the frame escapes —
+    // unrelated queries in the same session keep their own planning.
+    withProbePushdownConf(spark) {
+      classifyCore(spark, s, shingleGate, threshold,
+        hits(dirs.urlKeeperDir, "cu", "url_match"),
+        hits(dirs.hashKeeperDir, "h", "exact_match"), candText,
+        broadcastGate, lmGate, armProbe,
+        gateBanding = gateMeta.map(_._1).getOrElse(
+          Dedup.gateBandParams(spark, dirs.shingleGateDir)),
+        sigPushdownMax = sigPushdownMax, onGateLoad = onGateLoad,
+        qualityGate = qualityGate)
+    }
+  }
+
+  /** Point-lookup pushdown contract (ADVICE r13), SCOPED (ADVICE r14):
+    * bounded key sets ride the scans as ONE `In` predicate
+    * (`Column.isin` — a single analyzed node instead of a reduce-built
+    * depth-1024 Or tree), which parquet receives as `sources.In`.
+    * Spark only expands an In into the or-of-equalities form that
+    * row-group/page stats can skip on up to
+    * `pushDownInFilterThreshold` (default 10 — past it the filter
+    * degrades to a min/max RANGE check, useless for uniform hash
+    * keys), so the classify raises it to cover the bounded sets this
+    * path pushes — and RESTORES the session's own value on exit, so a
+    * library call never silently changes parquet planning for
+    * unrelated queries in the same session. Callers must materialize
+    * every In-dependent scan inside `body` (the classify cascade
+    * checkpoints them by construction). */
+  private[llmdata] def withProbePushdownConf[T](spark: SparkSession)
+      (body: => T): T = {
+    val key = "spark.sql.parquet.pushDownInFilterThreshold"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      math.max(CandIdPushdownMax + 1, GateSigPushdownMax + 1))
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Per-arm wall-clock attribution for the classify cascade — the
@@ -442,11 +470,22 @@ object Ingest {
           s"no committed band-index generation under $idxDir - " +
             "run writeBandIndex"))
       if (gen != genPath) {
+        val metaPath = s"$gen/meta.json"
+        val metaText = GenDir.readJson(spark, metaPath,
+          "band index meta.json")
+        // format gate on generation load (ADVICE r14): the cold path
+        // (loadBandIndex) fails loudly on a pre-format-3 index with
+        // the 'rebuild' remediation — a RESUMING stream must too,
+        // never serve a legacy layout silently
+        val fmt = GenDir.jsonLong(metaText, "format", metaPath)
+        if (fmt != Dedup.GateIndexFormat)
+          throw new IllegalStateException(
+            s"band index $metaPath has format $fmt; this reader " +
+              s"understands format ${Dedup.GateIndexFormat} - rebuild " +
+              "the index")
         genPath = gen
         banding = Dedup.gateBandParams(spark, idxDir)
-        val metaPath = s"$gen/meta.json"
-        baseKeys = GenDir.jsonLong(GenDir.readJson(spark, metaPath,
-          "band index meta.json"), "n_keys", metaPath)
+        baseKeys = GenDir.jsonLong(metaText, "n_keys", metaPath)
         deltas.clear()
         val raw = spark.read.parquet(s"$gen/keys.parquet")
         hot = baseKeys <= GateBroadcastMaxKeys
@@ -506,13 +545,20 @@ object Ingest {
     * as the empty document (same-fate siblings dedup together, the
     * survivor quality-filters out at n_tok < MinTokens); a null url
     * gets a PER-DOC sentinel so the url arm never fires on it. */
-  private def keyedShard(shard: DataFrame, rawUrl: Column): DataFrame = {
+  private def keyedShard(shard: DataFrame, rawUrl: Column): DataFrame =
+    keyedShardCols(shard, rawUrl, Seq.empty)
+
+  /** [[keyedShard]] carrying extra columns through the keying select —
+    * the batched classify tags each row with its shard id (r15). */
+  private def keyedShardCols(shard: DataFrame, rawUrl: Column,
+                             extra: Seq[Column]): DataFrame = {
     val safeText = coalesce(col("text"), lit(""))
     val toks = split(safeText, " ")
-    shard.select(col("doc_id"), safeText.as("text"),
+    shard.select((Seq(col("doc_id"), safeText.as("text"),
       md5(safeText.cast("binary")).as("h"), safeCuOf(rawUrl).as("cu"),
       size(toks).as("n_tok"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+      ++ extra): _*)
       .localCheckpoint() // shard-sized; feeds four arms below
   }
 
@@ -531,7 +577,9 @@ object Ingest {
                            gateBanding: (Int, Int) = (Dedup.NumBands,
                              Dedup.RowsPerBand),
                            sigPushdownMax: Int = GateSigPushdownMax,
-                           onGateLoad: Double => Unit = _ => ())
+                           onGateLoad: Double => Unit = _ => (),
+                           gateCandsOverride: Option[DataFrame] = None,
+                           qualityGate: Option[(DataFrame, Double)] = None)
       : DataFrame = {
     def timedBarrier[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -586,9 +634,12 @@ object Ingest {
     // cheaper arms passed.
     // the shard's own band keys — computed ONCE (r14): they feed the
     // past-ceiling gate probe (as its bounded driver-side key collect
-    // AND its join side) plus the intra-shard candidate join below
+    // AND its join side) plus the intra-shard candidate join below.
+    // Skipped entirely when the caller injects pre-probed candidates
+    // (the batched classify, r15 — its probe already ran batch-wide).
     val shardKeys =
-      Dedup.lshBandsRowLocal(survivors, gateBanding._1, gateBanding._2)
+      if (gateCandsOverride.isDefined) null
+      else Dedup.lshBandsRowLocal(survivors, gateBanding._1, gateBanding._2)
         .localCheckpoint() // shard×bands rows, never corpus-sized
     // join shape when the index outgrew the driver (broadcastGate
     // false), best first (r14, VERDICT r13 #1 — the last O(corpus)
@@ -608,7 +659,16 @@ object Ingest {
     // survivors ⊆ the checkpointed keyed frame, so counts are cheap.
     val gateCands = timedBarrier("gate_probe") {
       val raw =
-        if (broadcastGate)
+        if (gateCandsOverride.isDefined)
+          // BATCHED classify (r15): the caller probed the standing
+          // gate ONCE for the whole batch and adds the cross-shard
+          // pairs vs earlier-in-batch kept docs; restricting the
+          // (superset) injection to THIS shard's true survivors makes
+          // the candidate set exactly what a sequential probe of the
+          // kept-extended gate would return
+          gateCandsOverride.get
+            .join(survivors.select(col("doc_id")), "doc_id")
+        else if (broadcastGate)
           // the hot-cache shape, joined from the SAME checkpointed
           // shard keys the other arms use (streamingNearDupGate's
           // own banding would recompute them)
@@ -628,11 +688,22 @@ object Ingest {
               _.counts("gate_pushed_sigs") = probeKeys.length.toLong)
             val parts = probeKeys.map(_.getInt(2)).distinct.toSeq
             val sigs = probeKeys.map(_.getLong(1)).distinct.toSeq
-            shingleGate
+            val pruned = shingleGate
               .filter(col("gpart").isin(parts: _*) &&
                 col("sig").isin(sigs: _*))
-              .join(broadcast(shardKeys), Seq("band", "sig"))
-              .select(col("doc_id"), col("corpus_id"))
+            // broadcast GUARD (ADVICE r14): a crawl burst of
+            // near-identical docs has FEW distinct signatures (the
+            // pushdown stays bounded) but survivors × bands ROWS — a
+            // frame that large must not ride the driver. Under the
+            // ceiling the broadcast pins the hot shape; past it the
+            // pushed-In scan keeps the point lookup and the equi-join
+            // shuffles (AQE then broadcasts the page-bounded PRUNED
+            // side instead — still never the big shard frame).
+            val rejoin =
+              if (shardKeys.count() <= GateBroadcastMaxKeys)
+                pruned.join(broadcast(shardKeys), Seq("band", "sig"))
+              else pruned.join(shardKeys, Seq("band", "sig"))
+            rejoin.select(col("doc_id"), col("corpus_id"))
           } else {
             val shardBandsSmall =
               survivors.count() * gateBanding._1 <= GateBroadcastMaxKeys
@@ -670,7 +741,8 @@ object Ingest {
     // corpus's collision statistics. Oriented later-id-matches-
     // earlier so first-seen keeps the lower id, like the other arms.
     val intraKeys =
-      if (gateBanding == ((Dedup.NumBands, Dedup.RowsPerBand))) shardKeys
+      if (gateCandsOverride.isEmpty &&
+          gateBanding == ((Dedup.NumBands, Dedup.RowsPerBand))) shardKeys
       else Dedup.lshBandsRowLocal(survivors, Dedup.NumBands,
         Dedup.RowsPerBand)
     val intraCands = intraKeys
@@ -702,6 +774,10 @@ object Ingest {
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jac") >= threshold)
       .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("near_match"))
+      .localCheckpoint() // candidate-bounded (tiny), and the LAST
+                         // In-pushdown-dependent scan — materializing
+                         // it here lets withProbePushdownConf restore
+                         // the session conf before the frame escapes
     armProbe.foreach(_.timedCount("verify", near))
     val fated = keyed.join(near, Seq("doc_id"), "left")
     val withLm = lmGate match {
@@ -710,7 +786,18 @@ object Ingest {
           Seq("doc_id"), "left")
       case None => fated.withColumn("avg_lp", lit(null).cast("double"))
     }
-    withLm
+    // SEVENTH fate signal (r15, VERDICT r14 #6): the TRAINED quality
+    // classifier's served log-odds ([[QualityStore.score]] against
+    // Dirs.qualityDir) — same wiring as the LM gate: scores join the
+    // final projection only, absent scores leave the heuristics as-is
+    val qMin = qualityGate.map(_._2)
+    val withQ = qualityGate match {
+      case Some((scores, _)) =>
+        withLm.join(scores.select(col("doc_id"), col("avg_lo")),
+          Seq("doc_id"), "left")
+      case None => withLm.withColumn("avg_lo", lit(null).cast("double"))
+    }
+    withQ
       .select(col("doc_id"),
         when(col("url_match").isNotNull || col("doc_id") =!= col("cu_min"),
           "url_dup")
@@ -721,6 +808,10 @@ object Ingest {
             col("ttr") < MinTypeTokenRatio ||
             (lmMin match { // rare-token LM gate, batch-order last
               case Some(m) => col("avg_lp") < lit(m)
+              case None => lit(false)
+            }) ||
+            (qMin match { // trained-classifier gate, after the LM
+              case Some(m) => col("avg_lo") < lit(m)
               case None => lit(false)
             }), "filtered")
           .otherwise("kept").as("fate"),
@@ -804,6 +895,41 @@ object Ingest {
     sinkKeepers(spark, dirs, storeKeyed, batchId = 0L)
   }
 
+  /** CLASSIFICATION-ONLY bootstrap (r15 — the 20M-doc gate-probe
+    * decade measurement, VERDICT r14 #3): builds ONLY the artifacts
+    * [[classifyShardKeeper]] reads — the corpus docs store, both
+    * keeper tables, and the shingle gate — over the FULL corpus,
+    * skipping the postings/ANN/LM/embed-gate builds a full
+    * [[bootstrap]] pays. At 20M docs those skipped builds cost as
+    * much again as the gate build and play no part in the probe under
+    * measurement; a deployment bootstrapped this way supports exactly
+    * the classify surface ([[keepersReady]] does not consult the
+    * skipped artifacts). Measurement tooling, not a production
+    * bootstrap. */
+  private[graft] def bootstrapClassifyOnly(spark: SparkSession,
+      corpusDir: String, dirs: Dirs,
+      rawUrl: Column = TextAnalysis.syntheticCrawlUrl): Unit = {
+    if (GenDir.newest(spark, dirs.shingleGateDir).isEmpty)
+      Dedup.writeBandIndexBase(spark, corpusDir, dirs.shingleGateDir,
+        lit(true))
+    val baseDocsKeyed = Tables.documents(spark, corpusDir)
+      .select(col("doc_id"), col("text"), col("source"),
+        safeCuOf(rawUrl).as("cu"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("h"))
+    if (!ManifestStore.committed(spark, dirs.corpusDocsDir, 0L))
+      ManifestStore.commit(
+        baseDocsKeyed.drop("h")
+          .withColumn("part", corpusPartOf(col("doc_id"))),
+        dirs.corpusDocsDir, 0L, "part", append = true)
+    sinkKeepers(spark, dirs,
+      ManifestStore.readStore(spark, dirs.corpusDocsDir).get
+        .select(col("doc_id"),
+          coalesce(col("cu"), concat(lit("missing-url:"),
+            col("doc_id").cast("string"))).as("cu"),
+          md5(coalesce(col("text"), lit("")).cast("binary")).as("h")),
+      batchId = 0L)
+  }
+
   /** Commit one batch of kept rows into both corpus stores —
     * idempotent per batch id (the stores are the raw-row siblings of
     * the ledger; append mode, so batches accumulate and a replay that
@@ -846,6 +972,16 @@ object Ingest {
       return
     }
     if (ManifestStore.committedExplicitly(spark, dir, batchId)) return
+    corpusFoldProofProbe(spark, dir, batchId, df, partCol, idCol,
+      storeIdCol)
+  }
+
+  /** The fold-implied-replay probe half of [[appendFoldProof]] —
+    * shared with the batched tail (r15). */
+  private def corpusFoldProofProbe(spark: SparkSession, dir: String,
+                                   batchId: Long, df: DataFrame,
+                                   partCol: String, idCol: String,
+                                   storeIdCol: String): Unit = {
     val first = df.select(col(idCol)).limit(1).collect()
     if (first.isEmpty) return // nothing this batch could have lost
     val id = first(0).getLong(0)
@@ -903,6 +1039,14 @@ object Ingest {
       return
     }
     if (ManifestStore.committedExplicitly(spark, dir, batchId)) return
+    keeperFoldProofProbe(spark, dir, batchId, df, keyCol)
+  }
+
+  /** The fold-implied-replay probe half of [[appendKeeperFoldProof]] —
+    * shared with the batched tail (r15). */
+  private def keeperFoldProofProbe(spark: SparkSession, dir: String,
+                                   batchId: Long, df: DataFrame,
+                                   keyCol: String): Unit = {
     val first = df.select(col(keyCol)).limit(1).collect()
     if (first.isEmpty) return
     val key = first(0).getString(0)
@@ -1021,11 +1165,12 @@ object Ingest {
           rebuildAt: Double = AnnIndex.RebuildDeltaFraction,
           onStage: (String, Double) => Unit = (_, _) => (),
           lmMinAvgLogprob: Option[Double] = None,
-          gatePin: Option[GatePin] = None): Status =
+          gatePin: Option[GatePin] = None,
+          qualityMinLogOdds: Option[Double] = None): Status =
     ManifestStore.withMaintainerLease(spark, dirs.ledgerDir) {
       runLocked(spark, dirs, baseDocs, shard, shardEmb, shardId,
         threshold, crashAfter, rawUrl, rebuildAt, onStage,
-        lmMinAvgLogprob, gatePin)
+        lmMinAvgLogprob, gatePin, qualityMinLogOdds)
     }
 
   private def runLocked(spark: SparkSession, dirs: Dirs,
@@ -1035,7 +1180,8 @@ object Ingest {
                         rawUrl: Column, rebuildAt: Double,
                         onStage: (String, Double) => Unit,
                         lmMinAvgLogprob: Option[Double],
-                        gatePin: Option[GatePin] = None): Status = {
+                        gatePin: Option[GatePin] = None,
+                        qualityMinLogOdds: Option[Double] = None): Status = {
     // ADVICE r12: a negative id would make sinkCorpus's batch
     // (shardId + 1) collide with the bootstrap's batch 0 — the kept
     // rows would silently never land while the stamped appends do
@@ -1129,11 +1275,23 @@ object Ingest {
             coalesce(col("text"), lit("")).as("text")))
           .select(col("doc_id"), col("avg_logprob").as("avg_lp")), m)
       }
+      // optional SEVENTH fate signal (r15, VERDICT r14 #6): served
+      // log-odds from the persisted trained quality classifier. The
+      // classifier needs deployment-specific labels, so bootstrap
+      // never trains one — build it into Dirs.qualityDir
+      // (QualityStore.write / QualityMain) before setting the knob.
+      val qualityGate = qualityMinLogOdds.map { m =>
+        (QualityStore.score(spark, dirs.qualityDir,
+          shardN.select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text")))
+          .select(col("doc_id"), col("avg_logodds").as("avg_lo")), m)
+      }
       val f =
         (if (keepersReady(spark, dirs))
           classifyShardKeeper(spark, dirs, shardN, gate, threshold, rawUrl,
             lmGate, gateMeta = gateMeta,
-            onGateLoad = l => gateLoad = Some(l))
+            onGateLoad = l => gateLoad = Some(l),
+            qualityGate = qualityGate)
         else
           classifyShard(spark,
             ManifestStore.readStore(spark, dirs.corpusDocsDir)
@@ -1146,7 +1304,8 @@ object Ingest {
               dirs.shingleGateDir) <= GateBroadcastMaxKeys,
             gateBanding = Dedup.gateBandParams(spark,
               dirs.shingleGateDir),
-            onGateLoad = l => gateLoad = Some(l)))
+            onGateLoad = l => gateLoad = Some(l),
+            qualityGate = qualityGate))
           .withColumn("shard_id", lit(shardId))
           .withColumn("sb", lit(sbOf(shardId)))
       ManifestStore.writeBatchData(f, dirs.ledgerDir, cb, "sb")
@@ -1297,6 +1456,548 @@ object Ingest {
     Status(shardId, replayed = false, fateCounts.values.sum, fateCounts,
       lexDocs, annRows, shingleKeys, embedKeys, frac, compacted,
       rebuild || loadRebuild, gateLoad)
+  }
+
+  // ---------------------------------------------- batched ingest (r15)
+
+  /** One queued shard for [[runBatch]]: the document frame (`doc_id`,
+    * `text`[, `source`, …]) and its embeddings (`vec_id`,
+    * `embedding`). */
+  final case class BatchShard(shardId: Long, docs: DataFrame,
+                              emb: DataFrame)
+
+  /** Cheap composition witness for [[runBatch]]'s lease-free classify
+    * phase: every artifact the classification READS, identified by
+    * its manifest listing (ManifestStores) or generation + delta
+    * names (GenDir artifacts). Equal fingerprints before classify and
+    * after lease acquisition prove no maintainer mutated the
+    * composition in between; a mismatch (a contract-violating second
+    * maintainer, or an out-of-band rebuild landing mid-phase) makes
+    * the batch RECLASSIFY under the lease instead of sealing stale
+    * fates. */
+  private def deploymentFingerprint(spark: SparkSession,
+                                    dirs: Dirs): String = {
+    def store(dir: String): String =
+      dir + "=" + ManifestStore.manifestNames(spark, dir).mkString(",")
+    def gen(root: String): String =
+      root + "=" + GenDir.newest(spark, root).map { case (_, g) =>
+        g + ":" + GenDir.deltas(spark, g).map(_._1).mkString(",")
+      }.getOrElse("-")
+    (Seq(dirs.ledgerDir, dirs.corpusDocsDir, dirs.corpusEmbDir,
+      dirs.urlKeeperDir, dirs.hashKeeperDir).map(store) ++
+      Seq(dirs.lexDir, dirs.annDir, dirs.shingleGateDir,
+        dirs.embedGateDir, dirs.lmDir).map(gen)).mkString("|")
+  }
+
+  /** The BATCHED classification (r15, VERDICT r14 #1): N queued
+    * shards classified with ONE probe cascade over their union —
+    * one pruned keeper read per keeper, one gate probe, one
+    * candidate-text point lookup — followed by a per-shard cascade
+    * over small checkpointed frames that restores the SEQUENTIAL
+    * semantics exactly (IngestBatchSpec pins fates bit-equal to N
+    * sequential runs):
+    *
+    *  - cross-shard url/exact first-seen: a later shard's doc whose
+    *    key matches an EARLIER shard's KEPT doc is the duplicate a
+    *    sequentially extended keeper would have caught — resolved in
+    *    shard order (then doc id), the intra-shard min-id discipline
+    *    generalized. Keeper hits and accumulated-kept hits are
+    *    mutually exclusive per key (kept keys are proven absent), so
+    *    the union-then-min is exact.
+    *  - cross-shard near-dup: earlier shards' kept docs band at the
+    *    gate's own keying (exactly what their gate append would have
+    *    written) and join the later shard's survivor bands — the
+    *    candidates a sequential probe of the extended gate returns.
+    *  - the batch-wide gate probe runs over a survivor
+    *    OVER-approximation (url/exact vs the standing corpus + own
+    *    shard only); [[classifyCore]] restores exactness by
+    *    restricting the injected candidates to its true survivors.
+    *
+    * Shards whose classification is already SEALED (a crashed prior
+    * attempt) contribute their sealed fates — and their kept docs to
+    * the accumulators — without re-deciding. */
+  private[llmdata] def classifyShardsKeeper(
+      spark: SparkSession, dirs: Dirs,
+      ordered: Seq[(Long, DataFrame)],
+      sealedFates: Map[Long, DataFrame],
+      shingleGate: DataFrame, gateBanding: (Int, Int),
+      broadcastGate: Boolean, threshold: Double, rawUrl: Column,
+      lmGate: Option[(DataFrame, Double)] = None,
+      sigPushdownMax: Int = GateSigPushdownMax,
+      onGateLoad: (Long, Double) => Unit = (_, _) => (),
+      qualityGate: Option[(DataFrame, Double)] = None)
+      : Map[Long, DataFrame] = withProbePushdownConf(spark) {
+    val tagged = ordered.map { case (sid, df) =>
+      df.withColumn("__sid", lit(sid)) }.reduce(_.unionByName(_))
+    val keyedT = keyedShardCols(tagged, rawUrl, Seq(col("__sid")))
+    // cross-shard first-seen keys on GLOBAL doc ids: colliding ids
+    // across shards would silently merge two documents' fates
+    val idStats = keyedT.agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("d")).head
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"batched shards must carry globally distinct doc_ids: " +
+        s"${idStats.getLong(0)} rows, ${idStats.getLong(1)} distinct")
+    // batched keeper probes: ONE pruned read per keeper for the
+    // union's keys (the per-shard bound relaxes to the batch bound —
+    // In-pushdown up to GateSigPushdownMax keys, join past it)
+    def hitsB(dir: String, keyName: String, matchName: String): DataFrame = {
+      val parts = keyedT.select(kpartOf(col(keyName)).as("p")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val base = prunedKeeperRead(spark, dir, parts)
+      val keys = keyedT.select(col(keyName)).distinct()
+        .limit(GateSigPushdownMax + 1).collect().map(_.getString(0))
+      (if (keys.isEmpty) base.filter(lit(false))
+        .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
+      else if (keys.length <= GateSigPushdownMax)
+        base.filter(col(keyName).isin(keys.toSeq: _*))
+          .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName))
+      else base.join(keyedT.select(col(keyName)).distinct(), keyName)
+        .groupBy(col(keyName)).agg(min(col(matchName)).as(matchName)))
+        .localCheckpoint()
+    }
+    val urlHitsAll = hitsB(dirs.urlKeeperDir, "cu", "url_match")
+    val hashHitsAll = hitsB(dirs.hashKeeperDir, "h", "exact_match")
+    // survivor OVER-approximation (vs corpus + own-shard first-seen):
+    // cross-shard dups still probe the gate — harmless, their fates
+    // are decided by the cheaper arms and classifyCore filters the
+    // injected candidates back to its true survivors
+    val cuMin = keyedT.groupBy(col("__sid"), col("cu"))
+      .agg(min(col("doc_id")).as("cu_min"))
+    val hMin = keyedT.groupBy(col("__sid"), col("h"))
+      .agg(min(col("doc_id")).as("h_min"))
+    val keyedAll = keyedT
+      .join(urlHitsAll, Seq("cu"), "left")
+      .join(hashHitsAll, Seq("h"), "left")
+      .join(cuMin, Seq("__sid", "cu")).join(hMin, Seq("__sid", "h"))
+      .localCheckpoint()
+    val survA = keyedAll.filter(col("url_match").isNull &&
+      col("doc_id") === col("cu_min") && col("exact_match").isNull &&
+      col("doc_id") === col("h_min"))
+      .select(col("__sid"), col("doc_id"), col("text"))
+    val sidOf = keyedAll.select(col("doc_id"), col("__sid"))
+    // ONE gate probe for the whole batch — the same three join shapes
+    // as the per-shard classify, over the union's band keys
+    val shardKeysAll = Dedup.lshBandsRowLocal(
+      survA.select(col("doc_id"), col("text")),
+      gateBanding._1, gateBanding._2).localCheckpoint()
+    val gateCandsAll = {
+      val raw =
+        if (broadcastGate)
+          shardKeysAll.join(broadcast(shingleGate), Seq("band", "sig"))
+            .select(col("doc_id"), col("corpus_id"))
+        else {
+          val probeKeys = shardKeysAll
+            .select(col("band"), col("sig"),
+              Dedup.gpartOf(col("band"), col("sig")).as("gp"))
+            .distinct().limit(sigPushdownMax + 1).collect()
+          if (probeKeys.isEmpty)
+            shardKeysAll.select(col("doc_id"),
+              col("doc_id").as("corpus_id")).limit(0)
+          else if (shingleGate.columns.contains("gpart") &&
+              probeKeys.length <= sigPushdownMax) {
+            val parts = probeKeys.map(_.getInt(2)).distinct.toSeq
+            val sigs = probeKeys.map(_.getLong(1)).distinct.toSeq
+            val pruned = shingleGate
+              .filter(col("gpart").isin(parts: _*) &&
+                col("sig").isin(sigs: _*))
+            if (shardKeysAll.count() <= GateBroadcastMaxKeys)
+              pruned.join(broadcast(shardKeysAll), Seq("band", "sig"))
+                .select(col("doc_id"), col("corpus_id"))
+            else pruned.join(shardKeysAll, Seq("band", "sig"))
+              .select(col("doc_id"), col("corpus_id"))
+          } else {
+            val small =
+              survA.count() * gateBanding._1 <= GateBroadcastMaxKeys
+            Dedup.streamingNearDupGate(
+              survA.select(col("doc_id"), col("text")), shingleGate,
+              broadcastIndex = false, broadcastIncoming = small,
+              bands = gateBanding._1, rows = gateBanding._2)
+              .select(col("doc_id"), col("corpus_id"))
+          }
+        }
+      raw.distinct().localCheckpoint()
+    }
+    // ONE candidate-text point lookup for the batch's gate candidates
+    val refTextCorpus = {
+      val idRows = gateCandsAll.select(col("corpus_id")).distinct()
+        .limit(CandIdPushdownMax + 1).collect().map(_.getLong(0))
+      (if (idRows.length <= CandIdPushdownMax) {
+        val parts = idRows.map(i =>
+          ((i % CorpusParts) + CorpusParts) % CorpusParts)
+          .distinct.map(_.toInt).toSeq
+        val base = prunedCorpusText(spark, dirs.corpusDocsDir, parts)
+        if (idRows.isEmpty) base.filter(lit(false))
+        else base.filter(col("corpus_id").isin(idRows.toSeq: _*))
+      } else {
+        val parts = gateCandsAll
+          .select(corpusPartOf(col("corpus_id")).as("p"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        prunedCorpusText(spark, dirs.corpusDocsDir, parts)
+      }).localCheckpoint()
+    }
+    // the ordered per-shard cascade: each shard classifies against
+    // the batch-wide probe results PLUS the accumulated kept docs of
+    // every earlier shard — small checkpointed frames only
+    var keptAcc = keyedT.limit(0)
+      .select(col("doc_id"), col("text"), col("cu"), col("h"))
+      .localCheckpoint()
+    var keptBandAcc = shardKeysAll.limit(0)
+      .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.Map.empty[Long, DataFrame]
+    for ((sid, _) <- ordered) {
+      val keyedS = keyedT.filter(col("__sid") === sid).drop("__sid")
+      val fatesS = sealedFates.getOrElse(sid, {
+        // keeper hits ∪ earlier-kept hits, grouped back to one row
+        // per key: disjoint by the proven-absent invariant, but a
+        // crashed earlier attempt may have landed a kept key in BOTH
+        // (its keeper append ran before the crash) — min() keeps the
+        // join single-row and the id identical either way
+        val urlHitsS = urlHitsAll.unionByName(
+          keptAcc.select(col("cu"), col("doc_id").as("url_match")))
+          .groupBy(col("cu")).agg(min(col("url_match")).as("url_match"))
+        val hashHitsS = hashHitsAll.unionByName(
+          keptAcc.select(col("h"), col("doc_id").as("exact_match")))
+          .groupBy(col("h")).agg(min(col("exact_match")).as("exact_match"))
+        val crossPairs = shardKeysAll.join(sidOf, "doc_id")
+          .filter(col("__sid") === sid)
+          .join(keptBandAcc, Seq("band", "sig"))
+          .select(col("doc_id"), col("corpus_id"))
+        val ovCands = gateCandsAll.join(sidOf, "doc_id")
+          .filter(col("__sid") === sid)
+          .select(col("doc_id"), col("corpus_id"))
+          .unionByName(crossPairs).distinct()
+        val textS: DataFrame => DataFrame = _ =>
+          refTextCorpus.unionByName(
+            keptAcc.select(col("doc_id").as("corpus_id"), col("text")))
+        classifyCore(spark, keyedS, shingleGate, threshold,
+          urlHitsS, hashHitsS, textS, broadcastGate = false,
+          lmGate = lmGate, gateBanding = gateBanding,
+          sigPushdownMax = sigPushdownMax,
+          onGateLoad = l => onGateLoad(sid, l),
+          gateCandsOverride = Some(ovCands),
+          qualityGate = qualityGate)
+          .localCheckpoint()
+      })
+      out(sid) = fatesS
+      val keptS = keyedS.join(
+        fatesS.filter(col("fate") === "kept").select(col("doc_id")),
+        "doc_id").select(col("doc_id"), col("text"), col("cu"), col("h"))
+      keptAcc = keptAcc.unionByName(keptS).localCheckpoint()
+      keptBandAcc = keptBandAcc.unionByName(
+        Dedup.lshBandsRowLocal(keptS.select(col("doc_id"), col("text")),
+          gateBanding._1, gateBanding._2)
+          .select(col("band"), col("sig"), col("doc_id").as("corpus_id")))
+        .localCheckpoint()
+    }
+    out.toMap
+  }
+
+  /** BATCHED MULTI-SHARD INGEST (r15, VERDICT r14 #1 — the write-path
+    * throughput wall): [[run]]'s composition for N queued shards with
+    * the deployment-wide maintainer lease held ONLY for the
+    * sealed-ledger + artifact-append tail. The classification stage
+    * is read-only against the standing corpus, so it runs lease-free
+    * over the batch union ([[classifyShardsKeeper]] — one probe
+    * cascade instead of N); a composition fingerprint taken before it
+    * is re-verified after lease acquisition and a mismatch
+    * reclassifies under the lease, so stale fates can never seal.
+    * The tail then lands every store's N batches in ONE write job
+    * ([[ManifestStore.commitMulti]]) and every index artifact's N
+    * shards as ONE multi-stamped delta (`appendBatch` — per-shard
+    * stamps, so replays of any single shard, batch or solo, converge
+    * exactly as before). Fates are BIT-EQUAL to N sequential [[run]]s
+    * and every crash seam converges on re-run (IngestBatchSpec).
+    *
+    * `crashAfter` seams: `classify`, `keepers`, `corpus`, `lex`,
+    * `ann`, `gates`, `done`. Inherits [[run]]'s disciplines: ids
+    * non-negative, strictly increasing, monotone per deployment;
+    * crashed shards replay (alone or in a batch containing them)
+    * before later shards run. */
+  def runBatch(spark: SparkSession, dirs: Dirs, baseDocs: DataFrame,
+               shards: Seq[BatchShard],
+               threshold: Double = NearDupThreshold,
+               crashAfter: Option[String] = None,
+               rawUrl: Column = TextAnalysis.syntheticCrawlUrl,
+               rebuildAt: Double = AnnIndex.RebuildDeltaFraction,
+               lmMinAvgLogprob: Option[Double] = None,
+               onStage: (String, Double) => Unit = (_, _) => (),
+               qualityMinLogOdds: Option[Double] = None)
+      : Seq[Status] = {
+    require(shards.nonEmpty, "runBatch needs at least one shard")
+    val ids = shards.map(_.shardId)
+    require(ids.head >= 0L && ids.zip(ids.tail).forall(p => p._1 < p._2),
+      "batch shard ids must be non-negative and strictly increasing, " +
+        s"got $ids")
+    // pre-keeper deployment: the legacy store-scan path classifies
+    // per shard — fall back to the sequential composition
+    if (!keepersReady(spark, dirs))
+      return shards.map(b => run(spark, dirs, baseDocs, b.docs, b.emb,
+        b.shardId, threshold, crashAfter, rawUrl, rebuildAt,
+        lmMinAvgLogprob = lmMinAvgLogprob,
+        qualityMinLogOdds = qualityMinLogOdds))
+    def timed[T](step: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onStage(step, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    def crashpoint(step: String): Unit =
+      if (crashAfter.contains(step))
+        throw new IllegalStateException(
+          s"ingest crash seam: killed after step '$step'")
+
+    // per-shard short-circuits (read-only): done-sealed replays and
+    // empty shards leave the batch before any real work
+    val prepared = shards.map { b =>
+      val done = ManifestStore.committed(spark, dirs.ledgerDir,
+          doneBatch(b.shardId)) &&
+        ManifestStore.readStore(spark, dirs.ledgerDir).exists(st =>
+          sbPruned(st, b.shardId).filter(col("shard_id") === b.shardId &&
+            col("fate") === DoneFate).limit(1).count() > 0L)
+      val empty = !done && b.docs.isEmpty
+      (b, done, empty)
+    }
+    val active = prepared.collect { case (b, false, false) => b }
+    val frac0 = AnnIndex.deltaFraction(spark, dirs.annDir)
+    def shortStatus(b: BatchShard, done: Boolean): Status =
+      if (done) {
+        val f = fatesOf(spark, dirs.ledgerDir, b.shardId)
+          .groupBy(col("fate")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Status(b.shardId, replayed = true, f.values.sum, f, 0L, 0L, 0L,
+          0L, frac0, compacted = false, frac0 >= rebuildAt)
+      } else Status(b.shardId, replayed = false, 0L, Map.empty, 0L, 0L,
+        0L, 0L, frac0, compacted = false, frac0 >= rebuildAt)
+    if (active.isEmpty)
+      return prepared.map { case (b, done, _) => shortStatus(b, done) }
+
+    val activeN = active.map(b => (b.shardId, withDefaultSource(b.docs)))
+    val gateLoads = scala.collection.mutable.Map.empty[Long, Double]
+    def classifyPhase(): Map[Long, DataFrame] = {
+      val sealedF = activeN.flatMap { case (sid, _) =>
+        if (ManifestStore.committed(spark, dirs.ledgerDir,
+            classifyBatch(sid))) {
+          val f = fatesOf(spark, dirs.ledgerDir, sid)
+            .select(col("doc_id"), col("fate"), col("match_id"))
+            .localCheckpoint()
+          // the one-id-fold monotonicity edge, per shard ([[runLocked]])
+          if (f.isEmpty)
+            throw new IllegalStateException(
+              s"shard $sid's classification reads as committed only " +
+                s"through a ledger fold yet wrote NO rows to " +
+                s"${dirs.ledgerDir} - shard ids must be MONOTONE per " +
+                "deployment; re-run this shard under a fresh id above " +
+                "the fold")
+          Some(sid -> f)
+        } else None
+      }.toMap
+      gateLoads.clear()
+      if (sealedF.size == activeN.size) sealedF
+      else {
+        val gate = Dedup.loadBandIndex(spark, dirs.shingleGateDir)
+        val banding = Dedup.gateBandParams(spark, dirs.shingleGateDir)
+        val bGate = Dedup.bandIndexKeyCount(spark, dirs.shingleGateDir) <=
+          GateBroadcastMaxKeys
+        val lmGate = lmMinAvgLogprob.map { m =>
+          val union = activeN.map(_._2.select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text")))
+            .reduce(_.unionByName(_))
+          (LmStore.avgLogprob(spark, dirs.lmDir, union)
+            .select(col("doc_id"), col("avg_logprob").as("avg_lp"))
+            .localCheckpoint(), m)
+        }
+        val qualityGate = qualityMinLogOdds.map { m =>
+          val union = activeN.map(_._2.select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text")))
+            .reduce(_.unionByName(_))
+          (QualityStore.score(spark, dirs.qualityDir, union)
+            .select(col("doc_id"), col("avg_logodds").as("avg_lo"))
+            .localCheckpoint(), m)
+        }
+        classifyShardsKeeper(spark, dirs, activeN, sealedF, gate,
+          banding, bGate, threshold, rawUrl, lmGate,
+          onGateLoad = (sid, l) => gateLoads(sid) = l,
+          qualityGate = qualityGate)
+      }
+    }
+    val fp0 = deploymentFingerprint(spark, dirs)
+    var fates = timed("classify") { classifyPhase() }
+
+    ManifestStore.withMaintainerLease(spark, dirs.ledgerDir) {
+      // staleness gate: if any classified-against artifact moved
+      // between the lease-free phase and here, re-decide under the
+      // lease — never seal fates computed against a superseded state
+      if (deploymentFingerprint(spark, dirs) != fp0)
+        fates = timed("classify") { classifyPhase() }
+      // 1. seal the fresh classifications — one multi-commit
+      val toSeal = activeN.map(_._1).filter(sid =>
+        !ManifestStore.committed(spark, dirs.ledgerDir,
+          classifyBatch(sid)))
+      if (toSeal.nonEmpty) {
+        val union = toSeal.map { sid =>
+          fates(sid).select(col("doc_id"), col("fate"), col("match_id"))
+            .withColumn("shard_id", lit(sid))
+            .withColumn("sb", lit(sbOf(sid)))
+            .withColumn("__b", lit(classifyBatch(sid)))
+        }.reduce(_.unionByName(_))
+        ManifestStore.commitMulti(union, dirs.ledgerDir, "__b",
+          toSeal.map(classifyBatch), "sb", append = true)
+      }
+      crashpoint("classify")
+
+      val fateCounts: Map[Long, Map[String, Long]] =
+        activeN.map { case (sid, _) =>
+          sid -> fates(sid).groupBy(col("fate"))
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }.toMap
+
+      // kept rows — ONE checkpoint for the whole batch, per-shard
+      // views by tag filter
+      val keptAll = activeN.map { case (sid, sN) =>
+        sN.join(fates(sid).filter(col("fate") === "kept")
+            .select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"), col("source"),
+            safeCuOf(rawUrl).as("cu"),
+            md5(coalesce(col("text"), lit("")).cast("binary")).as("h"))
+          .withColumn("__sid", lit(sid))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+      val keptEmbAll = active.map { b =>
+        b.emb.join(fates(b.shardId).filter(col("fate") === "kept")
+            .select(col("doc_id").as("vec_id")), "vec_id")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("__sid", lit(b.shardId))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+
+      // 2. keeper appends — one multi-commit per keeper (same order
+      // rationale as [[runLocked]]: keepers before corpus)
+      timed("keepers") {
+        def keeperMulti(dir: String, keyName: String,
+                        matchName: String): Unit = {
+          val agg = keptAll.groupBy(col("__sid"), col(keyName))
+            .agg(min(col("doc_id")).as(matchName))
+            .withColumn("kpart", kpartOf(col(keyName)))
+            .withColumn("__b", col("__sid") + lit(1L)).drop("__sid")
+          val toCommit = activeN.map(_._1 + 1L).filter { id =>
+            if (!ManifestStore.committed(spark, dir, id)) true
+            else {
+              if (!ManifestStore.committedExplicitly(spark, dir, id))
+                keeperFoldProofProbe(spark, dir, id,
+                  agg.filter(col("__b") === id), keyName)
+              false
+            }
+          }
+          if (toCommit.nonEmpty)
+            ManifestStore.commitMulti(
+              agg.filter(col("__b").isin(toCommit: _*))
+                .repartition(col("__b"), col("kpart"))
+                .sortWithinPartitions(col("__b"), col("kpart"),
+                  col(keyName)),
+              dir, "__b", toCommit, "kpart", append = true)
+        }
+        keeperMulti(dirs.urlKeeperDir, "cu", "url_match")
+        keeperMulti(dirs.hashKeeperDir, "h", "exact_match")
+      }
+      crashpoint("keepers")
+
+      // 3. corpus sinks — one multi-commit per store
+      timed("corpus") {
+        def corpusMulti(dir: String, df0: DataFrame, idCol: String): Unit = {
+          val df = df0.withColumn("part", corpusPartOf(col(idCol)))
+            .withColumn("__b", col("__sid") + lit(1L)).drop("__sid")
+          val toCommit = activeN.map(_._1 + 1L).filter { id =>
+            if (!ManifestStore.committed(spark, dir, id)) true
+            else {
+              if (!ManifestStore.committedExplicitly(spark, dir, id))
+                corpusFoldProofProbe(spark, dir, id,
+                  df.filter(col("__b") === id), "part", idCol, idCol)
+              false
+            }
+          }
+          if (toCommit.nonEmpty)
+            ManifestStore.commitMulti(
+              df.filter(col("__b").isin(toCommit: _*)),
+              dir, "__b", toCommit, "part", append = true)
+        }
+        corpusMulti(dirs.corpusDocsDir, keptAll.drop("h"), "doc_id")
+        corpusMulti(dirs.corpusEmbDir, keptEmbAll, "vec_id")
+      }
+      crashpoint("corpus")
+
+      // 4-6. index appends — one multi-stamped delta per artifact
+      def keyOf(sid: Long) = s"shard-$sid"
+      val docsBy = activeN.map { case (sid, _) =>
+        (keyOf(sid), keptAll.filter(col("__sid") === sid)
+          .select(col("doc_id"), col("text"))) }
+      val embBy = active.map { b =>
+        (keyOf(b.shardId), keptEmbAll.filter(col("__sid") === b.shardId)
+          .select(col("vec_id"), col("embedding"))) }
+      val lexRes = timed("lex") {
+        LexStore.appendBatch(spark, dirs.lexDir, docsBy) }
+      crashpoint("lex")
+      val annRes = timed("ann") {
+        AnnIndex.appendBatch(spark, dirs.annDir, embBy) }
+      crashpoint("ann")
+      val (gateRes, embGateRes) = timed("gates") {
+        (Dedup.appendBandIndexBatch(spark, dirs.shingleGateDir, docsBy),
+          Dedup.appendEmbedBandIndexBatch(spark, dirs.embedGateDir,
+            embBy))
+      }
+      crashpoint("gates")
+
+      // 7. done seals — one multi-commit, before maintenance (the
+      // [[runLocked]] ordering invariant: compaction erases stamps)
+      locally {
+        import spark.implicits._
+        val doneRows = activeN.map { case (sid, _) =>
+          (-1L, DoneFate, Option.empty[Long], sid, sbOf(sid),
+            doneBatch(sid)) }
+        ManifestStore.commitMulti(
+          doneRows.toDF("doc_id", "fate", "match_id", "shard_id", "sb",
+            "__b"),
+          dirs.ledgerDir, "__b", activeN.map(p => doneBatch(p._1)), "sb",
+          append = true)
+      }
+      crashpoint("done")
+
+      // 8. maintenance — once per batch (the [[runLocked]] folds)
+      val compacted = AnnIndex.maybeCompact(spark, dirs.annDir) |
+        LexStore.maybeCompact(spark, dirs.lexDir) |
+        Dedup.maybeCompactGateIndex(spark, dirs.shingleGateDir) |
+        Dedup.maybeCompactGateIndex(spark, dirs.embedGateDir)
+      Seq((dirs.urlKeeperDir, "kpart", Seq("cu")),
+          (dirs.hashKeeperDir, "kpart", Seq("h")),
+          (dirs.corpusDocsDir, "part", Seq("doc_id")),
+          (dirs.corpusEmbDir, "part", Seq("vec_id")))
+        .foreach { case (store, pcol, sortCols) =>
+          if (ManifestStore.maybeCompactData(spark, store, pcol,
+              sortCols, AnnIndex.CompactMaxSegments).nonEmpty)
+            ManifestStore.vacuum(spark, store)
+        }
+      Seq(dirs.ledgerDir, dirs.corpusDocsDir, dirs.corpusEmbDir,
+          dirs.urlKeeperDir, dirs.hashKeeperDir)
+        .foreach { store =>
+          if (ManifestStore.maybeSnapshot(spark, store,
+              graft.streaming.Pipeline.SnapshotEvery).nonEmpty)
+            ManifestStore.vacuum(spark, store)
+        }
+      val frac = AnnIndex.deltaFraction(spark, dirs.annDir)
+      prepared.map {
+        case (b, true, _) => shortStatus(b, done = true)
+        case (b, _, true) => shortStatus(b, done = false)
+        case (b, _, _) =>
+          val sid = b.shardId
+          val fc = fateCounts(sid)
+          val load = gateLoads.get(sid)
+          Status(sid, replayed = false, fc.values.sum, fc,
+            lexRes(keyOf(sid))._1, annRes(keyOf(sid)),
+            gateRes(keyOf(sid)), embGateRes(keyOf(sid)),
+            frac, compacted,
+            frac >= rebuildAt ||
+              load.exists(_ > GateCandPerDocRebuild), load)
+      }
+    }
   }
 
   /** STREAMING CONTINUOUS INGESTION (r12) — the live twin of [[run]]:
@@ -1573,6 +2274,27 @@ object Ingest {
           .when((col("micro_sum").cast("double") / lit(1000000.0) /
             col("n_tokens")) < minAvgLogprob, "rare_tokens")
           .otherwise("kept").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registered TRAINED-QUALITY-CLASSIFIER gate (r15, VERDICT r14
+    * #6): the `doc_id % 10 == 7` shard scored against the BASE
+    * classifier ([[QualityStore.baseQualityFor]] — trained on the
+    * corpus MINUS that shard under the [[QualityStore.GoldSources]]
+    * contrast, the generation a live deployment would hold).
+    * ORACLE-CHECKED: DuckDB recomputes the training counts, the
+    * micro-quantized log-odds weights, AND the scoring dot product
+    * from the raw tables — artifact-served ≡ from-scratch training,
+    * the `ingest_lm_gate` discipline applied to a TRAINED model. */
+  def ingestQualityGate(spark: SparkSession, corpusDir: String): DataFrame = {
+    val shard = Tables.documents(spark, corpusDir)
+      .filter(col("doc_id") % 10 === 7)
+    QualityStore.score(spark,
+        QualityStore.baseQualityFor(spark, corpusDir),
+        shard.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_tokens"), col("micro_sum"),
+        when(col("avg_logodds") >= 0.0, "gold_like")
+          .otherwise("junk_like").as("verdict"))
       .orderBy(col("doc_id"))
   }
 

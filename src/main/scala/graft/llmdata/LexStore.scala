@@ -117,12 +117,16 @@ object LexStore {
     // silently double-count tf/df/dl for every shard document
     shardKey.flatMap(k =>
       GenDir.findDeltaByKey(spark, existing, "delta.json",
-        "BM25 postings delta.json", k)) match {
-      case Some(d) =>
+        "BM25 postings delta.json", k).map((k, _))) match {
+      case Some((k, d)) =>
         val text = GenDir.readJson(spark, s"$d/delta.json",
           "BM25 postings delta.json")
-        return (GenDir.jsonLong(text, "n_docs", s"$d/delta.json"),
-          GenDir.jsonLong(text, "sum_dl", s"$d/delta.json"))
+        // a multi-stamped (batched) delta records per-shard scalars —
+        // report THIS shard's, never the union's
+        return (GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+          GenDir.jsonLong(text, "n_docs", s"$d/delta.json")),
+          GenDir.jsonLongOpt(text, s"sum_dl:$k").getOrElse(
+            GenDir.jsonLong(text, "sum_dl", s"$d/delta.json")))
       case None => ()
     }
     // an EMPTY shard is a clean no-op, never a committed segment
@@ -164,6 +168,78 @@ object LexStore {
           "is invisible to readers of the new generation; re-run the " +
           "append against it")
     (n, sumDl)
+  }
+
+  /** BATCHED delta append (r15, VERDICT r14 #1): N shards' postings
+    * land as ONE delta segment — one tokenize+write job instead of
+    * N — multi-stamped with every landed shard's key plus per-shard
+    * (n_docs, sum_dl) scalars, so any single shard's replay (batch or
+    * solo) no-ops with ITS scalars. BM25 stats stay exactly additive:
+    * the union delta's scalars are the sums of the per-shard ones, so
+    * base + batched delta ≡ base + N per-shard deltas bit-for-bit.
+    * Returns key → (n_docs, sum_dl). */
+  def appendBatch(spark: SparkSession, lexDir: String,
+                  incoming: Seq[(String, DataFrame)])
+      : Map[String, (Long, Long)] = {
+    require(incoming.map(_._1).distinct.size == incoming.size,
+      "batched append shard keys must be distinct")
+    val gen = resolveGen(spark, lexDir)
+    readStats(spark, gen)
+    val existing = GenDir.deltas(spark, gen)
+    val (stamped, fresh) = incoming.partition { case (k, _) =>
+      GenDir.findDeltaByKey(spark, existing, "delta.json",
+        "BM25 postings delta.json", k).isDefined }
+    val stampedStats = stamped.map { case (k, _) =>
+      val d = GenDir.findDeltaByKey(spark, existing, "delta.json",
+        "BM25 postings delta.json", k).get
+      val text = GenDir.readJson(spark, s"$d/delta.json",
+        "BM25 postings delta.json")
+      k -> ((GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
+        GenDir.jsonLong(text, "n_docs", s"$d/delta.json")),
+        GenDir.jsonLongOpt(text, s"sum_dl:$k").getOrElse(
+          GenDir.jsonLong(text, "sum_dl", s"$d/delta.json"))))
+    }.toMap
+    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    if (nonEmpty.isEmpty)
+      return stampedStats ++ fresh.map(_._1 -> ((0L, 0L)))
+    val docs = nonEmpty.map { case (k, df) =>
+      df.select(col("doc_id"), col("text")).withColumn("__k", lit(k)) }
+      .reduce(_.unionByName(_))
+    val toks = split(col("text"), " ")
+    val dl = docs.select(col("__k"), col("doc_id"), size(toks).as("dl"))
+      .localCheckpoint() // feeds the postings join AND the stats aggs
+    val post = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl.drop("__k"), "doc_id")
+    val tmp = GenDir.stage(spark, gen)
+    post.withColumn("bucket", bucketOf(col("term")))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tmp/postings.parquet")
+    val perKey = dl.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
+    val stats = nonEmpty.map { case (k, _) =>
+      k -> perKey.getOrElse(k, (0L, 0L)) }.toMap
+    val (n, sumDl) = (stats.values.map(_._1).sum, stats.values.map(_._2).sum)
+    val stamp = GenDir.shardsStamp(nonEmpty.map(_._1),
+      stats.map { case (k, (nn, _)) => k -> nn })
+    val dlFields = nonEmpty.map { case (k, _) =>
+      s""","sum_dl:$k":${stats(k)._2}""" }.mkString
+    GenDir.writeJson(spark, s"$tmp/delta.json",
+      s"""{"format":$Format,"n_docs":$n,"sum_dl":$sumDl$stamp$dlFields}""")
+    GenDir.commit(spark, gen, tmp, Some(GenDir.nextDeltaName(existing)))
+    val genNow = resolveGen(spark, lexDir)
+    if (genNow != gen)
+      throw new IllegalStateException(
+        s"BM25 postings batched append committed its delta into $gen, " +
+          s"but a full rebuild published $genNow concurrently - the " +
+          "delta is invisible to readers of the new generation; re-run " +
+          "the append against it")
+    stampedStats ++ stats ++
+      fresh.filterNot(f => stats.contains(f._1)).map(_._1 -> ((0L, 0L)))
   }
 
   /** COMPACT the newest generation's delta postings back into clean

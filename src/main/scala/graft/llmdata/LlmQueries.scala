@@ -69,6 +69,89 @@ object LlmQueries {
       |WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.2
       |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
 
+  /** Mirror of [[Dedup.minhashNearDup]] (r15, VERDICT r14 #4): the
+    * SAME md5-hex minhash family (`min(md5("<j>:" || g)[1..15])` per
+    * hash j), the same 16×2 banding by per-band min concatenation,
+    * banded candidates, exact-Jaccard verification — the whole LSH
+    * operator restated, not a looser exact-join stand-in. */
+  val ddMinhashSql: String =
+    s"""WITH $shingleCte,
+      |s AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |mh AS (SELECT doc_id, j,
+      |         MIN(substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 15)) AS m
+      |       FROM s, (SELECT unnest(range(0, 32)) AS j) js
+      |       GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, j // 2 AS band,
+      |            string_agg(m, '|' ORDER BY j) AS sig
+      |          FROM mh GROUP BY doc_id, j // 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.sig = b.sig
+      |              AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, len(sh) AS nsh FROM sh),
+      |p AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      |      FROM cand c
+      |      JOIN s x ON x.doc_id = c.id_a
+      |      JOIN s y ON y.doc_id = c.id_b AND y.g = x.g
+      |      GROUP BY c.id_a, c.id_b)
+      |SELECT id_a, id_b,
+      |  inter::DOUBLE / (x.nsh + y.nsh - inter) AS jaccard
+      |FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+      |WHERE inter::DOUBLE / (x.nsh + y.nsh - inter) >= 0.5
+      |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+
+  /** 15-hex-digit → 60-bit integer, positional strpos arithmetic over
+    * a column named `h` — the DuckDB twin of Spark's
+    * `conv(substr(md5, 1, 15), 16, 10)`. */
+  private val hexVal15: String = (1 to 15).map { k =>
+    val w = java.math.BigInteger.valueOf(16L).pow(15 - k)
+    s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1) * $w"
+  }.mkString(" + ")
+
+  /** Mirror of [[Dedup.simhashNearDup]] (r15, VERDICT r14 #4): the
+    * same 60-bit md5-derived per-token hash, ±1 bit sums, sign
+    * signature — then ALL-pairs Hamming ≤ 6, which equals the engine's
+    * banded join exactly (the 8×8-bit pigeonhole layout GUARANTEES
+    * every pair at distance ≤ 7 agrees on some band, so banding loses
+    * nothing at maxDist 6 — the DedupSpec exhaustiveness sweep). */
+  val ddSimhashSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |th AS (SELECT doc_id, $hexVal15 AS hv
+      |       FROM (SELECT doc_id, md5(t) AS h FROM tok)),
+      |bits AS (SELECT doc_id, j,
+      |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+      |         FROM th, (SELECT unnest(range(0, 60)) AS j) js
+      |         GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id,
+      |          CAST(SUM(CASE WHEN sgn >= 0
+      |            THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh
+      |        FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+      |ORDER BY hamming, id_a, id_b""".stripMargin
+
+  /** Mirror of [[graft.llmdata.TextAnalysis.rollingOverlapPairs]] (r15,
+    * VERDICT r14 #4): the same md5 4-token-window fingerprints (the
+    * contamination oracle's window identity), distinct per doc,
+    * inverted-index pair counts at minShared = 3. */
+  val txtRollingOverlapSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+      |             FROM documents),
+      |wd AS (SELECT DISTINCT doc_id,
+      |         md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS w
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+      |             FROM tok)),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        COUNT(*) AS shared_windows
+      |      FROM wd a JOIN wd b ON a.w = b.w AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared_windows FROM p
+      |WHERE shared_windows >= 3
+      |ORDER BY shared_windows DESC, id_a, id_b""".stripMargin
+
   /** Mirror of [[Dedup.containmentPairs]]: identical postings/cap CTEs
     * as [[ddJaccardSql]], coefficients = |∩|/|S(side)| with UNCAPPED
     * per-doc sizes (conservative under the cap, like the Jaccard
@@ -474,6 +557,46 @@ object LlmQueries {
     * identical OOV floor (COALESCE(cnt, 1)), per-token micro
     * quantization, and the same threshold order — a hash match proves
     * the persisted-artifact-served gate ≡ batch curation semantics. */
+  /** Mirror of [[Ingest.ingestQualityGate]] (r15, VERDICT r14 #6):
+    * DuckDB RE-TRAINS the classifier from the raw tables — the base
+    * split's hashed-unigram counts per class under the same
+    * GoldSources contrast, the same +1-smoothed micro-quantized
+    * log-odds — and re-scores the shard, so a hash match proves the
+    * artifact-served scores ≡ from-scratch training end-to-end. */
+  val ingestQualityGateSql: String = {
+    val gold = QualityStore.GoldSources
+      .map(s => s"'$s'").mkString("(", ", ", ")")
+    val b = QualityStore.Buckets
+    s"""WITH btok AS (SELECT pos, substr(md5(t), 1, 3) AS qb FROM
+      |  (SELECT source IN $gold AS pos,
+      |     unnest(string_split(text, ' ')) AS t
+      |   FROM documents WHERE doc_id % 10 <> 7)),
+      |cnts AS (SELECT qb,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+      |    CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+      |  FROM btok GROUP BY qb),
+      |tots AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS tp,
+      |    CAST(SUM(c_neg) AS BIGINT) AS tn FROM cnts),
+      |w AS (SELECT qb,
+      |    CAST(floor((ln((c_pos + 1)::DOUBLE / (tp + $b)) -
+      |                ln((c_neg + 1)::DOUBLE / (tn + $b))) * 1000000.0
+      |      + 0.5) AS BIGINT) AS w_micro
+      |  FROM cnts, tots),
+      |oov AS (SELECT CAST(floor((ln(1.0 / (tp + $b)) -
+      |    ln(1.0 / (tn + $b))) * 1000000.0 + 0.5) AS BIGINT) AS w0
+      |  FROM tots),
+      |stok AS (SELECT doc_id, substr(md5(t), 1, 3) AS qb FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |   FROM documents WHERE doc_id % 10 = 7)),
+      |sc AS (SELECT s.doc_id, COALESCE(w.w_micro, oov.w0) AS m
+      |  FROM stok s LEFT JOIN w ON s.qb = w.qb CROSS JOIN oov)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(m) AS BIGINT) AS micro_sum,
+      |  CASE WHEN CAST(SUM(m) AS DOUBLE) / 1000000.0 / COUNT(*) >= 0.0
+      |       THEN 'gold_like' ELSE 'junk_like' END AS verdict
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val ingestLmGateSql: String =
     s"""WITH btok AS (SELECT unnest(string_split(text, ' ')) AS term
       |  FROM documents WHERE doc_id % 10 <> 7),
@@ -1666,6 +1789,7 @@ $pslLastCols
     // ingest quality gate from the PERSISTED unigram LM (r13): the
     // held-out shard scored against the standing-corpus generation
     "ingest_lm_gate" -> ((s, d) => Ingest.ingestLmGate(s, d)),
+    "ingest_quality_gate" -> ((s, d) => Ingest.ingestQualityGate(s, d)),
     "ingest_lm_gate_capped" -> ((s, d) => Ingest.ingestLmGateCapped(s, d)),
     "txt_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "txt_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(s, d)),
@@ -1715,16 +1839,20 @@ $pslLastCols
     "mm_audio_dedup" -> ((s, d) => Multimodal.audioNearDup(s, d))
   )
 
-  /** dd_minhash_neardup / dd_simhash_pairs / dd_embed_neardup /
+  /** dd_embed_neardup /
     * ann_lsh_topk / ann_ivf_topk / ann_ivf_topk_2l / ann_pq_topk /
     * ann_ivfpq_topk / ann_ivfpq_frame / ann_ivfpq_stored /
     * ann_ivfpq_append / dd_embed_gate_shuffle intentionally absent
-    * (rows-only): hash functions / trained quantizers aren't
-    * reproducible in DuckDB; their correctness gates live in
+    * (rows-only): hyperplane-LSH hash functions / trained quantizers
+    * aren't reproducible in DuckDB; their correctness gates live in
     * DedupSpec/SimilaritySpec (PQ additionally reranks with the exact
     * cosine, so its reported sims are brute-force-identical; the
     * shuffle-join gate is pinned stream ≡ batch at the 10× index
-    * scale in StreamingAnalyticsSpec).
+    * scale in StreamingAnalyticsSpec). dd_minhash_neardup /
+    * dd_simhash_pairs / txt_rolling_overlap moved to FULL oracles in
+    * r15 (VERDICT r14 #4): their registered forms restate the hash
+    * family as md5-derived values DuckDB computes byte-identically,
+    * with plan shapes unchanged.
     * ann_mmr_rerank is likewise rows-only: a greedy argmax chain isn't
     * SQL-expressible; SimilaritySpec gates it against a driver-side
     * reference and the λ=1 ≡ brute-force identity. txt_bpe_merges is
@@ -1749,6 +1877,9 @@ $pslLastCols
     "dd_exact" -> ddExactSql,
     "dd_jaccard_pairs" -> ddJaccardSql,
     "dd_containment" -> ddContainmentSql,
+    "dd_minhash_neardup" -> ddMinhashSql,
+    "dd_simhash_pairs" -> ddSimhashSql,
+    "txt_rolling_overlap" -> txtRollingOverlapSql,
     "dd_clusters" -> ddClustersSql,
     "dd_corpus_dedup" -> ddCorpusDedupSql,
     "dd_url_dedup" -> ddUrlDedupSql,
@@ -1784,6 +1915,7 @@ $pslLastCols
     "txt_train_order" -> txtTrainOrderSql,
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "ingest_lm_gate" -> ingestLmGateSql,
+    "ingest_quality_gate" -> ingestQualityGateSql,
     "ingest_lm_gate_capped" -> ingestLmGateCappedSql,
     "txt_bigram_logprob" -> txtBigramLogprobSql,
     "txt_weighted_sample" -> txtWeightedSampleSql,

@@ -271,6 +271,33 @@ object GenDir {
       s""","shard":"$k""""
   }
 
+  /** MULTI-shard stamp for one BATCHED delta (r15 — the batched ingest
+    * tail): a delta holding N shards' rows in one commit stamps ALL N
+    * keys (`"shards":["a","b"]`) plus each key's own row count
+    * (`"n:a":X`) so a later replay of any SINGLE shard — batch or
+    * solo — finds its stamp, no-ops, and reports ITS count, never the
+    * union's. Same key validation as [[shardStamp]]. */
+  def shardsStamp(keys: Seq[String], perKeyN: Map[String, Long]): String = {
+    require(keys.nonEmpty, "a multi-shard stamp needs at least one key")
+    keys.foreach(k => shardStamp(Some(k))) // validate each
+    val arr = keys.map(k => s""""$k"""").mkString("[", ",", "]")
+    val ns = keys.flatMap(k => perKeyN.get(k).map(n => s""","n:$k":$n"""))
+      .mkString
+    s""","shards":$arr$ns"""
+  }
+
+  /** The `"shards":[...]` array of a multi-stamped marker — empty for
+    * single-stamped / unstamped markers. */
+  def jsonStringArray(text: String, key: String): Seq[String] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    re.findFirstMatchIn(text).map(_.group(1)) match {
+      case None => Seq.empty
+      case Some(body) =>
+        "\"([^\"]*)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    }
+  }
+
   /** Scan a generation's committed delta markers for one stamped with
     * shard key `key` — the idempotence probe every artifact family's
     * append runs before staging: present means THIS shard already
@@ -282,8 +309,13 @@ object GenDir {
                      markerName: String, what: String,
                      key: String): Option[String] =
     deltas.collectFirst { case (_, d)
-      if jsonString(readJson(spark, s"$d/$markerName", what), "shard")
-        .contains(key) => d }
+      if {
+        val text = readJson(spark, s"$d/$markerName", what)
+        // single stamp OR a batched delta's multi-stamp (r15): either
+        // witnesses that THIS shard's rows landed in the commit
+        jsonString(text, "shard").contains(key) ||
+          jsonStringArray(text, "shards").contains(key)
+      } => d }
 
   /** Delete superseded generations and `.tmp-*` crash corpses, keeping
     * the newest `retain` committed generations (≥ 1). Single-operator

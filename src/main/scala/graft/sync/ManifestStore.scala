@@ -360,6 +360,19 @@ object ManifestStore {
     * the "listStatus-count assertion" r8 #8 asked for). */
   private[graft] val ledgerReads = new java.util.concurrent.atomic.AtomicLong
 
+  /** The store's manifest/snapshot file names, sorted — a cheap
+    * composition WITNESS (r15: the batched ingest's lease-free
+    * classify fingerprint): any commit, fold, or vacuum changes the
+    * listing. Dot-prefixed entries (locks, staged temps) are
+    * excluded — they churn without changing the composition. */
+  private[graft] def manifestNames(spark: SparkSession,
+                                   storeDir: String): Seq[String] = {
+    val (f, dir) = fs(spark, s"$storeDir/_manifest")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+  }
+
   /** `batchId` is committed iff its manifest exists, or its history
     * has been folded into a snapshot (manifests at or below a
     * snapshot's id are deleted by [[vacuum]], but their batches
@@ -685,6 +698,54 @@ object ManifestStore {
       seal(merged.sparkSession, storeDir, batchId, append)
     }
 
+  /** MULTI-BATCH commit (r15 — the batched ingest tail, VERDICT r14
+    * #1): N batches land with ONE Spark write job instead of N.
+    * `merged` carries each row's batch id in `batchCol`; the write
+    * stages under a never-referenced temp dir partitioned by
+    * (batchCol, partitionCol), each `batchCol=<id>` subtree is then
+    * RENAMED into the store's standard `data/b<id>` directory
+    * (metadata-only), and each id seals its own manifest — so the
+    * per-batch ledger semantics, fold-proof replay probes, and vacuum
+    * are EXACTLY the per-[[commit]] protocol's; only the job count
+    * changes. Ids in `batchIds` with no rows seal empty manifests
+    * (the same record a per-batch commit of an empty frame leaves).
+    * Crash windows: before any rename — only a temp orphan (reaped by
+    * [[vacuum]]'s stale-tmp sweep); between renames/seals — sealed
+    * prefix committed, unsealed ids' dirs are manifest-invisible and
+    * OVERWRITTEN by the re-run (each rename deletes a prior crashed
+    * attempt's dir first, like [[writeBatchData]]'s overwrite).
+    * Callers exclude already-committed ids (their replay discipline —
+    * the ingest sinks' fold-proof probes). Seals ascend by id. */
+  def commitMulti(merged: DataFrame, storeDir: String, batchCol: String,
+                  batchIds: Seq[Long], partitionCol: String,
+                  append: Boolean = false): Unit = {
+    val spark = merged.sparkSession
+    require(batchIds.nonEmpty, "commitMulti needs at least one batch id")
+    withWriterLease(spark, storeDir) {
+      val (f, _) = fs(spark, storeDir)
+      val tmp = s"$storeDir/data/.tmp-multi-${java.util.UUID.randomUUID()}"
+      try {
+        merged.write.mode("overwrite")
+          .partitionBy(batchCol, partitionCol).parquet(tmp)
+        batchIds.sorted.foreach { id =>
+          val src = new org.apache.hadoop.fs.Path(s"$tmp/$batchCol=$id")
+          val dst = new org.apache.hadoop.fs.Path(s"$storeDir/data/b$id")
+          if (f.exists(src)) {
+            if (f.exists(dst)) f.delete(dst, true) // crashed attempt
+            if (!f.rename(src, dst))
+              throw new IllegalStateException(
+                s"multi-commit rename $src -> $dst returned false")
+            seal(spark, storeDir, id, append)
+          } else sealEmpty(spark, storeDir, id)
+        }
+      } finally {
+        try { f.delete(new org.apache.hadoop.fs.Path(tmp), true); () }
+        catch { case _: java.io.IOException => () }
+      }
+      spark.catalog.refreshByPath(storeDir)
+    }
+  }
+
   private def sealLines(spark: SparkSession, storeDir: String,
                         targetName: String, lines: Seq[String]): Unit =
     withWriterLease(spark, storeDir) {
@@ -1009,6 +1070,20 @@ object ManifestStore {
     }
     if (!f.exists(dataRoot)) (0, 0)
     else {
+      // reap stale multi-commit staging orphans under data/ (r15 —
+      // [[commitMulti]] stages there; a crash before its renames
+      // leaves a manifest-invisible `.tmp-` dir every vacuum should
+      // reclaim once it outlives the in-flight bound)
+      locally {
+        val staleMs = sys.props.get("graft.manifest.lockStaleMs")
+          .map(_.toLong).getOrElse(30L * 60 * 1000)
+        f.listStatus(dataRoot).foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith(".tmp-") &&
+              System.currentTimeMillis - st.getModificationTime > staleMs) {
+            f.delete(st.getPath, true); ()
+          }
+        }
+      }
       val maxCommitted = (ledger.snap.map(_._1).toSeq ++
         ledger.manifests.map(_._1)).maxOption.getOrElse(-1L)
       // files any RETAINED composition needs: with no retention base,
