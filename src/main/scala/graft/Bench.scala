@@ -144,6 +144,7 @@ object Bench {
     graft.llmdata.LexStore.releaseCaches()
     graft.llmdata.LmStore.releaseCaches()
     graft.llmdata.QualityStore.releaseCaches()
+    graft.llmdata.LangIdStore.releaseCaches()
     graft.llmdata.Ingest.releaseCaches()
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

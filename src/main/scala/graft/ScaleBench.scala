@@ -746,6 +746,7 @@ object ScaleBench {
     llmdata.LexStore.releaseCaches()
     llmdata.LmStore.releaseCaches()
     llmdata.QualityStore.releaseCaches()
+    llmdata.LangIdStore.releaseCaches()
     llmdata.Ingest.releaseCaches()
 
     // drift regression rows (r13, VERDICT r12 #9): one ANN-drift point

@@ -1489,6 +1489,27 @@ object Ingest {
         dirs.embedGateDir, dirs.lmDir).map(gen)).mkString("|")
   }
 
+  /** localCheckpoint + PLAN-STATS severing for the batch loop's
+    * accumulator frames (r15, found by the ingestbatch measurement
+    * itself): a checkpointed Dataset's `LogicalRDD` INHERITS the
+    * original plan's `sizeInBytes` — a BigInteger PRODUCT over the
+    * plan's join factors — and an accumulator that re-enters the next
+    * iteration's plan k times makes that integer's bit-length grow as
+    * k^iterations. At 16 queued shards the driver spent MINUTES in
+    * `BigInteger.multiplyToomCook3` inside `Dataset.localCheckpoint`
+    * (jstack-attributed) computing statistics nobody needs on frames
+    * this small. Rebuilding the frame from its checkpointed RDD
+    * resets the stats to the default leaf size, so every iteration's
+    * plan-stat arithmetic stays constant-time; the data is already
+    * materialized, only the Row↔InternalRow re-encode is paid on the
+    * handful of scans each tiny frame serves. The cost is broadcast
+    * AUTO-detection (severed frames read as default-sized) — the
+    * probe paths that need a broadcast use explicit hints. */
+  private def checkpointSevered(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** The BATCHED classification (r15, VERDICT r14 #1): N queued
     * shards classified with ONE probe cascade over their union —
     * one pruned keeper read per keeper, one gate probe, one
@@ -1670,25 +1691,24 @@ object Ingest {
         val textS: DataFrame => DataFrame = _ =>
           refTextCorpus.unionByName(
             keptAcc.select(col("doc_id").as("corpus_id"), col("text")))
-        classifyCore(spark, keyedS, shingleGate, threshold,
-          urlHitsS, hashHitsS, textS, broadcastGate = false,
-          lmGate = lmGate, gateBanding = gateBanding,
-          sigPushdownMax = sigPushdownMax,
-          onGateLoad = l => onGateLoad(sid, l),
-          gateCandsOverride = Some(ovCands),
-          qualityGate = qualityGate)
-          .localCheckpoint()
+        checkpointSevered(
+          classifyCore(spark, keyedS, shingleGate, threshold,
+            urlHitsS, hashHitsS, textS, broadcastGate = false,
+            lmGate = lmGate, gateBanding = gateBanding,
+            sigPushdownMax = sigPushdownMax,
+            onGateLoad = l => onGateLoad(sid, l),
+            gateCandsOverride = Some(ovCands),
+            qualityGate = qualityGate))
       })
       out(sid) = fatesS
       val keptS = keyedS.join(
         fatesS.filter(col("fate") === "kept").select(col("doc_id")),
         "doc_id").select(col("doc_id"), col("text"), col("cu"), col("h"))
-      keptAcc = keptAcc.unionByName(keptS).localCheckpoint()
-      keptBandAcc = keptBandAcc.unionByName(
+      keptAcc = checkpointSevered(keptAcc.unionByName(keptS))
+      keptBandAcc = checkpointSevered(keptBandAcc.unionByName(
         Dedup.lshBandsRowLocal(keptS.select(col("doc_id"), col("text")),
           gateBanding._1, gateBanding._2)
-          .select(col("band"), col("sig"), col("doc_id").as("corpus_id")))
-        .localCheckpoint()
+          .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))))
     }
     out.toMap
   }

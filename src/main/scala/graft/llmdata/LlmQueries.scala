@@ -597,6 +597,50 @@ object LlmQueries {
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of [[LangIdStore.langIdTrained]] (r15, VERDICT r14 #8):
+    * DuckDB RE-TRAINS the per-language hashed char-trigram profiles
+    * from the raw tables (same deterministic train split, same md5
+    * buckets, same micro-quantized smoothed log-probs and priors) and
+    * re-runs the argmax with the same lang-ascending tie-break. */
+  val txtLangIdTrainedSql: String = {
+    val b = LangIdStore.Buckets
+    s"""WITH tr AS (SELECT lang, text FROM documents
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc'
+      |    AND len(text) >= 3),
+      |ttok AS (SELECT lang, substr(md5(substr(text, i, 3)), 1, 3) AS qb
+      |  FROM (SELECT lang, text, unnest(range(1, len(text) - 1)) AS i
+      |        FROM tr)),
+      |cnts AS (SELECT lang, qb, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+      |tots AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnts
+      |         GROUP BY 1),
+      |docsn AS (SELECT lang, COUNT(*) AS nd FROM tr GROUP BY 1),
+      |alln AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM docsn),
+      |langs AS (SELECT t.lang, t.tot,
+      |    CAST(floor(ln(1.0 / (t.tot + $b)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS oov,
+      |    CAST(floor(ln(d.nd::DOUBLE / a.n) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS prior
+      |  FROM tots t JOIN docsn d ON t.lang = d.lang CROSS JOIN alln a),
+      |w AS (SELECT c.lang, c.qb,
+      |    CAST(floor(ln((c.c + 1)::DOUBLE / (t.tot + $b)) * 1000000.0
+      |      + 0.5) AS BIGINT) AS wm
+      |  FROM cnts c JOIN tots t ON c.lang = t.lang),
+      |stok AS (SELECT doc_id, substr(md5(substr(text, i, 3)), 1, 3) AS qb
+      |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i
+      |        FROM documents WHERE len(text) >= 3)),
+      |sc AS (SELECT s.doc_id, l.lang,
+      |    l.prior + CAST(SUM(COALESCE(w.wm, l.oov)) AS BIGINT) AS m
+      |  FROM stok s CROSS JOIN langs l
+      |  LEFT JOIN w ON w.lang = l.lang AND w.qb = s.qb
+      |  GROUP BY s.doc_id, l.lang, l.prior)
+      |SELECT doc_id, lang AS lang_pred, m AS score_micro
+      |FROM (SELECT doc_id, lang, m,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |          ORDER BY m DESC, lang ASC) AS rn
+      |      FROM sc)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val ingestLmGateSql: String =
     s"""WITH btok AS (SELECT unnest(string_split(text, ' ')) AS term
       |  FROM documents WHERE doc_id % 10 <> 7),
@@ -1829,6 +1873,7 @@ $pslLastCols
     }),
     "txt_source_stats" -> ((s, d) => TextAnalysis.sourceStats(s, d)),
     "txt_langid_profile" -> ((s, d) => TextAnalysis.langIdProfile(s, d)),
+    "txt_langid_trained" -> ((s, d) => LangIdStore.langIdTrained(s, d)),
     "txt_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprintSummary(s, d)),
     "txt_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d)),
@@ -1916,6 +1961,7 @@ $pslLastCols
     "txt_unigram_logprob" -> txtUnigramLogprobSql,
     "ingest_lm_gate" -> ingestLmGateSql,
     "ingest_quality_gate" -> ingestQualityGateSql,
+    "txt_langid_trained" -> txtLangIdTrainedSql,
     "ingest_lm_gate_capped" -> ingestLmGateCappedSql,
     "txt_bigram_logprob" -> txtBigramLogprobSql,
     "txt_weighted_sample" -> txtWeightedSampleSql,
