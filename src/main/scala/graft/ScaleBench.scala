@@ -238,9 +238,11 @@ object ScaleBench {
     // source (the default generator's 1-digit space is built to
     // saturate — every doc a url_dup past ~320 docs — which would
     // no-op the very append stages this bench measures)
-    val benchUrl = concat(lit("https://www."), col("source"),
-      lit(".com/p/"),
-      substring(md5(concat(col("doc_id").cast("string"), lit(":u"))), 1, 3))
+    // the ingest-scale 5-hex page space (single-digit-% url collision
+    // rate — non-vacuous url arm without the 3-hex space's saturating
+    // cross-shard collision CHAINS, which would serialize the wave
+    // schedule on fixture physics rather than workload physics)
+    val benchUrl = ingestScaleUrl
     def runShard(dirs: Ingest.Dirs, rem: Long, id: Long): Ingest.Status = {
       val sub = subShard(rem)
       Ingest.run(spark, dirs, baseDocs, sub.drop("embedding"),
@@ -353,9 +355,11 @@ object ScaleBench {
     def subShard(j: Int) = shardRows
       .filter(col("doc_id") % 160 === (10L * j + 7L))
     val VerifyThreshold = 0.8
-    val benchUrl = concat(lit("https://www."), col("source"),
-      lit(".com/p/"),
-      substring(md5(concat(col("doc_id").cast("string"), lit(":u"))), 1, 3))
+    // the ingest-scale 5-hex page space (single-digit-% url collision
+    // rate — non-vacuous url arm without the 3-hex space's saturating
+    // cross-shard collision CHAINS, which would serialize the wave
+    // schedule on fixture physics rather than workload physics)
+    val benchUrl = ingestScaleUrl
     def freshDirs(tag: String): Ingest.Dirs = {
       val work = java.nio.file.Files
         .createTempDirectory(s"graft-ibatch-$tag").toString
@@ -446,6 +450,57 @@ object ScaleBench {
       s""""speedup_4":${seq4 / b4},"speedup_16":${seq16 / b16},""" +
       s""""docs_hour_seq_16":${docsHour(16 * docsPerShard, seq16)},""" +
       s""""docs_hour_batch_16":${docsHour(16 * docsPerShard, b16)}}""")
+    spark.stop()
+  }
+
+  /** Stage attribution for ONE 16-shard runBatch — the diagnostic
+    * behind the ingest_batch speedup work (where do the batched wall
+    * seconds go?). Same fixtures as [[runIngestBatchBench]], one
+    * deployment, one batch, per-stage seconds printed. */
+  private def runIngestBatchProfile(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.llmdata.Ingest
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-ibprof-corpus").toString
+    tools.SynthCorpus.writeCorpus(spark, corpus,
+      nDocs = 20000L, nVecs = 8000L)
+    val docs = Tables.documents(spark, corpus)
+    val emb = Tables.embeddings(spark, corpus)
+      .select(col("vec_id"), col("embedding"))
+    val baseDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val shardRows = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"), col("source"))
+      .join(emb.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left")
+      .localCheckpoint()
+    // the ingest-scale 5-hex page space (single-digit-% url collision
+    // rate — non-vacuous url arm without the 3-hex space's saturating
+    // cross-shard collision CHAINS, which would serialize the wave
+    // schedule on fixture physics rather than workload physics)
+    val benchUrl = ingestScaleUrl
+    def shardOf(j: Int): Ingest.BatchShard = {
+      val sub = shardRows.filter(col("doc_id") % 160 === (10L * j + 7L))
+      Ingest.BatchShard(j.toLong, sub.drop("embedding"),
+        sub.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")))
+    }
+    def once(tag: String, n: Int): Unit = {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-ibprof-$tag").toString
+      val dirs = Ingest.dirsUnder(work)
+      Ingest.bootstrap(spark, corpus, dirs, 10, 7)
+      val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val t0 = System.nanoTime()
+      Ingest.runBatch(spark, dirs, baseDocs, (0 until n).map(shardOf),
+        threshold = 0.8, rawUrl = benchUrl,
+        onStage = (s, t) => stages(s) = stages.getOrElse(s, 0.0) + t)
+      val total = (System.nanoTime() - t0) / 1e9
+      val attributed = stages.values.sum
+      println(f"ingestbatchprofile $tag n=$n total=$total%.2f " +
+        f"residual=${total - attributed}%.2f " +
+        stages.map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+    }
+    once("warm", 2)
+    once("b16", 16)
     spark.stop()
   }
 
@@ -651,6 +706,7 @@ object ScaleBench {
     if (args.headOption.contains("100x")) { run100x(spark); return }
     if (args.headOption.contains("ingest")) { runIngestBench(spark); return }
     if (args.headOption.contains("ingestbatch")) { runIngestBatchBench(spark); return }
+    if (args.headOption.contains("ingestbatchprofile")) { runIngestBatchProfile(spark); return }
     if (args.headOption.contains("ingestscale")) { runIngestScale(spark); return }
     if (args.headOption.contains("classifyprofile")) { runClassifyProfile(spark, args.drop(1).toSeq); return }
 

@@ -293,7 +293,7 @@ object AnnIndex {
       k -> GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
         readJsonLong(text, "n", s"$d/delta.json"))
     }.toMap
-    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    val nonEmpty = Dedup.nonEmptyShards(fresh)
     if (nonEmpty.isEmpty)
       return stampedCounts ++ fresh.map(_._1 -> 0L)
     val (cents, books, rot) = loadModel(spark, gen)

@@ -851,6 +851,23 @@ object Dedup {
     n
   }
 
+  /** ONE fused emptiness probe for a batched append's fresh shards
+    * (r15 lean — per-frame `isEmpty` was one job per shard per
+    * artifact, ~10 s of pure scheduling at 16 shards × 4 artifacts):
+    * a tagged union count answers all shards in one job. Shared by
+    * every artifact family's `appendBatch`. */
+  private[llmdata] def nonEmptyShards(fresh: Seq[(String, DataFrame)])
+      : Seq[(String, DataFrame)] =
+    if (fresh.isEmpty) fresh
+    else {
+      val counts = fresh.map { case (k, df) =>
+        df.select(lit(k).as("__k")) }
+        .reduce(_.unionByName(_))
+        .groupBy(col("__k")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      fresh.filter { case (k, _) => counts.getOrElse(k, 0L) > 0L }
+    }
+
   /** BATCHED delta append for the shingle gate (r15, VERDICT r14 #1):
     * N shards' keys land as ONE staged+committed delta — one Spark
     * write instead of N — stamped with EVERY landed shard's key plus
@@ -886,7 +903,7 @@ object Dedup {
       k -> GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
         GenDir.jsonLong(text, "n_keys", s"$d/delta.json"))
     }.toMap
-    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    val nonEmpty = nonEmptyShards(fresh)
     if (nonEmpty.isEmpty)
       return stampedCounts ++ fresh.map(_._1 -> 0L)
     val (bb, rr) =
@@ -951,7 +968,7 @@ object Dedup {
       k -> GenDir.jsonLongOpt(text, s"n:$k").getOrElse(
         GenDir.jsonLong(text, "n_keys", s"$d/delta.json"))
     }.toMap
-    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    val nonEmpty = nonEmptyShards(fresh)
     if (nonEmpty.isEmpty)
       return stampedCounts ++ fresh.map(_._1 -> 0L)
     val keysAll = nonEmpty.map { case (_, df) =>

@@ -579,7 +579,10 @@ object Ingest {
                            sigPushdownMax: Int = GateSigPushdownMax,
                            onGateLoad: Double => Unit = _ => (),
                            gateCandsOverride: Option[DataFrame] = None,
-                           qualityGate: Option[(DataFrame, Double)] = None)
+                           qualityGate: Option[(DataFrame, Double)] = None,
+                           intraGroup: Option[DataFrame] = None,
+                           onGateLoadBySid: Option[(DataFrame,
+                             (Long, Double) => Unit)] = None)
       : DataFrame = {
     def timedBarrier[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -657,6 +660,16 @@ object Ingest {
     //  3. Only a shard whose band set itself exceeds the ceiling
     //     falls back to the both-sides shuffle.
     // survivors ⊆ the checkpointed keyed frame, so counts are cheap.
+    // LEAN mode (r15, the ingestbatchprofile finding): in the batched
+    // loop the expensive inputs are already checkpointed batch-wide,
+    // every per-shard frame is tiny, and the loop's wall-clock is
+    // dominated by per-ACTION planning/scheduling — so the per-shard
+    // intermediates stay LAZY (gateCands / near), their consumers fold
+    // into the one fate-projection action, and the gate-load counts
+    // fuse into a single job. The sequential path keeps its
+    // checkpoints: there the intermediates are genuinely reused and
+    // carry real data.
+    val lean = gateCandsOverride.isDefined
     val gateCands = timedBarrier("gate_probe") {
       val raw =
         if (gateCandsOverride.isDefined)
@@ -714,19 +727,42 @@ object Ingest {
               .select(col("doc_id"), col("corpus_id"))
           }
         }
-      raw.distinct()
-        .localCheckpoint() // gate-selectivity-bounded; feeds the bucket
-                           // collect AND the verify join below
+      val d = raw.distinct()
+      if (lean) d
+      else d.localCheckpoint() // gate-selectivity-bounded; feeds the
+                               // bucket collect AND the verify join
     }
     armProbe.foreach(_.counts("gate_cands") = gateCands.count())
     // the OBSERVED per-probe-doc gate candidate load (r14, VERDICT
     // r13 #5) — the drift axis the recall grids proved real while
-    // recall stays flat: two cheap actions on already-checkpointed
-    // frames, surfaced to [[Status]] so `should_rebuild` can fire on
-    // a keying the grown corpus has outrun
+    // recall stays flat — surfaced to [[Status]] so `should_rebuild`
+    // can fire on a keying the grown corpus has outrun. ONE fused job
+    // (r15): the survivor and candidate counts ride a tagged union
+    // aggregate instead of two separate actions.
     locally {
-      val nSurv = survivors.count()
-      if (nSurv > 0L) onGateLoad(gateCands.count().toDouble / nSurv)
+      onGateLoadBySid match {
+        case Some((g, cb)) =>
+          // multi-shard (wave) frame: one fused job, loads PER SHARD
+          val rows = survivors.join(g, "doc_id")
+            .select(col("__sid"), lit(1).as("side"))
+            .unionAll(gateCands.join(g, "doc_id")
+              .select(col("__sid"), lit(2).as("side")))
+            .groupBy(col("__sid"), col("side"))
+            .agg(count(lit(1)).as("n")).collect()
+          rows.groupBy(_.getLong(0)).foreach { case (sid, rs) =>
+            val m = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+            val nS = m.getOrElse(1, 0L)
+            if (nS > 0L) cb(sid, m.getOrElse(2, 0L).toDouble / nS)
+          }
+        case None =>
+          val sides = survivors.select(lit(1).as("side"))
+            .unionAll(gateCands.select(lit(2).as("side")))
+            .groupBy(col("side")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val nSurv = sides.getOrElse(1, 0L)
+          if (nSurv > 0L)
+            onGateLoad(sides.getOrElse(2, 0L).toDouble / nSurv)
+      }
     }
     // INTRA-SHARD near-dup candidates (review r12): the gate holds
     // only the standing corpus, so two near-dup docs arriving in the
@@ -745,11 +781,23 @@ object Ingest {
           gateBanding == ((Dedup.NumBands, Dedup.RowsPerBand))) shardKeys
       else Dedup.lshBandsRowLocal(survivors, Dedup.NumBands,
         Dedup.RowsPerBand)
-    val intraCands = intraKeys
+    val intraCands0 = intraKeys
       .join(intraKeys.withColumnRenamed("doc_id", "corpus_id"),
         Seq("band", "sig"))
       .filter(col("doc_id") > col("corpus_id"))
-      .select(col("doc_id"), col("corpus_id")).distinct()
+    // a multi-shard WAVE frame (r15) restricts intra pairs to the
+    // SAME shard: cross-shard near-dups are sequentially decided by
+    // the gate at ITS keying, never by this fixed-(16,2) arm — an
+    // unrestricted self-join could catch a cross-shard pair the gate
+    // keying misses and diverge from the sequential fates
+    val intraCands = (intraGroup match {
+      case Some(g) =>
+        intraCands0.join(g, "doc_id")
+          .join(g.select(col("doc_id").as("corpus_id"),
+            col("__sid").as("__sid2")), "corpus_id")
+          .filter(col("__sid") === col("__sid2"))
+      case None => intraCands0
+    }).select(col("doc_id"), col("corpus_id")).distinct()
     // no outer distinct: the two sides are each distinct and DISJOINT
     // on corpus_id (standing-corpus ids vs this shard's new ids)
     val cands = gateCands.unionByName(intraCands)
@@ -768,16 +816,18 @@ object Ingest {
       .filter(size(col("t0")) >= 3)
       .select(col("corpus_id"), Dedup.shingleSetExpr.as("sb"))
     armProbe.foreach(_.timedCount("intra_cands", intraCands))
-    val near = cands.join(sSh, "doc_id").join(bSh, "corpus_id")
+    val near0 = cands.join(sSh, "doc_id").join(bSh, "corpus_id")
       .withColumn("jac",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jac") >= threshold)
       .groupBy(col("doc_id")).agg(min(col("corpus_id")).as("near_match"))
-      .localCheckpoint() // candidate-bounded (tiny), and the LAST
-                         // In-pushdown-dependent scan — materializing
-                         // it here lets withProbePushdownConf restore
-                         // the session conf before the frame escapes
+    // candidate-bounded (tiny), and the LAST In-pushdown-dependent
+    // scan — materializing it here lets withProbePushdownConf restore
+    // the session conf before the frame escapes. LEAN (batched) mode
+    // stays lazy: its conf scope wraps the whole batch loop and its
+    // caller materializes the fate projection once.
+    val near = if (lean) near0 else near0.localCheckpoint()
     armProbe.foreach(_.timedCount("verify", near))
     val fated = keyed.join(near, Seq("doc_id"), "left")
     val withLm = lmGate match {
@@ -1546,8 +1596,10 @@ object Ingest {
       lmGate: Option[(DataFrame, Double)] = None,
       sigPushdownMax: Int = GateSigPushdownMax,
       onGateLoad: (Long, Double) => Unit = (_, _) => (),
-      qualityGate: Option[(DataFrame, Double)] = None)
+      qualityGate: Option[(DataFrame, Double)] = None,
+      onPhase: (String, Double) => Unit = (_, _) => ())
       : Map[Long, DataFrame] = withProbePushdownConf(spark) {
+    val tPhase0 = System.nanoTime()
     val tagged = ordered.map { case (sid, df) =>
       df.withColumn("__sid", lit(sid)) }.reduce(_.unionByName(_))
     val keyedT = keyedShardCols(tagged, rawUrl, Seq(col("__sid")))
@@ -1656,60 +1708,133 @@ object Ingest {
         prunedCorpusText(spark, dirs.corpusDocsDir, parts)
       }).localCheckpoint()
     }
-    // the ordered per-shard cascade: each shard classifies against
-    // the batch-wide probe results PLUS the accumulated kept docs of
-    // every earlier shard — small checkpointed frames only
+    onPhase("classify_batchwide", (System.nanoTime() - tPhase0) / 1e9)
+    val tPhase1 = System.nanoTime()
+    // ---- DEPENDENCY WAVES (r15 — the throughput lever): a later
+    // shard's fates depend on an earlier shard ONLY through (a) a
+    // shared canonical-url or content-hash key, or (b) a VERIFIED
+    // (jac ≥ threshold) cross-shard near pair at the gate's keying —
+    // both PAIR-LOCAL properties computable batch-wide, independent
+    // of kept-ness. Shards with no edge between them have provably
+    // independent fates, so each WAVE (a topological level of the
+    // shard dependency DAG) classifies in ONE cascade: classifyCore
+    // over the wave's union frame is per-shard-exact because (i)
+    // same-wave shards share no cu/h key — the first-seen groupBys
+    // never span shards; (ii) same-wave cross band collisions all
+    // have jac < threshold (else they'd be edges) and die at the
+    // verification filter; (iii) the intra arm is restricted to
+    // same-shard pairs (`intraGroup`). Wall-clock is then
+    // O(dependency DEPTH), not O(shards) — a batch of independent
+    // shards pays ONE per-wave planning cost. The edge set collected
+    // driver-side is SHARD-PAIR-sized (≤ N²), never data-sized.
+    val keyEdges = Seq("cu", "h").map { k =>
+      val e = keyedT.select(col(k).as("k"), col("__sid"))
+      e.join(e.withColumnRenamed("__sid", "__sid2"), "k")
+        .filter(col("__sid") < col("__sid2"))
+        .select(col("__sid"), col("__sid2"))
+    }.reduce(_.unionByName(_))
+    val skTagged = shardKeysAll.join(sidOf, "doc_id")
+    val candCross = skTagged.join(
+      skTagged.select(col("band"), col("sig"),
+        col("doc_id").as("doc_b"), col("__sid").as("__sid2")),
+      Seq("band", "sig"))
+      .filter(col("__sid") < col("__sid2"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        col("__sid"), col("__sid2")).distinct()
+    val shAll = keyedT.select(col("doc_id"), split(col("text"), " ").as("t0"))
+      .filter(size(col("t0")) >= 3)
+      .select(col("doc_id"), Dedup.shingleSetExpr.as("sh"))
+    val nearEdges = candCross
+      .join(shAll.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+        "doc_a")
+      .join(shAll.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+        "doc_b")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))) >= threshold)
+      .select(col("__sid"), col("__sid2"))
+    val edges = keyEdges.unionByName(nearEdges).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lvl = scala.collection.mutable.Map.empty[Long, Int]
+    ordered.foreach { case (sid, _) =>
+      val deps = edges.collect { case (a, b) if b == sid => lvl(a) }
+      lvl(sid) = if (deps.isEmpty) 0 else deps.max + 1
+    }
+    val waves = ordered.map(_._1).groupBy(lvl).toSeq.sortBy(_._1).map(_._2)
+    onPhase("classify_edges", (System.nanoTime() - tPhase1) / 1e9)
+    val tPhase2 = System.nanoTime()
+
     var keptAcc = keyedT.limit(0)
       .select(col("doc_id"), col("text"), col("cu"), col("h"))
       .localCheckpoint()
-    var keptBandAcc = shardKeysAll.limit(0)
-      .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))
-      .localCheckpoint()
+    // earlier-kept band keys at the gate's keying — derived LAZILY
+    // from the (checkpointed, tiny) accumulator per wave
+    def keptBands: DataFrame =
+      Dedup.lshBandsRowLocal(keptAcc.select(col("doc_id"), col("text")),
+        gateBanding._1, gateBanding._2)
+        .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))
     val out = scala.collection.mutable.Map.empty[Long, DataFrame]
-    for ((sid, _) <- ordered) {
-      val keyedS = keyedT.filter(col("__sid") === sid).drop("__sid")
-      val fatesS = sealedFates.getOrElse(sid, {
+    for ((waveSids, wi) <- waves.zipWithIndex) {
+      val unsealed = waveSids.filterNot(sealedFates.contains)
+      if (unsealed.nonEmpty) {
+        val keyedW = keyedT.filter(col("__sid").isin(unsealed: _*))
+          .drop("__sid")
         // keeper hits ∪ earlier-kept hits, grouped back to one row
         // per key: disjoint by the proven-absent invariant, but a
         // crashed earlier attempt may have landed a kept key in BOTH
         // (its keeper append ran before the crash) — min() keeps the
         // join single-row and the id identical either way
-        val urlHitsS = urlHitsAll.unionByName(
+        val urlHitsW = urlHitsAll.unionByName(
           keptAcc.select(col("cu"), col("doc_id").as("url_match")))
           .groupBy(col("cu")).agg(min(col("url_match")).as("url_match"))
-        val hashHitsS = hashHitsAll.unionByName(
+        val hashHitsW = hashHitsAll.unionByName(
           keptAcc.select(col("h"), col("doc_id").as("exact_match")))
           .groupBy(col("h")).agg(min(col("exact_match")).as("exact_match"))
-        val crossPairs = shardKeysAll.join(sidOf, "doc_id")
-          .filter(col("__sid") === sid)
-          .join(keptBandAcc, Seq("band", "sig"))
+        val crossPairs = skTagged
+          .filter(col("__sid").isin(unsealed: _*))
+          .join(keptBands, Seq("band", "sig"))
           .select(col("doc_id"), col("corpus_id"))
         val ovCands = gateCandsAll.join(sidOf, "doc_id")
-          .filter(col("__sid") === sid)
+          .filter(col("__sid").isin(unsealed: _*))
           .select(col("doc_id"), col("corpus_id"))
           .unionByName(crossPairs).distinct()
-        val textS: DataFrame => DataFrame = _ =>
+        val textW: DataFrame => DataFrame = _ =>
           refTextCorpus.unionByName(
             keptAcc.select(col("doc_id").as("corpus_id"), col("text")))
-        checkpointSevered(
-          classifyCore(spark, keyedS, shingleGate, threshold,
-            urlHitsS, hashHitsS, textS, broadcastGate = false,
+        // materialize the TAGGED wave fates once: the per-shard views
+        // below are consumed several times downstream (seal union,
+        // fate rollup, kept joins) — lazy views would re-run the wave
+        // join per consumer per shard
+        val fatesTagged = checkpointSevered(
+          classifyCore(spark, keyedW, shingleGate, threshold,
+            urlHitsW, hashHitsW, textW, broadcastGate = false,
             lmGate = lmGate, gateBanding = gateBanding,
             sigPushdownMax = sigPushdownMax,
-            onGateLoad = l => onGateLoad(sid, l),
             gateCandsOverride = Some(ovCands),
-            qualityGate = qualityGate))
-      })
-      out(sid) = fatesS
-      val keptS = keyedS.join(
-        fatesS.filter(col("fate") === "kept").select(col("doc_id")),
-        "doc_id").select(col("doc_id"), col("text"), col("cu"), col("h"))
-      keptAcc = checkpointSevered(keptAcc.unionByName(keptS))
-      keptBandAcc = checkpointSevered(keptBandAcc.unionByName(
-        Dedup.lshBandsRowLocal(keptS.select(col("doc_id"), col("text")),
-          gateBanding._1, gateBanding._2)
-          .select(col("band"), col("sig"), col("doc_id").as("corpus_id"))))
+            qualityGate = qualityGate,
+            intraGroup = Some(sidOf),
+            onGateLoadBySid = Some((sidOf, onGateLoad)))
+            .join(sidOf, "doc_id"))
+        unsealed.foreach { sid =>
+          out(sid) = fatesTagged.filter(col("__sid") === sid)
+            .select(col("doc_id"), col("fate"), col("match_id"))
+        }
+      }
+      waveSids.filter(sealedFates.contains)
+        .foreach(sid => out(sid) = sealedFates(sid))
+      // accumulate the wave's kept docs (sealed + fresh) for the next
+      // wave's cross arms — skipped after the last wave
+      if (wi < waves.size - 1) {
+        val keptIdsW = waveSids.map(sid =>
+          out(sid).filter(col("fate") === "kept").select(col("doc_id")))
+          .reduce(_.unionByName(_))
+        val keptW = keyedT.filter(col("__sid").isin(waveSids: _*))
+          .drop("__sid").join(keptIdsW, "doc_id")
+          .select(col("doc_id"), col("text"), col("cu"), col("h"))
+        keptAcc = checkpointSevered(keptAcc.unionByName(keptW))
+      }
     }
+    onPhase("classify_waves", (System.nanoTime() - tPhase2) / 1e9)
+    onPhase("n_waves", waves.size.toDouble)
     out.toMap
   }
 
@@ -1769,7 +1894,7 @@ object Ingest {
 
     // per-shard short-circuits (read-only): done-sealed replays and
     // empty shards leave the batch before any real work
-    val prepared = shards.map { b =>
+    val prepared = timed("prepared") { shards.map { b =>
       val done = ManifestStore.committed(spark, dirs.ledgerDir,
           doneBatch(b.shardId)) &&
         ManifestStore.readStore(spark, dirs.ledgerDir).exists(st =>
@@ -1777,7 +1902,7 @@ object Ingest {
             col("fate") === DoneFate).limit(1).count() > 0L)
       val empty = !done && b.docs.isEmpty
       (b, done, empty)
-    }
+    } }
     val active = prepared.collect { case (b, false, false) => b }
     val frac0 = AnnIndex.deltaFraction(spark, dirs.annDir)
     def shortStatus(b: BatchShard, done: Boolean): Status =
@@ -1838,7 +1963,7 @@ object Ingest {
         classifyShardsKeeper(spark, dirs, activeN, sealedF, gate,
           banding, bGate, threshold, rawUrl, lmGate,
           onGateLoad = (sid, l) => gateLoads(sid) = l,
-          qualityGate = qualityGate)
+          qualityGate = qualityGate, onPhase = onStage)
       }
     }
     val fp0 = deploymentFingerprint(spark, dirs)
@@ -1851,44 +1976,56 @@ object Ingest {
       if (deploymentFingerprint(spark, dirs) != fp0)
         fates = timed("classify") { classifyPhase() }
       // 1. seal the fresh classifications — one multi-commit
-      val toSeal = activeN.map(_._1).filter(sid =>
-        !ManifestStore.committed(spark, dirs.ledgerDir,
-          classifyBatch(sid)))
-      if (toSeal.nonEmpty) {
-        val union = toSeal.map { sid =>
-          fates(sid).select(col("doc_id"), col("fate"), col("match_id"))
-            .withColumn("shard_id", lit(sid))
-            .withColumn("sb", lit(sbOf(sid)))
-            .withColumn("__b", lit(classifyBatch(sid)))
-        }.reduce(_.unionByName(_))
-        ManifestStore.commitMulti(union, dirs.ledgerDir, "__b",
-          toSeal.map(classifyBatch), "sb", append = true)
+      timed("seal") {
+        val toSeal = activeN.map(_._1).filter(sid =>
+          !ManifestStore.committed(spark, dirs.ledgerDir,
+            classifyBatch(sid)))
+        if (toSeal.nonEmpty) {
+          val union = toSeal.map { sid =>
+            fates(sid).select(col("doc_id"), col("fate"), col("match_id"))
+              .withColumn("shard_id", lit(sid))
+              .withColumn("sb", lit(sbOf(sid)))
+              .withColumn("__b", lit(classifyBatch(sid)))
+          }.reduce(_.unionByName(_))
+          ManifestStore.commitMulti(union, dirs.ledgerDir, "__b",
+            toSeal.map(classifyBatch), "sb", append = true)
+        }
       }
       crashpoint("classify")
 
-      val fateCounts: Map[Long, Map[String, Long]] =
-        activeN.map { case (sid, _) =>
-          sid -> fates(sid).groupBy(col("fate"))
-            .agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        }.toMap
-
-      // kept rows — ONE checkpoint for the whole batch, per-shard
-      // views by tag filter
-      val keptAll = activeN.map { case (sid, sN) =>
-        sN.join(fates(sid).filter(col("fate") === "kept")
-            .select(col("doc_id")), "doc_id")
-          .select(col("doc_id"), col("text"), col("source"),
-            safeCuOf(rawUrl).as("cu"),
-            md5(coalesce(col("text"), lit("")).cast("binary")).as("h"))
-          .withColumn("__sid", lit(sid))
-      }.reduce(_.unionByName(_)).localCheckpoint()
-      val keptEmbAll = active.map { b =>
-        b.emb.join(fates(b.shardId).filter(col("fate") === "kept")
-            .select(col("doc_id").as("vec_id")), "vec_id")
-          .select(col("vec_id"), col("embedding"))
-          .withColumn("__sid", lit(b.shardId))
-      }.reduce(_.unionByName(_)).localCheckpoint()
+      val (fateCounts, keptAll, keptEmbAll) = timed("kept") {
+        // ONE fused job for all shards' fate rollups (r15 lean — 16
+        // separate collects measured ~3 s of pure scheduling)
+        val fc0 = activeN.map { case (sid, _) =>
+          fates(sid).select(lit(sid).as("__sid"), col("fate")) }
+          .reduce(_.unionByName(_))
+          .groupBy(col("__sid"), col("fate"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .groupBy(_.getLong(0))
+        val fc: Map[Long, Map[String, Long]] =
+          activeN.map { case (sid, _) =>
+            sid -> fc0.getOrElse(sid, Array.empty)
+              .map(r => r.getString(1) -> r.getLong(2)).toMap
+          }.toMap
+        // kept rows — ONE checkpoint for the whole batch, per-shard
+        // views by tag filter
+        val ka = activeN.map { case (sid, sN) =>
+          sN.join(fates(sid).filter(col("fate") === "kept")
+              .select(col("doc_id")), "doc_id")
+            .select(col("doc_id"), col("text"), col("source"),
+              safeCuOf(rawUrl).as("cu"),
+              md5(coalesce(col("text"), lit("")).cast("binary")).as("h"))
+            .withColumn("__sid", lit(sid))
+        }.reduce(_.unionByName(_)).localCheckpoint()
+        val ke = active.map { b =>
+          b.emb.join(fates(b.shardId).filter(col("fate") === "kept")
+              .select(col("doc_id").as("vec_id")), "vec_id")
+            .select(col("vec_id"), col("embedding"))
+            .withColumn("__sid", lit(b.shardId))
+        }.reduce(_.unionByName(_)).localCheckpoint()
+        (fc, ka, ke)
+      }
 
       // 2. keeper appends — one multi-commit per keeper (same order
       // rationale as [[runLocked]]: keepers before corpus)
@@ -1968,7 +2105,7 @@ object Ingest {
 
       // 7. done seals — one multi-commit, before maintenance (the
       // [[runLocked]] ordering invariant: compaction erases stamps)
-      locally {
+      timed("done") {
         import spark.implicits._
         val doneRows = activeN.map { case (sid, _) =>
           (-1L, DoneFate, Option.empty[Long], sid, sbOf(sid),

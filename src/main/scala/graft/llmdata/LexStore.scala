@@ -199,7 +199,7 @@ object LexStore {
         GenDir.jsonLongOpt(text, s"sum_dl:$k").getOrElse(
           GenDir.jsonLong(text, "sum_dl", s"$d/delta.json"))))
     }.toMap
-    val nonEmpty = fresh.filter { case (_, df) => !df.isEmpty }
+    val nonEmpty = Dedup.nonEmptyShards(fresh)
     if (nonEmpty.isEmpty)
       return stampedStats ++ fresh.map(_._1 -> ((0L, 0L)))
     val docs = nonEmpty.map { case (k, df) =>
