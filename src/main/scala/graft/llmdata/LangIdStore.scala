@@ -127,22 +127,38 @@ object LangIdStore {
   /** Score a (doc_id, text) frame — (doc_id, lang_pred, score_micro),
     * argmax over the persisted profiles, ties by language ascending.
     * Docs shorter than one trigram emit no row (unscorable). Both
-    * model tables are broadcast-sized (≤ langs × [[Buckets]] rows). */
+    * model tables are broadcast-sized (≤ langs × [[Buckets]] rows).
+    *
+    * Plan shape: the trigram-sized work is an EQUI-join — trigrams
+    * collapse to per-(doc, bucket) counts (≤ [[Buckets]] rows/doc
+    * however long the doc), matched against the broadcast weights on
+    * bucket — and only the per-DOC totals cross the O(#languages)
+    * class dimension (every doc needs a score per class, including
+    * zero-hit languages; [[graft.plans.RegistryAudit.bnlAllowed]]
+    * carries the boundedness argument). The per-class sum folds the
+    * unseen buckets arithmetically:
+    * `Σ_tokens m = w_sum + (n_tok − c_seen)·oov` — exact-long equal
+    * to the per-token coalesce. */
   def predict(spark: SparkSession, lDir: String, docs: DataFrame): DataFrame = {
     val gen = resolveGen(spark, lDir)
     checkFormat(spark, gen)
     val langs = spark.read.parquet(s"$gen/langs.parquet")
     val w = spark.read.parquet(s"$gen/weights.parquet")
-    val tok = triBuckets(docs, Seq(col("doc_id")))
-    val perLang = tok.crossJoin(broadcast(langs.select(col("lang"),
+    val docBuckets = triBuckets(docs, Seq(col("doc_id")))
+      .groupBy(col("doc_id"), col("qb")).agg(count(lit(1)).as("c"))
+    val docTotals = docBuckets.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"))
+    val matched = docBuckets.join(broadcast(w), Seq("qb"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("w_micro")).as("w_sum"),
+        sum(col("c")).as("c_seen"))
+    val perLang = docTotals.crossJoin(broadcast(langs.select(col("lang"),
         col("oov_micro"), col("prior_micro"))))
-      .join(broadcast(w), Seq("lang", "qb"), "left")
-      .select(col("doc_id"), col("lang"), col("prior_micro"),
-        coalesce(col("w_micro"), col("oov_micro")).as("m"))
-      .groupBy(col("doc_id"), col("lang"), col("prior_micro"))
-      .agg(sum(col("m")).as("s"))
+      .join(matched, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
-        (col("prior_micro") + col("s")).as("score_micro"))
+        (col("prior_micro") + coalesce(col("w_sum"), lit(0L)) +
+          (col("n_tok") - coalesce(col("c_seen"), lit(0L))) *
+            col("oov_micro")).as("score_micro"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("lang").asc)

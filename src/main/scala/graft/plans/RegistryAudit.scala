@@ -51,7 +51,8 @@ object RegistryAudit {
     "q29_important_parts" -> "cross join against the 1-row global total/count side",
     "dd_triangles" -> "cross joins of three 1-row census aggregates",
     "txt_source_entropy" -> "cross join against the 1-row corpus-total side",
-    "ann_pca_topk" -> "coarse phase broadcasts the tiny projected query side (nQueries=5)")
+    "ann_pca_topk" -> "coarse phase broadcasts the tiny projected query side (nQueries=5)",
+    "txt_langid_trained" -> ("per-doc totals cross the broadcast O(#languages) class dimension - argmax needs a score per class incl. zero-hit languages; the trigram-sized work is the preceding bucket equi-join"))
 
   /** Queries whose single-partition exchange is over a frame that is
     * SMALL BY CONSTRUCTION (the same boundedness argument as
