@@ -47,11 +47,22 @@ object LangIdStore {
   /** (doc carrier columns, qb) — one row per char trigram of `text`.
     * Callers must pre-filter `length(text) >= 3` (Spark's
     * `sequence(1, 0)` is the DESCENDING [1, 0], not empty — the
-    * lshBandsRowLocal pitfall). */
+    * lshBandsRowLocal pitfall).
+    *
+    * r15 optimization (guide §1/§4 — measured): the original
+    * `transform(sequence(1, len-2), i -> substring(text, i, 3))` is
+    * QUADRATIC per document — UTF8String.substringSQL re-walks the
+    * string from byte 0 to find the i-th codepoint for every i, so a
+    * 300-char doc pays ~45k char scans for 298 trigrams (measured
+    * 2.8-5.0 s for the sf0.1 explode alone). The overlapping-capture
+    * regex scan `(?s)(?=(...))` emits the identical trigram multiset
+    * in ONE left-to-right pass (verified count+hash-identical on the
+    * real corpus; `.` matches a codepoint exactly as substringSQL
+    * counts them) — measured 0.55-0.88 s, 5-9x. */
   private def triBuckets(docs: DataFrame, carry: Seq[Column]): DataFrame =
     docs.filter(length(col("text")) >= 3)
       .select(carry :+ explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        "regexp_extract_all(text, '(?s)(?=(...))', 1)"))
         .as("tri"): _*)
       .select(carry :+ bucketOf(col("tri")).as("qb"): _*)
 
@@ -129,43 +140,66 @@ object LangIdStore {
     * Docs shorter than one trigram emit no row (unscorable). Both
     * model tables are broadcast-sized (≤ langs × [[Buckets]] rows).
     *
-    * Plan shape: the trigram-sized work is an EQUI-join — trigrams
-    * collapse to per-(doc, bucket) counts (≤ [[Buckets]] rows/doc
-    * however long the doc), matched against the broadcast weights on
-    * bucket — and only the per-DOC totals cross the O(#languages)
-    * class dimension (every doc needs a score per class, including
-    * zero-hit languages; [[graft.plans.RegistryAudit.bnlAllowed]]
-    * carries the boundedness argument). The per-class sum folds the
-    * unseen buckets arithmetically:
+    * Plan shape (r15-optimized, guide §2.3/§2.4 — measured): the
+    * r15-original shape shuffled a per-(doc, qb) count frame that
+    * measured ~95% the size of the raw explode (~300 trigrams/doc
+    * rarely collide in 4096 buckets — that exchange compressed
+    * nothing), then multiplied every bucket row by the #languages
+    * holding it (5x rows through the weights join), crossJoined the
+    * language dimension and ran a per-doc window for the argmax —
+    * measured 4.5-4.8 s at sf0.1, ~1.4 s of it the row-multiplying
+    * join alone. Now the weights broadcast PIVOTED WIDE (one row per
+    * bucket, one `w_micro` column per language — ≤ [[Buckets]] rows
+    * regardless of corpus), so each trigram instance does ONE
+    * broadcast lookup with no row multiplication, partial-aggregates
+    * straight to a single per-doc row (per-language sum/count
+    * buffers), and the argmax + tie-break is a row-local
+    * `sort_array(array(struct(-score, lang)))[1]` — zero joins past
+    * the broadcast, zero windows, ONE exchange (the 5k-row per-doc
+    * aggregate). `n_tok` needs no aggregation at all: the trigram
+    * count of a scorable doc IS `length(text) - 2`. The per-class sum
+    * folds the unseen buckets arithmetically:
     * `Σ_tokens m = w_sum + (n_tok − c_seen)·oov` — exact-long equal
-    * to the per-token coalesce. */
+    * to the per-token coalesce (`Σ c·w` over bucket counts ≡ `Σ w`
+    * over instances; `count(w_L)` counts exactly the instances whose
+    * (lang, bucket) carries a trained weight). Every language scores
+    * every doc — zero-hit languages fold to `prior + n_tok·oov` — and
+    * ties still break lang-ascending (the struct sort's second key),
+    * so the output is row-identical to the windowed form. */
   def predict(spark: SparkSession, lDir: String, docs: DataFrame): DataFrame = {
     val gen = resolveGen(spark, lDir)
     checkFormat(spark, gen)
     val langs = spark.read.parquet(s"$gen/langs.parquet")
     val w = spark.read.parquet(s"$gen/weights.parquet")
-    val docBuckets = triBuckets(docs, Seq(col("doc_id")))
-      .groupBy(col("doc_id"), col("qb")).agg(count(lit(1)).as("c"))
-    val docTotals = docBuckets.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tok"))
-    val matched = docBuckets.join(broadcast(w), Seq("qb"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("c") * col("w_micro")).as("w_sum"),
-        sum(col("c")).as("c_seen"))
-    val perLang = docTotals.crossJoin(broadcast(langs.select(col("lang"),
-        col("oov_micro"), col("prior_micro"))))
-      .join(matched, Seq("doc_id", "lang"), "left")
-      .select(col("doc_id"), col("lang"),
-        (col("prior_micro") + coalesce(col("w_sum"), lit(0L)) +
-          (col("n_tok") - coalesce(col("c_seen"), lit(0L))) *
-            col("oov_micro")).as("score_micro"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score_micro").desc, col("lang").asc)
-    perLang.withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("lang_pred"),
-        col("score_micro"))
+    // language scalars to the driver: #langs rows (the same frame the
+    // windowed form broadcast) — bounded by the trained-language count
+    val langRows = langs.select(col("lang"), col("oov_micro"),
+        col("prior_micro")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val langNames = langRows.map(_._1).toSeq
+    val wWide = w.groupBy(col("qb"))
+      .pivot("lang", langNames).agg(first(col("w_micro")))
+    val hits = triBuckets(docs.filter(length(col("text")) >= 3)
+        .select(col("doc_id"),
+          (length(col("text")) - lit(2)).cast("long").as("n_tok"),
+          col("text")),
+      Seq(col("doc_id"), col("n_tok")))
+    val aggs = langRows.flatMap { case (l, _, _) =>
+      Seq(sum(col(s"`$l`")).as(s"s_$l"), count(col(s"`$l`")).as(s"c_$l"))
+    }
+    val perDoc = hits.join(broadcast(wWide), Seq("qb"), "left")
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(aggs.head, aggs.tail: _*)
+    val scoreStructs = langRows.map { case (l, oov, prior) =>
+      struct((-(lit(prior) + coalesce(col(s"`s_$l`"), lit(0L)) +
+        (col("n_tok") - col(s"`c_$l`")) * lit(oov))).as("neg"),
+        lit(l).as("lang"))
+    }
+    perDoc
+      .withColumn("best", element_at(sort_array(array(scoreStructs: _*)), 1))
+      .select(col("doc_id"), col("best.lang").as("lang_pred"),
+        (-col("best.neg")).as("score_micro"))
   }
 
   private val trainedMemo =
