@@ -411,21 +411,51 @@ object LexStore {
   def loadAt(spark: SparkSession, h: Handle,
              queryTerms: Seq[String]): Similarity.LexIndex = {
     import spark.implicits._
-    val (gen, n, sumDl) = (h.gen, h.n, h.sumDl)
     // bucket ids through the SAME Column expression the writer used —
     // a tiny local job over the query terms, so the probe set can
     // never drift from the stored partitioning
     val buckets = queryTerms.toDF("term")
       .select(bucketOf(col("term")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    probedAt(spark, h, buckets)
+  }
+
+  /** The probed postings scan for an already-computed bucket set —
+    * shared by [[loadAt]] and [[loadForCorpusQueries]]. */
+  private def probedAt(spark: SparkSession, h: Handle,
+                       buckets: Seq[Int]): Similarity.LexIndex = {
     val post = h.deltaDirs.map { d =>
       spark.read.parquet(s"$d/postings.parquet")
-    }.foldLeft(spark.read.parquet(s"$gen/postings.parquet")) {
+    }.foldLeft(spark.read.parquet(s"${h.gen}/postings.parquet")) {
       (acc, d) => acc.unionByName(d)
     }
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
-    Similarity.LexIndex(post, n.toDouble, sumDl.toDouble / n)
+    Similarity.LexIndex(post, h.n.toDouble, h.sumDl.toDouble / h.n)
+  }
+
+  /** [[load]] for the hybrid entries' query batch, with the
+    * bucket-probe set computed in the SAME job that reads the query
+    * docs (r15, guide §1 — measured): the old path ran one job to
+    * collect the batch's distinct terms ([[queryTermsOf]], ~0.36 s)
+    * and a SECOND local job just to hash them into bucket ids
+    * (~0.2 s) — but the term strings themselves were never used
+    * downstream (the lexical arm re-derives its own query vocabulary
+    * frame), only their buckets. One job now collects the distinct
+    * bucket ids directly; the probe set still goes through the SAME
+    * [[bucketOf]] Column the writer used, so it can never drift from
+    * the stored partitioning. */
+  private[llmdata] def loadForCorpusQueries(spark: SparkSession,
+                                            lexDir: String,
+                                            corpusDir: String,
+                                            nQueries: Int): Similarity.LexIndex = {
+    val h = open(spark, lexDir)
+    val buckets = Tables.documents(spark, corpusDir)
+      .filter(col("doc_id") < nQueries)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .select(bucketOf(col("term")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    probedAt(spark, h, buckets)
   }
 
   private val storedMemo =

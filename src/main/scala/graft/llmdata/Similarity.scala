@@ -743,9 +743,8 @@ object Similarity {
                           rrfK: Int = 60): DataFrame =
     hybridRrfWith(spark, dir, nQueries, k, perArm, rrfK,
       bruteForceTopK(spark, dir, nQueries, perArm),
-      lexIdx = Some(LexStore.load(spark,
-        LexStore.storedLexFor(spark, dir),
-        LexStore.queryTermsOf(spark, dir, nQueries))))
+      lexIdx = Some(LexStore.loadForCorpusQueries(spark,
+        LexStore.storedLexFor(spark, dir), dir, nQueries)))
 
   /** The FULLY-PERSISTED serving stack — dense arm from the stored
     * IVF∘PQ index ([[AnnIndex]]), lexical arm from the stored BM25
@@ -762,9 +761,8 @@ object Similarity {
     hybridRrfWith(spark, dir, nQueries, k, perArm, rrfK,
       AnnIndex.ivfPqTopK(spark, dir,
         AnnIndex.storedIndexFor(spark, dir), nQueries, perArm),
-      lexIdx = Some(LexStore.load(spark,
-        LexStore.storedLexFor(spark, dir),
-        LexStore.queryTermsOf(spark, dir, nQueries))))
+      lexIdx = Some(LexStore.loadForCorpusQueries(spark,
+        LexStore.storedLexFor(spark, dir), dir, nQueries)))
 
   /** Memoized lexical postings index per (session, corpus): the
     * (doc_id, term, tf, dl) frame plus the two corpus scalars (doc

@@ -689,35 +689,37 @@ object TextAnalysis {
            |  i -> $windowHash)""".stripMargin)).as("windows"))
   }
 
-  /** (doc_id, window-fingerprint) postings computed the
-    * codegen-friendly way: explode tokens once, chain `lead` over
-    * (doc_id, pos) to assemble the 4-token window, fingerprint it.
-    * Same window EQUALITY semantics as [[rollingFingerprints]] (tokens
-    * cannot contain the space the separator uses) but ~4× faster:
-    * every operator here is compiled, where the array-`transform` form
-    * pays an interpreted lambda per window (measured on this corpus).
+  /** The overlapping [[RollWindow]]-token window pattern: one capture
+    * per token position, token = a run of non-space — identical to
+    * the split-on-space window text wherever the text is single-space
+    * separated (every driver corpus; the md5 window identity already
+    * leaned on space-separated tokens). Shared by [[spanRemoval]] and
+    * [[rollingPostings]]. */
+  private val rollWindowPattern: String =
+    Seq.fill(RollWindow)("[^ ]+").mkString("(?:^| )(?=(", " ", "))")
+
+  /** (doc_id, window-fingerprint) postings. r15 optimization (guide
+    * §2.4 — measured): the r14 form exploded tokens and chained
+    * 3 `lead`s over a per-doc window to assemble the 4-token window —
+    * an Exchange(doc_id) + sort of every token row to re-adjoin
+    * neighbors that were adjacent in the source string all along
+    * (itself chosen over the array-`transform` form, whose
+    * interpreted per-window lambda measured 4× slower). The
+    * overlapping-capture regex emits the identical space-joined
+    * window multiset ROW-LOCALLY (verified (doc_id, pos, md5)
+    * multiset-identical on the real corpus; 2.33 s → 0.50 s for the
+    * window pass at sf0.1) — zero exchanges before the distinct.
     *
     * Fingerprint (r15, VERDICT r14 #4 — the oracle restatement): md5
     * of the space-joined window text — the same window identity the
     * contamination oracle already mirrors — so the overlap pairs are
-    * oracle-checked end-to-end instead of rows-only. Plan shape
-    * unchanged (posexplode → lead chain → distinct). */
-  private def rollingPostings(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    * oracle-checked end-to-end instead of rows-only. */
+  private def rollingPostings(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), col("pos"), col("col").as("t0"))
-      .select(col("doc_id"), col("t0"),
-        lead(col("t0"), 1).over(w).as("t1"),
-        lead(col("t0"), 2).over(w).as("t2"),
-        lead(col("t0"), 3).over(w).as("t3"))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"))
-          .cast("binary")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"regexp_extract_all(text, '$rollWindowPattern', 1)")).as("wt"))
+      .select(col("doc_id"), md5(col("wt").cast("binary")).as("w"))
       .distinct()
-  }
 
   /** Passage-overlap pairs via rolling windows: docs sharing ≥ minShared
     * window hashes — inverted-index grouping on the window hash, never
@@ -1221,24 +1223,19 @@ object TextAnalysis {
   private def contaminationBuild(spark: SparkSession, dir: String,
                                  minShared: Int,
                                  maxDocFreq: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val wins = Tables.documents(spark, dir)
       // split is a pure function of doc_id: drop val docs BEFORE the
       // window explode so a tenth of the corpus never enters the
       // expensive pass (same plan a 100 TB run wants)
       .withColumn("split", splitColumn(col("doc_id")))
       .filter(col("split") =!= "val")
-      .select(col("doc_id"), posexplode(toks(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("t0"))
-      .select(col("doc_id"), col("pos"), col("t0"),
-        lead(col("t0"), 1).over(w).as("t1"),
-        lead(col("t0"), 2).over(w).as("t2"),
-        lead(col("t0"), 3).over(w).as("t3"))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"))
-          .cast("binary")).as("w"))
+      // r15: the same row-local overlapping-capture window build as
+      // [[rollingPostings]] (verified window-multiset-identical to
+      // the lead-chain on the real corpus) — no Exchange(doc_id) +
+      // sort of the token stream before the distinct
+      .select(col("doc_id"), explode(expr(
+        s"regexp_extract_all(text, '$rollWindowPattern', 1)")).as("wt"))
+      .select(col("doc_id"), md5(col("wt").cast("binary")).as("w"))
       .distinct()
       // split is re-derived (pure function of doc_id) rather than
       // threaded through the window pass
@@ -1905,19 +1902,24 @@ object TextAnalysis {
     * constant 4× of matched windows, de-duplicated per (doc, position)
     * by a doc-partitioned aggregate bounded by document length. */
   def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // r15 optimization (guide §2.4 — measured): the 4-token windows
+    // used to come from posexplode + a 3-deep `lead` chain over a
+    // per-doc window — an Exchange(doc_id) + sort of every TOKEN row
+    // just to re-adjoin neighbors that were adjacent in the source
+    // string all along. The overlapping-capture regex emits the same
+    // space-joined window per token position ROW-LOCALLY (posexplode
+    // index = token index, exactly the old `pos`), verified
+    // (doc_id, pos, md5) multiset-identical on the real corpus:
+    // 2.33 s -> 0.50 s for the window build at sf0.1. Token = a run
+    // of non-space (the corpus is single-space separated at every SF
+    // — checked; split-on-space and [^ ]+ agree wherever no empty
+    // tokens exist, the same assumption the md5 window identity
+    // already leaned on).
     val wins = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("t0"))
-      .select(col("doc_id"), col("pos"), col("t0"),
-        lead(col("t0"), 1).over(w).as("t1"),
-        lead(col("t0"), 2).over(w).as("t2"),
-        lead(col("t0"), 3).over(w).as("t3"))
-      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
+        s"regexp_extract_all(text, '$rollWindowPattern', 1)")))
       .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"))
-          .cast("binary")).as("w"))
+        md5(col("col").cast("binary")).as("w"))
       // both the dup-set aggregate and the marking join consume this;
       // materialize once (at 100 TB this is the persisted window index)
       .localCheckpoint()

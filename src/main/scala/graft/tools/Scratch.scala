@@ -150,6 +150,96 @@ object Scratch {
         timed("hybrid stored (lex only diff)") {
           drive(Similarity.hybridRrfStoredTopK(spark, sfDir, 5, 10))
         }
+      case "ivfpq" =>
+        import graft.llmdata.AnnIndex
+        val annDir = AnnIndex.storedIndexFor(spark, sfDir)
+        timed("ivfPqTopK stored (1)") {
+          drive(AnnIndex.ivfPqTopK(spark, sfDir, annDir, 5, 20))
+        }
+        timed("ivfPqTopK stored (2)") {
+          drive(AnnIndex.ivfPqTopK(spark, sfDir, annDir, 5, 20))
+        }
+        val h = AnnIndex.open(spark, annDir)
+        timed("open (again)") { AnnIndex.open(spark, annDir); () }
+        timed("topKAt (pinned handle)") {
+          drive(AnnIndex.topKAt(spark, h, sfDir, 5, 20))
+        }
+        timed("queries collect") {
+          graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+            .select(col("vec_id"), col("embedding")).collect(); ()
+        }
+      case "span" =>
+        val docs = graft.Tables.documents(spark, sfDir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val leadWins = docs
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("t0"))
+          .select(col("doc_id"), col("pos"), col("t0"),
+            lead(col("t0"), 1).over(w).as("t1"),
+            lead(col("t0"), 2).over(w).as("t2"),
+            lead(col("t0"), 3).over(w).as("t3"))
+          .filter(col("t3").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            md5(concat_ws(" ", col("t0"), col("t1"), col("t2"), col("t3"))
+              .cast("binary")).as("w"))
+        val regexWins = docs
+          .select(col("doc_id"), posexplode(expr(
+            "regexp_extract_all(text, '(?:^| )(?=([^ ]+ [^ ]+ [^ ]+ [^ ]+))', 1)")))
+          .select(col("doc_id"), col("pos"), md5(col("col").cast("binary")).as("w"))
+        timed("lead-chain windows") { drive(leadWins) }
+        timed("regex windows") { drive(regexWins) }
+        def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            expr("sum(pmod(xxhash64(doc_id, pos, w, 42), 1000000007))")).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val a = sig(leadWins); val b = sig(regexWins)
+        println(s"[scratch] lead=$a regex=$b identical=${a == b}")
+        timed("full spanRemoval (1)") {
+          drive(graft.llmdata.TextAnalysis.spanRemoval(spark, sfDir))
+        }
+        timed("full spanRemoval (2)") {
+          drive(graft.llmdata.TextAnalysis.spanRemoval(spark, sfDir))
+        }
+      case "mh" =>
+        val docs = graft.Tables.documents(spark, sfDir)
+        timed("minhash neardup (1)") {
+          drive(graft.llmdata.Dedup.minhashNearDup(spark, sfDir, 0.8))
+        }
+        timed("minhash neardup (2)") {
+          drive(graft.llmdata.Dedup.minhashNearDup(spark, sfDir, 0.8))
+        }
+        timed("simhash pairs (2x)") {
+          drive(graft.llmdata.Dedup.simhashNearDup(spark, sfDir, 6))
+        }
+        timed("simhash pairs (2)") {
+          drive(graft.llmdata.Dedup.simhashNearDup(spark, sfDir, 6))
+        }
+      case "open" =>
+        import graft.llmdata.AnnIndex
+        val annDir = AnnIndex.storedIndexFor(spark, sfDir)
+        AnnIndex.open(spark, annDir) // warm FS metadata
+        val gen = graft.sync.GenDir.newest(spark, annDir).get._2
+        timed("open total") { AnnIndex.open(spark, annDir); () }
+        timed("centroids collect") {
+          spark.read.parquet(s"$gen/centroids.parquet").collect(); () }
+        timed("books collect") {
+          spark.read.parquet(s"$gen/books.parquet").collect(); () }
+        timed("rotation collect") {
+          spark.read.parquet(s"$gen/rotation.parquet").collect(); () }
+        timed("meta json") {
+          graft.sync.GenDir.readJson(spark, s"$gen/meta.json", "m"); () }
+        timed("deltas listing") {
+          graft.sync.GenDir.deltas(spark, gen); () }
+        timed("3 collects threaded") {
+          val ths = Seq(s"$gen/centroids.parquet", s"$gen/books.parquet",
+            s"$gen/rotation.parquet").map { p =>
+            val t = new Thread(() => { spark.read.parquet(p).collect(); () })
+            t.start(); t
+          }
+          ths.foreach(_.join())
+        }
       case other =>
         println(s"[scratch] unknown mode $other")
     }
