@@ -74,16 +74,17 @@ object Dedup {
   def shinglePostings(spark: SparkSession, dir: String): DataFrame =
     postingsMemo.synchronized {
       postingsMemo.getOrElseUpdate((spark, dir), {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        // r15 (guide §2.4): row-local overlapping-capture trigram
+        // windows ([[TextAnalysis.tokenWindowPattern]]) instead of
+        // posexplode + a 2-deep lead chain — drops the
+        // Exchange(doc_id) + sort of the full token stream ahead of
+        // the distinct (window multiset verified identical on the
+        // real corpus; the contamination/span builders share the
+        // same restatement)
         Tables.documents(spark, dir)
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .select(col("doc_id"), col("pos"), col("col").as("t0"))
-          .select(col("doc_id"), col("t0"),
-            lead(col("t0"), 1).over(w).as("t1"),
-            lead(col("t0"), 2).over(w).as("t2"))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"), concat_ws(" ", col("t0"), col("t1"), col("t2")).as("g"))
+          .select(col("doc_id"), explode(expr(
+            s"regexp_extract_all(text, '${TextAnalysis.tokenWindowPattern(3)}', 1)"))
+            .as("g"))
           .distinct()
           .cache()
       })

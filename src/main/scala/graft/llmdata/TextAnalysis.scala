@@ -689,14 +689,21 @@ object TextAnalysis {
            |  i -> $windowHash)""".stripMargin)).as("windows"))
   }
 
-  /** The overlapping [[RollWindow]]-token window pattern: one capture
-    * per token position, token = a run of non-space — identical to
-    * the split-on-space window text wherever the text is single-space
-    * separated (every driver corpus; the md5 window identity already
-    * leaned on space-separated tokens). Shared by [[spanRemoval]] and
-    * [[rollingPostings]]. */
-  private val rollWindowPattern: String =
-    Seq.fill(RollWindow)("[^ ]+").mkString("(?:^| )(?=(", " ", "))")
+  /** Overlapping n-token window pattern: one capture per token
+    * position, token = a run of non-space — identical to the
+    * split-on-space window text wherever the text is single-space
+    * separated (every driver corpus at every SF — checked; the md5
+    * window identities already leaned on space-separated tokens).
+    * r15 (guide §2.4): every n-gram builder that used posexplode +
+    * an (n−1)-deep `lead` chain — an Exchange(doc_id) + sort of the
+    * full token stream just to re-adjoin tokens adjacent in the
+    * source string — now emits its windows ROW-LOCALLY through this
+    * pattern (verified window-multiset-identical on the real corpus;
+    * isolated window pass 2.33 s → 0.50 s at sf0.1). */
+  private[llmdata] def tokenWindowPattern(n: Int): String =
+    Seq.fill(n)("[^ ]+").mkString("(?:^| )(?=(", " ", "))")
+
+  private val rollWindowPattern: String = tokenWindowPattern(RollWindow)
 
   /** (doc_id, window-fingerprint) postings. r15 optimization (guide
     * §2.4 — measured): the r14 form exploded tokens and chained
@@ -1456,21 +1463,22 @@ object TextAnalysis {
     * 0.5)`, identical in DuckDB), summed as exact longs. */
   def bigramLogprob(spark: SparkSession, dir: String,
                     lambda: Double = 0.75): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("t"))
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
     val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
       .withColumnRenamed("t", "u1")
     // token total = Σcu over the vocabulary-sized aggregate — NOT a
     // third corpus-wide scan+explode (identical value to COUNT(*) of
     // the token stream, which is what the DuckDB mirror computes)
     val total = uni.agg(sum(col("cu")).cast("double").as("tot"))
-    val bg = tok
-      .withColumn("t1", lead(col("t"), 1).over(w))
-      .filter(col("t1").isNotNull)
-      .select(col("doc_id"), col("t").as("w0"), col("t1").as("w1"))
+    // r15: row-local bigram windows ([[tokenWindowPattern]]) — no
+    // Exchange(doc_id)+sort of the token stream before the counts
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        s"regexp_extract_all(text, '${tokenWindowPattern(2)}', 1)")).as("wt"))
+      .select(col("doc_id"),
+        substring_index(col("wt"), " ", 1).as("w0"),
+        substring_index(col("wt"), " ", -1).as("w1"))
     val bgc = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("cb"))
     val ctx = bgc.groupBy(col("w0")).agg(sum(col("cb")).as("cc"))
     val p = lit(lambda) * (col("cb").cast("double") / col("cc").cast("double")) +
@@ -1716,14 +1724,11 @@ object TextAnalysis {
   private def repetitionRaw(spark: SparkSession, dir: String,
                             maxDupRatio: Double,
                             maxTopFrac: Double): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // r15: row-local bigram windows ([[tokenWindowPattern]]) — no
+    // Exchange(doc_id)+sort of the token stream before the counts
     val big = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("t0"))
-      .withColumn("t1", lead(col("t0"), 1).over(w))
-      .filter(col("t1").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("t0"), col("t1")).as("bg"))
+      .select(col("doc_id"), explode(expr(
+        s"regexp_extract_all(text, '${tokenWindowPattern(2)}', 1)")).as("bg"))
     val perBg = big.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("c"))
     val scored = perBg.groupBy(col("doc_id"))
@@ -1859,17 +1864,12 @@ object TextAnalysis {
     * hash-partitioned on the n-gram (AQE runtime-broadcasts a small
     * vocabulary); final rollup is 3 groups. */
   def splitOov(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // r15: row-local trigram windows ([[tokenWindowPattern]]) — no
+    // Exchange(doc_id)+sort of the token stream before the checkpoint
     val tg = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("t0"))
-      .select(col("doc_id"), col("t0"),
-        lead(col("t0"), 1).over(w).as("t1"),
-        lead(col("t0"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(splitColumn(col("doc_id")).as("split"),
-        concat_ws(" ", col("t0"), col("t1"), col("t2")).as("g"))
+      .select(col("doc_id"), explode(expr(
+        s"regexp_extract_all(text, '${tokenWindowPattern(3)}', 1)")).as("g"))
+      .select(splitColumn(col("doc_id")).as("split"), col("g"))
       .localCheckpoint()
     val trainVocab = tg.filter(col("split") === "train")
       .select(col("g")).distinct().withColumn("hit", lit(1))

@@ -203,18 +203,44 @@ object Scratch {
           drive(graft.llmdata.TextAnalysis.spanRemoval(spark, sfDir))
         }
       case "mh" =>
-        val docs = graft.Tables.documents(spark, sfDir)
+        import graft.llmdata.Dedup
         timed("minhash neardup (1)") {
-          drive(graft.llmdata.Dedup.minhashNearDup(spark, sfDir, 0.8))
+          drive(Dedup.minhashNearDup(spark, sfDir, 0.5))
         }
         timed("minhash neardup (2)") {
-          drive(graft.llmdata.Dedup.minhashNearDup(spark, sfDir, 0.8))
+          drive(Dedup.minhashNearDup(spark, sfDir, 0.5))
         }
-        timed("simhash pairs (2x)") {
-          drive(graft.llmdata.Dedup.simhashNearDup(spark, sfDir, 6))
+        // stage isolation: signatures alone (32 md5-min buffers)
+        val posting = Dedup.shinglePostings(spark, sfDir)
+        val sigAggs = (0 until 32).map(j =>
+          min(substring(md5(concat(lit(s"$j:"), col("g")).cast("binary")),
+            1, 15)).as(s"mh$j"))
+        val sigs = posting.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+        timed("sigs only (1)") { drive(sigs) }
+        timed("sigs only (2)") { drive(sigs) }
+        // dictionary variant: md5 once per distinct shingle
+        val gd = (0 until 32).map(j =>
+          min(substring(md5(concat(lit(s"$j:"), col("g")).cast("binary")),
+            1, 15)).as(s"mh$j")) // same expr but over distinct g via two-level agg
+        val sigsDict = posting
+          .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ids"))
+          .select(explode(col("ids")).as("doc_id"), col("g"))
+        timed("noop") { () }
+        val dict = posting.select(col("g")).distinct()
+          .select(col("g") +: (0 until 32).map(j =>
+            substring(md5(concat(lit(s"$j:"), col("g")).cast("binary")),
+              1, 15).as(s"h$j")): _*)
+        val sigs2 = posting.join(broadcast(dict), "g")
+          .groupBy("doc_id")
+          .agg(min(col("h0")).as("mh0"),
+            (1 until 32).map(j => min(col(s"h$j")).as(s"mh$j")): _*)
+        timed("sigs dict (1)") { drive(sigs2) }
+        timed("sigs dict (2)") { drive(sigs2) }
+        timed("simhash pairs (1)") {
+          drive(Dedup.simhashNearDup(spark, sfDir, 6))
         }
         timed("simhash pairs (2)") {
-          drive(graft.llmdata.Dedup.simhashNearDup(spark, sfDir, 6))
+          drive(Dedup.simhashNearDup(spark, sfDir, 6))
         }
       case "open" =>
         import graft.llmdata.AnnIndex
@@ -239,6 +265,23 @@ object Scratch {
             t.start(); t
           }
           ths.foreach(_.join())
+        }
+      case "ingestfx" =>
+        import graft.llmdata.Ingest
+        val work = java.nio.file.Files
+          .createTempDirectory("graft-scratch-ingest").toString
+        val dirs = Ingest.dirsUnder(work)
+        timed("bootstrap") {
+          Ingest.bootstrap(spark, sfDir, dirs, 10, 7)
+        }
+        val docs = graft.Tables.documents(spark, sfDir)
+        val emb = graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        timed("run (1 shard)") {
+          Ingest.run(spark, dirs,
+            docs.filter(col("doc_id") % 10 =!= 7),
+            docs.filter(col("doc_id") % 10 === 7),
+            emb.filter(col("vec_id") % 10 === 7), shardId = 0L)
         }
       case other =>
         println(s"[scratch] unknown mode $other")
