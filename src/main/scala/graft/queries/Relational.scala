@@ -339,6 +339,14 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      // r15 (guide §3.3): `delayed` feeds BOTH the probe side and the
+      // anti side below; without materialization the plan computes
+      // the fact⋈fact distinct TWICE (12 parquet scans at bench —
+      // lineitem and orders each scanned twice for this subtree
+      // alone). One eager checkpoint halves the fact work; the
+      // checkpointed frame is (orderkey, suppkey)-distinct, bounded
+      // by delayed line items, never wider than the fact table.
+      .localCheckpoint()
     val multi = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_supp"))
