@@ -60,6 +60,57 @@ object Similarity {
     else java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** The shared top-k tail over a scored candidate frame
+    * (query_id, neighbor_id, sim) — r16, guide §2.3/§2.4: the
+    * `row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+    * neighbor_id) <= k` window sorted every candidate row twice
+    * (map-side for the WindowGroupLimit prune, reduce-side for the
+    * Window) and still shipped k rows per map partition per query;
+    * the bounded [[graft.plans.TopKPairsAgg]] aggregate keeps an O(k)
+    * buffer per query, partial-aggregates map-side (O(n log k) heap
+    * updates over the unbounded candidate stream instead of an
+    * O(n log n) sort), and emits the k best in rank order — posexplode
+    * index + 1 IS the row_number.
+    *
+    * Exactness: every `sim` here is a `round(…, 6)` cosine — the
+    * nearest double of a 6-dp decimal m/10⁶ with |m| ≤ 10⁶ — so
+    * `floor(sim·10⁶ + 0.5)` recovers m exactly (the fp product's error
+    * is ≤ 10⁶·2⁻⁵² ≪ 0.5) and the IEEE-correctly-rounded division
+    * `m / 10⁶` reconstructs the identical double (both are the nearest
+    * double of the same decimal). Ordering by m ≡ ordering by sim
+    * (strictly monotone on the round6 range); a NaN sim (zero-norm
+    * vector) encodes to Long.MaxValue — exactly the window's
+    * NaN-sorts-largest — and decodes back to NaN. SimilaritySpec pins
+    * the window form ≡ this form on the real corpus; every consumer is
+    * oracle- or spec-gated on row equality. Falls back to the window
+    * form on sessions without [[graft.plans.GraftExtensions]]. */
+  private[llmdata] def simTopK(spark: SparkSession, scored: DataFrame,
+                               k: Int): DataFrame =
+    if (spark.catalog.functionExists("topk_pairs")) {
+      scored
+        .select(col("query_id"), col("neighbor_id"),
+          when(isnan(col("sim")), lit(Long.MaxValue))
+            .otherwise(floor(col("sim") * lit(1000000.0) + lit(0.5))
+              .cast("long")).as("sim_micro"))
+        .groupBy(col("query_id"))
+        .agg(call_function("topk_pairs", col("sim_micro"),
+          col("neighbor_id"), lit(k)).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), col("col.id").as("neighbor_id"),
+          (col("pos") + lit(1)).as("rnk"),
+          when(col("col.score") === lit(Long.MaxValue), lit(Double.NaN))
+            .otherwise(col("col.score").cast("double") / lit(1000000.0))
+            .as("sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+        .orderBy(col("query_id"), col("rnk"))
+    }
+
   /** Exact top-k neighbors for the query set `vec_id < nQueries`.
     * Plan shape: the tiny query side broadcasts into a nested-loop
     * join against the corpus (scan stays partition-parallel), then a
@@ -73,12 +124,7 @@ object Similarity {
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val sims = q.join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    simTopK(spark, sims, k)
   }
 
   // ------------------------------------------------------------- LSH
@@ -595,16 +641,11 @@ object Similarity {
       }
     val queries = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    probePairs.join(corpus, "cell")
-      .join(broadcast(queries), "query_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    simTopK(spark,
+      probePairs.join(corpus, "cell")
+        .join(broadcast(queries), "query_id")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineBest(spark, col("qe"), col("ne"))), k)
   }
 
   /** Approximate top-k: candidates = corpus vectors sharing any LSH band
@@ -651,13 +692,8 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    simTopK(spark,
+      cand.withColumn("sim", cosineBest(spark, col("qe"), col("ne"))), k)
   }
 
   /** FILTERED vector search — the predicate+ANN combination every
@@ -680,14 +716,9 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .join(quality, "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    q.join(c, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    simTopK(spark,
+      q.join(c, col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineBest(spark, col("qe"), col("ne"))), k)
   }
 
   /** HYBRID retrieval with reciprocal-rank fusion — the standard
@@ -757,12 +788,29 @@ object Similarity {
     * unchanged. */
   def hybridRrfStoredStackTopK(spark: SparkSession, dir: String,
                                nQueries: Int, k: Int, perArm: Int = 20,
-                               rrfK: Int = 60): DataFrame =
+                               rrfK: Int = 60): DataFrame = {
+    // r16 (guide §2.6 — overlap independent driver jobs): the dense
+    // arm's cold open (generation resolve + 3 model collects) and the
+    // lexical arm's cold load (generation resolve + the query-bucket
+    // collect) are independent per-call artifact reads — the
+    // restarted-server shape pays both on every call BY DESIGN, so
+    // they now overlap instead of queueing behind each other.
+    // Failures propagate: Await rethrows the first exception.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val annDir = AnnIndex.storedIndexFor(spark, dir)
+    val lexDir = LexStore.storedLexFor(spark, dir)
+    val fDense = Future {
+      AnnIndex.ivfPqTopK(spark, dir, annDir, nQueries, perArm)
+    }
+    val fLex = Future {
+      LexStore.loadForCorpusQueries(spark, lexDir, dir, nQueries)
+    }
     hybridRrfWith(spark, dir, nQueries, k, perArm, rrfK,
-      AnnIndex.ivfPqTopK(spark, dir,
-        AnnIndex.storedIndexFor(spark, dir), nQueries, perArm),
-      lexIdx = Some(LexStore.loadForCorpusQueries(spark,
-        LexStore.storedLexFor(spark, dir), dir, nQueries)))
+      Await.result(fDense, Duration.Inf),
+      lexIdx = Some(Await.result(fLex, Duration.Inf)))
+  }
 
   /** Memoized lexical postings index per (session, corpus): the
     * (doc_id, term, tf, dl) frame plus the two corpus scalars (doc
@@ -820,39 +868,85 @@ object Similarity {
     val idx = lexIdx.getOrElse(lexIndexFor(spark, dir))
     val tfq = idx.post
       .join(broadcast(qt.select(col("term")).distinct()), "term")
-    val df = tfq.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    // r16 (guide §2.3/§2.4): df = per-term posting count over the SAME
+    // tfq pass — (doc, term) is unique at postings grain, so
+    // count(*) OVER (PARTITION BY term) ≡ the old separate
+    // countDistinct(doc_id) aggregate branch, which recomputed the
+    // whole postings⋈vocab join a second time (2 scans + 2 exchanges)
+    // just to broadcast df back in. One pass, one exchange, no third
+    // broadcast. (This Window is a full-frame count, not a top-k rank
+    // — nothing sorts beyond the term clustering.)
+    val withDf = tfq.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
     val idf = log((lit(idx.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val score = idf * (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(idx.avgdl)))
-    val wLex = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_micro").desc, col("neighbor_id"))
-    val lex = tfq
+    val lexScores = withDf
       .join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(df), "term")
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         floor(score * lit(1000000.0) + lit(0.5)).as("micro"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("micro")).as("score_micro"))
-      .withColumn("rnk_lex", row_number().over(wLex))
-      .filter(col("rnk_lex") <= perArm)
-      .select(col("query_id"), col("neighbor_id"), col("rnk_lex"))
+    // r16: the per-arm top-k runs as the bounded topk_pairs aggregate
+    // (O(perArm) state per query, partial map-side) instead of a
+    // row_number window over the unbounded per-query candidate set —
+    // same (score DESC, id ASC) total order, posexplode index + 1 is
+    // the old rank (see [[simTopK]]; falls back to the window form on
+    // sessions without GraftExtensions)
+    val lex =
+      if (spark.catalog.functionExists("topk_pairs"))
+        lexScores
+          .groupBy(col("query_id"))
+          .agg(call_function("topk_pairs", col("score_micro"),
+            col("neighbor_id"), lit(perArm)).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")))
+          .select(col("query_id"), col("col.id").as("neighbor_id"),
+            (col("pos") + lit(1)).as("rnk_lex"))
+      else {
+        val wLex = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_micro").desc, col("neighbor_id"))
+        lexScores
+          .withColumn("rnk_lex", row_number().over(wLex))
+          .filter(col("rnk_lex") <= perArm)
+          .select(col("query_id"), col("neighbor_id"), col("rnk_lex"))
+      }
 
-    // RRF contribution is a pure function of the integer rank
+    // RRF contribution is a pure function of the integer rank.
+    // r16 fusion (guide §2.4): UNION + one aggregate instead of the
+    // full-outer sort-merge join (2 exchanges + 4 sorts on the two
+    // ≤ Q·perArm arm frames) — each (query, neighbor) appears at most
+    // once per arm, so sum(contrib) over the union ≡ the joined
+    // contrib(rnk_dense) + contrib(rnk_lex) with nulls as 0, and
+    // max() recovers each arm's rank (null where the arm missed).
     def contrib(rnk: Column): Column =
-      when(rnk.isNull, 0L)
-        .otherwise(floor(lit(1000000.0) / (lit(rrfK) + rnk) + lit(0.5)))
-    val wFuse = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
-    dense.join(lex, Seq("query_id", "neighbor_id"), "full_outer")
+      floor(lit(1000000.0) / (lit(rrfK) + rnk) + lit(0.5))
+    val fused = dense
       .select(col("query_id"), col("neighbor_id"),
-        (contrib(col("rnk_dense")) + contrib(col("rnk_lex"))).as("rrf_micro"),
-        col("rnk_dense"), col("rnk_lex"))
-      .withColumn("rnk", row_number().over(wFuse))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        col("rrf_micro"), col("rnk_dense"), col("rnk_lex"))
+        contrib(col("rnk_dense")).as("c"),
+        col("rnk_dense"), lit(null).cast("int").as("rnk_lex"))
+      .unionByName(lex.select(col("query_id"), col("neighbor_id"),
+        contrib(col("rnk_lex")).as("c"),
+        lit(null).cast("int").as("rnk_dense"), col("rnk_lex")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("c")).as("rrf_micro"),
+        max(col("rnk_dense")).as("rnk_dense"),
+        max(col("rnk_lex")).as("rnk_lex"))
+    // final top-k: the fused frame is query-batch-bounded (≤ 2·Q·perArm
+    // rows), so a row-local sorted-struct slice replaces the rank
+    // window outright — the struct comparison never reaches the
+    // nullable rank fields (neighbor_id is unique per query)
+    fused
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("rrf_micro")).as("neg"), col("neighbor_id"),
+        col("rnk_dense"), col("rnk_lex")))), 1, k).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + lit(1)).as("rnk"),
+        (-col("col.neg")).as("rrf_micro"),
+        col("col.rnk_dense").as("rnk_dense"),
+        col("col.rnk_lex").as("rnk_lex"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1122,16 +1216,11 @@ object Similarity {
     // exact rerank of the R survivors per query
     val qFrame = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    topR
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
-      .join(broadcast(qFrame), "query_id")
-      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    simTopK(spark,
+      topR
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .join(broadcast(qFrame), "query_id")
+        .withColumn("sim", cosineBest(spark, col("qe"), col("ne"))), k)
   }
 
   // ---------------------------------------------------------- IVF∘PQ
@@ -1653,16 +1742,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val qFrame = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    topR
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
-      .join(broadcast(qFrame), "query_id")
-      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    simTopK(spark,
+      topR
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+        .join(broadcast(qFrame), "query_id")
+        .withColumn("sim", cosineBest(spark, col("qe"), col("ne"))), k)
   }
 
   // ------------------------------------------------------------- MMR
@@ -2248,18 +2332,13 @@ object Similarity {
       .filter(col("crnk") <= cands)
       .select(col("query_id"), col("neighbor_id"))
     val e = Tables.embeddings(spark, dir)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    shortlist
-      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-        "query_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-        "neighbor_id")
-      .withColumn("sim", cosineBest(spark, col("qe"), col("ne")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("query_id"), col("rnk"))
+    simTopK(spark,
+      shortlist
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+          "neighbor_id")
+        .withColumn("sim", cosineBest(spark, col("qe"), col("ne"))), k)
   }
 
   def labelDiversity(spark: SparkSession, dir: String): DataFrame = {

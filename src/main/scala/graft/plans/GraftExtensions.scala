@@ -133,6 +133,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_sketch takes 1 or 3 arguments: bloom_sketch(col[, numBits, numHashes])")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "topk_pairs takes exactly 3 arguments: topk_pairs(score, id, k)")
+        TopKPairsAgg(args.head, args(1), intLit(args(2), "topk_pairs", "k"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
       (args: Seq[Expression]) => {

@@ -242,6 +242,9 @@ object Scratch {
         timed("simhash pairs (2)") {
           drive(Dedup.simhashNearDup(spark, sfDir, 6))
         }
+      case "2l" | "ddl" =>
+        // llmdata-private probes live next to the package they time
+        graft.llmdata.ScratchLlm.run(spark, sfDir, args.head, timed, drive)
       case "open" =>
         import graft.llmdata.AnnIndex
         val annDir = AnnIndex.storedIndexFor(spark, sfDir)
