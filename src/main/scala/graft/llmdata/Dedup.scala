@@ -2344,7 +2344,14 @@ object Dedup {
     val incoming = docs.filter(isIncoming(col("doc_id")))
     val existingMin = docs.filter(!isIncoming(col("doc_id")))
       .groupBy(col("h")).agg(min(col("doc_id")).as("exact_match"))
-    val pairs = jaccardPairs(spark, dir, threshold, maxDocFreq)
+    // r16: the capped-Jaccard pair graph comes from the SAME session
+    // memo nearDupClusters/dedupCorpus already share (the pair index
+    // is index-build work over the immutable corpus, not per-delta
+    // work — a production incremental dedup probes a persisted pair/
+    // cluster index, it does not recompute corpus×corpus pairs per
+    // batch); before this, every dedupDelta call re-ran the full
+    // shingle→postings→pairs plan.
+    val pairs = jaccardPairsFor(spark, dir, threshold, maxDocFreq)
     val nearMin = pairs
       .filter(isIncoming(col("id_a")) =!= isIncoming(col("id_b")))
       .select(

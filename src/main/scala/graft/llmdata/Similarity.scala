@@ -374,6 +374,7 @@ object Similarity {
   private[llmdata] def ivfCentroids(spark: SparkSession,
                                     corpus: DataFrame,
                                     numCells: Int = NumCells): Array[(Int, Seq[Float])] = {
+    import spark.implicits._
     val vecs = corpus.select(col("vec_id"), col("embedding")).cache()
     try {
       val n = vecs.count()
@@ -385,10 +386,22 @@ object Similarity {
           .zipWithIndex
           .map { case (r, i) => i -> r.getSeq[Float](r.fieldIndex("embedding")) }
       for (_ <- 0 until LloydIters) {
-        val means = vecs
-          .withColumn("cell",
-            element_at(nearestCells(spark, col("embedding"), cents, 1), 1)
-              .getField("cell"))
+        // r16 (§codegen + guide §2.4): per-round assignment through the
+        // SAME pinned [[nearestCellLocal]] kernel the corpus index uses
+        // (bit-identical to the retired Column-literal [[nearestCells]]
+        // take-1 by the parity contract SimilaritySpec asserts — round6
+        // cosine, ties to the lower cell). The literal form embedded
+        // cells·d float literals that RECOMPILED whole-stage codegen
+        // every round (cents change each iteration), ~1 s/round of pure
+        // compilation; the kernel ships one small broadcast instead.
+        val bc = spark.sparkContext.broadcast(
+          cents.sortBy(_._1).map(_._2.toArray))
+        val means = vecs.as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val ct = bc.value
+            it.map { case (_, v) => (nearestCellLocal(ct, v), v) }
+          }
+          .toDF("cell", "embedding")
           .select(col("cell"), posexplode(col("embedding")))
           .groupBy(col("cell"), col("pos"))
           .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1))).as("m"))
@@ -502,32 +515,109 @@ object Similarity {
                                       dir: String): IvfTableModel =
     ivfTableMemo.computeIfAbsent((spark, dir), key => new IvfModelHolder(() => {
       val sparkK = key._1
+      import sparkK.implicits._
       val n = corpusCount(sparkK, key._2)
       val corpus = Tables.embeddings(sparkK, key._2)
         .select(col("vec_id"), col("embedding"))
       val coarse = ivfCentroidsFor(sparkK, key._2)
       val width = math.max(1L, n / ivfDefaultCells(n).toLong)
-      val cents = twoLevelCentroids(sparkK, corpus, coarse, width)
-      // densify (cell, sub) → 0..k−1 in (cell, sub) order: k rows
-      // only (bounded √N-scale), severed from query plans by the
-      // localCheckpoint below
-      val wAll = Window.orderBy(col("cell"), col("sub"))
-      val dense = cents
-        .withColumn("dense", row_number().over(wAll).cast("int") - 1)
+      // r16 (guide §2): THIS model's fine table is √N-bounded (total
+      // cells ≈ ivfDefaultCells(n) — the broadcast-sized coarse-
+      // quantizer contract, ~8 MB at 1B vectors), so training runs the
+      // BOUNDED trainer: flat-trainer-shaped rounds (one 2-stage job +
+      // one O(√N·d) collect each — the same per-round driver traffic
+      // class as the final cellArr collect below) instead of the
+      // table-shaped trainer's per-round join + argmin-shuffle +
+      // checkpoint jobs. Bit-identical centroids by the kernel parity
+      // contract (SimilaritySpec pins bounded ≡ table trainer on the
+      // real corpus). The SemDeDup fine model (k ≈ N/width, NOT
+      // broadcast-sized) keeps [[twoLevelCentroids]].
+      val base = withCoarseCell(sparkK, corpus, coarse).localCheckpoint()
+      val cents = twoLevelCentroidsBounded(sparkK, base, width)
+      // densify (cell, sub) → 0..k−1 in (cell, sub) order — a driver
+      // map over the bounded array
+      val order = cents.sortBy(t => (t._1, t._2))
+      val denseOf = order.zipWithIndex
+        .map { case ((c, s, _), i) => ((c.toLong << 32) | s.toLong) -> i }
+        .toMap
+      val subsOf = order.groupBy(_._1)
+        .map { case (c, a) => c -> a.sortBy(_._2).map(_._3) }
+      val bcM = sparkK.sparkContext.broadcast((subsOf, denseOf))
+      // final assignment in ONE kernel pass: nearest sub within the
+      // row's coarse cell (same pinned cosine6 kernel = the retired
+      // join+struct-argmin winner), dense id and sim_micro computed
+      // row-locally
+      val assigned = base
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .as[(Long, Array[Float], Int)]
+        .mapPartitions { it =>
+          val (subs, dn) = bcM.value
+          it.map { case (vid, v, cell) =>
+            val sc = subs(cell)
+            val sub = nearestCellLocal(sc, v)
+            val sim = cosine6(v, sc(sub))
+            (vid, v, dn((cell.toLong << 32) | sub.toLong),
+              math.floor(sim * 1000000.0 + 0.5).toLong)
+          }
+        }
+        .toDF("vec_id", "embedding", "cluster", "centroid_sim_micro")
         .localCheckpoint()
-      val assigned = assignRows(sparkK,
-          withCoarseCell(sparkK, corpus, coarse), cents)
-        .join(dense.select(col("cell"), col("sub"), col("dense")),
-          Seq("cell", "sub"))
-        .select(col("vec_id"), col("embedding"),
-          col("dense").as("cluster"),
-          floor(-col("neg") * lit(1000000.0) + lit(0.5))
-            .cast("long").as("centroid_sim_micro"))
-        .localCheckpoint()
-      val cellArr = dense.select(col("dense"), col("centroid")).collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val cellArr = order.zipWithIndex
+        .map { case ((_, _, cv), i) => (i, cv) }
       IvfTableModel(cellArr, assigned)
     })).value
+
+  /** Bounded-model two-level Lloyd (r16): the same math as
+    * [[twoLevelCentroids]] — identical seeds, identical per-round
+    * decimal means, identical nearest-sub assignment (the pinned
+    * [[cosine6]] kernel ≡ the Column `round(cosine_sim, 6)`, ties to
+    * the smaller sub, NaN loses to any real cosine), identical
+    * empty-cluster rule — specialised to the regime where the fine
+    * table is √N-bounded: per-round state is a driver array + one
+    * broadcast, each round is ONE 2-stage job ending in an O(k·d)
+    * collect (k ≈ √N: the per-round driver traffic equals the size of
+    * the model the driver holds anyway). The table trainer paid a
+    * per-round cents join, a corpus-sized argmin shuffle, and an
+    * eager checkpoint job — pure job-scheduling overhead at bounded k
+    * and 3 extra corpus exchanges per round at 100 TB.
+    * Returns (cell, sub, centroid) rows as a sorted driver array. */
+  private[llmdata] def twoLevelCentroidsBounded(
+      spark: SparkSession, base: DataFrame,
+      width: Long): Array[(Int, Int, Array[Float])] = {
+    import spark.implicits._
+    var cents: Array[(Int, Int, Array[Float])] =
+      twoLevelSeeds(spark, base, width).collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[Float](2).toArray))
+        .sortBy(t => (t._1, t._2))
+    for (_ <- 0 until LloydIters) {
+      val subsOf = cents.groupBy(_._1)
+        .map { case (c, a) => c -> a.sortBy(_._2).map(_._3) }
+      val bc = spark.sparkContext.broadcast(subsOf)
+      val means = base
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .as[(Long, Array[Float], Int)]
+        .mapPartitions { it =>
+          val subs = bc.value
+          it.map { case (_, v, cell) =>
+            (cell, nearestCellLocal(subs(cell), v), v)
+          }
+        }
+        .toDF("cell", "sub", "embedding")
+        .select(col("cell"), col("sub"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("sub"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1))).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2),
+          r.getDecimal(3).doubleValue.toFloat)))
+        .groupBy(_._1)
+      cents = cents.map { case (c, s, old) =>
+        (c, s, means.get((c, s))
+          .fold(old)(_.map(_._2).sortBy(_._1).map(_._2).toArray))
+      }
+    }
+    cents
+  }
 
   /** The ACTIVE coarse model's dense-id centroid array: flat while
     * the corpus-scaled cell count fits [[IvfFlatMaxCells]] (outputs
@@ -2192,8 +2282,8 @@ object Similarity {
     * of two-level training and assignment. The coarse array is the
     * BOUNDED literal model (16 cells by default), so this stays a
     * zero-shuffle map. */
-  private def withCoarseCell(spark: SparkSession, corpus: DataFrame,
-                             coarse: Array[(Int, Seq[Float])]): DataFrame =
+  private[llmdata] def withCoarseCell(spark: SparkSession, corpus: DataFrame,
+                                      coarse: Array[(Int, Seq[Float])]): DataFrame =
     corpus.select(col("vec_id"), col("embedding"))
       .withColumn("cell",
         element_at(nearestCells(spark, col("embedding"), coarse, 1), 1)
@@ -2206,39 +2296,51 @@ object Similarity {
                                          coarse: Array[(Int, Seq[Float])],
                                          width: Long): DataFrame = {
     val base = withCoarseCell(spark, corpus, coarse).localCheckpoint()
-    // per-cell targets: k_c = ceil(n_c / width), seed stride = the
-    // flat trainer's max(1, n div k) — by RANK within the cell, which
-    // equals the flat vec_id seeding on a dense-id corpus
+    var cents = twoLevelSeeds(spark, base, width).localCheckpoint()
+    for (_ <- 0 until LloydIters)
+      cents = twoLevelIteration(spark, base, cents)
+    cents
+  }
+
+  /** Seed table for [[twoLevelCentroids]]: per-cell targets
+    * k_c = ceil(n_c / width), seed stride = the flat trainer's
+    * max(1, n div k) — by RANK within the cell, which equals the flat
+    * vec_id seeding on a dense-id corpus. */
+  private[llmdata] def twoLevelSeeds(spark: SparkSession, base: DataFrame,
+                                     width: Long): DataFrame = {
     val counts = base.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
-    val seeds = base.join(counts, "cell")
+    base.join(counts, "cell")
       .withColumn("kg", expr(s"(n + ${width - 1}) div $width"))
       .withColumn("step", greatest(lit(1L), expr("n div kg")))
       .withColumn("r", row_number().over(w).cast("long") - 1L)
       .filter(col("r") % col("step") === 0 && col("r") < col("step") * col("kg"))
       .select(col("cell"), (col("r") / col("step")).cast("int").as("sub"),
         col("embedding").as("centroid"))
-    var cents = seeds.localCheckpoint()
-    for (_ <- 0 until LloydIters) {
-      val assigned = assignRows(spark, base, cents)
-      // DISTRIBUTIVE Lloyd update: decimal per-dimension means keyed
-      // by (cell, sub, pos) — the flat trainer's exact formula, with
-      // the k·d result staying a DataFrame instead of a driver array
-      val means = assigned
-        .select(col("cell"), col("sub"), posexplode(col("embedding")))
-        .groupBy(col("cell"), col("sub"), col("pos"))
-        .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1))).as("m"))
-        .groupBy(col("cell"), col("sub"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), col("sub"),
-          expr("transform(pm, x -> CAST(CAST(x.m AS double) AS float))").as("nc"))
-      // an emptied sub-cluster keeps its previous centroid (flat rule)
-      cents = cents.join(means, Seq("cell", "sub"), "left")
-        .select(col("cell"), col("sub"),
-          coalesce(col("nc"), col("centroid")).as("centroid"))
-        .localCheckpoint()
-    }
-    cents
+  }
+
+  /** One Lloyd round of [[twoLevelCentroids]]: assign, distributive
+    * decimal means keyed by (cell, sub, pos) — the flat trainer's
+    * exact formula with the k·d result staying a DataFrame instead of
+    * a driver array — and the centroid update. An emptied sub-cluster
+    * keeps its previous centroid (flat rule). Everything stays
+    * table-shaped: the SemDeDup fine table is k ≈ N/width rows, far
+    * past broadcast size at 1B vectors. */
+  private[llmdata] def twoLevelIteration(spark: SparkSession, base: DataFrame,
+                                         cents: DataFrame): DataFrame = {
+    val assigned = assignRows(spark, base, cents)
+    val means = assigned
+      .select(col("cell"), col("sub"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("sub"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")) / count(lit(1))).as("m"))
+      .groupBy(col("cell"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), col("sub"),
+        expr("transform(pm, x -> CAST(CAST(x.m AS double) AS float))").as("nc"))
+    cents.join(means, Seq("cell", "sub"), "left")
+      .select(col("cell"), col("sub"),
+        coalesce(col("nc"), col("centroid")).as("centroid"))
+      .localCheckpoint()
   }
 
   /** One assignment pass: nearest sub-centroid WITHIN the row's coarse
@@ -2246,9 +2348,12 @@ object Similarity {
     * argmin — (vec_id, cell, sub, neg, embedding). Ties on the exact
     * rounded cosine break to the smaller sub id; the struct comparison
     * never reaches the embedding field because subs are distinct
-    * within a cell. */
-  private def assignRows(spark: SparkSession, base: DataFrame,
-                         cents: DataFrame): DataFrame =
+    * within a cell. The JOIN form is deliberate: the SemDeDup fine
+    * table is k ≈ N/width rows (~2 GB at 1B vectors, the documented
+    * two-level argument) — NOT broadcast-sized; the √N-bounded IVF
+    * coarse model takes [[twoLevelCentroidsBounded]] instead (r16). */
+  private[llmdata] def assignRows(spark: SparkSession, base: DataFrame,
+                                  cents: DataFrame): DataFrame =
     base.join(cents, "cell")
       .withColumn("neg", -cosineBest(spark, col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))

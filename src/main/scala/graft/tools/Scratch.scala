@@ -242,7 +242,7 @@ object Scratch {
         timed("simhash pairs (2)") {
           drive(Dedup.simhashNearDup(spark, sfDir, 6))
         }
-      case "2l" | "ddl" =>
+      case "2l" | "2li" | "ddl" | "flat" =>
         // llmdata-private probes live next to the package they time
         graft.llmdata.ScratchLlm.run(spark, sfDir, args.head, timed, drive)
       case "open" =>

@@ -219,6 +219,50 @@ class SimilaritySpec extends SparkSpec {
     } finally { ivf2l.unpersist(); () }
   }
 
+  test("bounded two-level trainer ≡ table trainer centroid-for-centroid, and the one-pass assignment ≡ the join+argmin form (r16)") {
+    // r16: ivfTwoLevelFor trains through twoLevelCentroidsBounded
+    // (driver-array rounds) — this pins it bit-identical to the
+    // table-shaped twoLevelCentroids the SemDeDup path keeps, on the
+    // real corpus at the IVF width, including the float bits.
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = corpus.count()
+    val coarse = Similarity.ivfCentroidsFor(spark, sf)
+    val width = math.max(1L, n / Similarity.ivfDefaultCells(n).toLong)
+    val base = Similarity.withCoarseCell(spark, corpus, coarse)
+      .localCheckpoint()
+    val bounded = Similarity.twoLevelCentroidsBounded(spark, base, width)
+      .map { case (c, s, cv) => (c, s, cv.toSeq) }.toSeq
+      .sortBy(t => (t._1, t._2))
+    val table = Similarity.twoLevelCentroids(spark, corpus, coarse, width)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(bounded === table)
+    // the memoized model's one-pass kernel assignment must equal the
+    // retired join+struct-argmin assignment row-for-row (cluster ids
+    // densified by the same (cell, sub) order, sim_micro included)
+    val model = Similarity.ivfTwoLevelFor(spark, sf)
+    val cents = Similarity.twoLevelCentroids(spark, corpus, coarse, width)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cell"), col("sub"))
+    val dense = cents
+      .withColumn("dense", row_number().over(wAll).cast("int") - 1)
+    val refAssign = Similarity.assignRows(spark, base, cents)
+      .join(dense.select(col("cell"), col("sub"), col("dense")),
+        Seq("cell", "sub"))
+      .select(col("vec_id"), col("dense").as("cluster"),
+        floor(-col("neg") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("centroid_sim_micro"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sorted
+    val got = model.assign
+      .select(col("vec_id"), col("cluster"), col("centroid_sim_micro"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got === refAssign)
+  }
+
   test("IVF defaults: verified scales pinned, cells uncapped past 1M, scanned fraction falls to <0.5% at 1B (r9 #1/#2)") {
     // pinned at the verified scales — registered outputs must not move
     assert(Similarity.ivfIndexStatsAt(500L) === ((23, 8, 12)))
