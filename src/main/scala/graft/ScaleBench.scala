@@ -130,9 +130,12 @@ object ScaleBench {
         catch { case _: Throwable => -1L }
       (name, t.getOrElse(0.0), n, Seq(p1, p2).flatten)
     }
-    val fams100 = Seq("dd_exact", "dd_semdedup_2l", "dd_embed_gate_shuffle",
-      "ann_ivf_topk", "ann_ivfpq_topk", "ann_ivfpq_stored",
-      "ann_ivfpq_frame", "ann_ivfpq_append")
+    val fams100 = sys.env.get("SPARK_GRAFT_SCALE_FILTER")
+      .map(_.r).map(re => Families.filter(n => re.findFirstIn(n).isDefined))
+      .getOrElse(Seq(
+        "dd_exact", "dd_semdedup_2l", "dd_embed_gate_shuffle",
+        "ann_ivf_topk", "ann_ivfpq_topk", "ann_ivfpq_stored",
+        "ann_ivfpq_frame", "ann_ivfpq_append"))
     val r100 = sweep("synth100x", synthDir, fams100)
     println("| query | synth100x s (min of 2) | passes | out rows |")
     println("|---|---|---|---|")
@@ -727,7 +730,13 @@ object ScaleBench {
     val queries = SparkEntry.queries
     var failed = List.empty[String]
     var lint = List.empty[String]
-    val rows = Families.map { name =>
+    // local-iteration subset knob (r16, like Bench's filter; never set
+    // by the driver): regex over family names — a filtered sweep is a
+    // profiling run, not a curve-table refresh
+    val famFilter = sys.env.get("SPARK_GRAFT_SCALE_FILTER")
+      .map(_.r).map(re => (n: String) => re.findFirstIn(n).isDefined)
+      .getOrElse((_: String) => true)
+    val rows = Families.filter(famFilter).map { name =>
       val times = scales.map { case (label, dir, _, _) =>
         var lastRun: Option[org.apache.spark.sql.DataFrame] = None
         def onePass(): Option[Double] = {

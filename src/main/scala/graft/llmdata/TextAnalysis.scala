@@ -1892,15 +1892,16 @@ object TextAnalysis {
     * Windows are md5 of the 4-token string so the DuckDB oracle
     * reproduces them exactly (cf. [[contaminationPairs]]).
     *
-    * Scale shape: one lead-chain window pass over the exploded token
-    * stream (hash-partitioned by doc); the ≥2-docs window set derives
-    * from a (window, doc)-distinct aggregate; marking is a LEFT-SEMI
-    * join of window occurrences against that set — unlike the pair
-    * explodes in [[Dedup.jaccardPairs]] there is NO df blowup to cap: a
-    * window in d docs contributes its occurrences linearly (d rows),
-    * never d², so no maxDocFreq knob is needed. Coverage expansion is a
-    * constant 4× of matched windows, de-duplicated per (doc, position)
-    * by a doc-partitioned aggregate bounded by document length. */
+    * Scale shape (r16): one row-local window pass, one shuffle of the
+    * window stream by w where min(doc)≠max(doc) marks the ≥2-docs
+    * windows in place (no distinct aggregate, no semi join back), one
+    * shuffle by doc — unlike the pair explodes in
+    * [[Dedup.jaccardPairs]] there is NO df blowup to cap: a window in
+    * d docs contributes its occurrences linearly (d rows), never d²,
+    * so no maxDocFreq knob is needed. Covered-token counts are the
+    * interval-union length of the matched [pos, pos+3] spans, folded
+    * row-locally over each doc's sorted positions (bounded by
+    * document length). */
   def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
     // r15 optimization (guide §2.4 — measured): the 4-token windows
     // used to come from posexplode + a 3-deep `lead` chain over a
@@ -1920,17 +1921,35 @@ object TextAnalysis {
         s"regexp_extract_all(text, '$rollWindowPattern', 1)")))
       .select(col("doc_id"), col("pos"),
         md5(col("col").cast("binary")).as("w"))
-      // both the dup-set aggregate and the marking join consume this;
-      // materialize once (at 100 TB this is the persisted window index)
-      .localCheckpoint()
-    val dup = wins.select(col("w"), col("doc_id")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("w"))
-    val covered = wins.join(dup, Seq("w"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(RollWindow - 1)))
-          .as("p"))
-      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_dup_tokens"))
+    // r16 (guide §2.3/§2.4, VERDICT r15 #5): the ≥2-docs test is
+    // min(doc_id) ≠ max(doc_id) over the w-partition — ONE pass over
+    // the window stream instead of the old (w, doc)-distinct aggregate
+    // + df count + left-semi join back (which shuffled the full window
+    // stream by w TWICE and needed the checkpoint for its two
+    // consumers; single consumer now, so the extra materialization
+    // pass is gone too).
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    val covered = wins
+      .withColumn("dmin", min(col("doc_id")).over(wW))
+      .withColumn("dmax", max(col("doc_id")).over(wW))
+      .filter(col("dmin") =!= col("dmax"))
+      // r16: covered-token count = the UNION LENGTH of the [pos,
+      // pos+W−1] intervals, computed row-locally over the doc's sorted
+      // matched positions — replaces explode(sequence(...)) (4× the
+      // matched rows) + a two-exchange countDistinct. Equal by
+      // construction: countDistinct counted exactly the union's
+      // members. The fold needs no clamp: positions are distinct and
+      // ascending, so the running end acc.e < p + W − 1 always.
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(ps,
+           |  named_struct('e', -1, 't', CAST(0 AS BIGINT)),
+           |  (acc, p) -> named_struct(
+           |    'e', p + ${RollWindow - 1},
+           |    't', acc.t + CAST(p + ${RollWindow - 1}
+           |                      - greatest(acc.e, p - 1) AS BIGINT)),
+           |  acc -> acc.t)""".stripMargin).as("n_dup_tokens"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(toks(col("text"))).cast("long").as("n_tokens"))

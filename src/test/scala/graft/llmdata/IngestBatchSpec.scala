@@ -71,12 +71,11 @@ class IngestBatchSpec extends SparkSpec {
   private def embFor(sub: DataFrame): DataFrame =
     emb.join(sub.select(col("doc_id").as("vec_id")), "vec_id")
 
-  private def freshDirs(): Ingest.Dirs = {
-    val work = Files.createTempDirectory("graft-ingest-batch").toString
-    val dirs = Ingest.dirsUnder(work)
-    Ingest.bootstrap(spark, sf, dirs, 10, 7, rawUrl = specUrl)
-    dirs
-  }
+  private def freshDirs(): Ingest.Dirs =
+    Ingest.dirsUnder(PristineDeployment.fresh("ingest-batch") { work =>
+      Ingest.bootstrap(spark, sf, Ingest.dirsUnder(work), 10, 7,
+        rawUrl = specUrl)
+    })
 
   private def batchOf(dirs: Ingest.Dirs,
                       crashAfter: Option[String] = None)

@@ -25,12 +25,11 @@ class IngestMainSpec extends SparkSpec {
   private def shard = docs.filter(col("doc_id") % shardMod === shardRem)
   private def shardEmb = emb.filter(col("vec_id") % shardMod === shardRem)
 
-  private def freshDirs(): Ingest.Dirs = {
-    val work = Files.createTempDirectory("graft-ingest-spec").toString
-    val dirs = Ingest.dirsUnder(work)
-    Ingest.bootstrap(spark, sf, dirs, shardMod, shardRem)
-    dirs
-  }
+  private def freshDirs(): Ingest.Dirs =
+    Ingest.dirsUnder(PristineDeployment.fresh("ingest-spec") { work =>
+      Ingest.bootstrap(spark, sf, Ingest.dirsUnder(work),
+        shardMod, shardRem)
+    })
 
   /** Everything observable about the artifact set, for convergence
     * comparison: postings rows + scalars, ANN answers, both gates'

@@ -43,12 +43,10 @@ class StreamingIngestSpec extends SparkSpec {
     src
   }
 
-  private def freshDirs(): Ingest.Dirs = {
-    val work = Files.createTempDirectory("graft-streamingest").toString
-    val dirs = Ingest.dirsUnder(work)
-    Ingest.bootstrap(spark, sf, dirs, 10, 7)
-    dirs
-  }
+  private def freshDirs(): Ingest.Dirs =
+    Ingest.dirsUnder(PristineDeployment.fresh("streamingest") { work =>
+      Ingest.bootstrap(spark, sf, Ingest.dirsUnder(work), 10, 7)
+    })
 
   /** Observable artifact state ([[IngestMainSpec]]'s convergence
     * tuple): postings rows + scalars, ANN answers, both gates' key

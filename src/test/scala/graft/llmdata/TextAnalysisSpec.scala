@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
   * CORRECTNESS — xxhash64 token hashes aren't DuckDB-reproducible). */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("corpus contract: document text is strictly single-space separated (r16, VERDICT r15 #8)") {
+    // tokenWindowPattern's `(?:^| )(?=(tok tok …))` windows are only
+    // equivalent to the split-on-space + lead-chain form when text has
+    // no leading/trailing space and no consecutive spaces (split would
+    // emit EMPTY tokens there; the regex token is a non-space run, so
+    // the two silently diverge). This pins the data assumption loudly
+    // instead of silently: a corpus violating it must fail HERE, not
+    // produce drifted n-gram windows. Tabs/newlines are fine — both
+    // forms treat only ' ' as the separator.
+    val bad = Tables.documents(spark, sf)
+      .filter(col("text").rlike("^ |  | $"))
+    assert(bad.count() === 0,
+      "documents.text must be single-space separated — " +
+        "tokenWindowPattern's equivalence precondition")
+  }
+
   test("rolling fingerprints are order-sensitive where bag fingerprints are not") {
     import spark.implicits._
     val docs = Seq(
