@@ -339,42 +339,28 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      // r15 (guide §3.3): `delayed` feeds BOTH the probe side and the
-      // anti side below; without materialization the plan computes
-      // the fact⋈fact distinct TWICE (12 parquet scans at bench —
-      // lineitem and orders each scanned twice for this subtree
-      // alone). One eager checkpoint halves the fact work; the
-      // checkpointed frame is (orderkey, suppkey)-distinct, bounded
-      // by delayed line items, never wider than the fact table.
-      // RELIABILITY TRADE (r16, VERDICT r15 #9): localCheckpoint is
-      // non-reliable storage — on a cluster, losing an executor that
-      // holds blocks kills the job instead of recomputing. Accepted
-      // here deliberately: the frame is a pure recomputable derivation
-      // of two immutable scans inside ONE query (retrying the query
-      // recovers it), the alternative persist(DISK_ONLY) pays a write
-      // + read of the full frame even when memory is free, and this
-      // codebase's convention (Dedup.scala:747,1809) reserves persist
-      // for frames whose loss would repeat MORE than one query's
-      // work. Under dynamic allocation at 100 TB, prefer disabling
-      // executor decommission during the query or swapping this one
-      // call to persist(DISK_ONLY) — the 4-scan plan shape is
-      // identical either way.
-      .localCheckpoint()
+    // r16 (guide §2.4, VERDICT r15 #9): "no OTHER delayed supplier on
+    // the order" ⟺ the order's delayed-(order, supplier)-distinct
+    // count is exactly 1 — one aggregate over `delayed` replaces the
+    // r15 left-anti SELF-join (which consumed `delayed` twice and
+    // needed an eager localCheckpoint — the non-reliable-storage
+    // concern — to avoid recomputing the fact⋈fact distinct). Single
+    // consumer now: no materialization, no anti-join, 3 fact scans
+    // instead of 4 + a checkpoint job, and the `delayed` distinct's
+    // partitioning feeds the per-order aggregate. min(l_suppkey) IS
+    // the sole supplier (the group has one row).
+    val sole = delayed
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_delayed"), min(col("l_suppkey")).as("l_suppkey"))
+      .filter(col("n_delayed") === 1)
+      .select(col("l_orderkey"), col("l_suppkey"))
     val multi = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_supp"))
       .filter(col("n_supp") > 1)
       .select(col("l_orderkey"))
-    // self-join: rename the probe side's columns so resolution is
-    // unambiguous (both inputs descend from the same `delayed` plan)
-    val others = delayed
-      .select(col("l_orderkey").as("d2_orderkey"),
-        col("l_suppkey").as("d2_suppkey"))
-    delayed
+    sole
       .join(multi, "l_orderkey")
-      .join(others,
-        col("l_orderkey") === col("d2_orderkey") &&
-          col("l_suppkey") =!= col("d2_suppkey"), "left_anti")
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_solely_delayed"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
